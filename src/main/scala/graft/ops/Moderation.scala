@@ -1,0 +1,127 @@
+package graft.ops
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship message-moderation pipeline, Spark-first.
+  *
+  * Reference semantics (SURVEY.md §2-§3; svolga/hw-kafka-streams):
+  *  - drop any message whose directed pair `receiver:sender` appears in
+  *    the blocked-users table (KafkaStreamApp.java:157-166 — GlobalKTable
+  *    leftJoin + null filter, i.e. an anti-join);
+  *  - censor surviving text: every forbidden word whose table value is
+  *    exactly "ban" (MessageFilterProcessor.java:37) is replaced
+  *    case-insensitively and literally (Pattern.quote) by '*' repeated
+  *    to the word's length (MessageFilterProcessor.java:38-41);
+  *  - null message / null text passes through untouched
+  *    (MessageFilterProcessor.java:23-25).
+  *
+  * Spark design: the GlobalKTable (fully replicated table) maps to a
+  * BROADCAST side of a left_anti join — no shuffle of the message
+  * stream, exactly the GlobalKTable contract. The censor is a fold of
+  * codegen'd `regexp_replace` built-ins (parity path) or the single-pass
+  * [[graft.functions.CensorText]] expression (scale path, registered as
+  * SQL function `censor_text`). Everything here is a pure
+  * DataFrame -> DataFrame function, legal in both batch and Structured
+  * Streaming (stream-static join + narrow projection).
+  */
+object Moderation {
+
+  /** A chat message; key = sender (Message.java:3 + record key). */
+  case class Message(sender: String, text: String, receiver: String)
+
+  /** The directed blocked pair key `receiver:sender`
+    * (KafkaStreamApp.java:158). Null-safe like the reference: Kafka
+    * string concat of a null field would NPE upstream; here nulls
+    * simply never match any blocked key (concat_ws skips nulls, so a
+    * null receiver yields just the sender — no accidental matches with
+    * well-formed `a:b` keys).
+    */
+  def blockedKey(receiver: Column, sender: Column): Column =
+    concat_ws(":", receiver, sender)
+
+  /** Latest-value-per-key compaction of a changelog (the GlobalKTable
+    * materialization, SURVEY §2 S2): keep the newest row per key, drop
+    * tombstones (null values).
+    */
+  def latestPerKey(changelog: DataFrame, keyCol: String, seqCol: String,
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(valueCol).isNotNull)
+      .drop("__rn")
+  }
+
+  /** J1+P2: drop messages whose `receiver:sender` is a blocked pair.
+    * `blocked` must have a single column with the pair key. Broadcast +
+    * left_anti: zero shuffle on the (large) message side.
+    */
+  def dropBlocked(messages: DataFrame, blocked: DataFrame): DataFrame = {
+    val keys = blocked.toDF("__blocked_key").distinct()
+    messages.join(
+      broadcast(keys),
+      blockedKey(messages("receiver"), messages("sender")) === col("__blocked_key"),
+      "left_anti")
+  }
+
+  /** The literal two-step reference form (left_outer + IS NULL filter,
+    * KafkaStreamApp.java:157-166) — kept for parity testing; Catalyst
+    * may not rewrite this to anti-join, so [[dropBlocked]] is the
+    * production form.
+    */
+  def dropBlockedTwoStep(messages: DataFrame, blocked: DataFrame): DataFrame = {
+    val keys = blocked.toDF("__blocked_key").distinct()
+    messages.join(
+        broadcast(keys),
+        blockedKey(messages("receiver"), messages("sender")) === col("__blocked_key"),
+        "left_outer")
+      .filter(col("__blocked_key").isNull)
+      .drop("__blocked_key")
+  }
+
+  /** U3: of a (word, value) forbidden-words table, only value == "ban"
+    * entries are active (MessageFilterProcessor.java:37).
+    */
+  def activeBanWords(words: DataFrame, wordCol: String, valueCol: String): Seq[String] =
+    words.filter(col(valueCol) === "ban")
+      .select(col(wordCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** U4 parity path: sequential fold of case-insensitive literal
+    * replacements, each over the already-rewritten string — the exact
+    * reference semantics (MessageFilterProcessor.java:38-41). Null text
+    * stays null (regexp_replace is null-safe), satisfying U5.
+    *
+    * The word list is plan-time state (the reference's GlobalKTable
+    * store is tiny and fully replicated; here it folds into the plan —
+    * the moral equivalent of broadcast). For large word lists prefer
+    * [[censorSinglePass]].
+    */
+  def censorFold(text: Column, words: Seq[String]): Column =
+    words.foldLeft(text) { (c, w) =>
+      regexp_replace(c, lit("(?i)" + Pattern.quote(w)), lit("*" * w.length))
+    }
+
+  /** U4 scale path: ONE pass over the text with an alternation regex,
+    * masking each match with '*' of match length. Equivalent to
+    * [[censorFold]] whenever no word is a substring of (or overlaps)
+    * another's mask output — longest-first alternation makes the common
+    * cases agree. O(text) instead of O(words * text).
+    */
+  def censorSinglePass(text: Column, words: Seq[String]): Column =
+    graft.functions.CensorText(text, words)
+
+  /** Full flagship pipeline over (sender, text, receiver) messages. */
+  def pipeline(messages: DataFrame, blockedPairs: DataFrame,
+               banWords: Seq[String], singlePass: Boolean = false): DataFrame = {
+    val survivors = dropBlocked(messages, blockedPairs)
+    val censor =
+      if (singlePass) censorSinglePass(col("text"), banWords)
+      else censorFold(col("text"), banWords)
+    survivors.withColumn("text", censor)
+  }
+}
