@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Aggregation / window-function / join / set-op extension operators
+  * (SURVEY.md §7 M4 "aggregations", "window functions", "joins beyond
+  * J1") over the TPC-H-ish tables.
+  *
+  * Cross-engine float determinism: every SUM over doubles goes through
+  * an exact DECIMAL cast (sums of doubles are order-dependent in the
+  * last ulps; decimal sums are exact and associative, so Spark and
+  * DuckDB agree bit-for-bit after the final cast back to DOUBLE). The
+  * input data is 2-decimal money / integral quantities, so the casts
+  * are lossless. Per-row double arithmetic (no reordering) is already
+  * deterministic and needs no cast.
+  */
+object AggQueries {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  /** Exact decimal sum, surfaced as double. */
+  private def sumd(c: Column): Column = sum(c).cast("double")
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q1-style wide aggregation (hash agg with partial/map-side combine)
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val qty = dec(col("l_quantity"), 12, 2)
+      val price = dec(col("l_extendedprice"), 12, 2)
+      val oneMinus = dec(lit(1) - col("l_discount"), 4, 2)
+      val onePlus = dec(lit(1) + col("l_tax"), 4, 2)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(qty).as("sum_qty"),
+          sumd(price).as("sum_base_price"),
+          sumd(price * oneMinus).as("sum_disc_price"),
+          sumd(price * oneMinus * onePlus).as("sum_charge"),
+          (sumd(qty) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // min/max/exact-distinct aggregates
+    Q("agg_stats",
+      """SELECT o_orderstatus, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // HLL sketch — Spark's HLL++ and DuckDB's approx differ by design,
+    // so no value oracle; driver records the rows-only check. The exact
+    // twin agg_stats pins correctness of the same quantity.
+    Q.noOracle("approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP hierarchy totals
+    Q("rollup_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sumd(dec(col("l_quantity"), 12, 2)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // CUBE over two dims
+    Q("cube_agg",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(sumd(dec(col("o_totalprice"), 12, 2)).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // GROUPING SETS with grouping() disambiguation
+    Q("grouping_sets",
+      """SELECT GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+          |  l_returnflag, l_linestatus, COUNT(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // top-k per group via ranked window (deterministic unique tiebreak)
+    Q("topk_per_group",
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "rn")
+    },
+
+    // frame-spec window functions: running sum (exact decimal), lag, rank
+    Q("window_funcs",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  lag(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq
+        |FROM lineitem ORDER BY l_suppkey, seq""".stripMargin) { (s, dir) =>
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity"), 12, 2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          row_number().over(w).as("seq"))
+        .orderBy("l_suppkey", "seq")
+    },
+
+    // small-dim broadcast hash join + aggregate
+    Q("join_broadcast_agg",
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(dec(col("o_totalprice"), 12, 2)).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // large-large shuffle (sort-merge) join + aggregate
+    Q("join_sortmerge_agg",
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").hint("merge")
+      val o = Tables.load(s, dir, "orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sumd(dec(col("l_extendedprice"), 12, 2)).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // star-schema multi-join (all dims broadcast)
+    Q("multi_join_star",
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sumd(dec(col("c_acctbal"), 12, 2)).as("total_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // set operators: EXCEPT / UNION (distinct semantics)
+    Q("set_ops",
+      """SELECT c_custkey FROM
+        |  ((SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |    EXCEPT
+        |    SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |   UNION
+        |   SELECT c_custkey FROM customer
+        |   WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val neg = c.filter(col("c_acctbal") < 0).select("c_custkey")
+      val rich = c.filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 9000)
+        .select("c_custkey")
+      auto.except(neg).union(rich).distinct().orderBy("c_custkey")
+    }
+  )
+}

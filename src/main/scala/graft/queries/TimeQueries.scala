@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time operators over `events` (SURVEY.md §7 M4 "streaming
+  * windows", T3): tumbling/sliding windows via Spark's `window()`
+  * (identical semantics batch vs Structured Streaming — the streaming
+  * variants run in StreamingSpec), time-range self-join, and
+  * gaps-and-islands sessionization (the batch twin of
+  * `session_window`).
+  *
+  * events.ts is ns in parquet, floored to µs by Tables.load exactly as
+  * DuckDB floors it, so timestamps agree bit-for-bit cross-engine.
+  */
+object TimeQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // tumbling 1h windows: Spark window() ≙ epoch-aligned date_trunc
+    Q("events_tumbling",
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // sliding 10min windows every 5min: each event lands in exactly 2
+    // epoch-aligned windows — oracle materializes both starts per event
+    Q("events_sliding",
+      """SELECT w_start, event_type, COUNT(*) AS n
+        |FROM (SELECT event_type, unnest([
+        |        make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+        |        make_timestamp((epoch_us(ts) // 300000000) * 300000000 - 300000000)
+        |      ]) AS w_start FROM events)
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // time-range (interval) self-join: pairs of same-user events within
+    // 5 minutes; aggregated to bound output size
+    Q("range_join_pairs",
+      """SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        | AND e1.event_id < e2.event_id
+        |GROUP BY e1.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val e1 = ev.as("e1")
+      val e2 = ev.as("e2")
+      e1.join(e2,
+          col("e1.user_id") === col("e2.user_id")
+            && col("e2.ts") >= col("e1.ts")
+            && col("e2.ts") <= col("e1.ts") + expr("INTERVAL 5 MINUTES")
+            && col("e1.event_id") < col("e2.event_id"))
+        .groupBy(col("e1.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
+    // sessionization (30-minute inactivity gap), gaps-and-islands: the
+    // deterministic batch equivalent of session_window
+    Q("sessionize",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }
+  )
+}
