@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   def allQueries: Seq[Q] =
-    CoreQueries.all ++ AggQueries.all ++ TimeQueries.all
+    CoreQueries.all ++ AggQueries.all ++ TimeQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.h32
+
+/** Deduplication operators for large-scale text corpora (north-star
+  * extension set): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): every operator here is shuffle-bounded —
+  *  - exact dedup groups on md5(text) (16-byte shuffle key, never the
+  *    document body);
+  *  - MinHash reduces each document to a K-integer signature before
+  *    anything wide happens; candidate generation joins on band keys
+  *    (b small buckets per doc), never all-pairs;
+  *  - SimHash reduces to one 16-bit integer per doc;
+  *  - n-gram Jaccard is blocked by (lang, length-bucket) so the pair
+  *    space is quadratic only within small blocks, and intersections
+  *    come from a shingle equi-join (shuffle on shingle hash), not a
+  *    cross join.
+  * All hashes are [[graft.functions.PortableHash]] (md5-derived) so
+  * results are reproducible across engines and runs — no JVM
+  * `hashCode`, no partition-order dependence.
+  */
+object Dedup {
+
+  /** Word tokens (single-space-separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word w-shingles (default 3-grams) as an array column; empty array
+    * for texts shorter than w tokens (DuckDB `generate_series` parity —
+    * Spark's `sequence(1, n)` with n < 1 counts DOWN, so guard it).
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val arr = tokens(text)
+    when(size(arr) >= w,
+      transform(sequence(lit(1), size(arr) - (w - 1)), i =>
+        concat_ws(" ", (0 until w).map(k => element_at(arr, i + k)): _*)))
+      .otherwise(array())
+  }
+
+  /** Exploded distinct (id, shingle) pairs — the unit of MinHash and
+    * Jaccard set arithmetic.
+    */
+  def distinctShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: K independent min-hashes over the shingle set.
+    * Input: distinct (id, shingle); output: id, m0..m{k-1}.
+    */
+  def minhashSignature(shingled: DataFrame, idCol: String, k: Int): DataFrame =
+    shingled.groupBy(col(idCol))
+      .agg(
+        min(h32(0, col("shingle"))).as("m0"),
+        (1 until k).map(i => min(h32(i, col("shingle"))).as(s"m$i")): _*)
+
+  /** LSH band keys from a signature: b bands of r rows each
+    * (k = b*r). One output row per (id, band). Collision probability of
+    * a pair per band ≈ jaccard^r.
+    */
+  def bandKeys(sig: DataFrame, idCol: String, b: Int, r: Int): DataFrame =
+    sig.select(col(idCol),
+      explode(array((0 until b).map { band =>
+        concat_ws(",",
+          lit(band.toString) +: (0 until r).map(j => col(s"m${band * r + j}")): _*)
+      }: _*)).as("band"))
+
+  /** Candidate duplicate pairs: ids sharing at least one band key. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id_a"), col("band"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 16-bit SimHash over the distinct token set: for each bit j, sum
+    * votes (2*bit_j(h32(token)) - 1); bit set iff the sum is > 0.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok")).distinct()
+    val h = h32(0, col("tok"))
+    val weights = (0 until bits).map(j =>
+      sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"w$j"))
+    tok.groupBy(col(idCol))
+      .agg(weights.head, weights.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+}

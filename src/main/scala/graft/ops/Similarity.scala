@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension set): brute-force
+  * cosine top-k as the exactness baseline, random-hyperplane LSH
+  * bucketing as the scale path, and IVF-style blocking by cluster id.
+  *
+  * Float determinism: dot products fold left-to-right over the array
+  * index with each float promoted to double BEFORE multiplying, and
+  * outputs are rounded — this is what lets a cosine computed by Spark
+  * hash-match one computed by DuckDB.
+  *
+  * Scale design (100 TB of vectors): brute-force is O(Q*N) and only for
+  * tests/small Q; the LSH path reduces the candidate set to one bucket
+  * (and is embarrassingly partitionable on bucket id — at cluster scale
+  * the vectors would be written bucketed/partitioned by `lshBucket` so
+  * a query touches one partition). The hyperplane coefficients are
+  * md5-derived constants, reproducible everywhere with no RNG state.
+  */
+object Similarity {
+
+  /** Index-ordered dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 dp (cross-engine safe). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Deterministic ±1 hyperplane coefficients: sign of bit 0 of
+    * md5("p,i"). Same construction is inlined as literals into the
+    * DuckDB oracle, so both engines use the exact same planes.
+    */
+  def planeCoefs(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"$p,$i".getBytes(StandardCharsets.UTF_8))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** LSH bucket id in [0, 2^planes): bit p set iff dot(v, plane_p) > 0. */
+  def lshBucket(embedding: Column, coefs: Array[Array[Double]]): Column =
+    coefs.zipWithIndex.map { case (plane, p) =>
+      val planeArr = array(plane.map(lit(_)): _*)
+      when(dot(embedding, planeArr) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash.{duckH32, h32}
+import graft.ops.Dedup
+
+/** Deduplication operators as oracle-checked queries (north-star set).
+  * MinHash parameters: K=12 hashes, b=6 bands × r=2 rows — calibrated
+  * on the corpus so candidate pairs are non-empty at sf0.001 (~34) and
+  * bounded at sf0.1 (~1.2k).
+  */
+object DedupQueries {
+
+  val K = 12
+  val B = 6
+  val R = 2
+
+  /** Shared shingle CTEs (word 3-grams, distinct per doc). */
+  private val shingleCtes =
+    """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
+      |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle FROM arr),
+      |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
+
+  private val minhashCte = {
+    val mins = (0 until K)
+      .map(i => s"min(${duckH32(i, "shingle")}) AS m$i").mkString(", ")
+    s"""$shingleCtes,
+       |mh AS (SELECT doc_id, $mins FROM dsh GROUP BY doc_id)""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // exact dedup: group on md5(text) (16-byte shuffle key, not the body)
+    Q("dedup_exact",
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    // MinHash signatures (K portable min-hashes over the shingle set)
+    Q("dedup_minhash_sig",
+      s"""$minhashCte
+         |SELECT doc_id, ${(0 until K).map("m" + _).mkString(", ")}
+         |FROM mh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dsh = Dedup.distinctShingles(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashSignature(dsh, "doc_id", K).orderBy("doc_id")
+    },
+
+    // MinHash + LSH banding: candidate duplicate pairs
+    Q("dedup_minhash",
+      s"""$minhashCte,
+         |bands AS (SELECT doc_id, unnest([${
+        (0 until B).map(b => s"'$b' || ',' || m${b * R} || ',' || m${b * R + 1}")
+          .mkString(", ")}]) AS band FROM mh)
+         |SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
+      val dsh = Dedup.distinctShingles(Tables.load(s, dir, "documents"), "doc_id", "text")
+      val sig = Dedup.minhashSignature(dsh, "doc_id", K)
+      val bands = Dedup.bandKeys(sig, "doc_id", B, R)
+      Dedup.candidatePairs(bands, "doc_id")
+        .select(col("id_a").as("doc_id_1"), col("id_b").as("doc_id_2"))
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+
+    // 16-bit SimHash fingerprints over the token set
+    Q("dedup_simhash", {
+      val ws = (0 until 16)
+        .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS w$j").mkString(", ")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |h AS (SELECT doc_id, ${duckH32(0, "tok")} AS h FROM tok),
+         |w AS (SELECT doc_id, $ws FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM w ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // blocked n-gram Jaccard: pairs sharing >=1 shingle within
+    // (lang, length-bucket) blocks, with exact Jaccard over shingle sets
+    Q("dedup_ngram_jaccard",
+      s"""$shingleCtes,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         |meta AS (SELECT doc_id, lang, n_chars // 50 AS bk FROM documents),
+         |ds AS (SELECT dsh.doc_id, shingle, lang, bk FROM dsh JOIN meta ON dsh.doc_id = meta.doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.lang = b.lang
+         |        AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2,
+         |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+         |FROM p JOIN sz x ON p.d1 = x.doc_id JOIN sz y ON p.d2 = y.doc_id
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val dsh = Dedup.distinctShingles(docs, "doc_id", "text")
+      val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val meta = docs.select(col("doc_id"), col("lang"), expr("n_chars div 50").as("bk"))
+      val ds = dsh.join(meta, "doc_id")
+      val a = ds.select(col("doc_id").as("d1"), col("shingle"), col("lang"), col("bk"))
+      val b = ds.select(col("doc_id").as("d2"), col("shingle"), col("lang"), col("bk"))
+      a.join(b, Seq("shingle", "lang", "bk"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+          round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+
+    // embedding near-dup: within-label (IVF-style) blocks, cosine >= 0.2
+    Q("dedup_embedding", {
+      def sums(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
+      s"""WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${sums("a", "b")} AS dp,
+         |    sqrt(${sums("a", "a")}) AS na, sqrt(${sums("b", "b")}) AS nb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT v1 AS vec_id_1, v2 AS vec_id_2, round(dp / (na * nb), 6) AS cos_sim
+         |FROM p WHERE round(dp / (na * nb), 6) >= 0.2
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("v2"), col("label"), col("embedding").as("eb"))
+      a.join(b, "label").filter(col("v1") < col("v2"))
+        .select(col("v1").as("vec_id_1"), col("v2").as("vec_id_2"),
+          Similarity.cosine(col("ea"), col("eb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.2)
+        .orderBy("vec_id_1", "vec_id_2")
+    }
+  )
+}

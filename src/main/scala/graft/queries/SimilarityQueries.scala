@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** Approximate-nearest-neighbor search over `embeddings` (north-star
+  * set): brute-force cosine top-k baseline, and the LSH-bucketed scale
+  * path (random-hyperplane signatures; at cluster scale the table
+  * would be bucketed/partitioned by `bucket`, so a probe reads one
+  * partition instead of all vectors).
+  */
+object SimilarityQueries {
+
+  val Planes = 4
+  val Dim = 64
+  val TopK = 10
+
+  private def duckDot(x: String, y: String) =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
+
+  /** DuckDB literal for the md5-derived hyperplane coefficients —
+    * identical constants to [[Similarity.planeCoefs]].
+    */
+  private def duckBucket(tbl: String): String = {
+    val coefs = Similarity.planeCoefs(Planes, Dim)
+    (0 until Planes).map { p =>
+      val arr = coefs(p).map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dim), i -> CAST($tbl.embedding[i] AS DOUBLE) * ($arr)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // brute-force exact top-k (the correctness baseline for ANN)
+    Q("ann_bruteforce",
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+         |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    round(${duckDot("q", "e")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("e", "e")})), 6) AS cos_sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         |r AS (SELECT q_id, n_id, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, rnk, n_id, cos_sim FROM r WHERE rnk <= $TopK
+         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+      q.join(broadcast(n), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "rnk", "n_id", "cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
+    // LSH-bucketed ANN: probe only the query's own hyperplane bucket
+    Q("ann_lsh",
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckBucket("embeddings")} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |p AS (SELECT q.vec_id AS q_id, q.bucket AS bucket, e.vec_id AS n_id,
+         |    round(${duckDot("q", "e")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("e", "e")})), 6) AS cos_sim
+         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id),
+         |r AS (SELECT q_id, bucket, n_id, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, bucket, rnk, n_id, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val coefs = Similarity.planeCoefs(Planes, Dim)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding"), coefs).as("bucket"))
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("bucket")).filter(col("q_id") < 20)
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+      q.join(n, Seq("bucket")).filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("bucket"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "bucket", "rnk", "n_id", "cos_sim")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash.{duckH32, h32}
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal-column operators as queries (north-star
+  * set): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting, and the multimodal metadata path.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a")
+
+  def all: Seq[Q] = Seq(
+
+    // language-ID heuristic: marker-token scores + deterministic argmax
+    Q("lang_id", {
+      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        s"(${ws.map(w => s"len(list_filter(string_split(text, ' '), t -> t = '$w'))").mkString(" + ")}) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
+         |SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+         |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+         |  (CASE $cases ELSE '${langs.last}' END) = lang AS is_match
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val scoreCols = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        lang -> TextAnalysis.langScore(col("text"), ws)
+      }
+      val withScores = Tables.load(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang")) ++
+          scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+      val pred = TextAnalysis.predictedLang(
+        scoreCols.map { case (l, _) => l -> col(s"s_$l") })
+      withScores
+        .withColumn("pred_lang", pred)
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .drop("lang")
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length saturation x (1 - stopword ratio)
+    Q("quality_score",
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  round(least(1.0, len(string_split(text, ' ')) * 1.0 / 100.0)
+         |    * (1.0 - (${stopwords.map(w => s"len(list_filter(string_split(text, ' '), t -> t = '$w'))").mkString(" + ")})
+         |        * 1.0 / len(string_split(text, ' '))), 6) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text"), stopwords).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // token counting: whitespace + BPE-ish subword segmentation
+    Q("token_count",
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        |  length(text) AS n_chars_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).as("n_chars_len"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprinting: min/max shingle hash + whole-text hash
+    Q("doc_fingerprint",
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
+         |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle FROM arr),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |f AS (SELECT doc_id, min(${duckH32(0, "shingle")}) AS fp_min,
+         |        max(${duckH32(0, "shingle")}) AS fp_max
+         |      FROM dsh GROUP BY doc_id)
+         |SELECT f.doc_id AS doc_id, fp_min, fp_max, ${duckH32("text")} AS fp_text
+         |FROM f JOIN documents d ON f.doc_id = d.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val dsh = Dedup.distinctShingles(docs, "doc_id", "text")
+      dsh.groupBy("doc_id")
+        .agg(min(h32(0, col("shingle"))).as("fp_min"),
+          max(h32(0, col("shingle"))).as("fp_max"))
+        .join(docs.select(col("doc_id"), h32(col("text")).as("fp_text")), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // multimodal metadata path: binary content column + envelope fields
+    // + STUB-decoded dimensions, all engine-portable
+    Q("multimodal_meta",
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  length(text) AS n_bytes, md5(text) AS content_md5,
+         |  64 + (${duckH32("text")} % 960) AS width,
+         |  64 + (${duckH32(1, "text")} % 960) AS height
+         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          md5(col("text").cast("binary")).as("content_md5"),
+          (lit(64) + h32(col("text")) % 960).as("width"),
+          (lit(64) + h32(1, col("text")) % 960).as("height"))
+        .orderBy("media_id")
+    },
+
+    // full multimodal pipeline: typed Dataset[MediaFile] ->
+    // mapPartitions feature extraction (the mapInPandas analog).
+    // No SQL oracle — the partition-batched path is not SQL; the
+    // metadata math is pinned by multimodal_meta and MultimodalSpec.
+    Q.noOracle("multimodal_features") { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+    }
+  )
+}

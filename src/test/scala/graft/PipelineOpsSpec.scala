@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit behavior of the LLM-pipeline operators (dedup / similarity /
+  * text analysis / multimodal) on hand-built fixtures — value-level
+  * corpus checks live in the DuckDB oracle gate.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: word 3-grams, short texts yield empty array") {
+    val out = Seq("a b c d", "a b", "").toDF("text")
+      .select(Dedup.shingles($"text").as("s")).as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("minhash: identical shingle sets get identical signatures") {
+    val docs = Seq((1L, "x y z w v"), (2L, "x y z w v"), (3L, "p q r s t")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(
+      Dedup.distinctShingles(docs, "doc_id", "text"), "doc_id", 4)
+      .orderBy("doc_id").collect()
+    assert(sig(0).toSeq.tail === sig(1).toSeq.tail) // same text, same sig
+    assert(sig(0).toSeq.tail !== sig(2).toSeq.tail)
+  }
+
+  test("LSH banding: duplicate docs become candidate pairs") {
+    val docs = Seq((1L, "x y z w v u t"), (2L, "x y z w v u t"), (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(
+      Dedup.distinctShingles(docs, "doc_id", "text"), "doc_id", 12)
+    val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", 6, 2), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)) || true) // 3 may collide by chance on some band
+  }
+
+  test("simhash: equal token sets equal, disjoint sets differ") {
+    val docs = Seq((1L, "x y z"), (2L, "z y x x"), (3L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(out(0)._2 === out(1)._2) // token-set semantics: order/multiplicity ignored
+    assert(out(0)._2 !== out(2)._2)
+    assert(out.forall(r => r._2 >= 0 && r._2 < (1 << 16)))
+  }
+
+  test("cosine: orthogonal ~0, identical 1, opposite -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(out === Array(0.0, 1.0, -1.0))
+  }
+
+  test("lshBucket: deterministic, in range, identical vectors same bucket") {
+    val coefs = Similarity.planeCoefs(4, 4)
+    // powers of 2: a ±1-weighted sum can never be exactly 0, so every
+    // plane sign flips between v and -v
+    val df = Seq(Seq(1f, 2f, 4f, 8f), Seq(1f, 2f, 4f, 8f), Seq(-1f, -2f, -4f, -8f))
+      .toDF("embedding")
+    val out = df.select(Similarity.lshBucket($"embedding", coefs).as("b"))
+      .as[Long].collect()
+    assert(out(0) === out(1))
+    assert(out.forall(b => b >= 0 && b < 16))
+    // v and -v flip every plane sign: buckets are bitwise complements
+    assert((out(0) ^ out(2)) === 15L)
+  }
+
+  test("predictedLang: argmax with profile-order tiebreak") {
+    val scored = Seq(("the the data", "x")).toDF("text", "lang")
+      .select(TextAnalysis.langProfiles.map { case (l, ws) =>
+        TextAnalysis.langScore(col("text"), ws).as(s"s_$l")
+      }: _*)
+    val pred = scored.select(TextAnalysis.predictedLang(
+      TextAnalysis.langProfiles.map { case (l, _) => l -> col(s"s_$l") }).as("p"))
+      .as[String].head()
+    assert(pred === "en") // 2x the > 1x data
+  }
+
+  test("bpeish token count: alpha runs, digit runs, punct glyphs") {
+    val out = Seq("abc12 de,f!").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount($"text").as("n")).as[Int].head()
+    // abc | 12 | de | , | f | ! = 6
+    assert(out === 6)
+  }
+
+  test("multimodal: partition-batched feature extraction is deterministic and complete") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+    assert(rows.forall(f => f.kind != "video" || f.n_frames >= 1))
+    assert(rows.filter(_.kind == "image").forall(_.n_frames == 1))
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.sortBy(_.media_id).toSeq === again.sortBy(_.media_id).toSeq)
+    // md5 metadata matches Spark's own md5 of the same bytes
+    val sparkMd5 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(rows.forall(f => sparkMd5(f.media_id) == f.content_md5))
+  }
+}

@@ -10,8 +10,10 @@ class QueriesSpec extends SparkSpec {
   test("every query has either an oracle or a documented reason") {
     val noOracle = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
     // keep this list short and intentional — each entry is a weaker check
-    assert(noOracle.forall(Set("approx_distinct").contains // HLL sketch differs by engine
-      (_: String)), s"un-oracled queries: $noOracle")
+    val allowed = Set(
+      "approx_distinct", // HLL sketch differs by engine
+      "multimodal_features") // mapPartitions path is not SQL; math pinned by multimodal_meta
+    assert(noOracle.forall(allowed), s"un-oracled queries: $noOracle")
   }
 
   test("query names are unique") {
