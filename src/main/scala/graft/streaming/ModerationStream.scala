@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.Row
+
+import graft.ops.Moderation
+
+/** Streaming form of the flagship moderation pipeline — the direct
+  * rebuild of the reference topology (SURVEY.md §3):
+  *
+  *   Kafka `messages` -> drop blocked `receiver:sender` pairs ->
+  *   censor banned words -> Kafka `filtered-messages`
+  *
+  * The same pure DataFrame transforms as batch ([[Moderation]]) run
+  * under Structured Streaming; the blocked/words tables are static
+  * sides of a stream-static join, re-read each micro-batch — the
+  * GlobalKTable contract at micro-batch granularity (SURVEY §2 T4).
+  *
+  * Delivery semantics (SURVEY §2 T1): with a checkpointLocation the
+  * aggregation/state is exactly-once; the Kafka sink itself is
+  * at-least-once (duplicates possible on retry). The reference's
+  * EXACTLY_ONCE_V2 can be matched end-to-end by writing through
+  * `foreachBatch` with an idempotent keyed upsert, or by using a
+  * transactional/file sink.
+  */
+object ModerationStream {
+
+  /** Message.java:3 — {text, receiver}, JSON on the wire (F1/F2). */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = true),
+    StructField("receiver", StringType, nullable = true)))
+
+  /** S1: subscribe to the messages topic from the earliest offset. */
+  def fromKafka(spark: SparkSession, bootstrap: String,
+                topic: String = "messages"): DataFrame =
+    decodeKafka(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest") // T2 parity
+      .load())
+
+  /** F2: Kafka record -> (sender, text, receiver). Null/empty payloads
+    * decode to null fields (MessageSerdes.java:54-56 tombstone
+    * semantics); malformed JSON yields nulls rather than the
+    * reference's crash — strict parity would set mode=FAILFAST.
+    */
+  def decodeKafka(raw: DataFrame): DataFrame =
+    raw.select(
+        col("key").cast("string").as("sender"),
+        from_json(col("value").cast("string"), messageSchema).as("m"))
+      .select(col("sender"), col("m.text").as("text"),
+        col("m.receiver").as("receiver"))
+
+  /** F1: (sender, text, receiver) -> Kafka key/value. */
+  def encodeKafka(df: DataFrame): DataFrame =
+    df.select(col("sender").as("key"),
+      to_json(struct(col("text"), col("receiver"))).as("value"))
+
+  /** S4: produce to the filtered topic, checkpointed. */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String,
+              checkpointDir: String): DataStreamWriter[Row] =
+    encodeKafka(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+
+  /** The moderation transform, streaming-legal: stream-static LEFT ANTI
+    * broadcast join + narrow censor projection. Works identically on a
+    * batch or streaming `messages` frame.
+    */
+  def pipeline(messages: DataFrame, blockedPairs: DataFrame,
+               banWords: Seq[String]): DataFrame =
+    Moderation.pipeline(messages, blockedPairs, banWords)
+
+  /** Full job wiring (requires a live broker; exercised by integration
+    * environments — unit tests drive [[pipeline]] via MemoryStream).
+    */
+  def run(spark: SparkSession, bootstrap: String, blockedPairs: DataFrame,
+          banWords: Seq[String], checkpointDir: String): Unit = {
+    val out = pipeline(fromKafka(spark, bootstrap), blockedPairs, banWords)
+    toKafka(out, bootstrap, "filtered-messages", checkpointDir)
+      .start().awaitTermination()
+  }
+}

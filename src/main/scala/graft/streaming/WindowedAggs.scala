@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming windowed aggregations and custom keyed state (SURVEY §2
+  * T3/T6 extensions): tumbling/sliding/session windows with
+  * watermarked late-data handling, and `mapGroupsWithState` for
+  * arbitrary per-key state — the principled form of the reference's
+  * stateful `ValueTransformer` (its state was read-only, so batch maps
+  * it to broadcast; HERE is where genuinely mutable per-key state
+  * lives).
+  *
+  * All functions take the streaming (or batch) `events` frame:
+  * (event_id, ts, user_id, event_type, value, props).
+  */
+object WindowedAggs {
+
+  /** Tumbling windows + watermark: late events beyond `watermark` are
+    * dropped once the watermark passes their window end.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (each event in window/slide windows). */
+  def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows: dynamic gap-based windows, the streaming twin of
+    * the batch `sessionize` query (same 30-minute gap semantics).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  // ---- custom keyed state ----
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                       n_errors: Long)
+
+  /** Arbitrary per-key mutable state via mapGroupsWithState: running
+    * per-user stats that accumulate across micro-batches (Update mode).
+    * State lives in the Spark state store (RocksDB/HDFS-backed with a
+    * checkpoint — the reference's RocksDB KV store analog, SURVEY §2 T6).
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1, acc.total_value + e.value,
+              acc.n_errors + (if (e.event_type == "error") 1L else 0L))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

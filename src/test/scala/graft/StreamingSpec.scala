@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Moderation.Message
+import graft.streaming.{ModerationStream, WindowedAggs}
+import graft.streaming.WindowedAggs.UserEvent
+
+/** Structured Streaming parity (SURVEY §2 M3/T1-T6): the golden
+  * moderation pipeline as a stream, Kafka wire-format round-trip,
+  * watermarked windows with late-data drop, session windows, custom
+  * keyed state across micro-batches, and checkpointed exactly-once
+  * file output.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  test("golden moderation pipeline under streaming (MemoryStream -> memory sink)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Message]
+    mem.addData(
+      Message("login4", "Java", "login1"),
+      Message("login2", "Spring", "login1"),
+      Message("login3", "1С", "login1"),
+      Message("login5", "Политика React", "login1"))
+    val blocked = Seq("login1:login2", "login1:login3", "login2:login4").toDF("bk")
+    val words = Seq("Политика", "1C", "Алкоголь")
+    val out = ModerationStream.pipeline(mem.toDF(), blocked, words)
+    val q = out.writeStream.format("memory").queryName("mod_golden")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mod_golden")
+        .select("sender", "text", "receiver")
+        .as[(String, String, String)].collect().sortBy(_._1)
+      assert(rows === Array(
+        ("login4", "Java", "login1"),
+        ("login5", "******** React", "login1")))
+    } finally q.stop()
+  }
+
+  test("kafka wire format round-trip (F1/F2) incl. tombstones") {
+    val raw = Seq(
+      ("login4", """{"text":"Java","receiver":"login1"}"""),
+      ("login9", null: String), // tombstone: empty value -> null message
+      ("login8", """{"text":"T","receiver":"r","extra":1}""") // extra field ignored
+    ).toDF("key", "value")
+      .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+    val decoded = ModerationStream.decodeKafka(raw)
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(decoded === Array(
+      ("login4", "Java", "login1"),
+      ("login8", "T", "r"),
+      ("login9", null, null)))
+
+    val encoded = ModerationStream.encodeKafka(
+        Seq(Message("login4", "Java", "login1")).toDF())
+      .as[(String, String)].collect()
+    assert(encoded === Array(("login4", """{"text":"Java","receiver":"login1"}""")))
+  }
+
+  test("tumbling window with watermark drops late data (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = WindowedAggs.tumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumble_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in the 10:00 window + one advancing event time
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 12:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-finalized 10:00 window
+      // (watermark is now 12:00) -> must be dropped
+      mem.addData(Ev(4, ts("2024-01-01 10:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark beyond 13:00 so the 12:00 window emits
+      mem.addData(Ev(5, ts("2024-01-01 14:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val counts = spark.table("tumble_wm")
+        .select(col("w_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(counts("2024-01-01 10:00:00") === 2L) // late event NOT counted
+      assert(counts("2024-01-01 12:00:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("session_window merges events within gap (streaming append mode)") {
+    // session-window streaming aggs only support append (sessions emit
+    // once the watermark passes their end) — update mode is rejected
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = WindowedAggs.sessionCounts(mem.toDF(), "30 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 7, "click", 1.0), // same session
+        Ev(3, ts("2024-01-01 11:30:00"), 7, "click", 1.0)) // new session (gap > 30m)
+      q.processAllAvailable()
+      // advance the watermark past both session ends so they emit
+      mem.addData(Ev(4, ts("2024-01-01 13:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts("2024-01-01 15:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter(col("user_id") === 7)
+        .select(col("session_start").cast("string"), col("n_events"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      assert(rows === Array(
+        ("2024-01-01 10:00:00", 2L), // events 1+2 merged (gap <= 30m)
+        ("2024-01-01 11:30:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-key state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = WindowedAggs.runningUserStats(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, "click", 2.0), UserEvent(1, "error", 3.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, "click", 5.0), UserEvent(2, "click", 1.0))
+      q.processAllAvailable()
+      // update-mode memory sink appends every update; latest row per user wins
+      val last = spark.table("user_stats")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"), col("n_errors"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.total_value"), col("s.n_errors"))
+        .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+      assert(last === Array((1L, 3L, 10.0, 1L), (2L, 1L, 1.0, 0L)))
+    } finally q.stop()
+  }
+
+  test("checkpointed file sink writes each record exactly once") {
+    implicit val ctx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Message]
+    val q = mem.toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(Message("a", "1", "x"), Message("b", "2", "y"))
+      q.processAllAvailable()
+      mem.addData(Message("c", "3", "z"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir).as[Message].collect()
+      assert(rows.length === 3)
+      assert(rows.map(_.sender).sorted === Array("a", "b", "c"))
+    } finally q.stop()
+  }
+}
