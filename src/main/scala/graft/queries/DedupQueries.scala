@@ -25,10 +25,13 @@ object DedupQueries {
       |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
 
   private val minhashCte = {
-    val mins = (0 until K)
-      .map(i => s"min(${duckH32(i, "shingle")}) AS m$i").mkString(", ")
+    import graft.functions.PortableHash
+    val mins = PortableHash.minhashPerms(K).zipWithIndex.map { case ((a, b), i) =>
+      s"min(${PortableHash.duckPermute("hm", a, b)}) AS m$i"
+    }.mkString(", ")
     s"""$shingleCtes,
-       |mh AS (SELECT doc_id, $mins FROM dsh GROUP BY doc_id)""".stripMargin
+       |hs AS (SELECT doc_id, ${duckH32("shingle")} % ${PortableHash.MersennePrime31} AS hm FROM dsh),
+       |mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
   def all: Seq[Q] = Seq(
@@ -119,26 +122,37 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
-    // embedding near-dup: within-label (IVF-style) blocks, cosine >= 0.2
+    // embedding near-dup: within-label (IVF-style) blocks, cosine >= 0.2.
+    // Norms are precomputed once per vector BEFORE the pair join (the
+    // naive per-pair recompute tripled the benchmark cost).
     Q("dedup_embedding", {
       def sums(x: String, y: String) =
         s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
-      s"""WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |    ${sums("a", "b")} AS dp,
-         |    sqrt(${sums("a", "a")}) AS na, sqrt(${sums("b", "b")}) AS nb
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    sqrt(${sums("embeddings", "embeddings")}) AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${sums("a", "b")} AS dp, a.nrm AS na, b.nrm AS nb
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT v1 AS vec_id_1, v2 AS vec_id_2, round(dp / (na * nb), 6) AS cos_sim
          |FROM p WHERE round(dp / (na * nb), 6) >= 0.2
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
     }) { (s, dir) =>
       import graft.ops.Similarity
       val e = Tables.load(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("v1"), col("label"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("v2"), col("label"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      // spread the streamed side across cores: the pair join inflates
+      // rows ~|label block| times and the dot products are the real work
+      val par = s.sparkContext.defaultParallelism
+      val a = e.repartition(par, col("vec_id"))
+        .select(col("vec_id").as("v1"), col("label"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("v2"), col("label"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, "label").filter(col("v1") < col("v2"))
         .select(col("v1").as("vec_id_1"), col("v2").as("vec_id_2"),
-          Similarity.cosine(col("ea"), col("eb")).as("cos_sim"))
+          round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
         .filter(col("cos_sim") >= 0.2)
         .orderBy("vec_id_1", "vec_id_2")
     }

@@ -48,9 +48,13 @@ object SimilarityQueries {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      // repartition the corpus side so the Q x N dot products parallelize
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
-      q.join(broadcast(n), col("n_id") =!= col("q_id"))
+      // broadcast the tiny QUERY side and stream the corpus: the Q x N
+      // cosine work then runs on the corpus partitions
+      n.join(broadcast(q), col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"),
           Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
         .withColumn("rnk", row_number().over(w))
@@ -78,10 +82,10 @@ object SimilarityQueries {
           Similarity.lshBucket(col("embedding"), coefs).as("bucket"))
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("bucket")).filter(col("q_id") < 20)
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("bucket"))
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("bucket"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
-      q.join(n, Seq("bucket")).filter(col("n_id") =!= col("q_id"))
+      n.join(broadcast(q), Seq("bucket")).filter(col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("bucket"), col("n_id"),
           Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
         .withColumn("rnk", row_number().over(w))

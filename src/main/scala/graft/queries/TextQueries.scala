@@ -81,17 +81,19 @@ object TextQueries {
          |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
          |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle FROM arr),
          |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-         |f AS (SELECT doc_id, min(${duckH32(0, "shingle")}) AS fp_min,
-         |        max(${duckH32(0, "shingle")}) AS fp_max
-         |      FROM dsh GROUP BY doc_id)
+         |hs AS (SELECT doc_id, ${duckH32(0, "shingle")} AS h FROM dsh),
+         |f AS (SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max
+         |      FROM hs GROUP BY doc_id)
          |SELECT f.doc_id AS doc_id, fp_min, fp_max, ${duckH32("text")} AS fp_text
          |FROM f JOIN documents d ON f.doc_id = d.doc_id
          |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val dsh = Dedup.distinctShingles(docs, "doc_id", "text")
-      dsh.groupBy("doc_id")
-        .agg(min(h32(0, col("shingle"))).as("fp_min"),
-          max(h32(0, col("shingle"))).as("fp_max"))
+      // hash once per shingle, then min/max the same column (not two
+      // independent md5 evaluations per row)
+      val hs = Dedup.distinctShingles(docs, "doc_id", "text")
+        .select(col("doc_id"), h32(0, col("shingle")).as("h"))
+      hs.groupBy("doc_id")
+        .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
         .join(docs.select(col("doc_id"), h32(col("text")).as("fp_text")), "doc_id")
         .orderBy("doc_id")
     },
