@@ -13,6 +13,7 @@ class QueriesSpec extends SparkSpec {
     val allowed = Set(
       "approx_distinct", // HLL sketch differs by engine
       "multimodal_features") // mapPartitions path is not SQL; math pinned by multimodal_meta
+    // (percentiles/typed_weighted_avg DO have oracles — exactness engineered)
     assert(noOracle.forall(allowed), s"un-oracled queries: $noOracle")
   }
 
