@@ -87,4 +87,23 @@ object ModerationStream {
     toKafka(out, bootstrap, "filtered-messages", checkpointDir)
       .start().awaitTermination()
   }
+
+  /** One micro-batch of the exactly-once file sink: each batch
+    * overwrites its OWN batchId-keyed subdirectory, so a redelivered
+    * batch (checkpoint recovery replays the last uncommitted batch)
+    * replaces its previous partial output instead of appending
+    * duplicates. This is the foreachBatch idempotent-write pattern
+    * that closes the reference's EXACTLY_ONCE_V2 gap (SURVEY §2 T1)
+    * for file/table outputs.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
+  /** End-to-end exactly-once file output via foreachBatch. */
+  def toExactlyOnceFiles(df: DataFrame, outDir: String,
+                         checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, id, outDir))
+      .option("checkpointLocation", checkpointDir)
 }

@@ -146,6 +146,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch idempotent sink: redelivered batch does not duplicate") {
+    implicit val ctx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_eos").toString
+    val ckpt = Files.createTempDirectory("graft_eos_ckpt").toString
+    val mem = MemoryStream[Message]
+    val q = ModerationStream.toExactlyOnceFiles(mem.toDF(), outDir, ckpt).start()
+    try {
+      mem.addData(Message("a", "1", "x"), Message("b", "2", "y"))
+      q.processAllAvailable()
+      mem.addData(Message("c", "3", "z"))
+      q.processAllAvailable()
+      val before = spark.read.parquet(s"$outDir/batch=*").count()
+      assert(before === 3)
+      // simulate checkpoint-recovery REDELIVERY of batch 1: the same
+      // batch written again must overwrite, not append
+      import spark.implicits._
+      ModerationStream.writeBatchIdempotent(
+        Seq(Message("c", "3", "z")).toDF(), 1L, outDir)
+      val after = spark.read.parquet(s"$outDir/batch=*").count()
+      assert(after === 3, "redelivered batch duplicated rows")
+    } finally q.stop()
+  }
+
   test("checkpointed file sink writes each record exactly once") {
     implicit val ctx = spark.sqlContext
     val outDir = Files.createTempDirectory("graft_sink").toString
