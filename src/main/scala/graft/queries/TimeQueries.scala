@@ -73,6 +73,27 @@ object TimeQueries {
         .orderBy("user_id")
     },
 
+    // as-of join: each error event picks up the most recent click at or
+    // before it for the same user (union+window composition; oracle is
+    // DuckDB's native ASOF LEFT JOIN)
+    Q("asof_join",
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT e.event_id AS err_id, e.user_id AS user_id,
+        |       c.event_id AS click_id, c.value AS click_value
+        |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY err_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.join(errors, clicks, "user_id", "ts",
+          Seq("event_id", "value"))
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("right_event_id").as("click_id"),
+          col("right_value").as("click_value"))
+        .orderBy("err_id")
+    },
+
     // sessionization (30-minute inactivity gap), gaps-and-islands: the
     // deterministic batch equivalent of session_window
     Q("sessionize",

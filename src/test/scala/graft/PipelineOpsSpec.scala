@@ -107,3 +107,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(f => sparkMd5(f.media_id) == f.content_md5))
   }
 }
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join: most recent at-or-before, null when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 09:00:00"), "e3") // user 2 has no clicks
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 200L), // ties with e1: AT counts
+      (1L, ts("2024-01-01 11:00:00"), 300L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = graft.ops.AsOf.join(left, right, "user_id", "ts", Seq("click_id"))
+      .select($"tag", $"right_click_id").as[(String, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out === Array(
+      ("e1", Some(200L)), // equal-ts click wins over the earlier one
+      ("e2", Some(300L)),
+      ("e3", None)))
+  }
+}
