@@ -124,4 +124,21 @@ object Moderation {
       else censorFold(col("text"), banWords)
     survivors.withColumn("text", censor)
   }
+
+  /** P1 (`peek`): the reference logs every record pre-join and
+    * post-censor (KafkaStreamApp.java:155,168). The Spark-native form
+    * is `observe` — zero-copy aggregated metrics evaluated during the
+    * action, readable from the passed [[Observation]] (batch) or the
+    * streaming progress events. Unlike a log-per-record peek this
+    * costs O(1) memory and no extra pass at any scale.
+    */
+  def pipelineObserved(messages: DataFrame, blockedPairs: DataFrame,
+                       banWords: Seq[String],
+                       in: org.apache.spark.sql.Observation,
+                       out: org.apache.spark.sql.Observation): DataFrame = {
+    val observed = messages.observe(in, count(lit(1)).as("n_in"))
+    pipeline(observed, blockedPairs, banWords)
+      .observe(out, count(lit(1)).as("n_out"),
+        count(when(col("text").contains("*"), 1)).as("n_censored"))
+  }
 }
