@@ -31,9 +31,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // warmup pass: JIT + classloading + page cache (cold-start cost is
-    // ~5x on the first queries and not what's being measured)
+    // ~5x on the first queries and not what's being measured); then two
+    // timed passes, reporting the per-query minimum — a single pass is
+    // vulnerable to transient host load (observed 2.5x total swings)
     SparkEntry.allQueries.foreach(runOnce)
-    val results = SparkEntry.allQueries.map(q => q.name -> runOnce(q))
+    val pass1 = SparkEntry.allQueries.map(q => q.name -> runOnce(q)).toMap
+    val results = SparkEntry.allQueries.map(q =>
+      q.name -> math.min(pass1(q.name), runOnce(q)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
