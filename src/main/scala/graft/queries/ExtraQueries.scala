@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.WeightedMean
+import graft.functions.{CountMinSketchAgg, WeightedMean}
+import graft.functions.PortableHash.duckH32
 
 /** Remaining extension-point operators: table-generating explode
   * (the UDTF surface, SURVEY §2.7), pivot, exact interpolated
@@ -56,6 +57,35 @@ object ExtraQueries {
           expr("percentile(l_extendedprice, 0.25)").as("p25"),
           expr("percentile(l_extendedprice, 0.50)").as("p50"),
           expr("percentile(l_extendedprice, 0.75)").as("p75"))
+        .orderBy("l_returnflag")
+    },
+
+    // TypedImperativeAggregate: Count-Min sketch with point estimates
+    // for fixed probe items — oracle recomputes each probe's d buckets
+    // as least() of filtered counts (sketch estimate == min of the
+    // probe's counters by construction)
+    Q("cms_sketch", {
+      val D = 4; val W = 1024
+      val probes = Seq("1", "7", "42")
+      val ests = probes.map { p =>
+        val sums = (0 until D).map { r =>
+          s"SUM(CASE WHEN ${duckH32(r, "CAST(l_partkey AS VARCHAR)")} % $W = ${CountMinSketchAgg.bucket(r, p, W)} THEN 1 ELSE 0 END)"
+        }
+        s"least(${sums.mkString(", ")}) AS est_$p"
+      }
+      s"""SELECT l_returnflag, ${ests.mkString(", ")}
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      val D = 4; val W = 1024
+      val probes = Seq("1", "7", "42")
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(CountMinSketchAgg(col("l_partkey").cast("string"), D, W).as("sk"))
+        .select(col("l_returnflag") +: probes.map { p =>
+          least((0 until D).map(r =>
+            element_at(col("sk"), r * W + CountMinSketchAgg.bucket(r, p, W) + 1)): _*)
+            .as(s"est_$p")
+        }: _*)
         .orderBy("l_returnflag")
     },
 

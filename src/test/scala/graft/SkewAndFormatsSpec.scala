@@ -39,3 +39,38 @@ class SkewAndFormatsSpec extends SparkSpec {
     assert(fromJson.exceptAll(docs).count() === 0)
   }
 }
+
+class CmsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.CountMinSketchAgg
+
+  test("count-min sketch: estimate >= true count, exact without collisions") {
+    import spark.implicits._
+    val D = 4; val W = 64
+    val items = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq("c")).map(Tuple1(_))
+    val sk = items.toDF("item")
+      .agg(CountMinSketchAgg(col("item"), D, W).as("sk"))
+    def est(p: String) = sk.select(
+      least((0 until D).map(r =>
+        element_at(col("sk"), r * W + CountMinSketchAgg.bucket(r, p, W) + 1)): _*))
+      .as[Long].head()
+    // CMS guarantee: never undercounts
+    assert(est("a") >= 10 && est("b") >= 3 && est("c") >= 1)
+    // 3 distinct items in 64 buckets: no collision in at least one of
+    // 4 rows with overwhelming probability -> estimates exact here
+    assert(est("a") === 10)
+    assert(est("b") === 3)
+    assert(est("c") === 1)
+  }
+
+  test("count-min sketch: merge associativity across partitionings") {
+    import spark.implicits._
+    val D = 2; val W = 32
+    val data = (1 to 500).map(i => Tuple1((i % 17).toString))
+    val one = data.toDF("item").coalesce(1)
+      .agg(CountMinSketchAgg(col("item"), D, W)).as[Seq[Long]].head()
+    val many = data.toDF("item").repartition(13)
+      .agg(CountMinSketchAgg(col("item"), D, W)).as[Seq[Long]].head()
+    assert(one === many)
+  }
+}
