@@ -37,6 +37,12 @@ class SkewAndFormatsSpec extends SparkSpec {
     docs.write.mode("overwrite").json(s"$base/json")
     val fromJson = spark.read.schema(docs.schema).json(s"$base/json")
     assert(fromJson.exceptAll(docs).count() === 0)
+
+    // ORC is the other built-in columnar format (spark-avro connector
+    // is not shipped in this environment)
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
+    assert(fromOrc.exceptAll(docs).count() === 0)
   }
 }
 
