@@ -33,14 +33,18 @@ object Moderation {
   case class Message(sender: String, text: String, receiver: String)
 
   /** The directed blocked pair key `receiver:sender`
-    * (KafkaStreamApp.java:158). Null-safe like the reference: Kafka
-    * string concat of a null field would NPE upstream; here nulls
-    * simply never match any blocked key (concat_ws skips nulls, so a
-    * null receiver yields just the sender — no accidental matches with
-    * well-formed `a:b` keys).
+    * (KafkaStreamApp.java:158). Null-propagating (`concat`, the SQL
+    * `||` semantics): a null receiver or sender yields a NULL key,
+    * which never equals any blocked key — so such messages always pass
+    * the anti-join. This is deliberately NOT `concat_ws` (which skips
+    * nulls): a skipped null receiver would collapse the key to the bare
+    * sender, which can collide with a real `a:b` key when a sender
+    * contains ':'. The reference would NPE on a null field upstream, so
+    * any total null behavior is an extension choice; NULL-key-never-
+    * matches agrees with the DuckDB oracle's `lang || ':' || source`.
     */
   def blockedKey(receiver: Column, sender: Column): Column =
-    concat_ws(":", receiver, sender)
+    concat(receiver, lit(":"), sender)
 
   /** Latest-value-per-key compaction of a changelog (the GlobalKTable
     * materialization, SURVEY §2 S2): keep the newest row per key, drop
@@ -106,21 +110,53 @@ object Moderation {
       regexp_replace(c, lit("(?i)" + Pattern.quote(w)), lit("*" * w.length))
     }
 
-  /** U4 scale path: ONE pass over the text with an alternation regex,
-    * masking each match with '*' of match length. Equivalent to
-    * [[censorFold]] whenever no word is a substring of (or overlaps)
-    * another's mask output — longest-first alternation makes the common
-    * cases agree. O(text) instead of O(words * text).
+  /** True iff the sequential fold ([[censorFold]]) and the single-pass
+    * longest-first alternation ([[censorSinglePass]]) provably agree for
+    * EVERY input: no word may be a substring of another (fold order vs
+    * longest-first would pick different matches, e.g. words ["b","ab"]
+    * on "ab": fold → "a*", single-pass → "**"), and no proper suffix of
+    * one word may be a prefix of another (masking one match could
+    * destroy or shift an overlapping match of the other, e.g.
+    * ["bc","ab"] on "abc": fold with "bc" first → "a**", single-pass →
+    * "**c"). Comparison is ASCII-case-insensitive like the censor
+    * itself. Conservative: rejects some lists that happen to agree.
     */
-  def censorSinglePass(text: Column, words: Seq[String]): Column =
-    graft.functions.CensorText(text, words)
+  def singlePassEquivalent(words: Seq[String]): Boolean = {
+    val ws = words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val pairs = for (u <- ws; v <- ws if u != v) yield (u, v)
+    pairs.forall { case (u, v) =>
+      !v.contains(u) &&
+        !(1 until u.length).exists(i => v.startsWith(u.substring(i)))
+    }
+  }
 
-  /** Full flagship pipeline over (sender, text, receiver) messages. */
+  /** U4 scale path: ONE pass over the text with an alternation regex,
+    * masking each match with '*' of match length. O(text) instead of
+    * O(words * text). Guarded: refuses word lists where the single-pass
+    * result could differ from the reference's sequential fold (see
+    * [[singlePassEquivalent]]) — callers with such lists must use
+    * [[censorFold]], which IS the reference semantics.
+    */
+  def censorSinglePass(text: Column, words: Seq[String]): Column = {
+    require(singlePassEquivalent(words),
+      s"censorSinglePass requires substring- and overlap-free words " +
+        s"(got ${words.mkString("[", ", ", "]")}); use censorFold for " +
+        "order-dependent vocabularies")
+    graft.functions.CensorText(text, words)
+  }
+
+  /** Full flagship pipeline over (sender, text, receiver) messages.
+    * `singlePass = true` is an optimization HINT: the O(text)
+    * single-pass censor is used only when provably equivalent to the
+    * reference's sequential fold ([[singlePassEquivalent]]); otherwise
+    * the fold — which IS the reference semantics — runs regardless.
+    */
   def pipeline(messages: DataFrame, blockedPairs: DataFrame,
                banWords: Seq[String], singlePass: Boolean = false): DataFrame = {
     val survivors = dropBlocked(messages, blockedPairs)
     val censor =
-      if (singlePass) censorSinglePass(col("text"), banWords)
+      if (singlePass && singlePassEquivalent(banWords))
+        censorSinglePass(col("text"), banWords)
       else censorFold(col("text"), banWords)
     survivors.withColumn("text", censor)
   }

@@ -42,7 +42,7 @@ object CoreQueries {
   /** Derived blocked-pairs dimension: `receiver:sender` keys. */
   private def blockedPairs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).filter(col("n_chars") % 7 === 0)
-      .select(concat_ws(":", col("lang"), col("source")))
+      .select(Moderation.blockedKey(col("lang"), col("source")))
 
   private val blockedPairsSql =
     "SELECT DISTINCT (lang || ':' || source) AS bk FROM documents WHERE n_chars % 7 = 0"
@@ -95,7 +95,7 @@ object CoreQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          concat_ws(":", col("lang"), col("source")).as("pair_key"))
+          Moderation.blockedKey(col("lang"), col("source")).as("pair_key"))
         .orderBy("doc_id")
     },
 

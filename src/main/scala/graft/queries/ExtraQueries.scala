@@ -71,7 +71,9 @@ object ExtraQueries {
         val sums = (0 until D).map { r =>
           s"SUM(CASE WHEN ${duckH32(r, "CAST(l_partkey AS VARCHAR)")} % $W = ${CountMinSketchAgg.bucket(r, p, W)} THEN 1 ELSE 0 END)"
         }
-        s"least(${sums.mkString(", ")}) AS est_$p"
+        // DuckDB SUM over integers is HUGEINT; cast back to BIGINT to
+        // match Spark's int64 output in the typed hash compare
+        s"CAST(least(${sums.mkString(", ")}) AS BIGINT) AS est_$p"
       }
       s"""SELECT l_returnflag, ${ests.mkString(", ")}
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

@@ -74,4 +74,15 @@ object CensorProps extends Properties("censor") {
 
   property("empty word list is identity") =
     forAll(genText)(t => censor1(Nil, t) == t)
+
+  // the guard that lets censorSinglePass stand in for the reference
+  // fold: whenever singlePassEquivalent accepts a vocabulary, the two
+  // implementations agree on every input
+  property("singlePassEquivalent vocab: single-pass == sequential fold") =
+    forAll(
+      Gen.listOfN(3, genWord)
+        .suchThat(graft.ops.Moderation.singlePassEquivalent),
+      genText) { (ws, t) =>
+      censor1(ws, t) == foldRef(t, ws)
+    }
 }

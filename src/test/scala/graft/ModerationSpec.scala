@@ -43,7 +43,22 @@ class ModerationSpec extends SparkSpec {
   }
 
   test("golden output matches reference (single-pass CensorText path)") {
+    // The golden vocab has a Cyrillic 'а' suffix-prefix overlap
+    // (Политика/Алкоголь), so pipeline(singlePass = true) correctly
+    // falls back to the fold; exercise the CensorText expression
+    // directly — on the fixture (no overlapping occurrences) the
+    // longest-first single pass agrees with the reference output.
+    assert(!Moderation.singlePassEquivalent(
+      Moderation.activeBanWords(goldenWords, "word", "value")))
     assert(runPipeline(singlePass = true) === Seq(
+      ("login4", "Java", "login1"),
+      ("login5", "******** React", "login1")))
+    val words = Moderation.activeBanWords(goldenWords, "word", "value")
+    val direct = Moderation.dropBlocked(goldenMessages, goldenBlocked)
+      .withColumn("text", graft.functions.CensorText(col("text"), words))
+      .select("sender", "text", "receiver")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(direct === Seq(
       ("login4", "Java", "login1"),
       ("login5", "******** React", "login1")))
   }
@@ -127,6 +142,48 @@ class ModerationSpec extends SparkSpec {
         .select(censor.as("t")).as[String].head()
       assert(out === "unchanged")
     }
+  }
+
+  test("censorSinglePass rejects vocabularies where fold and single-pass diverge") {
+    // substring pair: fold(["b","ab"]) on "ab" -> "a*", single-pass -> "**"
+    assert(!Moderation.singlePassEquivalent(Seq("b", "ab")))
+    intercept[IllegalArgumentException] {
+      Moderation.censorSinglePass($"text", Seq("b", "ab"))
+    }
+    // suffix-prefix overlap: fold(["bc","ab"]) on "abc" -> "a**",
+    // single-pass (leftmost match wins) -> "**c"
+    assert(!Moderation.singlePassEquivalent(Seq("bc", "ab")))
+    intercept[IllegalArgumentException] {
+      Moderation.censorSinglePass($"text", Seq("bc", "ab"))
+    }
+    // case-insensitive like the censor itself
+    assert(!Moderation.singlePassEquivalent(Seq("AB", "b")))
+    // the fixture vocab is safe
+    assert(Moderation.singlePassEquivalent(CoreWords.words))
+    // divergence witness: fold really does differ from what a
+    // single pass would produce, which is why the guard exists
+    val folded = Seq(("ab", 1)).toDF("text", "i")
+      .select(Moderation.censorFold($"text", Seq("b", "ab")).as("t"))
+      .as[String].head()
+    assert(folded === "a*")
+  }
+
+  test("null receiver/sender yields a NULL blocked key that never matches") {
+    // null-propagating concat (SQL || semantics): a message with a null
+    // field can never be dropped by the anti-join, and a blocked entry
+    // with a null field can never drop anyone. A sender containing ':'
+    // must not collide with a collapsed key (the concat_ws trap).
+    val msgs = Seq(
+      Message("s1", "keep: null receiver", null),
+      Message(null, "keep: null sender", "r1"),
+      Message("x:s", "keep: colon sender, no such pair", "r2"),
+      Message("s2", "drop: blocked pair", "r2")
+    ).toDF()
+    val blocked = Seq("r2:s2", null, "x:s").toDF("bk")
+    val out = Moderation.dropBlocked(msgs, blocked)
+      .select("text").as[String].collect().sorted
+    assert(out === Array("keep: colon sender, no such pair",
+      "keep: null receiver", "keep: null sender"))
   }
 
   test("overlapping-occurrence words: fold and single-pass agree on fixture vocab") {

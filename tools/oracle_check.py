@@ -19,11 +19,16 @@ from pathlib import Path
 import duckdb
 
 
-def normalize(rows, cols):
+def normalize(rel, cols):
+    """Rows as sorted tuples of (type-tag, value), matching the driver's
+    arrow-typed hash: values go through pyarrow, so DuckDB HUGEINT /
+    DECIMAL surface as decimal.Decimal (!= Spark's int/float) while
+    integer widths (int8..int64) all collapse to Python int."""
     out = []
-    for row in rows:
+    for d in rel.arrow().to_pylist():
         r = []
-        for v in row:
+        for c in cols:
+            v = d[c]
             if isinstance(v, float):
                 r.append(("f", repr(v)))
             elif hasattr(v, "isoformat"):
@@ -54,9 +59,8 @@ def main(out_dir, sf_dir):
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
             got_cols = sorted(got.columns)
-            got_rows = normalize(
-                con.sql(f"SELECT {', '.join(got_cols)} FROM got").fetchall(),
-                got_cols)
+            got_rel = con.sql(f"SELECT {', '.join(got_cols)} FROM got")
+            got_rows = normalize(got_rel, got_cols)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
@@ -67,9 +71,8 @@ def main(out_dir, sf_dir):
         try:
             exp = con.sql(oracle[name])
             exp_cols = sorted(exp.columns)
-            exp_rows = normalize(
-                con.sql(f"SELECT {', '.join(exp_cols)} FROM exp").fetchall(),
-                exp_cols)
+            exp_rel = con.sql(f"SELECT {', '.join(exp_cols)} FROM exp")
+            exp_rows = normalize(exp_rel, exp_cols)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
