@@ -25,6 +25,29 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
+  /** Parallelize the map-side of a plan whose expensive per-row work
+    * (decimal arithmetic, JSON parsing, md5 hashing) would otherwise run
+    * inside the scan stage. The driver fixtures are single-row-group
+    * parquet files, and a row group is Spark's minimum split unit — so
+    * every scan is ONE task until the first exchange. Use this ONLY
+    * when heavy work precedes the first exchange: where a window/sort/
+    * groupBy shuffle comes first anyway, the exchange itself provides
+    * the parallelism and an extra round-robin pass is pure cost
+    * (measured both ways at sf0.1). At production scale input arrives
+    * as many splits and the same plans parallelize at the scan, so
+    * callers guard on actual scan parallelism, not a constant.
+    *
+    * Call only on scan-stage frames (scan + narrow projections/filters,
+    * no upstream exchange): the partition-count probe compiles the
+    * frame's physical plan, and under AQE a frame with upstream
+    * exchanges would materialize them eagerly.
+    */
+  def parallelize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -44,8 +44,14 @@ object AggQueries {
       val price = dec(col("l_extendedprice"), 12, 2)
       val oneMinus = dec(lit(1) - col("l_discount"), 4, 2)
       val onePlus = dec(lit(1) + col("l_tax"), 4, 2)
-      Tables.load(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+      // the per-row decimal multiplies dominate and sit in the map
+      // stage before the agg exchange — parallelize the narrow
+      // projection (6 of 16 columns) so they don't run in the one-task
+      // scan of the single-row-group fixture
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sumd(qty).as("sum_qty"),
@@ -89,7 +95,10 @@ object AggQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
+      // rollup triples the map-side rows before the exchange —
+      // parallelize the narrow input (see q1_agg)
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(sumd(dec(col("l_quantity"), 12, 2)).as("sum_qty"),
           count(lit(1)).as("n"))

@@ -162,7 +162,10 @@ object CoreQueries {
     Q("json_decode",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "events")
+      // JSON parsing is the per-row cost and runs before the sort
+      // exchange — parallelize the narrow (event_id, props) projection
+      Tables.parallelize(
+          Tables.load(s, dir, "events").select("event_id", "props"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .orderBy("event_id")

@@ -43,20 +43,51 @@ object ExtraQueries {
         .orderBy("o_orderpriority")
     },
 
-    // exact interpolated percentiles (Spark percentile() and DuckDB
-    // quantile_cont share the rank = p*(n-1) linear interpolation)
+    // exact interpolated percentiles, computed as ONE sort-based pass:
+    // rank every row per group (spillable sort), then pick the floor/
+    // ceil rows of each target position pos = p*(n-1) and interpolate
+    // with Spark percentile()'s own two-sided formula
+    // (higher-pos)*v_lo + (pos-lower)*v_hi — which bit-matches DuckDB
+    // quantile_cont (verified empirically on this data). Unlike the
+    // builtin percentile() aggregate — whose buffer holds EVERY value
+    // of a group in one reducer's memory, three times over for three
+    // ps — this sorts once, spills to disk if needed, and aggregates
+    // only 9 scalars per group: the shape that survives a 100 TB group.
     Q("percentiles",
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS p25,
         |  quantile_cont(l_extendedprice, 0.50) AS p50,
         |  quantile_cont(l_extendedprice, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.50)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      // one exchange: rank and group-count share the same partitioning,
+      // so the unordered full-frame count adds no shuffle (and no
+      // second scan of the table)
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wAll = Window.partitionBy("l_returnflag")
+      val ranked = li
+        .withColumn("__i", row_number().over(w).cast("double") - 1)
+        .withColumn("__n", count(lit(1)).over(wAll))
+      val ps = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75")
+      val aggs: Seq[Column] = ps.flatMap { case (p, a) =>
+        val pos = lit(p) * (col("__n") - 1).cast("double")
+        Seq(
+          max(when(col("__i") === floor(pos), col("l_extendedprice"))).as(s"__lo_$a"),
+          max(when(col("__i") === ceil(pos), col("l_extendedprice"))).as(s"__hi_$a"),
+          max(pos).as(s"__pos_$a"))
+      }
+      def interp(a: String): Column = {
+        val pos = col(s"__pos_$a")
+        when(floor(pos) === ceil(pos), col(s"__lo_$a"))
+          .otherwise((ceil(pos) - pos) * col(s"__lo_$a")
+            + (pos - floor(pos)) * col(s"__hi_$a"))
+      }
+      ranked.groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: ps.map { case (_, a) => interp(a).as(a) }: _*)
         .orderBy("l_returnflag")
     },
 
@@ -80,7 +111,10 @@ object ExtraQueries {
     }) { (s, dir) =>
       val D = 4; val W = 1024
       val probes = Seq("1", "7", "42")
-      Tables.load(s, dir, "lineitem")
+      // the per-row md5 bucket hashing runs map-side before the agg
+      // exchange — parallelize the narrow projection
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_partkey"))
         .groupBy("l_returnflag")
         .agg(CountMinSketchAgg(col("l_partkey").cast("string"), D, W).as("sk"))
         .select(col("l_returnflag") +: probes.map { p =>
