@@ -104,18 +104,28 @@ object DedupQueries {
          |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
          |FROM p JOIN sz x ON p.d1 = x.doc_id JOIN sz y ON p.d2 = y.doc_id
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
+      // Single linear pipeline — no self-join (which would recompute
+      // the whole shingle subtree per side) and no size-lookup joins:
+      // per-doc set sizes ride along inside the bucket structs, and the
+      // pair space is expanded in-bucket exactly like MinHash
+      // candidatePairs. meta is broadcast (tiny dimension projection).
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
       val dsh = Dedup.distinctShingles(docs, "doc_id", "text")
-      val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val meta = docs.select(col("doc_id"), col("lang"), expr("n_chars div 50").as("bk"))
-      val ds = dsh.join(meta, "doc_id")
-      val a = ds.select(col("doc_id").as("d1"), col("shingle"), col("lang"), col("bk"))
-      val b = ds.select(col("doc_id").as("d2"), col("shingle"), col("lang"), col("bk"))
-      a.join(b, Seq("shingle", "lang", "bk"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        .join(sz.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      dsh.join(broadcast(meta), "doc_id")
+        .groupBy("shingle", "lang", "bk")
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        // sort_array orders structs by doc_id, so p.a.doc_id < p.b.doc_id
+        .groupBy(
+          col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+          col("p.a.n").as("na"), col("p.b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
         .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
           round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6)
             .as("jaccard"))

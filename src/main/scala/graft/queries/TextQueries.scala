@@ -35,7 +35,10 @@ object TextQueries {
       val scoreCols = TextAnalysis.langProfiles.map { case (lang, ws) =>
         lang -> TextAnalysis.langScore(col("text"), ws)
       }
-      val withScores = Tables.load(s, dir, "documents")
+      // the per-row marker-token scoring over split(text) is the cost
+      // and runs before the sort exchange — parallelize the projection
+      val withScores = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text"))
         .select(Seq(col("doc_id"), col("lang")) ++
           scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
       val pred = TextAnalysis.predictedLang(
@@ -87,14 +90,24 @@ object TextQueries {
          |SELECT f.doc_id AS doc_id, fp_min, fp_max, ${duckH32("text")} AS fp_text
          |FROM f JOIN documents d ON f.doc_id = d.doc_id
          |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      // hash once per shingle, then min/max the same column (not two
-      // independent md5 evaluations per row)
-      val hs = Dedup.distinctShingles(docs, "doc_id", "text")
-        .select(col("doc_id"), h32(0, col("shingle")).as("h"))
-      hs.groupBy("doc_id")
-        .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
-        .join(docs.select(col("doc_id"), h32(col("text")).as("fp_text")), "doc_id")
+      // One scan, one exchange, no join: min/max are duplicate-
+      // invariant, so the oracle's DISTINCT shingle step is skipped
+      // (min over the multiset == min over the set); fp_text is
+      // computed once per doc BEFORE the explode and rides through the
+      // same partial-aggregated groupBy (max of a per-doc constant).
+      // Docs with < 3 tokens have no shingles and drop out of the
+      // explode, matching the oracle's inner join.
+      val base = Tables.parallelize(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      base
+        .select(col("doc_id"), h32(col("text")).as("fp_text"),
+          Dedup.shingles(col("text")).as("sh"))
+        .select(col("doc_id"), col("fp_text"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("fp_text"), h32(0, col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+          max(col("fp_text")).as("fp_text"))
+        .select("doc_id", "fp_min", "fp_max", "fp_text")
         .orderBy("doc_id")
     },
 
