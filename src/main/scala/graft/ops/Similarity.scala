@@ -52,4 +52,38 @@ object Similarity {
       val planeArr = array(plane.map(lit(_)): _*)
       when(dot(embedding, planeArr) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** IVF coarse-quantizer centroids: K deterministic ±1 vectors
+    * (md5-derived like [[planeCoefs]], distinct seed namespace). All
+    * centroids share the same norm (sqrt(dim)), so ranking by raw dot
+    * product equals ranking by cosine — [[centroidSims]] therefore
+    * skips the normalization.
+    */
+  def centroidCoefs(k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k, dim) { (c, i) =>
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"ivf:$c,$i".getBytes(StandardCharsets.UTF_8))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Rounded similarity of a vector to each centroid (cross-engine
+    * comparable, so argmax/probe ranking agrees bit-for-bit).
+    */
+  def centroidSims(embedding: Column, coefs: Array[Array[Double]]): Seq[Column] =
+    coefs.toSeq.map { cen =>
+      round(dot(embedding, array(cen.map(lit(_)): _*)), 6)
+    }
+
+  /** IVF list assignment: index of the most-similar centroid, ties to
+    * the lowest index (a pure CASE chain — map-only, no exchange; at
+    * scale the table is written partitioned by this id and a probe
+    * reads only its nprobe nearest lists).
+    */
+  def ivfAssign(sims: Seq[Column]): Column = {
+    val k = sims.size
+    (0 until k - 1).foldRight(lit(k - 1): Column) { (c, rest) =>
+      when((c + 1 until k).map(o => sims(c) >= sims(o)).reduce(_ && _), lit(c))
+        .otherwise(rest)
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.{CountMinSketchAgg, WeightedMean}
@@ -122,6 +123,36 @@ object ExtraQueries {
             element_at(col("sk"), r * W + CountMinSketchAgg.bucket(r, p, W) + 1)): _*)
             .as(s"est_$p")
         }: _*)
+        .orderBy("l_returnflag")
+    },
+
+    // Bloom-filter pre-filtered semi join: build a bloom filter over the
+    // filtered dimension keys (distributed aggregation under
+    // df.stat.bloomFilter), pre-filter the fact table map-side — no
+    // shuffle, false positives only — then clear the FPs with an exact
+    // semi join. At 100 TB this is the pattern that keeps a selective
+    // dim filter from forcing a full fact shuffle: the bloom bits ship
+    // to every task (like Spark's own runtime row-group filters) and
+    // the residual exact join sees ~fpp extra rows. Result is EXACT, so
+    // the oracle is the plain EXISTS.
+    Q("bloom_semi_join",
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |              WHERE p_partkey = l_partkey AND p_size <= 5)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val keys = Tables.load(s, dir, "part")
+        .filter(col("p_size") <= 5).select("p_partkey")
+      val bloom = keys.stat.bloomFilter("p_partkey", 100000L, 0.01)
+      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      Tables.load(s, dir, "lineitem")
+        .filter(mightContain(col("l_partkey")))
+        .join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double").as("revenue"))
         .orderBy("l_returnflag")
     },
 

@@ -17,6 +17,8 @@ object SimilarityQueries {
   val Planes = 4
   val Dim = 64
   val TopK = 10
+  val Centroids = 4
+  val Nprobe = 2
 
   private def duckDot(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
@@ -91,6 +93,74 @@ object SimilarityQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select("q_id", "bucket", "rnk", "n_id", "cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
+    // IVF-bucketed ANN: assign every vector to its nearest of K
+    // deterministic coarse centroids (the "inverted lists"; at cluster
+    // scale the table is PARTITIONED BY cl, so a probe reads nprobe
+    // lists instead of the whole corpus), then search only the query's
+    // nprobe most-similar lists. Recall/latency trade-off vs ann_lsh:
+    // probing 2 of 4 lists halves the candidate set with graceful
+    // degradation, while LSH probes exactly one hash bucket.
+    Q("ann_ivf", {
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      def duckArr(c: Array[Double]) =
+        c.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * (${duckArr(cen)})[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign = (0 until Centroids - 1).map { c =>
+        val rest = (c + 1 until Centroids).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      val structs = (0 until Centroids)
+        .map(c => s"struct_pack(c := $c, s := d_$c)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding, $ds,
+         |    CASE $assign ELSE ${Centroids - 1} END AS cl
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id, embedding, unnest([$structs]) AS cs
+         |       FROM e WHERE vec_id < 20),
+         |qp AS (SELECT vec_id AS q_id, embedding AS qe, cs.c AS cl,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs.s DESC, cs.c) AS crn
+         |       FROM qs),
+         |p AS (SELECT q.q_id, n.cl AS cl, n.vec_id AS n_id,
+         |    round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(q.qe[i] AS DOUBLE) * n.embedding[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(q.qe[i] AS DOUBLE) * q.qe[i]))) *
+         |       sqrt(${duckDot("n", "n")})), 6) AS cos_sim
+         |  FROM (SELECT * FROM qp WHERE crn <= $Nprobe) q
+         |  JOIN e n ON n.cl = q.cl AND n.vec_id <> q.q_id),
+         |r AS (SELECT q_id, cl, n_id, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, rnk, n_id, cl, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      val sims = Similarity.centroidSims(col("embedding"), coefs)
+      val e = Tables.load(s, dir, "embeddings").select(
+        Seq(col("vec_id"), col("embedding"),
+          Similarity.ivfAssign(sims).as("cl")) ++
+          sims.zipWithIndex.map { case (c, i) => c.as(s"s_$i") }: _*)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(array((0 until Centroids).map(c =>
+            struct(lit(c).as("c"), col(s"s_$c").as("s"))): _*)).as("cs"))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cs.s").desc, col("cs.c"))))
+        .filter(col("crn") <= Nprobe)
+        .select(col("q_id"), col("qe"), col("cs.c").as("cl"))
+      // corpus side streams; tiny probe list broadcasts (the IVF probe
+      // pattern: work is proportional to the probed lists only)
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("cl"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+      n.join(broadcast(probes), Seq("cl")).filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("cl"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "n_id", "cl", "cos_sim")
         .orderBy("q_id", "rnk")
     }
   )

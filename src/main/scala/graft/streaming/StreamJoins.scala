@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+
+/** Stream-stream correlation (SURVEY §2.3 "absent join types" — a §7
+  * extension; the reference only ever joins a stream against a
+  * replicated table). Spark's stream-stream join keeps both sides in
+  * the state store; the WATERMARK plus the INTERVAL bound are what make
+  * that state bounded — without them the store grows forever, the
+  * classic 100 TB streaming failure mode.
+  */
+object StreamJoins {
+
+  /** Inner-join `left` events to `right` events of the same key with
+    * `right.ts` in `[left.ts - lookback, left.ts]` (e.g. errors to the
+    * clicks that preceded them). Columns of both inputs must be
+    * disjoint except the key. State expiry: each side's rows are
+    * dropped once the other side's watermark passes the interval bound.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, leftTs: String, rightTs: String,
+                   lookbackMinutes: Int = 30,
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      expr(s"""$key = ${key}_r AND
+              |$rightTs >= $leftTs - INTERVAL $lookbackMinutes MINUTES AND
+              |$rightTs <= $leftTs""".stripMargin),
+      "inner")
+  }
+}

@@ -146,6 +146,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState event-time sessions match batch gaps-and-islands") {
+    import graft.streaming.EventTimeSessions
+    import graft.streaming.EventTimeSessions.SessionEvent
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventTimeSessions.sessions(mem.toDS(), 30, "1 hour")
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one at 11:00
+      // (> 30 min gap -> new session); user 2: a single event
+      mem.addData(
+        SessionEvent(1, ts("2024-01-01 10:00:00")),
+        SessionEvent(1, ts("2024-01-01 10:10:00")),
+        SessionEvent(2, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // closes user 1's first session with in-stream evidence
+      mem.addData(SessionEvent(1, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // two watermark-advancing batches: after the first, the watermark
+      // (13:00 - 1h = 12:00) passes every last+gap; the second triggers
+      // the timeout pass that emits the quiescent sessions
+      mem.addData(SessionEvent(3, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(3, ts("2024-01-01 13:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("fmgws_sessions")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().sorted
+      assert(rows === Array(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L),
+        (1L, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1L),
+        (2L, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1L)))
+      // parity: the batch sessionize on the same user-1/2 events gives
+      // the same (start, end, count) islands
+      val batch = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+          (2L, ts("2024-01-01 10:05:00")), (1L, ts("2024-01-01 11:00:00")))
+        .toDF("user_id", "ts")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val islands = batch
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("is_new", when(col("prev").isNull
+          || col("ts").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).cast("string").as("s"),
+          max(col("ts")).cast("string").as("e"), count(lit(1)).as("n"))
+        .select(col("user_id"), col("s"), col("e"), col("n"))
+        .as[(Long, String, String, Long)].collect().sorted
+      def norm(x: (Long, String, String, Long)) =
+        (x._1, x._2.stripSuffix(".0"), x._3.stripSuffix(".0"), x._4)
+      assert(islands.map(norm) === rows.map(norm))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join correlates errors to preceding clicks") {
+    import graft.streaming.StreamJoins
+    implicit val ctx = spark.sqlContext
+    val errMem = MemoryStream[Ev]
+    val clickMem = MemoryStream[Ev]
+    val errors = errMem.toDF().select(col("event_id").as("err_id"),
+      col("ts").as("err_ts"), col("user_id"))
+    val clicks = clickMem.toDF().select(col("event_id").as("click_id"),
+      col("ts").as("click_ts"), col("user_id").as("user_id_r"))
+    val joined = StreamJoins.intervalJoin(
+      errors, clicks, "user_id", "err_ts", "click_ts", 30, "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ss_interval")
+      .outputMode("append").start()
+    try {
+      clickMem.addData(
+        Ev(100, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(101, ts("2024-01-01 10:00:00"), 2, "click", 1.0))
+      errMem.addData(
+        Ev(1, ts("2024-01-01 10:20:00"), 1, "error", 0.0), // click 20m before: match
+        Ev(2, ts("2024-01-01 11:00:00"), 1, "error", 0.0), // click 60m before: no match
+        Ev(3, ts("2024-01-01 10:25:00"), 2, "error", 0.0)) // match
+      q.processAllAvailable()
+      val rows = spark.table("ss_interval")
+        .select(col("err_id"), col("click_id"))
+        .as[(Long, Long)].collect().sorted
+      assert(rows === Array((1L, 100L), (3L, 101L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: redelivered batch does not duplicate") {
     implicit val ctx = spark.sqlContext
     val outDir = Files.createTempDirectory("graft_eos").toString
