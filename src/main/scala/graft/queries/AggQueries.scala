@@ -154,6 +154,29 @@ object AggQueries {
         .orderBy("l_returnflag", "rn")
     },
 
+    // the same top-k as a bounded O(k) TypedImperativeAggregate: only
+    // k-row buffers shuffle (map-side combine), no group is ever
+    // sorted whole — the scale path; topk_per_group above is the
+    // window-function form and the shared oracle
+    Q("topk_agg",
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin) { (s, dir) =>
+      import graft.functions.TopKAgg
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(TopKAgg(col("l_extendedprice"), col("l_orderkey").cast("long"),
+          col("l_linenumber").cast("long"), 3).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")))
+        .select(col("l_returnflag"), (col("pos") + 1).as("rn"),
+          col("col.tie1").as("l_orderkey"), col("col.tie2").as("l_linenumber"),
+          col("col.value").as("l_extendedprice"))
+        .orderBy("l_returnflag", "rn")
+    },
+
     // frame-spec window functions: running sum (exact decimal), lag, rank
     Q("window_funcs",
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -126,6 +126,24 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // Two-stage salted aggregation (heavy-hitter mitigation): stage 1
+    // spreads each key over 16 salt buckets, stage 2 merges partials —
+    // a hot key occupies 16 reducers instead of serializing one.
+    // Decimal-exact, so the oracle is the plain GROUP BY.
+    Q("salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+          Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"),
+          col("l_quantity").cast(DecimalType(12, 2)), 16)
+        .select(col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Bloom-filter pre-filtered semi join: build a bloom filter over the
     // filtered dimension keys (distributed aggregation under
     // df.stat.bloomFilter), pre-filter the fact table map-side — no

@@ -46,6 +46,41 @@ class SkewAndFormatsSpec extends SparkSpec {
   }
 }
 
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TopKAgg
+
+  test("bounded top-k equals window row_number <= k under any partitioning") {
+    val rows = Seq(
+      ("a", 5.0, 1L, 1L), ("a", 9.0, 2L, 1L), ("a", 9.0, 1L, 2L),
+      ("a", 9.0, 1L, 1L), ("a", 7.0, 3L, 1L), ("b", 1.0, 9L, 9L))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v", "t1", "t2").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(TopKAgg(col("v"), col("t1"), col("t2"), 3).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), (col("pos") + 1).as("rn"),
+          col("col.value"), col("col.tie1"), col("col.tie2"))
+        .as[(String, Int, Double, Long, Long)].collect().sorted
+      // value DESC, ties ASC; k=3 caps group a; group b keeps its 1 row
+      assert(got === Array(
+        ("a", 1, 9.0, 1L, 1L), ("a", 2, 9.0, 1L, 2L), ("a", 3, 9.0, 2L, 1L),
+        ("b", 1, 1.0, 9L, 9L)).sorted, s"parts=$parts")
+    }
+  }
+
+  test("null inputs are skipped, empty group yields empty array") {
+    val df = Seq(
+      ("a", Some(2.0), 1L), ("a", None, 2L), ("b", None, 3L)
+    ).toDF("g", "v", "t")
+    val got = df.groupBy("g")
+      .agg(TopKAgg(col("v"), col("t"), col("t"), 2).as("tk"))
+      .select(col("g"), size(col("tk")).as("n"))
+      .as[(String, Int)].collect().sorted
+    assert(got === Array(("a", 1), ("b", 0)))
+  }
+}
+
 class CmsSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import graft.functions.CountMinSketchAgg
