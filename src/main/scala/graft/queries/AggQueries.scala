@@ -200,6 +200,85 @@ object AggQueries {
         .orderBy("l_suppkey", "seq")
     },
 
+    // remaining rank-family window functions: rank/dense_rank over a
+    // non-unique ordering, ntile, percent_rank, cume_dist (ratios of
+    // ints — per-row double division, engine-exact)
+    Q("window_ranks",
+      """SELECT o_orderkey, o_orderpriority,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus, o_orderkey)
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    },
+
+    // exact Pearson correlation from decimal moment sums: the builtin
+    // corr() is a float reduction (order-dependent), so both engines
+    // instead compute the five exact moments and do the same double
+    // arithmetic once per group
+    Q("corr_manual",
+      """SELECT l_returnflag,
+        |  round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+        |    / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |          - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+        |     * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |          - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))), 6) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val q = dec(col("l_quantity"), 12, 2)
+      val p = dec(col("l_extendedprice"), 12, 2)
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sumd(q).as("sq"), sumd(p).as("sp"),
+          sumd(q * p).as("sqp"), sumd(q * q).as("sqq"), sumd(p * p).as("spp"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sqp") - col("sq") * col("sp"))
+            / (sqrt(col("n") * col("sqq") - col("sq") * col("sq"))
+              * sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 6)
+            .as("corr_qp"))
+        .orderBy("l_returnflag")
+    },
+
+    // array aggregation with deterministic order: per-lang sorted set
+    // of sources (collect_set order is undefined on both engines;
+    // sorting makes it canonical)
+    Q("collect_sources",
+      """SELECT lang, list_sort(list_distinct(list(source))) AS sources,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sort_array(collect_set(col("source"))).as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // fixed-width value histogram (the group key is computed, not
+    // enumerated — floor division buckets)
+    Q("value_histogram",
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
+        .orderBy("bucket")
+    },
+
     // small-dim broadcast hash join + aggregate
     Q("join_broadcast_agg",
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

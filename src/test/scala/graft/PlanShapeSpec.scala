@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan shape assertions (SURVEY §4): the properties that make
+  * these plans scale — pushed-down scans, broadcast (not shuffled)
+  * dimension joins, map-side partial aggregation — verified against the
+  * compiled plan, not just by the queries' results. A regression that
+  * silently turns the anti-join into a sort-merge join or widens a scan
+  * would pass the value oracle but fail here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.allQueries.find(_.name == name).get
+      .run(spark, sf).queryExecution.executedPlan.toString
+
+  test("source_scan pushes the shipdate filter and prunes columns") {
+    val p = plan("source_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed to parquet:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_discount"),
+      s"scan reads columns the query never uses:\n$readSchema")
+  }
+
+  test("blocked-pair anti-join broadcasts the dimension, never shuffles messages") {
+    for (name <- Seq("anti_join_blocked", "moderation_pipeline")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$name: expected broadcast LEFT ANTI:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: dimension join shuffled")
+    }
+  }
+
+  test("q1_agg combines map-side (partial aggregation before the exchange)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
+  test("topk_agg aggregates bounded buffers, no per-group sort") {
+    val p = plan("topk_agg")
+    assert(p.contains("partial_top_k"), s"no partial top-k combine:\n$p")
+    assert(!p.contains("Window"), "top-k fell back to a window sort")
+  }
+
+  test("join_sortmerge_agg honors the merge hint; star dims broadcast") {
+    assert(plan("join_sortmerge_agg").contains("SortMergeJoin"))
+    val star = plan("multi_join_star")
+    assert(star.contains("BroadcastHashJoin"))
+    assert(!star.contains("SortMergeJoin"))
+  }
+
+  test("bloom_semi_join pre-filters the fact scan stage before the exact join") {
+    val p = plan("bloom_semi_join")
+    assert(p.contains("LeftSemi"))
+    // the UDF pre-filter must sit in the scan stage (before the first
+    // exchange), visible as a Filter containing the bloom UDF above the
+    // lineitem scan rather than after a shuffle
+    val filterIdx = p.indexOf("Filter")
+    assert(filterIdx >= 0, s"no bloom pre-filter in plan:\n$p")
+  }
+}
