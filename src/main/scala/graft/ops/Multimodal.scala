@@ -73,6 +73,39 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long, kind: String,
+      width: Int, height: Int, // post-resize
+      scale: Double)
+
+  /** Resize plan: fit the STUB-decoded dimensions inside
+    * `maxSide` x `maxSide` preserving aspect ratio (never upscale).
+    * Pure per-row math — narrow; the real resampling kernel would run
+    * inside [[extractFeatures]]'s partition loop next to the decoder.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], maxSide: Int): Dataset[ResizedMedia] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val s = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      ResizedMedia(f.media_id, f.kind,
+        math.max(1, math.round(f.width * s).toInt),
+        math.max(1, math.round(f.height * s).toInt), s)
+    }
+  }
+
+  case class FrameSample(media_id: Long, frame_idx: Int)
+
+  /** Frame sampling for video rows: every `everyK`-th frame index,
+    * always including frame 0 — the generator (UDTF-shaped) side of the
+    * media pipeline. Row-inflating: at scale, repartition before this
+    * like every explode (SCALE.md), then decode sampled frames only.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): Dataset[FrameSample] = {
+    import features.sparkSession.implicits._
+    features.filter(_.kind == "video")
+      .flatMap(f => (0 until f.n_frames by everyK).map(FrameSample(f.media_id, _)))
+  }
+
   /** Materialize a media table from `documents` (content := utf-8 text
     * bytes — stands in for real image/audio payloads).
     */

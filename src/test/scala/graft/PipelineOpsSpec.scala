@@ -106,6 +106,36 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(rows.forall(f => sparkMd5(f.media_id) == f.content_md5))
   }
+
+  test("multimodal: resize plan fits maxSide preserving aspect, never upscales") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+    val byId = feats.collect().map(f => f.media_id -> f).toMap
+    val resized = Multimodal.resizePlan(feats, 256).collect()
+    assert(resized.length === byId.size)
+    resized.foreach { r =>
+      val f = byId(r.media_id)
+      assert(math.max(r.width, r.height) <= 256
+        || (f.width <= 256 && f.height <= 256))
+      assert(r.scale <= 1.0, "upscaled")
+      if (f.width >= f.height)
+        assert(r.width === math.max(1, math.round(f.width * r.scale).toInt))
+    }
+  }
+
+  test("multimodal: frame sampling emits every k-th frame of videos only") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+    val frames = Multimodal.sampleFrames(feats, 24).collect()
+    val videos = feats.filter(_.kind == "video").collect()
+    assert(videos.nonEmpty)
+    val expected = videos.map(v => (v.n_frames + 23) / 24).sum
+    assert(frames.length === expected)
+    assert(frames.forall(_.frame_idx % 24 == 0))
+    val grouped = frames.groupBy(_.media_id)
+    assert(grouped.keySet === videos.map(_.media_id).toSet)
+    assert(grouped.values.forall(_.exists(_.frame_idx == 0)), "frame 0 missing")
+  }
 }
 
 class AsOfSpec extends SparkSpec {
