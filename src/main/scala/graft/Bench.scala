@@ -27,6 +27,12 @@ object Bench {
       // no query slower.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // ~60 queries x ~10 codegen stages far exceed the default
+      // 100-entry generated-class cache, so every timed pass would
+      // re-run janino on every stage (the dominant cost: a warm fresh
+      // session runs a 1.3s bench query in 0.16s). Size the cache to
+      // hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -71,6 +71,22 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash signatures straight from text, skipping the global shingle
+    * DISTINCT: `min` is duplicate-invariant, so deduplicating first
+    * only adds the pipeline's heaviest shuffle (the shingle STRINGS).
+    * Here the only wide strings live inside one map stage; the sole
+    * post-repartition exchange carries K integers per document. Use
+    * [[distinctShingles]] + [[minhashSignature]] only when the distinct
+    * set itself is needed (e.g. Jaccard intersection counts).
+    */
+  def minhashFromText(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    minhashSignature(
+      df.repartition(parallelism, col(idCol))
+        .select(col(idCol), explode(shingles(col(textCol))).as("shingle")),
+      idCol, k)
+  }
+
   /** LSH band keys from a signature: b bands of r rows each
     * (k = b*r). One output row per (id, band). Collision probability of
     * a pair per band ≈ jaccard^r.

@@ -52,8 +52,9 @@ object DedupQueries {
       s"""$minhashCte
          |SELECT doc_id, ${(0 until K).map("m" + _).mkString(", ")}
          |FROM mh ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val dsh = Dedup.distinctShingles(Tables.load(s, dir, "documents"), "doc_id", "text")
-      Dedup.minhashSignature(dsh, "doc_id", K).orderBy("doc_id")
+      // no distinct: min is duplicate-invariant (see minhashFromText)
+      Dedup.minhashFromText(Tables.load(s, dir, "documents"), "doc_id", "text", K)
+        .orderBy("doc_id")
     },
 
     // MinHash + LSH banding: candidate duplicate pairs
@@ -65,8 +66,7 @@ object DedupQueries {
          |SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
          |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
-      val dsh = Dedup.distinctShingles(Tables.load(s, dir, "documents"), "doc_id", "text")
-      val sig = Dedup.minhashSignature(dsh, "doc_id", K)
+      val sig = Dedup.minhashFromText(Tables.load(s, dir, "documents"), "doc_id", "text", K)
       val bands = Dedup.bandKeys(sig, "doc_id", B, R)
       Dedup.candidatePairs(bands, "doc_id")
         .select(col("id_a").as("doc_id_1"), col("id_b").as("doc_id_2"))
