@@ -328,6 +328,58 @@ object AggQueries {
         .orderBy("r_name", "n_name")
     },
 
+    // unpivot/melt: wide per-status counts back to long form — the
+    // inverse of pivot_status (oracle enumerates the UNION ALL, the
+    // portable melt)
+    Q("unpivot_status",
+      """WITH w AS (SELECT o_orderpriority,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, F AS n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'O', O FROM w
+        |  UNION ALL SELECT o_orderpriority, 'P', P FROM w)
+        |ORDER BY o_orderpriority, status""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("o_orderpriority", "status")
+    },
+
+    // timestamp part extraction (year..minute; day-of-week conventions
+    // differ between engines, so the portable parts are pinned here)
+    Q("time_parts",
+      """SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+        |  CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS mi,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), year(col("ts")).as("y"),
+          month(col("ts")).as("mo"), dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"), minute(col("ts")).as("mi"),
+          date_trunc("day", col("ts")).as("day_start"))
+        .orderBy("event_id")
+    },
+
+    // ordered string aggregation (list_agg/string_agg): deterministic
+    // via sort of the distinct set before joining
+    Q("string_agg_sources",
+      """SELECT lang,
+        |  array_to_string(list_sort(list_distinct(list(source))), ',') AS srcs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(array_join(sort_array(collect_set(col("source"))), ",").as("srcs"))
+        .orderBy("lang")
+    },
+
     // set operators: EXCEPT / UNION (distinct semantics)
     Q("set_ops",
       """SELECT c_custkey FROM

@@ -55,6 +55,21 @@ object ModerationStream {
       .select(col("sender"), col("m.text").as("text"),
         col("m.receiver").as("receiver"))
 
+  /** F2 strict parity: the reference CRASHES the pipeline on malformed
+    * JSON (MessageSerdes.java:57-62 throws; no dead-lettering).
+    * FAILFAST reproduces that contract; [[decodeKafka]]'s null-row
+    * behavior is the production-sane default. NOTE: empty/null payloads
+    * are still tombstones (null message), not errors, on both paths —
+    * from_json only fails on non-null unparseable input.
+    */
+  def decodeKafkaStrict(raw: DataFrame): DataFrame =
+    raw.select(
+        col("key").cast("string").as("sender"),
+        from_json(col("value").cast("string"), messageSchema,
+          Map("mode" -> "FAILFAST")).as("m"))
+      .select(col("sender"), col("m.text").as("text"),
+        col("m.receiver").as("receiver"))
+
   /** F1: (sender, text, receiver) -> Kafka key/value. */
   def encodeKafka(df: DataFrame): DataFrame =
     df.select(col("sender").as("key"),

@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
     assert(encoded === Array(("login4", """{"text":"Java","receiver":"login1"}""")))
   }
 
+  test("malformed JSON: permissive decodes to nulls, strict crashes (F2 parity)") {
+    val malformed = Seq(("k1", "{not json"))
+      .toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    // production default: null fields, pipeline continues
+    val lenient = ModerationStream.decodeKafka(malformed)
+      .as[(String, String, String)].collect()
+    assert(lenient === Array(("k1", null, null)))
+    // reference contract (MessageSerdes RuntimeException -> crash):
+    // FAILFAST surfaces the parse error as a task failure
+    val e = intercept[org.apache.spark.SparkException] {
+      ModerationStream.decodeKafkaStrict(malformed).collect()
+    }
+    assert(e.getMessage.contains("MALFORMED_RECORD_IN_PARSING")
+      || e.getCause != null)
+    // tombstones are NOT errors on either path
+    val tomb = Seq(("k2", null: String)).toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    assert(ModerationStream.decodeKafkaStrict(tomb)
+      .as[(String, String, String)].collect() === Array(("k2", null, null)))
+  }
+
   test("tumbling window with watermark drops late data (append mode)") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Ev]
