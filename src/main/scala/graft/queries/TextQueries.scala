@@ -78,6 +78,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // punctuation / character-class ratios (the remaining quality
+    // heuristic: high punct or digit density flags low-quality text)
+    Q("punct_stats",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+        |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        |  round(len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text), 6) AS punct_ratio,
+        |  round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6) AS digit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val punct = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+      val digit = size(expr("regexp_extract_all(text, '[0-9]', 0)"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          punct.as("n_punct"), digit.as("n_digit"),
+          round(punct * lit(1.0) / length(col("text")), 6).as("punct_ratio"),
+          round(digit * lit(1.0) / length(col("text")), 6).as("digit_ratio"))
+        .orderBy("doc_id")
+    },
+
     // document fingerprinting: min/max shingle hash + whole-text hash
     Q("doc_fingerprint",
       s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

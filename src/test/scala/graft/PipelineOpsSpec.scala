@@ -89,6 +89,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === 6)
   }
 
+  test("minhashFromText equals the distinct-shingle form (min is duplicate-invariant)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val viaDistinct = Dedup.minhashSignature(
+      Dedup.distinctShingles(docs, "doc_id", "text"), "doc_id", 12)
+    val direct = Dedup.minhashFromText(docs, "doc_id", "text", 12)
+    assert(direct.exceptAll(viaDistinct).isEmpty
+      && viaDistinct.exceptAll(direct).isEmpty)
+  }
+
   test("multimodal: partition-batched feature extraction is deterministic and complete") {
     val docs = Tables.load(spark, sf0001, "documents")
     val media = Multimodal.mediaFromDocuments(docs)
