@@ -130,6 +130,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic train/val/test assignment + stratified sampling —
+    // the data-selection step of a training pipeline. Hash-based (not
+    // rand()): assignment is a pure function of doc_id, so it is
+    // stable across runs, engines, and repartitioning, and never needs
+    // a persisted split table. 80/10/10 by md5 bucket; sample keeps a
+    // fixed per-lang 20% sub-bucket.
+    Q("train_split", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (SELECT doc_id, lang, $h % 100 AS bucket FROM documents),
+         |a AS (SELECT doc_id, lang,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |    (bucket % 5 = 0) AS in_sample
+         |  FROM s)
+         |SELECT lang, split, COUNT(*) AS n,
+         |  COUNT(CASE WHEN in_sample THEN 1 END) AS n_sampled
+         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin
+    }) { (s, dir) =>
+      val bucket = h32(col("doc_id").cast("string")) % 100
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), bucket.as("bucket"))
+        .select(col("lang"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          (col("bucket") % 5 === 0).as("in_sample"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("in_sample"), 1)).as("n_sampled"))
+        .orderBy("lang", "split")
+    },
+
     // multimodal metadata path: binary content column + envelope fields
     // + STUB-decoded dimensions, all engine-portable
     Q("multimodal_meta",

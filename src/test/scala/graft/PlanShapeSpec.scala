@@ -52,6 +52,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!star.contains("SortMergeJoin"))
   }
 
+  test("percentiles scans lineitem once (rank + count share one exchange)") {
+    val p = plan("percentiles")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$p")
+  }
+
+  test("minhash signature pipeline holds to three exchanges") {
+    // repartition (parallelize the explode+hash), signature groupBy,
+    // final orderBy — the distinct-shuffle of shingle strings must not
+    // reappear
+    val p = plan("dedup_minhash_sig")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 3, s"minhash pipeline gained exchanges ($n):\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1)
+  }
+
   test("bloom_semi_join pre-filters the fact scan stage before the exact join") {
     val p = plan("bloom_semi_join")
     assert(p.contains("LeftSemi"))
