@@ -37,10 +37,17 @@ case class TopKAgg(
 
   private type Row3 = (Double, Long, Long)
 
-  /** true iff a ranks strictly before b (value DESC, ties ASC). */
-  private def before(a: Row3, b: Row3): Boolean =
-    a._1 > b._1 || (a._1 == b._1 &&
+  /** true iff a ranks strictly before b (value DESC, ties ASC).
+    * Double comparison is the SQL total order (java.lang.Double
+    * .compare: NaN greatest, i.e. first under DESC — matching
+    * `row_number() OVER (ORDER BY v DESC)`); -0.0 is normalized to 0.0
+    * at insert so the two zeros tie like Spark's sort.
+    */
+  private def before(a: Row3, b: Row3): Boolean = {
+    val cmp = java.lang.Double.compare(b._1, a._1) // descending
+    cmp < 0 || (cmp == 0 &&
       (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+  }
 
   override def createAggregationBuffer(): ArrayBuffer[Row3] =
     new ArrayBuffer[Row3](k + 1)
@@ -59,8 +66,11 @@ case class TopKAgg(
     val t1 = tie1.eval(input)
     val t2 = tie2.eval(input)
     if (v == null || t1 == null || t2 == null) buf
-    else insert(buf, (v.asInstanceOf[Double],
-      t1.asInstanceOf[Long], t2.asInstanceOf[Long]))
+    else {
+      val raw = v.asInstanceOf[Double]
+      val d = if (raw == 0.0) 0.0 else raw // fold -0.0 into 0.0
+      insert(buf, (d, t1.asInstanceOf[Long], t2.asInstanceOf[Long]))
+    }
   }
 
   override def merge(b1: ArrayBuffer[Row3], b2: ArrayBuffer[Row3]): ArrayBuffer[Row3] = {

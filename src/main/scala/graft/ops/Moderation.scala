@@ -156,7 +156,9 @@ object Moderation {
     val survivors = dropBlocked(messages, blockedPairs)
     val censor =
       if (singlePass && singlePassEquivalent(banWords))
-        censorSinglePass(col("text"), banWords)
+        // already proven safe above; skip censorSinglePass's require
+        // (it re-runs the same quadratic pair scan)
+        graft.functions.CensorText(col("text"), banWords)
       else censorFold(col("text"), banWords)
     survivors.withColumn("text", censor)
   }

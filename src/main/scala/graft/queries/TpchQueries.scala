@@ -61,15 +61,17 @@ object TpchQueries {
         |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
-      // shuffle-hash instead of sort-merge for the one big-side join:
-      // the probe side never gets sorted (measured 2.2s -> 1.5s at
-      // sf0.1); valid whenever a build partition fits executor memory,
-      // and AQE still splits skewed partitions
-      val l = Tables.load(s, dir, "lineitem").hint("shuffle_hash")
+      val l = Tables.load(s, dir, "lineitem")
       val su = Tables.load(s, dir, "supplier")
       val n = Tables.load(s, dir, "nation")
       val r = Tables.load(s, dir, "region")
-      c.join(o, col("c_custkey") === col("o_custkey"))
+      // shuffle-hash instead of sort-merge for the one big join, with
+      // the SMALLER (customer x orders) side hinted so IT becomes the
+      // hash-map build side and lineitem — the probe — is never sorted
+      // (measured 2.2s -> 1.5s at sf0.1). Valid whenever a build
+      // partition fits executor memory; AQE still splits skewed
+      // partitions.
+      c.join(o, col("c_custkey") === col("o_custkey")).hint("shuffle_hash")
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))

@@ -11,21 +11,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * surface exercised with MUTABLE per-key state (the reference's
   * stores are read-only; this is the §7 extension).
   *
-  * Design: one open session per key lives in [[GroupState]]; events of
-  * a micro-batch are folded in event-time order, closing a session
-  * in-stream whenever the gap is exceeded by actual data; quiescent
-  * sessions are closed by an event-time TIMEOUT once the watermark
-  * passes `last + gap` — so results are identical to the batch
-  * gaps-and-islands computation for any in-watermark arrival order.
-  * State size is O(1) per active key (three longs), the shape that
-  * holds at 100 TB/day key cardinalities; expired keys are removed.
+  * Design: the state of a key is the list of OPEN islands — sessions
+  * the watermark has not yet sealed. An arriving event merges into an
+  * island when it falls within `gap` of it, and may BRIDGE two islands
+  * into one; otherwise it opens a new island. Islands are emitted (and
+  * dropped from state) only once the watermark passes `last + gap`, so
+  * output equals the batch gaps-and-islands computation for ANY
+  * in-watermark arrival order — including events that arrive in a later
+  * micro-batch with an earlier timestamp than the open session.
+  *
+  * State size is O(open islands) per key, which the watermark bounds to
+  * the islands inside one watermark-delay horizon — the shape that
+  * holds at 100 TB/day key cardinalities; sealed islands leave state,
+  * and fully quiescent keys are removed on timeout.
   */
 object EventTimeSessions {
 
   case class SessionEvent(user_id: Long, ts: Timestamp)
 
-  /** The open (not yet emitted) session of one key; times in epoch ms. */
+  /** One not-yet-sealed session of a key; times in epoch ms. */
   case class OpenSession(start: Long, last: Long, n: Long)
+
+  case class SessionList(islands: List[OpenSession])
 
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
@@ -39,40 +46,43 @@ object EventTimeSessions {
     def close(user: Long, s: OpenSession): Session =
       Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
 
+    /** Merge t into the sorted island list: joins every island within
+      * `gap` of t (at most the two neighbors) or opens a new one.
+      */
+    def addEvent(sorted: List[OpenSession], t: Long): List[OpenSession] = {
+      val (before, rest) = sorted.span(_.last < t - gapMs)
+      val (touching, after) = rest.span(_.start <= t + gapMs)
+      val merged =
+        if (touching.isEmpty) OpenSession(t, t, 1)
+        else OpenSession(math.min(touching.head.start, t),
+          math.max(touching.last.last, t),
+          touching.map(_.n).sum + 1)
+      before ::: merged :: after
+    }
+
     def fn(user: Long, evs: Iterator[SessionEvent],
-           state: GroupState[OpenSession]): Iterator[Session] = {
-      val out = collection.mutable.ListBuffer[Session]()
-      if (state.hasTimedOut) {
-        // watermark passed last + gap with no new data: session is final
-        state.getOption.foreach(s => out += close(user, s))
-        state.remove()
-      } else {
-        val sorted = evs.toSeq.sortBy(_.ts.getTime)
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case None =>
-              cur = Some(OpenSession(t, t, 1))
-            case Some(s) if t - s.last > gapMs =>
-              out += close(user, s)
-              cur = Some(OpenSession(t, t, 1))
-            case Some(s) =>
-              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
-        }
+           state: GroupState[SessionList]): Iterator[Session] = {
+      var islands = state.getOption.map(_.islands).getOrElse(Nil)
+      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        islands = addEvent(islands, e.ts.getTime)
       }
-      out.iterator
+      // seal every island the watermark has passed (watermark is 0 in
+      // the very first batch, so nothing seals prematurely)
+      val wm = state.getCurrentWatermarkMs()
+      val (sealed_, open) = islands.partition(_.last + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionList(open))
+        // wake up when the earliest island becomes sealable
+        state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+      }
+      sealed_.map(close(user, _)).iterator
     }
 
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessionList, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

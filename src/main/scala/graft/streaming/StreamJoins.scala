@@ -14,16 +14,19 @@ object StreamJoins {
 
   /** Inner-join `left` events to `right` events of the same key with
     * `right.ts` in `[left.ts - lookback, left.ts]` (e.g. errors to the
-    * clicks that preceded them). Columns of both inputs must be
-    * disjoint except the key. State expiry: each side's rows are
-    * dropped once the other side's watermark passes the interval bound.
+    * clicks that preceded them). Both inputs carry the key under the
+    * SAME name `key`; every other column must be disjoint between the
+    * two sides. The right side's key is renamed to `<key>_r` in the
+    * output. State expiry: each side's rows are dropped once the other
+    * side's watermark passes the interval bound.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    key: String, leftTs: String, rightTs: String,
                    lookbackMinutes: Int = 30,
                    watermarkDelay: String = "1 hour"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.withWatermark(rightTs, watermarkDelay)
+    val r = right.withColumnRenamed(key, s"${key}_r")
+      .withWatermark(rightTs, watermarkDelay)
     l.join(r,
       expr(s"""$key = ${key}_r AND
               |$rightTs >= $leftTs - INTERVAL $lookbackMinutes MINUTES AND

@@ -9,11 +9,9 @@ package graft
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
-
   private def plan(name: String): String =
     SparkEntry.allQueries.find(_.name == name).get
-      .run(spark, sf).queryExecution.executedPlan.toString
+      .run(spark, sf0001).queryExecution.executedPlan.toString
 
   test("source_scan pushes the shipdate filter and prunes columns") {
     val p = plan("source_scan")
@@ -71,10 +69,18 @@ class PlanShapeSpec extends SparkSpec {
   test("bloom_semi_join pre-filters the fact scan stage before the exact join") {
     val p = plan("bloom_semi_join")
     assert(p.contains("LeftSemi"))
-    // the UDF pre-filter must sit in the scan stage (before the first
-    // exchange), visible as a Filter containing the bloom UDF above the
-    // lineitem scan rather than after a shuffle
-    val filterIdx = p.indexOf("Filter")
-    assert(filterIdx >= 0, s"no bloom pre-filter in plan:\n$p")
+    // the bloom UDF pre-filter must sit in the SCAN stage: between the
+    // plan line that evaluates the UDF and the lineitem scan below it
+    // there must be no Exchange (a filter after a shuffle would defeat
+    // the pre-filtering)
+    val lines = p.linesIterator.toVector
+    val udfIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(udfIdx >= 0, s"no bloom UDF filter in plan:\n$p")
+    // the filter prints directly above its child subtree, so the first
+    // scan below it is the lineitem scan it guards
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"), udfIdx)
+    assert(scanIdx > udfIdx, s"no scan under the UDF filter:\n$p")
+    assert(!lines.slice(udfIdx, scanIdx).exists(_.contains("Exchange")),
+      s"bloom filter applied after a shuffle:\n$p")
   }
 }

@@ -82,8 +82,11 @@ class StreamingSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] {
       ModerationStream.decodeKafkaStrict(malformed).collect()
     }
-    assert(e.getMessage.contains("MALFORMED_RECORD_IN_PARSING")
-      || e.getCause != null)
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("MALFORMED_RECORD_IN_PARSING")
+      || messages.contains("FAILFAST"),
+      s"expected a malformed-record parse failure, got:\n$messages")
     // tombstones are NOT errors on either path
     val tomb = Seq(("k2", null: String)).toDF("key", "value")
       .select(col("key").cast("binary").as("key"),
@@ -186,7 +189,7 @@ class StreamingSpec extends SparkSpec {
         SessionEvent(1, ts("2024-01-01 10:10:00")),
         SessionEvent(2, ts("2024-01-01 10:05:00")))
       q.processAllAvailable()
-      // closes user 1's first session with in-stream evidence
+      // a later batch: user 1 opens a second island (> 30 min gap)
       mem.addData(SessionEvent(1, ts("2024-01-01 11:00:00")))
       q.processAllAvailable()
       // two watermark-advancing batches: after the first, the watermark
@@ -227,6 +230,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessions: cross-batch out-of-order events split and bridge islands") {
+    import graft.streaming.EventTimeSessions
+    import graft.streaming.EventTimeSessions.SessionEvent
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventTimeSessions.sessions(mem.toDS(), 30, "1 hour")
+      .writeStream.format("memory").queryName("fmgws_ooo")
+      .outputMode("append").start()
+    try {
+      // user 1 arrives OUT OF ORDER across batches: 10:40 first...
+      mem.addData(SessionEvent(1, ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      // ...then an in-watermark event 40 min EARLIER: must become its
+      // own island (gap exceeded), not merge into [10:40]
+      mem.addData(SessionEvent(1, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // user 2: two islands 40 min apart, then a bridging event that
+      // fuses them into ONE session
+      mem.addData(
+        SessionEvent(2, ts("2024-01-01 10:00:00")),
+        SessionEvent(2, ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // advance the watermark far past everything, then trigger timeouts
+      mem.addData(SessionEvent(9, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9, ts("2024-01-01 14:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("fmgws_ooo")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().sorted
+      assert(rows === Array(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1L),
+        (1L, "2024-01-01 10:40:00", "2024-01-01 10:40:00", 1L),
+        (2L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 3L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join correlates errors to preceding clicks") {
     import graft.streaming.StreamJoins
     implicit val ctx = spark.sqlContext
@@ -235,7 +278,7 @@ class StreamingSpec extends SparkSpec {
     val errors = errMem.toDF().select(col("event_id").as("err_id"),
       col("ts").as("err_ts"), col("user_id"))
     val clicks = clickMem.toDF().select(col("event_id").as("click_id"),
-      col("ts").as("click_ts"), col("user_id").as("user_id_r"))
+      col("ts").as("click_ts"), col("user_id"))
     val joined = StreamJoins.intervalJoin(
       errors, clicks, "user_id", "err_ts", "click_ts", 30, "1 hour")
     val q = joined.writeStream.format("memory").queryName("ss_interval")
