@@ -35,4 +35,42 @@ class SourcesSpec extends SparkSpec {
       .load().collect().map(_.toSeq).sortBy(_.toString)
     assert(a === b) // partition count does not change content
   }
+
+  test("filter pushdown: sender equality is absorbed by the scan (no residual Filter)") {
+    val df = spark.read.format(fmt)
+      .option("rows", 700).option("partitions", 4).load()
+      .filter(col("sender") === "login3")
+    // correctness: sender cycles mod 7 over 700 rows -> exactly 100
+    assert(df.count() === 100)
+    assert(df.select(countDistinct(col("sender"))).as[Long].head() === 1)
+    // the EqualTo was fully handled by the source: Spark drops the
+    // post-scan Filter node entirely
+    val p = df.queryExecution.executedPlan.toString
+    // no Filter NODE (the scan description legitimately mentions
+    // "PushedFilters: [...]", which is not a node)
+    assert(!p.contains(") Filter ") && !p.contains("+- Filter "),
+      s"residual filter survived pushdown:\n$p")
+    assert(p.contains("EqualTo(sender,login3)"), p)
+    // content identical to the unpushed predicate applied manually
+    val manual = spark.read.format(fmt)
+      .option("rows", 700).option("partitions", 4).load()
+      .collect().filter(_.getString(0) == "login3").map(_.toSeq).sortBy(_.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.toString) === manual)
+  }
+
+  test("column pruning: the reader emits only projected fields") {
+    val df = spark.read.format(fmt)
+      .option("rows", 100).load()
+      .select("text")
+    assert(df.columns.toSeq === Seq("text"))
+    assert(df.count() === 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"scan did not prune to the projected column:\n$p")
+    // pruning + pushdown compose: filter column needn't be projected
+    val both = spark.read.format(fmt).option("rows", 700).load()
+      .filter(col("sender") === "login2").select("receiver")
+    assert(both.count() === 100)
+    assert(both.distinct().count() === 5)
+  }
 }
