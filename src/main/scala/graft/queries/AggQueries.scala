@@ -147,7 +147,11 @@ object AggQueries {
         |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      Tables.load(s, dir, "lineitem")
+      // Spark's WindowGroupLimit keeps <=3 rows per group map-side, but
+      // its Partial pass SORTS the input partition first — parallelize
+      // so that sort doesn't run in the one-task scan stage
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
