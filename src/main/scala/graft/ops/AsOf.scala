@@ -56,4 +56,42 @@ object AsOf {
       .select(leftCols.map(col) ++ rightValueCols.map(c =>
         col(s"__matched.$c").as(s"right_$c")): _*)
   }
+
+  /** Forward as-of: for each `left` row, the EARLIEST `right` row with
+    * the same key and `right.tsCol >= left.tsCol` (null when none).
+    * Same single-shuffle shape as [[join]], mirrored: left rows sort
+    * BEFORE right rows on equal ts ("at or after" — a right row at the
+    * left row's exact timestamp matches), and the earliest following
+    * right value comes from `first(..., ignoreNulls)` over
+    * `[currentRow, +inf)`. Oracle twin: DuckDB
+    * `ASOF JOIN ... ON l.ts <= r.ts`.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, rightValueCols: Seq[String]): DataFrame = {
+    val rightStruct = struct(rightValueCols.map(col): _*)
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("__side", lit(0))
+      .withColumn("__rv", lit(null).cast(
+        right.select(rightStruct).schema.head.dataType))
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol)) :+ rightStruct.as("__rv"): _*)
+      .withColumn("__side", lit(1))
+    val rAligned = r.select(
+      leftCols.map(c =>
+        if (c == keyCol || c == tsCol) col(c) else lit(null).as(c))
+        ++ Seq(col("__side"), col("__rv")): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l.select(leftCols.map(col) ++ Seq(col("__side"), col("__rv")): _*)
+      .unionByName(rAligned)
+      .withColumn("__matched", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ rightValueCols.map(c =>
+        col(s"__matched.$c").as(s"right_$c")): _*)
+  }
 }

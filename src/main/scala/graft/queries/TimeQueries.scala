@@ -94,6 +94,26 @@ object TimeQueries {
         .orderBy("err_id")
     },
 
+    // forward as-of: each error picks up the EARLIEST click at or after
+    // it (the time-to-next-action pattern; mirrored window composition)
+    Q("asof_join_forward",
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT e.event_id AS err_id, e.user_id AS user_id,
+        |       c.event_id AS click_id, c.value AS click_value
+        |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+        |ORDER BY err_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.joinForward(errors, clicks, "user_id", "ts",
+          Seq("event_id", "value"))
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("right_event_id").as("click_id"),
+          col("right_value").as("click_value"))
+        .orderBy("err_id")
+    },
+
     // sessionization (30-minute inactivity gap), gaps-and-islands: the
     // deterministic batch equivalent of session_window
     Q("sessionize",

@@ -172,4 +172,24 @@ class AsOfSpec extends SparkSpec {
       ("e2", Some(300L)),
       ("e3", None)))
   }
+
+  test("forward asof join: earliest at-or-after, null when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 11:30:00"), "e2"), // after the last click
+      (2L, ts("2024-01-01 09:00:00"), "e3") // user 2 has no clicks
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L), // before e1: must not match
+      (1L, ts("2024-01-01 10:00:00"), 200L), // ties with e1: AT counts
+      (1L, ts("2024-01-01 11:00:00"), 300L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = graft.ops.AsOf.joinForward(left, right, "user_id", "ts", Seq("click_id"))
+      .select($"tag", $"right_click_id").as[(String, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out === Array(
+      ("e1", Some(200L)), // equal-ts click, not the later one
+      ("e2", None), // nothing at or after
+      ("e3", None)))
+  }
 }
