@@ -270,6 +270,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessions equal batch islands on randomized arrival orders") {
+    import graft.streaming.EventTimeSessions
+    import graft.streaming.EventTimeSessions.SessionEvent
+    implicit val ctx = spark.sqlContext
+    val gapMs = 30 * 60000L
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val base = ts("2024-01-01 08:00:00").getTime
+      // 24 events, 3 users, minute-granularity over 3 hours — then
+      // SHUFFLED arrival order split over 3 micro-batches (watermark
+      // delay 10h, so every permutation is in-watermark)
+      val events = Seq.fill(24)(SessionEvent(
+        1 + rnd.nextInt(3), new Timestamp(base + rnd.nextInt(180) * 60000L)))
+      val arrival = rnd.shuffle(events)
+      val mem = MemoryStream[SessionEvent]
+      val q = EventTimeSessions.sessions(mem.toDS(), 30, "10 hours")
+        .writeStream.format("memory").queryName(s"fmgws_rand_$seed")
+        .outputMode("append").start()
+      try {
+        arrival.grouped(8).foreach { b =>
+          mem.addData(b: _*); q.processAllAvailable()
+        }
+        // push the watermark far past every last+gap, then fire timeouts
+        val flush = base + 24 * 3600000L
+        mem.addData(SessionEvent(99, new Timestamp(flush)))
+        q.processAllAvailable()
+        mem.addData(SessionEvent(99, new Timestamp(flush + 60000L)))
+        q.processAllAvailable()
+        val got = spark.table(s"fmgws_rand_$seed")
+          .filter(col("user_id") < 99)
+          .select(col("user_id"), col("session_start").cast("long"),
+            col("session_end").cast("long"), col("n_events"))
+          .as[(Long, Long, Long, Long)].collect().sorted
+        // reference: in-memory gaps-and-islands over the sorted events
+        val expected = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+          val sorted = evs.map(_.ts.getTime).sorted
+          val islands = sorted.tail.foldLeft(List(List(sorted.head))) {
+            (acc, t) =>
+              if (t - acc.head.head > gapMs) List(t) :: acc
+              else (t :: acc.head) :: acc.tail
+          }
+          islands.map(i => (u, i.last / 1000, i.head / 1000, i.size.toLong))
+        }.sorted
+        assert(got.toSeq === expected, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream interval join correlates errors to preceding clicks") {
     import graft.streaming.StreamJoins
     implicit val ctx = spark.sqlContext
