@@ -114,6 +114,43 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
 
+  /** Connected components over candidate duplicate pairs: every doc in
+    * a pair gets `cluster_id` = the minimum doc id reachable through
+    * shared-band edges (so "keep one per cluster" = keep doc_id ==
+    * cluster_id). Min-label propagation: each iteration joins labels
+    * across edges and keeps the minimum; converges in <= component
+    * diameter rounds — near-dup clusters are shallow, so a handful.
+    *
+    * Scale notes: this is the standard iterative-DataFrame shape —
+    * per-iteration `localCheckpoint` truncates the lineage (without it
+    * the plan doubles every round and the optimizer chokes long before
+    * data does), and the driver-side convergence `count` is one tiny
+    * job per round, not a per-row collect. Label state is 2 longs per
+    * node in the pair graph (not per corpus document).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("lbl2") < col("lbl")).count() == 0
+      labels = updated.select(col("id"), col("lbl2").as("lbl"))
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** 16-bit SimHash over the distinct token set: for each bit j, sum
     * votes (2*bit_j(h32(token)) - 1); bit set iff the sum is > 0.
     */

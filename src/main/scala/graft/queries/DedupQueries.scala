@@ -73,6 +73,32 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
+    // duplicate CLUSTERS: connected components over the MinHash
+    // candidate pairs (cluster_id = min reachable doc; "keep one per
+    // cluster" = doc_id == cluster_id). Oracle: recursive-CTE
+    // transitive closure over the same pair set.
+    Q("dedup_clusters",
+      s"""${minhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, unnest([${
+        (0 until B).map(b => s"'$b' || ',' || m${b * R} || ',' || m${b * R + 1}")
+          .mkString(", ")}]) AS band FROM mh),
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |        FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val bands = Dedup.bandKeys(sig, "doc_id", B, R)
+      val pairs = Dedup.candidatePairs(bands, "doc_id")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // 16-bit SimHash fingerprints over the token set
     Q("dedup_simhash", {
       val ws = (0 until 16)

@@ -89,6 +89,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === 6)
   }
 
+  test("connectedComponents: chains, bridges, and separate clusters get min-id labels") {
+    // components: {1,2,3,9} (chain 1-2, 2-3 bridged to 9 via 3-9),
+    // {5,6}, {7,8}; pair direction must not matter
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().sorted
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (6L, 5L), (7L, 7L), (8L, 7L), (9L, 1L)))
+  }
+
   test("minhashFromText equals the distinct-shingle form (min is duplicate-invariant)") {
     val docs = Tables.load(spark, sf0001, "documents")
     val viaDistinct = Dedup.minhashSignature(
