@@ -45,6 +45,34 @@ object TpchQueries {
         .limit(10)
     },
 
+    // Q18-style: HAVING over an aggregated fact, then join the
+    // survivors back to their order/customer rows — the filter on an
+    // aggregate runs BEFORE the join, so only qualifying orderkeys
+    // (a tiny set) reach the join
+    Q("q18_big_orders",
+      """SELECT c_mktsegment, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment, o_orderkey, o_orderdate
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val bigOrders = Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity"))
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"), 12, 2)).as("qty"))
+        .filter(col("qty") > 150)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      bigOrders
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_orderdate"),
+          col("qty").cast("double").as("total_qty"))
+        .orderBy("o_orderkey")
+    },
+
     // Q5-style: revenue by supplier nation where supplier and customer
     // share a nation (6-way star join)
     Q("q5_local_supplier",
