@@ -45,8 +45,12 @@ object AsOf {
         if (c == keyCol || c == tsCol) col(c) else lit(null).as(c))
         ++ Seq(col("__side"), col("__rv")): _*)
 
+    // __rv as the final sort key makes equal-ts right-row ties
+    // deterministic (last() then picks the greatest value struct);
+    // engines differ on which tie THEY pick, so oracled inputs should
+    // keep (key, ts) unique on the right side
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.select(leftCols.map(col) ++ Seq(col("__side"), col("__rv")): _*)
@@ -83,8 +87,10 @@ object AsOf {
         if (c == keyCol || c == tsCol) col(c) else lit(null).as(c))
         ++ Seq(col("__side"), col("__rv")): _*)
 
+    // deterministic equal-ts ties as in [[join]]: first() picks the
+    // smallest value struct among same-ts right rows
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__rv"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     l.select(leftCols.map(col) ++ Seq(col("__side"), col("__rv")): _*)

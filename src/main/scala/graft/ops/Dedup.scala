@@ -148,6 +148,11 @@ object Dedup {
       labels = updated.select(col("id"), col("lbl2").as("lbl"))
       i += 1
     }
+    // a silent non-converged exit would return plausible-but-wrong
+    // intermediate labels — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(a component's min-node eccentricity exceeds maxIter); raise maxIter")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

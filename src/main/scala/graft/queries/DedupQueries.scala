@@ -34,6 +34,16 @@ object DedupQueries {
        |mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
+  /** SQL twin of [[Dedup.bandKeys]] (generated over B and R, never
+    * hand-expanded — one definition serves every banded query).
+    */
+  private val bandsCte = {
+    val keys = (0 until B).map { b =>
+      (s"'$b'" +: (0 until R).map(j => s"m${b * R + j}")).mkString(" || ',' || ")
+    }
+    s"bands AS (SELECT doc_id, unnest([${keys.mkString(", ")}]) AS band FROM mh)"
+  }
+
   def all: Seq[Q] = Seq(
 
     // exact dedup: group on md5(text) (16-byte shuffle key, not the body)
@@ -60,9 +70,7 @@ object DedupQueries {
     // MinHash + LSH banding: candidate duplicate pairs
     Q("dedup_minhash",
       s"""$minhashCte,
-         |bands AS (SELECT doc_id, unnest([${
-        (0 until B).map(b => s"'$b' || ',' || m${b * R} || ',' || m${b * R + 1}")
-          .mkString(", ")}]) AS band FROM mh)
+         |$bandsCte
          |SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
          |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
@@ -79,9 +87,7 @@ object DedupQueries {
     // transitive closure over the same pair set.
     Q("dedup_clusters",
       s"""${minhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |bands AS (SELECT doc_id, unnest([${
-        (0 until B).map(b => s"'$b' || ',' || m${b * R} || ',' || m${b * R + 1}")
-          .mkString(", ")}]) AS band FROM mh),
+         |$bandsCte,
          |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
          |edges AS (SELECT d1 AS a, d2 AS b FROM pairs

@@ -168,8 +168,13 @@ private class MessagesReaderFactory extends PartitionReaderFactory {
         }
       private var current: (String, String, String) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(proj.toIndexedSeq.map(f => f(current)))
+      override def get(): InternalRow = {
+        // one allocation per row, no intermediate collection copies
+        val vals = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) { vals(i) = proj(i)(current); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
       override def close(): Unit = ()
     }
   }
