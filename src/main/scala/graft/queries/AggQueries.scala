@@ -183,16 +183,24 @@ object AggQueries {
 
     // frame-spec window functions: running sum (exact decimal), lag, rank
     Q("window_funcs",
+      // l_quantity closes the ordering: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) keys (118k at sf0.1), and one
+      // duplicate pair even shares (suppkey, shipdate) with different
+      // quantities — without the last key, lag/running_sum are
+      // nondeterministic and the oracle hash flaps. Rows still tied
+      // after l_quantity are identical in every column this query
+      // reads, hence interchangeable.
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
         |  lag(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty,
         |  row_number() OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS seq
         |FROM lineitem ORDER BY l_suppkey, seq""".stripMargin) { (s, dir) =>
-      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
       Tables.load(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
