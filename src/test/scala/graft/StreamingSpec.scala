@@ -95,6 +95,34 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, String)].collect() === Array(("k2", null, null)))
   }
 
+  test("Trigger.AvailableNow drains available input then self-terminates (backfill)") {
+    // the production backfill/catch-up pattern: process everything
+    // available at start, then stop on its own — unlike
+    // processAllAvailable, termination is the trigger's contract, not
+    // a test helper
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Message]
+    mem.addData(
+      Message("login4", "Java", "login1"),
+      Message("login2", "Spring", "login1"),
+      Message("login5", "Политика React", "login1"))
+    val blocked = Seq("login1:login2").toDF("bk")
+    val out = ModerationStream.pipeline(mem.toDF(), blocked, Seq("Политика"))
+    val q = out.writeStream.format("memory").queryName("mod_availnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+      assert(!q.isActive)
+      val rows = spark.table("mod_availnow")
+        .select("sender", "text").as[(String, String)].collect().sortBy(_._1)
+      assert(rows === Array(
+        ("login4", "Java"),
+        ("login5", "******** React")))
+    } finally q.stop()
+  }
+
   test("tumbling window with watermark drops late data (append mode)") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Ev]
