@@ -52,10 +52,20 @@ object Bench {
     val pass1 = SparkEntry.allQueries.map(q => q.name -> runOnce(q)).toMap
     val results = SparkEntry.allQueries.map(q =>
       q.name -> math.min(pass1(q.name), runOnce(q)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // seconds at 4 dp: ample resolution, and it keeps the one-line JSON
+    // short enough that a tail-capture of stdout doesn't truncate it
+    def fmt(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's parser: the line goes to stdout
+    // AND to a file (round 2's total line was truncated in the captured
+    // stdout tail, leaving the bench unparsed)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -33,7 +33,15 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long, Long)]]
+  with ImplicitCastInputTypes {
+
+  // Declared input types make misuse an ANALYSIS-time error (with
+  // coercion-friendly casts inserted where safe, e.g. int/decimal
+  // inputs) instead of a mid-task ClassCastException in update()'s
+  // asInstanceOf extraction.
+  override def inputTypes: Seq[GraftSqlBridge.AbstractDataType] =
+    Seq(DoubleType, LongType, LongType)
 
   private type Row3 = (Double, Long, Long)
 

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * ("at or before", right-before-left on equal ts) — the same contract
   * as DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`, which serves as the
   * oracle.
+  *
+  * Duplicate right rows on the same (key, ts): the operator's rule is
+  * total and deterministic — [[join]] (backward) keeps the GREATEST
+  * value struct among the tied right rows (field-order struct
+  * comparison), [[joinForward]] keeps the SMALLEST. This is a
+  * graft-defined contract: SQL engines' ASOF joins make no tie
+  * guarantee at all, so ORACLE-checked inputs must keep (key, ts)
+  * unique on the right side (the fixture does — asserted in
+  * AsOfSpec), while library callers get a pinned, reproducible answer
+  * either way (also asserted in AsOfSpec with duplicated right rows).
   */
 object AsOf {
 

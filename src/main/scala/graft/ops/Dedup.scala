@@ -133,8 +133,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // each round checkpoints a fresh label set; the superseded one is
+    // unpersisted as soon as its successor is materialized (eager
+    // checkpoint), else a long-lived session accumulates one full
+    // label-set of cached blocks PER ITERATION
+    var checkpointed = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
+    var labels = checkpointed
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -145,6 +150,8 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
         .localCheckpoint(true)
       converged = updated.filter(col("lbl2") < col("lbl")).count() == 0
+      checkpointed.unpersist()
+      checkpointed = updated
       labels = updated.select(col("id"), col("lbl2").as("lbl"))
       i += 1
     }
@@ -153,6 +160,8 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations " +
         "(a component's min-node eccentricity exceeds maxIter); raise maxIter")
+    // the returned frame reads only the final checkpoint, never edges
+    edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

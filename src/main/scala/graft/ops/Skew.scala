@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * AQE's skew-join handling covers joins; this covers aggregations,
   * where a single hot group otherwise serializes one reducer at
-  * 100 TB scale. The salt is a deterministic hash of intra-row
-  * content (not rand()), keeping runs reproducible.
+  * 100 TB scale. The salt derives from ROW POSITION
+  * (`monotonically_increasing_id`'s per-partition counter), not row
+  * content: a content hash silently collapses to ONE bucket whenever
+  * the hot key carries a constant or low-cardinality value (the norm
+  * for heavy-hitter counters, e.g. value = 1), defeating the
+  * mitigation exactly when it matters. Position salting spreads any
+  * value distribution round-robin across buckets; which row lands in
+  * which bucket is not stable across repartitions, but for the
+  * associative aggregates exposed here the merged result is identical
+  * regardless.
   */
 object Skew {
 
@@ -21,7 +29,12 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                      saltBuckets: Int = 16): DataFrame = {
-    val salt = pmod(hash(valueCol), lit(saltBuckets)).as("__salt")
+    // monotonically_increasing_id = (partitionId << 33) | rowInPartition;
+    // mod saltBuckets (a power of two well below 2^33) this cycles
+    // 0..saltBuckets-1 within every partition — even occupancy no
+    // matter what the values are
+    val salt = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+      .as("__salt")
     val partial = df
       .groupBy(keyCols.map(col) :+ salt: _*)
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))

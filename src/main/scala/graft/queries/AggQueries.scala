@@ -266,14 +266,18 @@ object AggQueries {
 
     // array aggregation with deterministic order: per-lang sorted set
     // of sources (collect_set order is undefined on both engines;
-    // sorting makes it canonical)
+    // sorting makes it canonical). The array is serialized to its JSON
+    // text form because the driver's comparator sorts rows with pandas,
+    // which cannot order raw array cells; the JSON string is a faithful,
+    // scalar-sortable encoding of the same value on both engines.
     Q("collect_sources",
-      """SELECT lang, list_sort(list_distinct(list(source))) AS sources,
+      """SELECT lang,
+        |  to_json(list_sort(list_distinct(list(source)))) AS sources,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
         .groupBy("lang")
-        .agg(sort_array(collect_set(col("source"))).as("sources"),
+        .agg(to_json(sort_array(collect_set(col("source")))).as("sources"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")
     },

@@ -17,6 +17,47 @@ object DedupQueries {
   val B = 6
   val R = 2
 
+  /** Embedding near-dup blocking: 8 IVF coarse centroids over the
+    * 64-dim vectors (see `dedup_embedding` for why blocks must not
+    * come from a data column).
+    */
+  val Dim = 64
+  val DedupCentroids = 8
+
+  /** vec_id, embedding (+ all input columns), cl = nearest-centroid id. */
+  private[queries] def embeddingBlocks(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.ops.Similarity
+    val coefs = Similarity.centroidCoefs(DedupCentroids, Dim)
+    df.withColumn("cl",
+      Similarity.ivfAssign(Similarity.centroidSims(col("embedding"), coefs)))
+  }
+
+  /** DuckDB twin of [[embeddingBlocks]]'s `cl`, split in two so the
+    * 64-literal centroid dot products are named once (`d_0..d_{K-1}`
+    * select list) and the argmax CASE references the names: the same
+    * md5-derived ±1 centroids, the same rounded dot products, ties to
+    * the lowest index.
+    */
+  private val duckCentroidSims: String = {
+    import graft.ops.Similarity
+    val coefs = Similarity.centroidCoefs(DedupCentroids, Dim)
+    def duckArr(c: Array[Double]) =
+      c.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    coefs.zipWithIndex.map { case (cen, c) =>
+      s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embedding[i] AS DOUBLE) * (${duckArr(cen)})[i])), 6) AS d_$c"
+    }.mkString(",\n    ")
+  }
+
+  private val duckCentroidCase: String = {
+    val assign = (0 until DedupCentroids - 1).map { c =>
+      val rest = (c + 1 until DedupCentroids)
+        .map(o => s"d_$c >= d_$o").mkString(" AND ")
+      s"WHEN $rest THEN $c"
+    }.mkString(" ")
+    s"(CASE $assign ELSE ${DedupCentroids - 1} END)"
+  }
+
   /** Shared shingle CTEs (word 3-grams, distinct per doc). */
   private val shingleCtes =
     """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
@@ -164,34 +205,42 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
-    // embedding near-dup: within-label (IVF-style) blocks, cosine >= 0.2.
+    // embedding near-dup: IVF-centroid blocks, cosine >= 0.2 in-block.
+    // Blocking on a DATA column (round 2 used `label`) leaves block
+    // sizes at the mercy of the corpus — a skewed or low-cardinality
+    // column makes one block quadratic in corpus size. The 8
+    // md5-derived coarse centroids (same construction proven
+    // oracle-portable in `ann_ivf`) bound block sizes BY DESIGN:
+    // assignment splits the sphere into K cells, K scales with the
+    // corpus, and truly-similar vectors co-assign by construction.
     // Norms are precomputed once per vector BEFORE the pair join (the
     // naive per-pair recompute tripled the benchmark cost).
     Q("dedup_embedding", {
       def sums(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
-      s"""WITH e AS (SELECT vec_id, label, embedding,
+        s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
+      s"""WITH e0 AS (SELECT vec_id, embedding, $duckCentroidSims,
          |    sqrt(${sums("embeddings", "embeddings")}) AS nrm FROM embeddings),
+         |e AS (SELECT vec_id, embedding, nrm, $duckCentroidCase AS cl FROM e0),
          |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
          |    ${sums("a", "b")} AS dp, a.nrm AS na, b.nrm AS nb
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id)
          |SELECT v1 AS vec_id_1, v2 AS vec_id_2, round(dp / (na * nb), 6) AS cos_sim
          |FROM p WHERE round(dp / (na * nb), 6) >= 0.2
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
     }) { (s, dir) =>
       import graft.ops.Similarity
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"),
+      val e = embeddingBlocks(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("cl"), col("embedding"),
           Similarity.norm(col("embedding")).as("nrm"))
       // spread the streamed side across cores: the pair join inflates
-      // rows ~|label block| times and the dot products are the real work
+      // rows ~|block| times and the dot products are the real work
       val par = s.sparkContext.defaultParallelism
       val a = e.repartition(par, col("vec_id"))
-        .select(col("vec_id").as("v1"), col("label"),
+        .select(col("vec_id").as("v1"), col("cl"),
           col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("v2"), col("label"),
+      val b = e.select(col("vec_id").as("v2"), col("cl"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, "label").filter(col("v1") < col("v2"))
+      a.join(b, "cl").filter(col("v1") < col("v2"))
         .select(col("v1").as("vec_id_1"), col("v2").as("vec_id_2"),
           round(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
             .as("cos_sim"))

@@ -163,9 +163,11 @@ object ExtraQueries {
       val keys = Tables.load(s, dir, "part")
         .filter(col("p_size") <= 5).select("p_partkey")
       val bloom = keys.stat.bloomFilter("p_partkey", 100000L, 0.01)
-      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      // codegen'd native probe (graft.functions.BloomMightContain) —
+      // a Scala UDF here would box every fact key and split the
+      // whole-stage-codegen span on the hottest scan of the plan
       Tables.load(s, dir, "lineitem")
-        .filter(mightContain(col("l_partkey")))
+        .filter(graft.functions.BloomMightContain(col("l_partkey"), bloom))
         .join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_lines"),

@@ -109,6 +109,34 @@ object TpchQueries {
         .agg(sum(revenue).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("r_name", "n_name")
+    },
+
+    // Q17-style CORRELATED scalar subquery: lineitems below 0.2x their
+    // own part's average quantity. This is the one query deliberately
+    // expressed as SQL text on the Spark side too — the modality under
+    // test is Catalyst's subquery decorrelation
+    // (RewriteCorrelatedScalarSubquery turns the per-part aggregate
+    // into an aggregate + join; PlanShapeSpec asserts no scalar
+    // subquery survives optimization). A per-row re-execution of the
+    // inner aggregate — what a naive engine does — would be O(|part| x
+    // |lineitem|) at 100 TB; the decorrelated plan is one partial-agg
+    // pass over lineitem plus a join. The threshold avg is written as
+    // decimal-sum -> double / count so both engines compare the exact
+    // same doubles (see MEMORY float-parity rules).
+    Q("q17_small_qty", TpchQueries.q17Sql) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.load(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(TpchQueries.q17Sql)
     }
   )
+
+  /** One SQL text, two engines: Spark executes it verbatim and DuckDB
+    * oracles it verbatim (the dialect overlap is deliberate).
+    */
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                          FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 }

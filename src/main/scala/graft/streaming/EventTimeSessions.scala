@@ -63,12 +63,18 @@ object EventTimeSessions {
     def fn(user: Long, evs: Iterator[SessionEvent],
            state: GroupState[SessionList]): Iterator[Session] = {
       var islands = state.getOption.map(_.islands).getOrElse(Nil)
-      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        islands = addEvent(islands, e.ts.getTime)
-      }
+      // flatMapGroupsWithState does NOT auto-drop beyond-watermark rows
+      // (unlike windowed aggregation). An event with ts + gap <= wm
+      // would form an island that seals IN THIS BATCH, duplicating or
+      // overlapping a session already emitted for the key — so discard
+      // it, matching the windowed-agg late-data contract.
+      val wm = state.getCurrentWatermarkMs()
+      evs.toSeq.filter(_.ts.getTime + gapMs > wm)
+        .sortBy(_.ts.getTime).foreach { e =>
+          islands = addEvent(islands, e.ts.getTime)
+        }
       // seal every island the watermark has passed (watermark is 0 in
       // the very first batch, so nothing seals prematurely)
-      val wm = state.getCurrentWatermarkMs()
       val (sealed_, open) = islands.partition(_.last + gapMs <= wm)
       if (open.isEmpty) state.remove()
       else {

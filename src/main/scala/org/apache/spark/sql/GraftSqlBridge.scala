@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]`
+    * in Spark 4, yet `ExpectsInputTypes.inputTypes` (the analysis-time
+    * input contract every well-behaved expression should declare)
+    * requires it in its signature. Re-export it so graft expressions
+    * can override `inputTypes` from outside the sql package.
+    */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -69,18 +69,37 @@ class PlanShapeSpec extends SparkSpec {
   test("bloom_semi_join pre-filters the fact scan stage before the exact join") {
     val p = plan("bloom_semi_join")
     assert(p.contains("LeftSemi"))
-    // the bloom UDF pre-filter must sit in the SCAN stage: between the
-    // plan line that evaluates the UDF and the lineitem scan below it
-    // there must be no Exchange (a filter after a shuffle would defeat
-    // the pre-filtering)
+    // the probe must be the NATIVE codegen expression, not a Scala UDF
+    // (a UDF boxes every fact key and splits the codegen span on the
+    // hottest scan in the plan)
+    assert(!p.contains("UDF"), s"bloom probe regressed to a Scala UDF:\n$p")
+    // the bloom pre-filter must sit in the SCAN stage: between the plan
+    // line that evaluates it and the lineitem scan below it there must
+    // be no Exchange (a filter after a shuffle would defeat the
+    // pre-filtering)
     val lines = p.linesIterator.toVector
-    val udfIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
-    assert(udfIdx >= 0, s"no bloom UDF filter in plan:\n$p")
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(probeIdx >= 0, s"no bloom_might_contain filter in plan:\n$p")
     // the filter prints directly above its child subtree, so the first
     // scan below it is the lineitem scan it guards
-    val scanIdx = lines.indexWhere(_.contains("Scan parquet"), udfIdx)
-    assert(scanIdx > udfIdx, s"no scan under the UDF filter:\n$p")
-    assert(!lines.slice(udfIdx, scanIdx).exists(_.contains("Exchange")),
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"), probeIdx)
+    assert(scanIdx > probeIdx, s"no scan under the bloom filter:\n$p")
+    assert(!lines.slice(probeIdx, scanIdx).exists(_.contains("Exchange")),
       s"bloom filter applied after a shuffle:\n$p")
+  }
+
+  test("q17 correlated scalar subquery decorrelates to an aggregate+join") {
+    val q = SparkEntry.allQueries.find(_.name == "q17_small_qty").get
+      .run(spark, sf0001).queryExecution
+    // the optimizer must rewrite the per-part correlated aggregate into
+    // a join (RewriteCorrelatedScalarSubquery); a surviving subquery
+    // would re-run the inner aggregate per outer row
+    val opt = q.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"),
+      s"correlated subquery not decorrelated:\n$opt")
+    val phys = q.executedPlan.toString
+    assert(phys.contains("Join"), s"no join in decorrelated plan:\n$phys")
+    assert(phys.contains("partial_sum"), s"inner aggregate not partial:\n$phys")
   }
 }
