@@ -28,18 +28,24 @@ object Skew {
     * scale) grouped by `keyCols`.
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: Column,
-                     saltBuckets: Int = 16): DataFrame = {
+                     saltBuckets: Int = 16): DataFrame =
+    saltedPartials(df, keyCols, valueCol, saltBuckets)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n"))
+
+  /** Stage 1 alone (one row per key × occupied salt bucket) — exposed
+    * for tests that assert a hot key actually OCCUPIES multiple
+    * buckets, the property the value-hash salt silently lost.
+    */
+  private[graft] def saltedPartials(df: DataFrame, keyCols: Seq[String],
+                                    valueCol: Column, saltBuckets: Int): DataFrame = {
     // monotonically_increasing_id = (partitionId << 33) | rowInPartition;
     // mod saltBuckets (a power of two well below 2^33) this cycles
     // 0..saltBuckets-1 within every partition — even occupancy no
     // matter what the values are
     val salt = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
       .as("__salt")
-    val partial = df
-      .groupBy(keyCols.map(col) :+ salt: _*)
+    df.groupBy(keyCols.map(col) :+ salt: _*)
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
-    partial
-      .groupBy(keyCols.map(col): _*)
-      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n"))
   }
 }

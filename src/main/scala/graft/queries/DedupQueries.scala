@@ -25,7 +25,7 @@ object DedupQueries {
   val DedupCentroids = 8
 
   /** vec_id, embedding (+ all input columns), cl = nearest-centroid id. */
-  private[queries] def embeddingBlocks(
+  private[graft] def embeddingBlocks(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.ops.Similarity
     val coefs = Similarity.centroidCoefs(DedupCentroids, Dim)

@@ -204,3 +204,101 @@ class AsOfSpec extends SparkSpec {
       ("e3", None)))
   }
 }
+
+/** The duplicate-(key, ts) tie contract documented on [[graft.ops.AsOf]]:
+  * backward keeps the GREATEST value struct among tied right rows,
+  * forward the SMALLEST — plus the fixture precondition the DuckDB
+  * oracle relies on (no tie guarantee exists in SQL ASOF joins, so
+  * oracled inputs must be tie-free).
+  */
+class AsOfTieSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  import org.apache.spark.sql.functions._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("duplicate right (key, ts): backward picks greatest value struct, forward smallest") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("user_id", "ts", "tag")
+    val right = Seq( // three tied rows before the left ts, three after
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:00:00"), 300L),
+      (1L, ts("2024-01-01 09:00:00"), 200L),
+      (1L, ts("2024-01-01 11:00:00"), 600L),
+      (1L, ts("2024-01-01 11:00:00"), 400L),
+      (1L, ts("2024-01-01 11:00:00"), 500L)
+    ).toDF("user_id", "ts", "click_id")
+    val back = graft.ops.AsOf.join(left, right, "user_id", "ts", Seq("click_id"))
+      .select($"right_click_id").as[Long].head()
+    assert(back === 300L, "backward tie must resolve to the greatest struct")
+    val fwd = graft.ops.AsOf.joinForward(left, right, "user_id", "ts", Seq("click_id"))
+      .select($"right_click_id").as[Long].head()
+    assert(fwd === 400L, "forward tie must resolve to the smallest struct")
+  }
+
+  test("oracled asof fixture keeps (user_id, ts) unique on the right side") {
+    // the asof_join / asof_join_forward oracles (DuckDB ASOF JOIN) make
+    // no tie promise, so the click side of the events fixture must be
+    // tie-free at the gate's scale factor for the hash compare to be
+    // meaningful
+    for (dir <- Seq(sf0001, sf001)) {
+      val dups = Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").count()
+        .filter(col("count") > 1).count()
+      assert(dups === 0, s"$dir: $dups duplicate (user_id, ts) click rows")
+    }
+  }
+}
+
+class TopKAggTypesSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.TopKAgg
+
+  test("non-coercible sort column is an ANALYSIS-time error, not a task crash") {
+    // boolean has no implicit cast to double, so the declared input
+    // types reject it during analysis (strings, like for built-in
+    // aggregates, coerce and surface data errors at runtime instead)
+    val df = Seq(("a", true, 1L)).toDF("g", "v", "t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(TopKAgg(col("v"), col("t"), col("t"), 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("top_k"))
+  }
+
+  test("int/decimal inputs coerce instead of ClassCastException") {
+    // round 2 crashed mid-task on uncast int columns; declared input
+    // types now insert the casts at analysis time
+    val df = Seq(("a", 5, 1), ("a", 9, 2)).toDF("g", "v", "t") // ints, not double/long
+    val got = df.groupBy("g")
+      .agg(TopKAgg(col("v"), col("t"), col("t"), 1).as("tk"))
+      .select(explode(col("tk")))
+      .select("col.value", "col.tie1").as[(Double, Long)].collect()
+    assert(got === Array((9.0, 2L)))
+  }
+}
+
+/** dedup_embedding's blocking invariant: blocks come from the fixed
+  * IVF centroid set, so no block can degenerate to a large fraction of
+  * the corpus the way a skewed DATA column (round 2 blocked on `label`)
+  * can. Balance bound checked on both fixture scales.
+  */
+class EmbeddingBlockSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("IVF blocks are bounded: no block above 25% of the corpus") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val sizes = graft.queries.DedupQueries
+        .embeddingBlocks(Tables.load(spark, dir, "embeddings"))
+        .groupBy("cl").count()
+        .agg(max(col("count")).as("mx"), sum(col("count")).as("n"),
+          count(lit(1)).as("blocks"))
+        .head()
+      val (mx, n, blocks) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
+      assert(blocks === graft.queries.DedupQueries.DedupCentroids.toLong,
+        s"$dir: empty centroid blocks ($blocks occupied)")
+      assert(mx <= n / 4, s"$dir: largest block $mx of $n exceeds 25%")
+    }
+  }
+}

@@ -23,6 +23,20 @@ class SkewAndFormatsSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("a hot key with a CONSTANT value spreads across salt buckets") {
+    // the motivating skew scenario: one heavy-hitter key whose value is
+    // a constant (value=1 counters). A content-derived salt
+    // (hash(value) % buckets — the round-2 implementation) maps every
+    // such row to ONE bucket, silently disabling the mitigation; the
+    // position-derived salt must occupy (nearly) all of them.
+    import spark.implicits._
+    val hot = Seq.fill(10000)(("hot", 1.0)).toDF("k", "v").repartition(4)
+    val buckets = Skew.saltedPartials(hot, Seq("k"), col("v"), 16)
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    assert(buckets >= 2, s"hot key collapsed to $buckets salt bucket(s)")
+    assert(buckets === 16, s"expected full occupancy for 10k rows, got $buckets")
+  }
+
   test("csv and json round-trip the documents table") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select("doc_id", "lang", "source", "n_chars") // text has no commas but keep it simple
