@@ -92,6 +92,26 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable KLL-style quantile sketch — the SCALE twin of the
+    // exact `percentiles` query (which needs a full per-group sort).
+    // Sketch internals are engine-specific (like HLL/approx_distinct),
+    // so the gate records the rows-only check; QuantileSketchSpec pins
+    // the rank-error bound against the exact sort, and the exact query
+    // remains the value oracle for the same quantity.
+    Q.noOracle("approx_percentiles") { (s, dir) =>
+      import graft.functions.QuantileSketchAgg
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice"))
+        .groupBy("l_returnflag")
+        .agg(QuantileSketchAgg(col("l_extendedprice"), 256,
+          Seq(0.25, 0.50, 0.75)).as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p25_est"),
+          element_at(col("qs"), 2).as("p50_est"),
+          element_at(col("qs"), 3).as("p75_est"))
+        .orderBy("l_returnflag")
+    },
+
     // TypedImperativeAggregate: Count-Min sketch with point estimates
     // for fixed probe items — oracle recomputes each probe's d buckets
     // as least() of filtered counts (sketch estimate == min of the

@@ -12,6 +12,7 @@ class QueriesSpec extends SparkSpec {
     // keep this list short and intentional — each entry is a weaker check
     val allowed = Set(
       "approx_distinct", // HLL sketch differs by engine
+      "approx_percentiles", // KLL sketch differs by engine; error bound pinned vs the exact `percentiles` in QuantileSketchSpec
       "multimodal_features") // mapPartitions path is not SQL; math pinned by multimodal_meta
     // (percentiles/typed_weighted_avg DO have oracles — exactness engineered)
     assert(noOracle.forall(allowed), s"un-oracled queries: $noOracle")
