@@ -111,6 +111,244 @@ object TpchQueries {
         .orderBy("r_name", "n_name")
     },
 
+    // Q6-style: single-scan forecast revenue — the pushdown showcase.
+    // All three predicates reach the parquet reader (PushedFilters);
+    // only 4 columns are read. At 100 TB this is the difference between
+    // scanning 4 narrow columns of row groups whose min/max already
+    // exclude them, and scanning everything.
+    Q("q6_forecast",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.parallelize(Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24)
+          .select("l_extendedprice", "l_discount"))
+        .agg(
+          sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // Q7-style: bilateral trade volume between two nations by ship
+    // year. Supplier and customer nations come from the SAME dim table
+    // joined twice under different aliases — both broadcast; the only
+    // shuffle is the final (nation, nation, year) aggregate.
+    Q("q7_nation_volume",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS volume
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val twoNations = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3"))
+      val n1 = twoNations.select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = twoNations.select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      // nation filters first: they cut supplier/customer to ~2/25 of
+      // rows BEFORE the fact joins, and semi-join pruning follows
+      Tables.load(s, dir, "supplier").join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(Tables.load(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.load(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revenue).cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q8-style: one nation's market share of a region's PROMO-part
+    // revenue by order year — conditional aggregation as a ratio of two
+    // decimal-exact sums over an 8-way star join.
+    Q("q8_market_share",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val asiaNations = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val su = Tables.load(s, dir, "supplier")
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val zero = lit(BigDecimal(0)).cast(DecimalType(14, 4))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", revenue).otherwise(zero)).cast("double")
+          / sum(revenue).cast("double")).cast("double").as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q10-style: top returned-revenue customers in a quarter — the
+    // returned-items report. Broadcast dims, one fact shuffle on the
+    // (customer) group key, top-k with a deterministic tiebreak.
+    Q("q10_returned",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Q13-style: distribution of order counts per customer — LEFT OUTER
+    // join with an extra non-equi ON predicate (kept in the join, NOT
+    // a post-filter: a post-filter would turn outer into inner and
+    // lose the zero-order customers), then a second aggregate over the
+    // first's output. Two shuffles by construction; the second input is
+    // |customer| rows, the third is |distinct counts|.
+    Q("q13_cust_distribution",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q14-style: promo revenue share in a month — conditional
+    // aggregation where numerator and denominator come from ONE pass
+    // (no second scan, no self-join).
+    Q("q14_promo",
+      """SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin) { (s, dir) =>
+      val zero = lit(BigDecimal(0)).cast(DecimalType(14, 4))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", revenue).otherwise(zero)).cast("double")
+          / sum(revenue).cast("double")).cast("double").as("promo_revenue"))
+    },
+
+    // Q15-style: supplier(s) achieving the maximum quarterly revenue —
+    // an UNCORRELATED scalar subquery over an aggregated view,
+    // expressed as one SQL text for both engines (the modality under
+    // test is the scalar-subquery-over-CTE plan: Spark evaluates the
+    // subquery once and broadcasts the scalar, not per-row). The
+    // revenue CTE stays DECIMAL so the max-equality is exact; the cast
+    // to double happens only at output.
+    Q("q15_top_supplier", TpchQueries.q15Sql) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(TpchQueries.q15Sql)
+    },
+
+    // Q16-style: how many distinct suppliers serve each (brand, type,
+    // size) bucket — COUNT(DISTINCT) over a join, excluding one brand.
+    // Spark plans this as a two-phase distinct-expand aggregate; the
+    // first groupBy includes l_suppkey so the distinct is a free
+    // second pass over already-grouped data.
+    Q("q16_supplier_cnt",
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1"
+          && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.load(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // Q19-style: disjunctive join predicates (OR of brand x size x
+    // quantity conjuncts). The p_size/p_brand disjunction prunes part
+    // BEFORE the join (Catalyst extracts the common-column OR as a
+    // pushable filter); the mixed lineitem-x-part residual evaluates
+    // post-join inside codegen.
+    Q("q19_disjunctive",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 25)
+        |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(5, 25))
+            || (col("p_brand") === "Brand#9" && col("p_size").between(10, 30) && col("l_quantity").between(10, 35))
+            || (col("p_brand") === "Brand#15" && col("p_size").between(20, 50) && col("l_quantity").between(20, 45)))
+        .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+    },
+
+    // Q22-style: well-funded customers with no urgent orders — an
+    // uncorrelated scalar AVG subquery (evaluated once, broadcast as a
+    // literal into the filter) plus a correlated NOT EXISTS that
+    // Catalyst turns into a broadcast LEFT ANTI join. SQL text for both
+    // engines; the avg is decimal-sum/count so both compare the same
+    // double.
+    Q("q22_idle_rich", TpchQueries.q22Sql) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(TpchQueries.q22Sql)
+    },
+
     // Q17-style CORRELATED scalar subquery: lineitems below 0.2x their
     // own part's average quantity. This is the one query deliberately
     // expressed as SQL text on the Spark side too — the modality under
@@ -139,4 +377,32 @@ object TpchQueries {
       |WHERE p_brand = 'Brand#1'
       |  AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
       |                          FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
+  /** Q15 (top supplier): uncorrelated scalar subquery over a CTE —
+    * exact decimal max-equality, double only at output.
+    */
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q22 (idle rich customers): uncorrelated scalar AVG + correlated
+    * NOT EXISTS; avg written as decimal-sum / count for float parity.
+    */
+  val q22Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }
