@@ -162,6 +162,117 @@ object TextQueries {
         .orderBy("lang", "split")
     },
 
+    // repetition statistics — the Gopher/C4-family repetition filters:
+    // type-token ratio, most-frequent-token coverage, most-frequent-
+    // bigram coverage. Shape matters at 100 TB: token counts come from
+    // explode -> (doc, token) partial-aggregated counts (map-side
+    // combine eats the duplicate mass before the shuffle), NOT a
+    // per-row O(n^2) array self-scan; the two aggregate trees join on
+    // doc_id with both sides already hash-partitioned by the groupBy.
+    Q("repetition_stats",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         COUNT(*) AS n_types, CAST(MAX(c) AS BIGINT) AS top_tok FROM uc GROUP BY doc_id),
+        |arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-1),
+        |         i -> a[i] || ' ' || a[i+1])) AS b FROM arr),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bg,
+        |         CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id)
+        |SELECT us.doc_id AS doc_id, n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+        |  CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CAST(top_bg AS DOUBLE) / n_bigrams AS top_bigram_frac
+        |FROM us JOIN bs ON us.doc_id = bs.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val uni = base.select(col("doc_id"), explode(col("a")).as("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(sum("count").as("n_tokens"), count(lit(1)).as("n_types"),
+          max("count").as("top_tok"))
+      // bigrams: zip the array against itself shifted by one — no
+      // window, no second tokenize; docs with < 2 tokens produce an
+      // empty array and drop out (matching the oracle's inner join)
+      val n = size(col("a"))
+      val bigrams = zip_with(
+        slice(col("a"), lit(1), n - 1), slice(col("a"), lit(2), n - 1),
+        (x, y) => concat(x, lit(" "), y))
+      val bg = base.select(col("doc_id"), explode(bigrams).as("b"))
+        .groupBy("doc_id", "b").count()
+        .groupBy("doc_id")
+        .agg(max("count").as("top_bg"), sum("count").as("n_bigrams"))
+      uni.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+          (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+          (col("top_bg").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // corpus dataset-card: per (lang, source) stratum — doc count,
+    // token totals, vocabulary size. The two COUNT(DISTINCT)s over one
+    // explode are the expensive part; Spark plans them as one expand +
+    // partial aggregate (each input row contributes to both distinct
+    // streams map-side) rather than two scans.
+    Q("corpus_stats",
+      """WITH toks AS (SELECT lang, source, doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, source, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS vocab_size
+        |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("lang", "source", "doc_id", "text"))
+        .select(col("lang"), col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct(col("tok")).as("vocab_size"))
+        .orderBy("lang", "source")
+    },
+
+    // quality-filter pipeline: per-doc keep/drop decision with
+    // per-reason flags (the C4-style audit trail — a production
+    // pipeline keeps WHY a doc was dropped, not just the survivors).
+    // One explode-aggregate provides the token stats; the char-class
+    // ratios are narrow per-row expressions on the same join row.
+    Q("filter_flags",
+      """WITH uc AS (SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(MAX(c) AS BIGINT) AS top_tok FROM uc GROUP BY doc_id),
+        |f AS (SELECT d.doc_id AS doc_id, n_tokens,
+        |    n_tokens < 40 AS too_short,
+        |    CAST(top_tok AS DOUBLE) / n_tokens > 0.12 AS too_repetitive,
+        |    len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) > 0.05 AS digit_heavy
+        |  FROM documents d JOIN us ON d.doc_id = us.doc_id)
+        |SELECT doc_id, n_tokens, too_short, too_repetitive, digit_heavy,
+        |  NOT (too_short OR too_repetitive OR digit_heavy) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables.parallelize(Tables.load(s, dir, "documents")
+        .select("doc_id", "text"))
+      val us = base
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(sum("count").as("n_tokens"), max("count").as("top_tok"))
+      val digitRatio =
+        size(expr("regexp_extract_all(text, '[0-9]', 0)")) * lit(1.0) / length(col("text"))
+      base.join(us, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") < 40).as("too_short"),
+          (col("top_tok").cast("double") / col("n_tokens") > 0.12).as("too_repetitive"),
+          (digitRatio > 0.05).as("digit_heavy"))
+        .withColumn("kept",
+          !(col("too_short") || col("too_repetitive") || col("digit_heavy")))
+        .orderBy("doc_id")
+    },
+
     // multimodal metadata path: binary content column + envelope fields
     // + STUB-decoded dimensions, all engine-portable
     Q("multimodal_meta",

@@ -375,6 +375,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per key, state bounded by watermark") {
+    import graft.streaming.StreamDedup
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = StreamDedup.firstPerKey(
+      mem.toDF(), "ts", "30 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct keys + an in-batch duplicate of key 1
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:01:00"), 1, "click", 2.0),
+        Ev(2, ts("2024-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate of key 2 (within watermark
+      // horizon) -> dropped; new key 3 -> emitted
+      mem.addData(
+        Ev(2, ts("2024-01-01 10:10:00"), 2, "view", 9.0),
+        Ev(3, ts("2024-01-01 10:12:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val vals = spark.table("stream_dedup")
+        .select(col("event_id"), col("value"))
+        .as[(Long, Double)].collect().sorted
+      // exactly one row per key, and it is the FIRST arrival's value
+      assert(vals === Array((1L, 1.0), (2L, 1.0), (3L, 1.0)))
+      // batch-parity: same keys as batch dropDuplicates over the union
+      assert(vals.map(_._1).toSet === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: redelivered batch does not duplicate") {
     implicit val ctx = spark.sqlContext
     val outDir = Files.createTempDirectory("graft_eos").toString
