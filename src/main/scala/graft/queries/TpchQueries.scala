@@ -251,12 +251,20 @@ object TpchQueries {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY c_custkey
         |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .join(Tables.load(s, dir, "orders"),
-          col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
-          "left_outer")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
+      // NOT the literal outer-join-then-count plan the SQL spells:
+      // aggregate orders per custkey FIRST (partial agg eats the
+      // per-order rows map-side; the join input shrinks from |orders|
+      // to |active custkeys|), then LEFT join customer and coalesce
+      // missing counts to 0 — algebraically identical to
+      // COUNT(o_orderkey) over the outer join, and the only full-width
+      // shuffle left is one row per customer.
+      val perCust = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("c_count0"))
+      Tables.load(s, dir, "customer").select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("c_count0"), lit(0L)).as("c_count"))
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
