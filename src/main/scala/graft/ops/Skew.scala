@@ -33,6 +33,38 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n"))
 
+  /** Salted equi-join for hot-key joins where BOTH sides are too big
+    * to broadcast: the skewed (big) side gets a position-derived salt
+    * in [0, buckets); the other side is replicated once per salt value
+    * via a literal-array explode; the join runs on (key, salt), so a
+    * hot key's rows spread over `buckets` reducers instead of
+    * serializing one. Output is identical to the unsalted join (every
+    * big-side row still meets every matching small-side row exactly
+    * once — its one salt copy).
+    *
+    * This is the EXPLICIT form of what AQE's OptimizeSkewedJoin does
+    * adaptively by splitting oversized partitions at runtime. Keep AQE
+    * as the default; reach for this when the skew is known ahead of
+    * time and deterministic partition sizing matters (e.g. the join
+    * feeds a same-key aggregate whose exchange reuse would be broken
+    * by AQE's split), or on engines/paths where AQE is disabled.
+    * Replication multiplies the small side ×buckets — size it so
+    * |small| × buckets stays shuffle-friendly.
+    *
+    * Only inner and left_outer are sound here (the replicated side's
+    * unmatched rows appear `buckets` times under right/full outer).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"saltedJoin supports inner/left_outer, got $joinType")
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Stage 1 alone (one row per key × occupied salt bucket) — exposed
     * for tests that assert a hot key actually OCCUPIES multiple
     * buckets, the property the value-hash salt silently lost.

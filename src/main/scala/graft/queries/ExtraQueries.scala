@@ -164,6 +164,31 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // Salted JOIN over the same hot-key premise: lineitem (big,
+    // orderkey-skewed in the adversarial case) joins orders with the
+    // orders side replicated x8 and lineitem salted by row position —
+    // output provably identical to the plain join, so the oracle IS
+    // the plain join. See Skew.saltedJoin for when to prefer this over
+    // AQE's adaptive split.
+    Q("salted_join",
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(l, o, "k", 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+            * (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    },
+
     // Bloom-filter pre-filtered semi join: build a bloom filter over the
     // filtered dimension keys (distributed aggregation under
     // df.stat.bloomFilter), pre-filter the fact table map-side — no

@@ -37,6 +37,27 @@ class SkewAndFormatsSpec extends SparkSpec {
     assert(buckets === 16, s"expected full occupancy for 10k rows, got $buckets")
   }
 
+  test("salted join equals plain join (inner and left_outer), hot key spreads") {
+    import spark.implicits._
+    // hot key 1 dominates the big side; key 3 has no match (left_outer)
+    val big = (Seq.fill(5000)((1L, "a")) ++ Seq((2L, "b"), (3L, "c")))
+      .toDF("k", "payload").repartition(4)
+    val dim = Seq((1L, "dim1"), (2L, "dim2"), (4L, "dim4")).toDF("k", "d")
+    for (jt <- Seq("inner", "left_outer")) {
+      val salted = Skew.saltedJoin(big, dim, "k", 8, jt)
+        .groupBy("k", "d").count()
+      val plain = big.join(dim, Seq("k"), jt).groupBy("k", "d").count()
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salted $jt join diverged from plain join")
+    }
+    // the hot key's rows really do land in multiple salt buckets
+    val occupied = big.filter(col("k") === 1L)
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    assert(occupied === 8, s"hot key occupied $occupied of 8 buckets")
+  }
+
   test("csv and json round-trip the documents table") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select("doc_id", "lang", "source", "n_chars") // text has no commas but keep it simple
