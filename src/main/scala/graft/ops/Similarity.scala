@@ -3,8 +3,9 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search (north-star extension set): brute-force
   * cosine top-k as the exactness baseline, random-hyperplane LSH
@@ -85,5 +86,69 @@ object Similarity {
       when((c + 1 until k).map(o => sims(c) >= sims(o)).reduce(_ && _), lit(c))
         .otherwise(rest)
     }
+  }
+
+  /** One Lloyd (k-means) update step — the TRAINED coarse quantizer
+    * the md5 centroids of [[centroidCoefs]] only approximate. Returns
+    * (new centroids, member counts); an empty cluster keeps its
+    * previous centroid.
+    *
+    * Distributed shape: centroids ride into the plan as literals (the
+    * broadcast step of distributed Lloyd), assignment is the same
+    * map-only CASE chain as [[ivfAssign]], and the update is a
+    * posexplode -> groupBy(cluster, dim) partial aggregate — map-side
+    * combine reduces each task's contribution to k*dim partials, so
+    * the shuffle and the driver collect are k*dim scalars regardless
+    * of corpus size.
+    *
+    * Determinism: per-dimension sums are DECIMAL(20,10) (exact,
+    * order-independent — double sums would drift with partitioning),
+    * so the new centroids are identical under any repartitioning and
+    * reproducible by any engine with decimal arithmetic; means convert
+    * to double only at the end (exact-decimal-to-double, the same
+    * parity rule as every avg in this repo). Each component is
+    * round(v, 6) BEFORE the decimal cast: v*10^6 is exactly
+    * representable in double for float inputs (mantissa fits well
+    * under 53 bits), so the 6-dp round is computed on the exact
+    * product by every engine, and the decimal cast of the result sits
+    * ~0.5e-10 from any rounding boundary — engines that implement
+    * double->decimal via approximate double multiplication (vs exact
+    * BigDecimal scaling) still agree. Without the pre-round, a raw
+    * float component whose exact decimal expansion nears the scale-10
+    * tie makes the two cast implementations disagree by 1 ulp
+    * (observed once in 32k casts on the fixture).
+    */
+  def kmeansStep(df: DataFrame, embCol: String,
+                 centroids: Array[Array[Double]]): (Array[Array[Double]], Array[Long]) = {
+    val k = centroids.length
+    val cluster = ivfAssign(centroidSims(col(embCol), centroids)).as("c")
+    val agg = df
+      .select(cluster, posexplode(col(embCol)).as(Seq("idx", "v")))
+      .groupBy("c", "idx")
+      .agg(sum(round(col("v").cast("double"), 6).cast(DecimalType(20, 10))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("c"), col("idx"),
+        (col("s").cast("double") / col("n")).as("m"), col("n"))
+      .collect()
+    val next = centroids.map(_.clone())
+    val counts = new Array[Long](k)
+    agg.foreach { r =>
+      val c = r.getInt(0)
+      next(c)(r.getInt(1)) = r.getDouble(2)
+      counts(c) = r.getLong(3)
+    }
+    (next, counts)
+  }
+
+  /** `iters` Lloyd steps from the deterministic md5 init. */
+  def kmeansTrain(df: DataFrame, embCol: String, k: Int, dim: Int,
+                  iters: Int): (Array[Array[Double]], Array[Long]) = {
+    var cents = centroidCoefs(k, dim)
+    var counts = new Array[Long](k)
+    (0 until iters).foreach { _ =>
+      val (nc, cn) = kmeansStep(df, embCol, cents)
+      cents = nc; counts = cn
+    }
+    (cents, counts)
   }
 }

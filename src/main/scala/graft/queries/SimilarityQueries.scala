@@ -19,6 +19,7 @@ object SimilarityQueries {
   val TopK = 10
   val Centroids = 4
   val Nprobe = 2
+  val KmeansK = 8
 
   private def duckDot(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
@@ -162,6 +163,61 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "n_id", "cl", "cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // Trained IVF coarse quantizer: two Lloyd (k-means) iterations from
+    // the deterministic md5 init — the training step the fixed-centroid
+    // ann_ivf skips. Oracled by unrolling BOTH iterations in SQL:
+    // assignment = rounded index-ordered dot products (the ann_ivf
+    // construction), update = DECIMAL(20,10)-exact per-dimension means
+    // (order-independent, so Spark's distributed partial aggregation
+    // and DuckDB's single-node scan produce bit-identical centroids),
+    // empty clusters keep their previous centroid on both engines.
+    Q("kmeans_centroids", {
+      val coefs = Similarity.centroidCoefs(KmeansK, Dim)
+      val c0rows = (for { c <- 0 until KmeansK; i <- 0 until Dim } yield
+        s"($c,${i + 1},${if (coefs(c)(i) > 0) "1.0" else "-1.0"})").mkString(",")
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign1 = (0 until KmeansK - 1).map { c =>
+        val rest = (c + 1 until KmeansK).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      s"""WITH ev AS (SELECT vec_id, i, round(CAST(embedding[i] AS DOUBLE), 6) AS v
+         |    FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, $Dim)) AS i FROM embeddings)),
+         |c0(c, i, cv) AS (VALUES $c0rows),
+         |a1 AS (SELECT vec_id, CASE $assign1 ELSE ${KmeansK - 1} END AS c
+         |       FROM (SELECT vec_id, $ds FROM embeddings)),
+         |m1 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM ev JOIN a1 USING (vec_id) GROUP BY c, i),
+         |c1 AS (SELECT c0.c AS c, c0.i AS i, COALESCE(m1.cv, c0.cv) AS cv
+         |       FROM c0 LEFT JOIN m1 ON c0.c = m1.c AND c0.i = m1.i),
+         |c1a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c1 GROUP BY c),
+         |s2 AS (SELECT e.vec_id, c1a.c,
+         |         round(list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * c1a.cvec[i])), 6) AS sim
+         |       FROM embeddings e CROSS JOIN c1a),
+         |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s2) WHERE rn = 1),
+         |m2 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS component,
+         |         COUNT(*) AS n
+         |       FROM ev JOIN a2 USING (vec_id) GROUP BY c, i)
+         |SELECT c AS cluster, CAST(i - 1 AS INT) AS idx, component, n
+         |FROM m2 ORDER BY cluster, idx""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val (cents, counts) =
+        Similarity.kmeansTrain(emb, "embedding", KmeansK, Dim, 2)
+      val rows = for {
+        c <- 0 until KmeansK if counts(c) > 0
+        i <- 0 until Dim
+      } yield (c, i, cents(c)(i), counts(c))
+      import s.implicits._
+      rows.toDF("cluster", "idx", "component", "n")
+        .orderBy("cluster", "idx")
     }
   )
 }

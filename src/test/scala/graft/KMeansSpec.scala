@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def vecs(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      // two well-separated blobs: +1-ish and -1-ish, deterministic jitter
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i.toLong, Array.tabulate(dim)(d => sign * (1f + ((i * 31 + d * 7) % 10) / 100f)))
+    }
+
+  test("kmeansStep is exactly deterministic under repartitioning") {
+    val df = vecs(200).toDF("vec_id", "embedding")
+    val init = Similarity.centroidCoefs(4, dim)
+    val (c1, n1) = Similarity.kmeansStep(df.repartition(13), "embedding", init)
+    val (c2, n2) = Similarity.kmeansStep(df.coalesce(1), "embedding", init)
+    assert(n1.toSeq === n2.toSeq)
+    // decimal-exact sums: bit-identical, not approximately equal
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // all vectors identical -> they all land in ONE cluster; the other
+    // three centroids must come through unchanged
+    val df = Seq.fill(50)(1L -> Array.fill(dim)(0.5f))
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val init = Similarity.centroidCoefs(4, dim)
+    val (next, counts) = Similarity.kmeansStep(df, "embedding", init)
+    assert(counts.count(_ == 0L) === 3)
+    assert(counts.sum === 50L)
+    val winner = counts.indexWhere(_ == 50L)
+    (0 until 4).filter(_ != winner).foreach { c =>
+      assert(next(c).toSeq === init(c).toSeq, s"empty cluster $c drifted")
+    }
+    // the occupied centroid moved to the common point (up to 6-dp quantization)
+    assert(next(winner).forall(v => math.abs(v - 0.5) < 1e-6))
+  }
+
+  test("training improves within-cluster cosine cohesion over the md5 init") {
+    val df = vecs(200).toDF("vec_id", "embedding")
+    def cohesion(cents: Array[Array[Double]]): Double = {
+      val sims = Similarity.centroidSims(col("embedding"), cents)
+      df.select(greatest(sims: _*).as("best"))
+        .agg(avg(col("best"))).as[Double].head()
+    }
+    val init = Similarity.centroidCoefs(2, dim)
+    val (trained, counts) = Similarity.kmeansTrain(df, "embedding", 2, dim, 2)
+    assert(counts.sum === 200L)
+    assert(cohesion(trained) > cohesion(init),
+      "two Lloyd steps should raise mean best-centroid dot product")
+  }
+}
