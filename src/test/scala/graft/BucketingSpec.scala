@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Storage-layout plan proofs: bucketed joins drop the exchange,
+  * hive-partitioned reads prune directories. These are the write-once/
+  * query-many physical designs SCALE.md leans on for 100 TB facts.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two same-bucketed tables runs with NO shuffle exchange") {
+    val base = Files.createTempDirectory("graft_bucketed").toString
+    val l = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    try {
+      Layout.writeBucketed(l, "li_b", s"$base/li", 4, "l_orderkey",
+        Seq("l_orderkey"))
+      Layout.writeBucketed(o, "or_b", s"$base/or", 4, "o_orderkey",
+        Seq("o_orderkey"))
+      val joined = spark.table("li_b")
+        .join(spark.table("or_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+      // and it computes the same answer as the plain-parquet join
+      val expect = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      assert(joined.exceptAll(expect).isEmpty && expect.exceptAll(joined).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+
+  test("aggregation on the bucket key reuses bucketing (no exchange before agg)") {
+    val base = Files.createTempDirectory("graft_bucketed_agg").toString
+    val l = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    try {
+      Layout.writeBucketed(l, "li_agg_b", s"$base/li", 4, "l_orderkey")
+      val agg = spark.table("li_agg_b")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"groupBy on bucket key still shuffles:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS li_agg_b")
+  }
+
+  test("hive-partitioned read prunes to the filtered lang directories") {
+    val base = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+    Layout.writePartitioned(docs, s"$base/docs", Seq("lang"))
+    val read = spark.read.parquet(s"$base/docs")
+      .filter(col("lang") === "en").select("doc_id", "lang")
+    val scan = read.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("lang") && (scan.contains("= en") || scan.contains("equals")),
+      s"no partition pruning on lang:\n$scan")
+    // pruned read returns exactly the en docs
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(read.count() === expected)
+  }
+}
