@@ -102,4 +102,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(phys.contains("Join"), s"no join in decorrelated plan:\n$phys")
     assert(phys.contains("partial_sum"), s"inner aggregate not partial:\n$phys")
   }
+
+  test("q13 pre-aggregates orders map-side and broadcasts the shrunken side") {
+    val p = plan("q13_cust_distribution")
+    assert(p.contains("partial_count"), s"orders not partial-aggregated:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"expected broadcast left-outer of the aggregated side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"customer side should never shuffle for this join:\n$p")
+  }
+
+  test("q22 NOT EXISTS becomes an anti join; scalar avg evaluated once") {
+    val q = SparkEntry.allQueries.find(_.name == "q22_idle_rich").get
+      .run(spark, sf0001).queryExecution
+    val opt = q.optimizedPlan.toString
+    // the correlated NOT EXISTS must not survive as a per-row subquery
+    assert(!opt.toLowerCase.contains("exists-subquery"),
+      s"NOT EXISTS not rewritten:\n$opt")
+    val phys = q.executedPlan.toString
+    assert(phys.contains("LeftAnti"), s"expected anti join:\n$phys")
+    // the uncorrelated avg stays a one-shot scalar subquery (evaluated
+    // once, broadcast as a literal), not a join against every row
+    assert(phys.contains("Subquery") || opt.toLowerCase.contains("scalar-subquery"),
+      s"global avg should be a one-shot scalar:\n$phys")
+  }
+
+  test("q15 revenue CTE is aggregated once, max applied as a scalar") {
+    val q = SparkEntry.allQueries.find(_.name == "q15_top_supplier").get
+      .run(spark, sf0001).queryExecution
+    val phys = q.executedPlan.toString
+    assert(phys.contains("partial_sum"), s"revenue agg not partial:\n$phys")
+    assert(phys.contains("BroadcastHashJoin"),
+      s"supplier dim should broadcast:\n$phys")
+  }
 }
