@@ -30,6 +30,29 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Dot product against CONSTANT coefficients, unrolled as a
+    * left-to-right multiply-add chain of `element_at` terms. Higher-
+    * order functions (zip_with/aggregate) have no codegen — they
+    * interpret a lambda per element (~2.5 ms/row for 8x64-dim sims,
+    * measured), which at corpus scale is hours of pure interpreter
+    * overhead. The unrolled chain is whole-stage-codegen'd flops.
+    * Identical float semantics to [[dot]]: same element order, cast
+    * before multiply, left-fold addition from 0.0 (0.0+t0 == t0), so
+    * oracle parity is unchanged.
+    *
+    * Use with care: an expression that DUPLICATES its sim operands
+    * (ivfAssign's O(k^2) CASE chain) multiplies the unrolled terms
+    * into janino-blowup territory — measured 12s compiles at k=8.
+    * For argmax-only use [[graft.functions.CentroidAssign]] (one
+    * reference object, constant-size code); for sims materialized
+    * ONCE as columns the HOF [[dot]] stays the better trade at low
+    * row counts and this unrolled form at high row counts.
+    */
+  def dotLit(a: Column, coefs: Array[Double]): Column =
+    coefs.zipWithIndex.map { case (c, i) =>
+      element_at(a, i + 1).cast("double") * lit(c)
+    }.reduceLeft(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity rounded to 6 dp (cross-engine safe). */
@@ -121,7 +144,15 @@ object Similarity {
   def kmeansStep(df: DataFrame, embCol: String,
                  centroids: Array[Array[Double]]): (Array[Array[Double]], Array[Long]) = {
     val k = centroids.length
-    val cluster = ivfAssign(centroidSims(col(embCol), centroids)).as("c")
+    // Native argmax expression, NOT composed round(dot) columns: each
+    // Lloyd iteration produces a NEW centroid matrix, and a composed
+    // form inlines it as k*dim literal terms — every iteration then
+    // pays a fresh multi-second janino compile (or, as a HOF lambda,
+    // ~2.5 ms/row of interpreter overhead). CentroidAssign carries the
+    // matrix as one codegen reference object; semantics are pinned
+    // equal to ivfAssign(centroidSims(...)) by KMeansSpec.
+    val cluster =
+      graft.functions.CentroidAssign(col(embCol), centroids).as("c")
     val agg = df
       .select(cluster, posexplode(col(embCol)).as(Seq("idx", "v")))
       .groupBy("c", "idx")

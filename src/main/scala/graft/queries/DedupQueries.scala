@@ -24,13 +24,18 @@ object DedupQueries {
   val Dim = 64
   val DedupCentroids = 8
 
-  /** vec_id, embedding (+ all input columns), cl = nearest-centroid id. */
+  /** vec_id, embedding (+ all input columns), cl = nearest-centroid id.
+    * Native CentroidAssign, not the composed ivfAssign CASE chain: at
+    * k=8 the chain duplicates each 64-term dot ~56x and the unrolled
+    * codegen takes ~12 s to janino-compile (the HOF form instead pays
+    * per-row lambda interpretation). The native loop is exact-equal by
+    * KMeansSpec's parity test.
+    */
   private[graft] def embeddingBlocks(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.ops.Similarity
     val coefs = Similarity.centroidCoefs(DedupCentroids, Dim)
-    df.withColumn("cl",
-      Similarity.ivfAssign(Similarity.centroidSims(col("embedding"), coefs)))
+    df.withColumn("cl", graft.functions.CentroidAssign(col("embedding"), coefs))
   }
 
   /** DuckDB twin of [[embeddingBlocks]]'s `cl`, split in two so the

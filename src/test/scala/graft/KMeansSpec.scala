@@ -16,6 +16,26 @@ class KMeansSpec extends SparkSpec {
       (i.toLong, Array.tabulate(dim)(d => sign * (1f + ((i * 31 + d * 7) % 10) / 100f)))
     }
 
+  test("native CentroidAssign matches composed ivfAssign(centroidSims) exactly") {
+    import graft.functions.CentroidAssign
+    import graft.ops.Similarity.{centroidSims, ivfAssign}
+    // real float vectors (the fixture) — any rounding or tie-break
+    // divergence between the native loop and the composed columns
+    // would surface as a differing assignment
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cents = Similarity.centroidCoefs(8, 64)
+    val both = emb.select(
+      CentroidAssign(col("embedding"), cents).as("native"),
+      ivfAssign(centroidSims(col("embedding"), cents)).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+    // and after one data-dependent (non-±1) update, still equal
+    val (c1, _) = Similarity.kmeansStep(emb, "embedding", cents)
+    val both1 = emb.select(
+      CentroidAssign(col("embedding"), c1).as("native"),
+      ivfAssign(centroidSims(col("embedding"), c1)).as("composed"))
+    assert(both1.filter(col("native") =!= col("composed")).count() === 0)
+  }
+
   test("kmeansStep is exactly deterministic under repartitioning") {
     val df = vecs(200).toDF("vec_id", "embedding")
     val init = Similarity.centroidCoefs(4, dim)
