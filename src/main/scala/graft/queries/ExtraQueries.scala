@@ -164,6 +164,60 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // FULL OUTER join modality: daily order counts vs daily ship
+    // counts — each side genuinely contributes one-sided rows (first
+    // order day precedes first ship day; shipping runs months past the
+    // last order). Both sides aggregate BEFORE the join (partial agg
+    // shrinks them to |distinct days|), and the USING-style join
+    // coalesces the key.
+    Q("full_outer_daily",
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |ld AS (SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+        |       FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(od.d, ld.d) AS d, COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_ships, 0) AS n_ships
+        |FROM od FULL OUTER JOIN ld ON od.d = ld.d ORDER BY d""".stripMargin) { (s, dir) =>
+      val od = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ld = Tables.load(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_ships"))
+      od.join(ld, Seq("d"), "full_outer")
+        .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy("d")
+    },
+
+    // Bounded window frames — the two frame kinds window_funcs leaves
+    // out: a sliding ROWS frame (moving sum over [-2, +1] neighbors)
+    // and a value-based RANGE frame (events within the trailing 7
+    // days, membership by VALUE so tie order never matters). Both
+    // share one (custkey) partitioning; per-partition state is the
+    // frame, not the partition.
+    Q("window_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS moving_sum,
+        |  COUNT(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_last_7d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wRows = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 1)
+      val wRange = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate"))).rangeBetween(-604800L, 0L)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).over(wRows)
+            .cast("double").as("moving_sum"),
+          count(lit(1)).over(wRange).as("n_last_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Salted JOIN over the same hot-key premise: lineitem (big,
     // orderkey-skewed in the adversarial case) joins orders with the
     // orders side replicated x8 and lineitem salted by row position —
