@@ -164,6 +164,17 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // NOT IN / IN null semantics — the three-valued-logic trap every
+    // engine must agree on: one NULL in a NOT IN subquery empties the
+    // result (x <> NULL is UNKNOWN, so no row can prove membership-
+    // absence), while IN keeps matching rows. Run as one SQL text on
+    // both engines; Spark plans the NOT IN as a null-aware anti join.
+    Q("null_semantics", ExtraQueries.nullSemanticsSql) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(ExtraQueries.nullSemanticsSql)
+    },
+
     // FULL OUTER join modality: daily order counts vs daily ship
     // counts — each side genuinely contributes one-sided rows (first
     // order day precedes first ship day; shipping runs months past the
@@ -292,4 +303,19 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     }
   )
+
+  /** One SQL text, two engines (like q17): NULLIF poisons the NOT IN
+    * subquery with one NULL — standard semantics make the first count
+    * 0; the filtered variant counts 1 (the customer whose only order
+    * key was excluded); IN is unaffected for matching keys.
+    */
+  val nullSemanticsSql: String =
+    """SELECT
+      | (SELECT COUNT(*) FROM customer
+      |  WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)) AS n_null_poisoned,
+      | (SELECT COUNT(*) FROM customer
+      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <> 7)) AS n_filtered,
+      | (SELECT COUNT(*) FROM customer
+      |  WHERE c_custkey IN (SELECT NULLIF(o_custkey, 7) FROM orders)) AS n_in_with_null""".stripMargin
+
 }
