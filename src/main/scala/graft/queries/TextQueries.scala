@@ -213,6 +213,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Frequent tokens per language via the Misra-Gries heavy-hitters
+    // sketch (capacity 64): O(capacity) state per group, only buffers
+    // shuffle. The fixture vocabulary is far below capacity, so MG is
+    // EXACT here and the oracle is the plain grouped count with the
+    // same (count DESC, token ASC) total order; FreqItemsSpec covers
+    // the lossy (decrement/truncate) regime the oracle can't.
+    Q("freq_tokens",
+      """WITH tc AS (SELECT lang, tok, COUNT(*) AS est FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT lang, tok AS item, est, row_number() OVER (
+        |        PARTITION BY lang ORDER BY est DESC, tok) AS rnk FROM tc)
+        |SELECT lang, rnk, item, est FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      import graft.functions.FreqItemsAgg
+      Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("lang", "text"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang")
+        .agg(FreqItemsAgg(col("tok"), 64).as("fi"))
+        .select(col("lang"), posexplode(col("fi")).as(Seq("pos", "f")))
+        .filter(col("pos") < 10)
+        .select(col("lang"), (col("pos") + 1).as("rnk"),
+          col("f.item").as("item"), col("f.est").as("est"))
+        .orderBy("lang", "rnk")
+    },
+
     // corpus dataset-card: per (lang, source) stratum — doc count,
     // token totals, vocabulary size. The two COUNT(DISTINCT)s over one
     // explode are the expensive part; Spark plans them as one expand +
