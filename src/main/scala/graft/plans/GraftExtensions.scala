@@ -17,5 +17,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteNullProbeAsAntiJoin)
+    // whole-operator extension: bounded-heap top-k-per-group
+    // (TopKPerGroupNode -> TopKPerGroupExec)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -158,6 +158,29 @@ object AggQueries {
         .orderBy("l_returnflag", "rn")
     },
 
+    // the same top-k through the WHOLE-OPERATOR extension rung: custom
+    // LogicalPlan -> planner Strategy -> SparkPlan (TopKPerGroupExec)
+    // executing bounded per-group heaps — O(n log k), no partition
+    // sort, no WindowExec (TopKPerGroupPlanSpec asserts the plan).
+    // Same oracle as the window form: identical semantics, different
+    // physical machinery.
+    Q("topk_native",
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin) { (s, dir) =>
+      graft.plans.TopKPerGroup(
+          Tables.parallelize(Tables.load(s, dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")),
+          Seq("l_returnflag"),
+          Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+          3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "rn")
+    },
+
     // the same top-k as a bounded O(k) TypedImperativeAggregate: only
     // k-row buffers shuffle (map-side combine), no group is ever
     // sorted whole — the scale path; topk_per_group above is the

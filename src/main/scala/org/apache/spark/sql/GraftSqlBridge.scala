@@ -19,4 +19,12 @@ object GraftSqlBridge {
     * can override `inputTypes` from outside the sql package.
     */
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  /** `Dataset.ofRows` is `private[sql]`; custom logical operators
+    * (graft.plans.TopKPerGroup) need it to wrap their plan node in a
+    * DataFrame.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

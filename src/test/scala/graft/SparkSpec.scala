@@ -10,6 +10,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     // mirrors Bench/Verify: see the comment there on generator cost
     .config("spark.sql.optimizer.excludedRules",

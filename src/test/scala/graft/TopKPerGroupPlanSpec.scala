@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerGroup
+
+/** The custom LogicalPlan + Strategy + SparkPlan operator: bounded-heap
+  * top-k-per-group. Verified against the window row_number form and by
+  * plan shape (no sort, no WindowExec; the strategy's exec node plans).
+  */
+class TopKPerGroupPlanSpec extends SparkSpec {
+
+  private def li = Tables.load(spark, sf0001, "lineitem")
+    .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+  test("equals row_number() OVER w <= k exactly (values AND ranks)") {
+    val native = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+      3)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val windowed = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(native.exceptAll(windowed).isEmpty
+      && windowed.exceptAll(native).isEmpty,
+      "native top-k diverged from window form")
+    assert(native.count() === windowed.count())
+  }
+
+  test("plans as TopKPerGroupExec with no sort and no WindowExec") {
+    val native = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 3)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"strategy did not fire:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sort"),
+      s"bounded-heap plan still sorts:\n$plan")
+  }
+
+  test("correct under any input partitioning (exchange inserted on demand)") {
+    val parts = TopKPerGroup(li.repartition(7), Seq("l_returnflag"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 2)
+    val one = TopKPerGroup(li.coalesce(1), Seq("l_returnflag"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 2)
+    assert(parts.exceptAll(one).isEmpty && one.exceptAll(parts).isEmpty)
+  }
+
+  test("k larger than group size returns whole groups, ranks dense from 1") {
+    val native = TopKPerGroup(
+      li.filter(col("l_orderkey") < 100), Seq("l_returnflag"),
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+      1000000)
+    import spark.implicits._
+    val byGroup = native.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("maxrn"), min(col("rn")).as("minrn"))
+      .as[(String, Long, Int, Int)].collect()
+    byGroup.foreach { case (g, n, maxrn, minrn) =>
+      assert(minrn === 1 && maxrn.toLong === n, s"group $g ranks not dense 1..$n")
+    }
+    assert(native.count() === li.filter(col("l_orderkey") < 100).count())
+  }
+}
