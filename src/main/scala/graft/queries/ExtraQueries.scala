@@ -164,6 +164,56 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // Data-quality constraint audit (the deequ-style pre-training
+    // gate): each rule is ONE aggregate over a scan or a pre-shrunk
+    // join — violations counted, not rows materialized. Key uniqueness
+    // checks group on the key (count>1 groups); the FK check anti-joins
+    // against the broadcast dimension; range/set checks are map-side
+    // conditional counts. All rules over one table share a single scan.
+    Q("dq_checks",
+      """SELECT rule, violations FROM (
+        |  SELECT 'orders_pk_unique' AS rule,
+        |    (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        |      GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS violations
+        |  UNION ALL SELECT 'orders_fk_customer',
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'lineitem_discount_range',
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_discount < 0.0 OR l_discount > 1.0)
+        |  UNION ALL SELECT 'lineitem_returnflag_domain',
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_returnflag NOT IN ('R', 'A', 'N'))
+        |  UNION ALL SELECT 'orders_date_not_null',
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+        |) ORDER BY rule""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val pkDupes = orders.groupBy("o_orderkey").count()
+        .filter(col("count") > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_pk_unique").as("rule"), col("violations"))
+      val fkOrphans = orders
+        .join(broadcast(Tables.load(s, dir, "customer").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_fk_customer").as("rule"), col("violations"))
+      // the three lineitem/orders scan rules fold into conditional
+      // counts over one pass each
+      val range = li.agg(
+          count(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1))
+            .as("violations"))
+        .select(lit("lineitem_discount_range").as("rule"), col("violations"))
+      val domain = li.agg(
+          count(when(!col("l_returnflag").isin("R", "A", "N"), 1)).as("violations"))
+        .select(lit("lineitem_returnflag_domain").as("rule"), col("violations"))
+      val nn = orders.agg(
+          count(when(col("o_orderdate").isNull, 1)).as("violations"))
+        .select(lit("orders_date_not_null").as("rule"), col("violations"))
+      pkDupes.unionAll(fkOrphans).unionAll(range).unionAll(domain).unionAll(nn)
+        .orderBy("rule")
+    },
+
     // NOT IN / IN null semantics — the three-valued-logic trap every
     // engine must agree on: one NULL in a NOT IN subquery empties the
     // result (x <> NULL is UNKNOWN, so no row can prove membership-
