@@ -48,21 +48,35 @@ case class TopKPerGroupNode(
     copy(child = newChild)
 }
 
+/** Two-phase execution, mirroring partial/final aggregation: the
+  * `partial` instance runs on raw input partitions with NO distribution
+  * requirement and prunes each to ≤ k rows per group (so the exchange
+  * carries k·groups rows per task, not the input); the final instance
+  * requires clustering, merges the per-partition survivors, and emits
+  * ranks. Without the partial pass the exchange ships EVERY row — the
+  * single biggest cost at scale (and measurably slower than
+  * WindowGroupLimit, which has its own partial pruning).
+  */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      if (partial) Nil else rankAttr :: Nil)
 
-  // all rows of a group must meet in one task; Catalyst inserts the
-  // hash exchange (or reuses an existing clustering)
+  // final: all surviving rows of a group meet in one task (Catalyst
+  // inserts the hash exchange or reuses an existing clustering);
+  // partial: runs wherever the data already is
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -70,6 +84,7 @@ case class TopKPerGroupExec(
     val sortOrder = order
     val limit = k
     val outAttrs = output
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       // projections/orderings hold generated classes — construct them
       // per partition (they are not serializable), from the captured
@@ -87,12 +102,18 @@ case class TopKPerGroupExec(
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
-        ranked.iterator.zipWithIndex.map { case (row, i) =>
-          outProj(joined(row, InternalRow(i + 1)))
+      if (isPartial) {
+        // survivors only, no ranks — order irrelevant, the final pass
+        // re-heaps
+        heaps.valuesIterator.flatMap(_.iterator)
+      } else {
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        heaps.iterator.flatMap { case (_, heap) =>
+          val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
+          ranked.iterator.zipWithIndex.map { case (row, i) =>
+            outProj(joined(row, InternalRow(i + 1)))
+          }
         }
       }
     }
@@ -108,7 +129,8 @@ case class TopKPerGroupExec(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, rank, child) =>
-      TopKPerGroupExec(g, o, k, rank, planLater(child)) :: Nil
+      TopKPerGroupExec(g, o, k, rank, partial = false,
+        TopKPerGroupExec(g, o, k, rank, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
