@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.PortableHash.{duckH32, h32}
@@ -238,6 +239,43 @@ object TextQueries {
         .select(col("lang"), (col("pos") + 1).as("rnk"),
           col("f.item").as("item"), col("f.est").as("est"))
         .orderBy("lang", "rnk")
+    },
+
+    // Unigram language-model scoring — the statistical half of a
+    // perplexity quality filter: train the unigram LM on the corpus
+    // itself (global token frequencies), score each document by its
+    // total and mean token log-probability. Two aggregation trees over
+    // ONE tokenization, joined on token (the LM side is vocab-sized —
+    // broadcast here; shuffle-join it when vocab outgrows broadcast).
+    // Determinism: each log term is rounded to 6 dp and summed as
+    // DECIMAL(20,6) — an unrounded double sum would depend on row
+    // order and never cross-engine-match.
+    Q("unigram_logprob",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dtc AS (SELECT doc_id, tok, COUNT(*) AS dc FROM toks GROUP BY 1, 2),
+        |g AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM g)
+        |SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(dc * CAST(round(ln(CAST(c AS DOUBLE) / total), 6) AS DECIMAL(20,6))) AS DOUBLE) AS logprob,
+        |  CAST(SUM(dc * CAST(round(ln(CAST(c AS DOUBLE) / total), 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |    / CAST(SUM(dc) AS BIGINT) AS avg_logprob
+        |FROM dtc JOIN g USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dtc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("dc"))
+      val g = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = g.agg(sum(col("c")).as("total"))
+      val term = round(log(col("c").cast("double") / col("total")), 6)
+        .cast(DecimalType(20, 6))
+      dtc.join(broadcast(g), "tok").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(sum(col("dc")).as("n_tokens"),
+          sum(col("dc") * term).cast("double").as("logprob"))
+        .select(col("doc_id"), col("n_tokens"), col("logprob"),
+          (col("logprob") / col("n_tokens")).as("avg_logprob"))
+        .orderBy("doc_id")
     },
 
     // corpus dataset-card: per (lang, source) stratum — doc count,
