@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FreqItemsAgg, TopKAgg}
+import graft.ops.{Similarity, Skew}
+import graft.plans.TopKPerGroup
+
+/** Empty-input and degenerate-shape behavior: operators must return
+  * empty/identity results, not throw — at 100 TB a partition-pruned
+  * read or an over-selective filter routinely hands an operator zero
+  * rows.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("FreqItemsAgg over an empty frame yields one row with an empty list") {
+    val out = emptyDocs.agg(FreqItemsAgg(col("text"), 8).as("fi"))
+      .select(size(col("fi"))).as[Int].collect()
+    assert(out.toSeq === Seq(0))
+  }
+
+  test("TopKPerGroup over an empty frame yields zero rows") {
+    val out = TopKPerGroup(emptyDocs, Seq("doc_id"),
+      Seq(("text", false)), 3)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "rn"))
+  }
+
+  test("saltedJoin with an empty dim: inner empty, left_outer keeps big side") {
+    val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val dim = Seq.empty[(Long, String)].toDF("k", "d")
+    assert(Skew.saltedJoin(big, dim, "k", 4, "inner").count() === 0)
+    val lo = Skew.saltedJoin(big, dim, "k", 4, "left_outer")
+    assert(lo.count() === 2)
+    assert(lo.filter(col("d").isNull).count() === 2)
+  }
+
+  test("kmeansStep on an empty frame keeps every centroid, zero counts") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val init = Similarity.centroidCoefs(3, 4)
+    val (next, counts) = Similarity.kmeansStep(empty, "embedding", init)
+    assert(counts.toSeq === Seq(0L, 0L, 0L))
+    assert(next.map(_.toSeq).toSeq === init.map(_.toSeq).toSeq)
+  }
+
+  test("TopKAgg over an empty group set returns no rows (not a crash)") {
+    val out = emptyDocs
+      .groupBy("doc_id")
+      .agg(TopKAgg(col("doc_id").cast("double"), col("doc_id"),
+        col("doc_id"), 3).as("t"))
+    assert(out.count() === 0)
+  }
+}
