@@ -265,7 +265,10 @@ object TextQueries {
           .select("doc_id", "text"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val dtc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("dc"))
-      val g = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      // global counts DERIVE from the per-doc counts — one tokenize,
+      // one explode; the second aggregation runs over |doc x vocab|
+      // rows, not raw tokens (sums are identical)
+      val g = dtc.groupBy("tok").agg(sum(col("dc")).as("c"))
       val n = g.agg(sum(col("c")).as("total"))
       val term = round(log(col("c").cast("double") / col("total")), 6)
         .cast(DecimalType(20, 6))
@@ -276,6 +279,42 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("logprob"),
           (col("logprob") / col("n_tokens")).as("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF top terms per document — the classic salient-term
+    // extraction. All three statistics (tf, df, N) derive from ONE
+    // tokenize/explode: df and N aggregate the per-doc counts, ride
+    // back via a vocab-sized broadcast join, and the per-doc top-3 is
+    // a window over |doc x vocab| rows with a total (score DESC, term)
+    // order.
+    Q("tfidf_top_terms",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dtc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT tok, COUNT(*) AS df FROM dtc GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM (
+        |  SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf,
+        |    CAST(df AS BIGINT) AS df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok) AS rnk
+        |  FROM dtc JOIN dft USING (tok) CROSS JOIN nd)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dtc = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dft = dtc.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val tfidf = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+      val w = Window.partitionBy("doc_id").orderBy(tfidf.desc, col("tok"))
+      dtc.join(broadcast(dft), "tok").crossJoin(broadcast(nd))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok").as("term"),
+          col("tf"), col("df"), tfidf.as("tfidf"))
+        .orderBy("doc_id", "rnk")
     },
 
     // corpus dataset-card: per (lang, source) stratum — doc count,
