@@ -281,7 +281,7 @@ object ExtraQueries {
 
     // Salted JOIN over the same hot-key premise: lineitem (big,
     // orderkey-skewed in the adversarial case) joins orders with the
-    // orders side replicated x8 and lineitem salted by row position —
+    // orders side replicated x4 and lineitem salted by row position —
     // output provably identical to the plain join, so the oracle IS
     // the plain join. See Skew.saltedJoin for when to prefer this over
     // AQE's adaptive split.
@@ -295,7 +295,7 @@ object ExtraQueries {
         .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount"))
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-      graft.ops.Skew.saltedJoin(l, o, "k", 8)
+      graft.ops.Skew.saltedJoin(l, o, "k", 4)
         .groupBy("o_orderpriority")
         .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
             * (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))

@@ -375,6 +375,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FreqItemsAgg aggregates across micro-batches (state-store serde round-trip)") {
+    import graft.functions.FreqItemsAgg
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("w")
+      .groupBy()
+      .agg(FreqItemsAgg(col("w"), 8).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select(col("f.item"), col("f.est"))
+    val q = agg.writeStream.format("memory").queryName("stream_freq")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a", "a", "b")
+      q.processAllAvailable()
+      mem.addData("a", "b", "c") // buffer must survive serialize/merge
+      q.processAllAvailable()
+      val got = spark.table("stream_freq")
+        .as[(String, Long)].collect().sorted
+      assert(got === Array(("a", 3L), ("b", 2L), ("c", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per key, state bounded by watermark") {
     import graft.streaming.StreamDedup
     implicit val ctx = spark.sqlContext
