@@ -169,6 +169,33 @@ object DedupQueries {
 
     // blocked n-gram Jaccard: pairs sharing >=1 shingle within
     // (lang, length-bucket) blocks, with exact Jaccard over shingle sets
+    // Prefix-filtered exact set-similarity self-join (the PPJoin-family
+    // complement to LSH/blocking): order each doc's shingle set by
+    // GLOBAL rarity (freq asc, shingle asc — any consistent total order
+    // is correct; rarity minimizes candidates), keep only the first
+    // n - ceil(t*n) + 1 shingles as the doc's PREFIX, and generate
+    // candidates from prefix-shingle collisions. The prefix-filtering
+    // theorem guarantees every pair with Jaccard >= t shares at least
+    // one prefix token, so exact verification of the candidates equals
+    // the all-pairs result — which is exactly what the oracle computes
+    // brute-force. Verification joins the (pairs << all-pairs)
+    // candidate set against per-doc sorted shingle arrays and scores
+    // via array_intersect. PrefixFilterSpec pins candidates ⊇ result
+    // and the candidate-vs-all-pairs reduction.
+    Q("dedup_prefix_jaccard",
+      s"""$shingleCtes,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+         |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+         |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.3
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
+      PrefixJaccard.run(s, dir, 0.3)
+    },
+
     Q("dedup_ngram_jaccard",
       s"""$shingleCtes,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
