@@ -191,9 +191,9 @@ object DedupQueries {
          |SELECT d1 AS doc_id_1, d2 AS doc_id_2,
          |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
          |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.3
+         |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
-      PrefixJaccard.run(s, dir, 0.3)
+      PrefixJaccard.run(s, dir, 0.5)
     },
 
     Q("dedup_ngram_jaccard",

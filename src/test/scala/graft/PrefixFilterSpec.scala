@@ -13,7 +13,7 @@ import graft.queries.PrefixJaccard
 class PrefixFilterSpec extends SparkSpec {
   import spark.implicits._
 
-  private val t = 0.3
+  private val t = 0.5
 
   test("prefix candidates contain every true >=t pair (completeness)") {
     val result = PrefixJaccard.run(spark, sf0001, t)
