@@ -397,6 +397,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed FreqItemsAgg emits per-window top items on window close (append)") {
+    import graft.functions.FreqItemsAgg
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(FreqItemsAgg(col("event_type"), 8).as("fi"))
+      .select(col("w.start").cast("string").as("ws"), explode(col("fi")).as("f"))
+      .select(col("ws"), col("f.item"), col("f.est"))
+    val q = agg.writeStream.format("memory").queryName("win_freq")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 10:20:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past 11:10 so the 10:00 window seals
+      mem.addData(Ev(4, ts("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_freq")
+        .as[(String, String, Long)].collect().sorted
+      assert(rows === Array(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 10:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per key, state bounded by watermark") {
     import graft.streaming.StreamDedup
     implicit val ctx = spark.sqlContext
