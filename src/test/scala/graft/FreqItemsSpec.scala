@@ -46,6 +46,23 @@ class FreqItemsSpec extends SparkSpec {
     assert(a === b, "exact-regime sketch differs across partitionings")
   }
 
+  test("merge truncation regression: iterate-while-mutating stopped early") {
+    // exact buffers from the ScalaCheck counterexample: combined map is
+    // {w20: 2} + ten singletons, d = 1 -> sole survivor must be w20.
+    // The foreach+update-in-place form visited 2 of 11 entries (scala
+    // 2.13 HashMap stops iterating on in-place value update) and left
+    // 10 survivors.
+    import scala.collection.mutable
+    val a = graft.functions.FreqItemsAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true), 8)
+    val b1 = mutable.HashMap("w25" -> 1L, "w30" -> 1L, "w16" -> 1L,
+      "w29" -> 1L, "w9" -> 1L, "w18" -> 1L, "w32" -> 1L)
+    val b2 = mutable.HashMap("w20" -> 2L, "w13" -> 1L, "w11" -> 1L, "w19" -> 1L)
+    val merged = a.merge(b1, b2)
+    assert(merged.toMap === Map("w20" -> 1L))
+  }
+
   test("deterministic (est DESC, item ASC) order with ties") {
     val items = Seq("b", "a", "c", "b", "a", "c") // all tied at 2
     val got = run(items, 8, 3)
