@@ -420,6 +420,30 @@ object AggQueries {
     },
 
     // set operators: EXCEPT / UNION (distinct semantics)
+    // multiset (ALL) set operations — different algebra from the
+    // distinct forms: INTERSECT ALL keeps min(countL, countR) copies
+    // per value, EXCEPT ALL keeps max(0, countL - countR). Spark plans
+    // both as aggregate-count + generate (no row-pairing join); output
+    // is re-aggregated so the gate compares deterministic counts.
+    Q("set_ops_all",
+      """WITH r AS (SELECT l_suppkey AS s FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (SELECT l_suppkey AS s FROM lineitem WHERE l_returnflag = 'A'),
+        |ia AS (SELECT s FROM r INTERSECT ALL SELECT s FROM a),
+        |ea AS (SELECT s FROM r EXCEPT ALL SELECT s FROM a)
+        |SELECT op, s, n FROM (
+        |  SELECT 'intersect_all' AS op, s, COUNT(*) AS n FROM ia GROUP BY 2
+        |  UNION ALL SELECT 'except_all', s, COUNT(*) FROM ea GROUP BY 2)
+        |ORDER BY op, s""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("s"))
+      val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("s"))
+      val ia = r.intersectAll(a).groupBy("s").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("s"), col("n"))
+      val ea = r.exceptAll(a).groupBy("s").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("s"), col("n"))
+      ia.unionAll(ea).orderBy("op", "s")
+    },
+
     Q("set_ops",
       """SELECT c_custkey FROM
         |  ((SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
