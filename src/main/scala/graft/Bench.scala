@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args = query-name filter (local iteration on a subset;
+    // the driver passes none and gets the full suite)
+    val only: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -48,9 +51,12 @@ object Bench {
     // ~5x on the first queries and not what's being measured); then two
     // timed passes, reporting the per-query minimum — a single pass is
     // vulnerable to transient host load (observed 2.5x total swings)
-    SparkEntry.allQueries.foreach(runOnce)
-    val pass1 = SparkEntry.allQueries.map(q => q.name -> runOnce(q)).toMap
-    val results = SparkEntry.allQueries.map(q =>
+    val suite =
+      if (only.isEmpty) SparkEntry.allQueries
+      else SparkEntry.allQueries.filter(q => only(q.name))
+    suite.foreach(runOnce)
+    val pass1 = suite.map(q => q.name -> runOnce(q)).toMap
+    val results = suite.map(q =>
       q.name -> math.min(pass1(q.name), runOnce(q)))
     // seconds at 4 dp: ample resolution, and it keeps the one-line JSON
     // short enough that a tail-capture of stdout doesn't truncate it
@@ -60,12 +66,18 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces for the driver's parser: the line goes to stdout
-    // AND to a file (round 2's total line was truncated in the captured
-    // stdout tail, leaving the bench unparsed)
+    // belt and braces for the driver's parser (round 2+3 both lost the
+    // stdout-tail copy to truncation): the line goes (1) to a file,
+    // (2) to stdout NOW — this is the FIRST stdout line of the run,
+    // since everything Spark/JVM emits goes to stderr — and (3) to
+    // stdout again AFTER spark.stop(), so a pure tail-capture also
+    // ends on an intact copy whatever shutdown noise precedes it.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
+    Console.out.flush()
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

@@ -11,45 +11,71 @@ import graft.ops.Dedup
   * `dedup_prefix_jaccard` query comment for the algorithm; split out
   * so PrefixFilterSpec can exercise the candidate stage alone.
   *
-  * Scale shape: the global rarity ranking is a dictionary-sized sort
-  * (the same build step every PPJoin implementation pays, broadcastable
-  * after aggregation); prefixes shrink each doc to a
-  * (1 - t)-fraction of its set; candidate generation is in-bucket pair
-  * expansion on prefix shingles only; exact verification touches the
-  * candidate pairs, never the all-pairs space. Verification compares
-  * per-doc arrays of 64-bit shingle hashes (xxhash64 — ~1e-12
-  * collision odds across the corpus vs per-doc set sizes; an intra-doc
-  * collision would distort the intersection count), sized so the
-  * whole docset table broadcasts and the verify join is shuffle-free:
-  * arrays of longs are ~5x smaller than the shingle strings.
+  * Scale shape: the global rarity order is the raw `(freq, shingle)`
+  * pair — prefix filtering only needs SOME consistent total order, not
+  * a contiguous integer rank, so there is no dictionary-wide
+  * `row_number()` (which would be a single-partition window over
+  * billions of distinct shingles at 100 TB). The per-doc prefix window
+  * partitions by doc_id and orders by `(freq, shingle)` directly;
+  * every window task holds one doc's shingles. Prefixes shrink each
+  * doc to a (1 - t)-fraction of its set; candidate generation is
+  * in-bucket pair expansion on prefix shingles only; exact
+  * verification touches the candidate pairs, never the all-pairs
+  * space. Verification compares per-doc arrays of 64-bit shingle
+  * hashes (xxhash64 — ~1e-12 collision odds across the corpus vs
+  * per-doc set sizes; an intra-doc collision would distort the
+  * intersection count). The docset table is O(corpus), so the verify
+  * step is a SHUFFLE-HASH join keyed on d1/d2 with the (post
+  * length-filter, small) candidate side as build — never a broadcast
+  * of the corpus.
   */
 object PrefixJaccard {
 
-  /** (doc_id, shingle, n, pos) with pos ordered by global rarity. */
-  private def rankedShingles(s: SparkSession, dir: String): DataFrame = {
-    val dsh = Dedup.distinctShingles(
-      Tables.parallelize(Tables.load(s, dir, "documents")
-        .select("doc_id", "text")), "doc_id", "text")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    // dictionary: global shingle frequencies, rarity rank = total order
-    // (freq asc, shingle asc). The single-partition window is over the
-    // aggregated DICTIONARY, not the corpus.
-    val dict = dsh.groupBy("shingle").agg(count(lit(1)).as("freq"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq"), col("shingle"))))
-      .select("shingle", "rank")
-    dsh.join(dict, "shingle")
+  /** (doc_id, toks, n): per-doc sorted array of 64-bit shingle hashes
+    * plus set size — the ONLY pass that shingles text. Every later
+    * stage (dictionary, prefix window, verify) derives from this one
+    * aggregation by exploding the hash arrays, so its doc_id exchange
+    * is computed once and reused across branches (ReuseExchange), and
+    * shingle strings never leave the scan stage.
+    */
+  private[graft] def docsets(s: SparkSession, dir: String): DataFrame =
+    Dedup.distinctShingles(
+      Tables.load(s, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("toks"))
+      .withColumn("n", size(col("toks")))
+
+  /** (doc_id, h, n, pos) with pos ordered by global rarity.
+    *
+    * Rarity = (corpus frequency asc, hash asc) — a total order (the
+    * hash tiebreak makes it strict modulo the already-accepted xxhash64
+    * collision odds) consumed ONLY through the doc-partitioned window
+    * below, so no contiguous global rank is ever materialized and no
+    * single-partition Exchange exists anywhere in the candidate stage
+    * (asserted by PrefixFilterSpec).
+    */
+  private def rankedShingles(ds: DataFrame): DataFrame = {
+    val dsh = ds.select(col("doc_id"), col("n"), explode(col("toks")).as("h"))
+    // dictionary: global shingle-hash frequencies (hash-aggregated,
+    // fully parallel; dictionary-sized, so it shuffles but never
+    // funnels)
+    val dict = dsh.groupBy("h").agg(count(lit(1)).as("freq"))
+    dsh.join(dict, "h")
       .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("rank"))))
+        Window.partitionBy("doc_id").orderBy(col("freq"), col("h"))))
   }
 
   /** Candidate pairs (d1 < d2, with set sizes) from prefix collisions. */
   private[graft] def candidates(s: SparkSession, dir: String, t: Double): DataFrame =
-    rankedShingles(s, dir)
+    candidatesFrom(docsets(s, dir), t)
+
+  private def candidatesFrom(ds: DataFrame, t: Double): DataFrame =
+    rankedShingles(ds)
       // prefix length n - ceil(t*n) + 1: a pair with J >= t MUST
       // collide inside both prefixes under any consistent global order
       .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      .groupBy("shingle")
+      .groupBy("h")
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("xs"))
       .filter(size(col("xs")) > 1)
       .select(explode(flatten(transform(col("xs"), (x, i) =>
@@ -65,16 +91,25 @@ object PrefixJaccard {
 
   /** Full pipeline: candidates -> exact verify -> threshold. */
   def run(s: SparkSession, dir: String, t: Double): DataFrame = {
-    val docsets = Dedup.distinctShingles(
-      Tables.load(s, dir, "documents").select("doc_id", "text"),
-      "doc_id", "text")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("toks"))
-    val cands = candidates(s, dir, t)
+    // Materialize the docset/signature table ONCE (lazily, on first
+    // action): three consumers (prefix stage + both verify sides) would
+    // otherwise each re-shingle the corpus — ReuseExchange can't help
+    // because join-inferred IsNotNull filters break subtree identity.
+    // This is also the production layout: dedup against a PERSISTED
+    // signature store, not a recomputed one (see SCALE.md). Blocks are
+    // partition-local, disk-backed past memory, and freed by the
+    // ContextCleaner once the query's RDDs are unreferenced.
+    val ds = docsets(s, dir).localCheckpoint(false)
+    val cands = candidatesFrom(ds, t)
     val inter = size(array_intersect(col("t1"), col("t2")))
-    cands
-      .join(broadcast(docsets.select(col("doc_id").as("d1"), col("toks").as("t1"))), "d1")
-      .join(broadcast(docsets.select(col("doc_id").as("d2"), col("toks").as("t2"))), "d2")
+    // Verify joins: docsets is O(corpus) so it must NOT broadcast; a
+    // shuffle-hash join with the candidate side as build keeps memory
+    // bounded by |candidates| per task (small after the length filter)
+    // while the corpus side streams through the probe.
+    cands.hint("shuffle_hash")
+      .join(ds.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+      .hint("shuffle_hash")
+      .join(ds.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         (inter * lit(1.0) / (col("na") + col("nb") - inter)).as("j"))
       .filter(col("j") >= t)

@@ -25,6 +25,29 @@ class PrefixFilterSpec extends SparkSpec {
       s"prefix filter LOST pairs: ${result -- cands}")
   }
 
+  test("candidate stage has no single-partition Exchange; verify never broadcasts the corpus") {
+    // Scale invariant (verdict r3 #1): a SinglePartition exchange means
+    // some stage funnels the dictionary/corpus through one task.
+    val candPlan = PrefixJaccard.candidates(spark, sf0001, t)
+      .queryExecution.executedPlan.toString
+    assert(!candPlan.contains("SinglePartition"),
+      s"candidate stage funnels through one partition:\n$candPlan")
+    val fullPlan = PrefixJaccard.run(spark, sf0001, t)
+      .queryExecution.executedPlan.toString
+    assert(!fullPlan.contains("SinglePartition"),
+      "full pipeline has a single-partition Exchange")
+    // The docset (corpus-sized) side must reach BOTH verify joins via
+    // shuffle, not broadcast — the shuffle_hash hints must have stuck.
+    // (The dictionary join inside the candidate stage MAY auto-broadcast
+    // at this fixture size; that choice is size-based, so it adaptively
+    // flips to a shuffle join when the dictionary outgrows the
+    // threshold — not a pinned scale hazard like an explicit
+    // broadcast() would be.)
+    val shjCount = "ShuffledHashJoin".r.findAllIn(fullPlan).length
+    assert(shjCount >= 2,
+      s"expected both verify joins (d1, d2) as ShuffledHashJoin, found $shjCount:\n$fullPlan")
+  }
+
   test("prefix filtering prunes the collision pair space") {
     val dsh = Dedup.distinctShingles(
       Tables.load(spark, sf0001, "documents").select("doc_id", "text"),

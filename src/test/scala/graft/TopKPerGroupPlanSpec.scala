@@ -28,13 +28,39 @@ class TopKPerGroupPlanSpec extends SparkSpec {
     assert(native.count() === windowed.count())
   }
 
-  test("plans as TopKPerGroupExec with no sort and no WindowExec") {
+  test("plans as two-phase TopKPerGroupExec; only SURVIVORS are sorted; no WindowExec") {
     val native = TopKPerGroup(li, Seq("l_returnflag"),
       Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 3)
     val plan = native.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), s"strategy did not fire:\n$plan")
-    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sort"),
-      s"bounded-heap plan still sorts:\n$plan")
+    assert(!plan.contains("WindowExec"), s"fell back to window plan:\n$plan")
+    // memory-bound shape: raw input feeds the HEAP (partial) pass
+    // un-sorted; the spillable SortExec sits ABOVE the partial pass, so
+    // it only ever sees pruned survivors. Plan prints top-down:
+    // final exec < Sort < partial exec.
+    val idxFinal = plan.indexOf("TopKPerGroup")
+    val idxSort = plan.indexOf("Sort ")
+    val idxPartial = plan.lastIndexOf("TopKPerGroup")
+    assert(idxSort > idxFinal && idxSort < idxPartial,
+      s"sort is not between final and partial (only survivors may sort):\n$plan")
+    assert(!plan.substring(idxPartial).toLowerCase.contains("sort"),
+      s"raw input below the partial pass is sorted:\n$plan")
+  }
+
+  test("flush path: tiny maxRetained on high-cardinality groups still exact") {
+    // group by l_orderkey → thousands of groups; cap the partial heap
+    // map at 8 retained rows so it flushes hundreds of times per task.
+    val order = Seq(("l_extendedprice", true), ("l_linenumber", false))
+    val native = TopKPerGroup(li.repartition(5), Seq("l_orderkey"), order, 2,
+      maxRetained = 8)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    val windowed = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    assert(native.exceptAll(windowed).isEmpty
+      && windowed.exceptAll(native).isEmpty,
+      "flush-bounded top-k diverged from window form")
+    assert(native.count() === windowed.count())
   }
 
   test("correct under any input partitioning (exchange inserted on demand)") {
