@@ -218,6 +218,102 @@ object SimilarityQueries {
       import s.implicits._
       rows.toDF("cluster", "idx", "component", "n")
         .orderBy("cluster", "idx")
+    },
+
+    // IVF probe with the TRAINED coarse quantizer (closes the loop
+    // kmeans_centroids opened: ann_ivf assigns with the md5 init, this
+    // assigns with the 2-iteration Lloyd centroids). The oracle
+    // re-derives the trained centroids inside SQL by unrolling both
+    // Lloyd iterations (the kmeans_centroids oracle proved that
+    // construction hash-matches Spark's training bit-for-bit), then
+    // runs the same probe as ann_ivf against them. Spark side: train
+    // via kmeansTrain (k*dim scalars collected, the documented Lloyd
+    // broadcast step), assign the corpus with the native CentroidAssign
+    // (one codegen reference object), and rank probe lists from
+    // one-shot unrolled literal sims (each sim appears once, so no
+    // O(k^2) janino blowup; same literals every run, so the codegen
+    // cache holds across bench passes).
+    Q("ann_ivf_trained", {
+      val K = Centroids
+      val coefs = Similarity.centroidCoefs(K, Dim)
+      val c0rows = (for { c <- 0 until K; i <- 0 until Dim } yield
+        s"($c,${i + 1},${if (coefs(c)(i) > 0) "1.0" else "-1.0"})").mkString(",")
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign1 = (0 until K - 1).map { c =>
+        val rest = (c + 1 until K).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      s"""WITH ev AS (SELECT vec_id, i, round(CAST(embedding[i] AS DOUBLE), 6) AS v
+         |    FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, $Dim)) AS i FROM embeddings)),
+         |c0(c, i, cv) AS (VALUES $c0rows),
+         |a1 AS (SELECT vec_id, CASE $assign1 ELSE ${K - 1} END AS c
+         |       FROM (SELECT vec_id, $ds FROM embeddings)),
+         |m1 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM ev JOIN a1 USING (vec_id) GROUP BY c, i),
+         |c1 AS (SELECT c0.c AS c, c0.i AS i, COALESCE(m1.cv, c0.cv) AS cv
+         |       FROM c0 LEFT JOIN m1 ON c0.c = m1.c AND c0.i = m1.i),
+         |c1a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c1 GROUP BY c),
+         |s2 AS (SELECT e.vec_id, c1a.c,
+         |         round(list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * c1a.cvec[i])), 6) AS sim
+         |       FROM embeddings e CROSS JOIN c1a),
+         |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s2) WHERE rn = 1),
+         |m2 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+         |       FROM ev JOIN a2 USING (vec_id) GROUP BY c, i),
+         |c2 AS (SELECT c1.c AS c, c1.i AS i, COALESCE(m2.cv, c1.cv) AS cv
+         |       FROM c1 LEFT JOIN m2 ON c1.c = m2.c AND c1.i = m2.i),
+         |c2a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c2 GROUP BY c),
+         |s3 AS (SELECT e.vec_id, c2a.c,
+         |         round(list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * c2a.cvec[i])), 6) AS sim
+         |       FROM embeddings e CROSS JOIN c2a),
+         |asg AS (SELECT vec_id, c AS cl FROM (SELECT vec_id, c, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s3) WHERE rn = 1),
+         |n AS (SELECT e.vec_id, e.embedding, asg.cl FROM embeddings e
+         |      JOIN asg USING (vec_id)),
+         |qp AS (SELECT vec_id AS q_id, c AS cl, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS crn
+         |       FROM s3 WHERE vec_id < 20),
+         |p AS (SELECT q.q_id, n.cl AS cl, n.vec_id AS n_id,
+         |    round(${duckDot("qv", "n")} /
+         |      (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("n", "n")})), 6) AS cos_sim
+         |  FROM (SELECT * FROM qp WHERE crn <= $Nprobe) q
+         |  JOIN embeddings qv ON qv.vec_id = q.q_id
+         |  JOIN n ON n.cl = q.cl AND n.vec_id <> q.q_id),
+         |r AS (SELECT q_id, cl, n_id, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, rnk, n_id, cl, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val (cents, _) = Similarity.kmeansTrain(emb, "embedding", Centroids, Dim, 2)
+      val e = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.CentroidAssign(col("embedding"), cents).as("cl"))
+      val sims = cents.toIndexedSeq.map(cen =>
+        round(Similarity.dotLit(col("embedding"), cen), 6))
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(array((0 until Centroids).map(c =>
+            struct(lit(c).as("c"), sims(c).as("s"))): _*)).as("cs"))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cs.s").desc, col("cs.c"))))
+        .filter(col("crn") <= Nprobe)
+        .select(col("q_id"), col("qe"), col("cs.c").as("cl"))
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("cl"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+      n.join(broadcast(probes), Seq("cl")).filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("cl"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "n_id", "cl", "cos_sim")
+        .orderBy("q_id", "rnk")
     }
   )
 }

@@ -64,6 +64,33 @@ class KMeansSpec extends SparkSpec {
     assert(next(winner).forall(v => math.abs(v - 0.5) < 1e-6))
   }
 
+  test("trained IVF probe: recall vs brute force, floor pinned, vs untrained reported") {
+    import org.apache.spark.sql.expressions.Window
+    val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+    // exact top-5 for the SAME probe set (vec_id < 20) as the IVF queries
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    val exact = n.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(name: String): Double = {
+      val got = byName(name).run(spark, sf0001)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val trained = recall("ann_ivf_trained")
+    val untrained = recall("ann_ivf")
+    info(f"recall@5: trained=$trained%.3f untrained=$untrained%.3f (nprobe 2 of 4 lists)")
+    // floor: nprobe/K of the corpus is searched; trained lists must not
+    // collapse below the untrained baseline's neighborhood quality
+    assert(trained >= 0.5, f"trained IVF recall collapsed: $trained%.3f")
+  }
+
   test("training improves within-cluster cosine cohesion over the md5 init") {
     val df = vecs(200).toDF("vec_id", "embedding")
     def cohesion(cents: Array[Array[Double]]): Double = {
