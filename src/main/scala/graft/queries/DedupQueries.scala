@@ -151,6 +151,57 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // INCREMENTAL dedup — the daily production shape: a new batch of
+    // documents screened against the signature store of the existing
+    // corpus, not a whole-corpus self-join. The corpus/batch split is
+    // the same deterministic hash as train_split (bucket >= 90 = the
+    // ~10% "new arrivals"); the store is the DISTINCT minhash band-key
+    // set of the corpus (at scale: a persisted table WRITTEN
+    // PARTITIONED/BUCKETED BY band, so a daily probe shuffles only the
+    // batch — see SCALE.md); a batch doc is a duplicate CANDIDATE iff
+    // any of its B band keys hits the store. The probe is a
+    // shuffle-hash join with the (increment-sized) batch side as
+    // build — the store streams, nothing corpus-sized is broadcast or
+    // held per task.
+    Q("dedup_incremental", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""$minhashCte,
+         |$bandsCte,
+         |tagged AS (SELECT doc_id, $h % 100 AS bucket FROM documents),
+         |store AS (SELECT DISTINCT band FROM bands JOIN tagged USING (doc_id)
+         |          WHERE bucket < 90),
+         |bb AS (SELECT bands.doc_id, band FROM bands JOIN tagged USING (doc_id)
+         |       WHERE bucket >= 90),
+         |hits AS (SELECT bb.doc_id, COUNT(*) AS n_hit_bands
+         |         FROM bb JOIN store USING (band) GROUP BY bb.doc_id)
+         |SELECT t.doc_id, COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+         |  COALESCE(h.n_hit_bands, 0) > 0 AS dup_candidate
+         |FROM tagged t LEFT JOIN hits h USING (doc_id)
+         |WHERE t.bucket >= 90 ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bucket = h32(col("doc_id").cast("string")) % 100
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val corpus = docs.filter(col("bucket") < 90).select("doc_id", "text")
+      val batch = docs.filter(col("bucket") >= 90).select("doc_id", "text")
+      // the signature store: novelty only needs band-key MEMBERSHIP,
+      // so distinct band keys — not (band, doc) — is the stored set
+      val store = Dedup.bandKeys(
+        Dedup.minhashFromText(corpus, "doc_id", "text", K), "doc_id", B, R)
+        .select("band").distinct()
+      val batchBands = Dedup.bandKeys(
+        Dedup.minhashFromText(batch, "doc_id", "text", K), "doc_id", B, R)
+      // store and batch are both unique per band (store by distinct,
+      // batch by the band-index prefix), so count(1) = hit-band count
+      val hits = store.join(batchBands.hint("shuffle_hash"), Seq("band"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit_bands"))
+      batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+          (coalesce(col("n_hit_bands"), lit(0L)) > 0).as("dup_candidate"))
+        .orderBy("doc_id")
+    },
+
     // 16-bit SimHash fingerprints over the token set
     Q("dedup_simhash", {
       val ws = (0 until 16)
