@@ -146,6 +146,31 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // CMS heavy-hitter JOIN GUARD per tumbling window: the same sketch
+    // as cms_sketch but windowed over the event stream — the shape a
+    // streaming pipeline uses to pick next period's salted/broadcast
+    // key list without O(distinct keys) state. Shared implementation
+    // with the watermarked streaming path (WindowedAggs.windowedCms;
+    // StreamingSpec pins streaming==batch parity with late arrivals);
+    // oracle recomputes each probe's d bucket counters per hour.
+    Q("cms_windowed", {
+      val D = 4; val W = 1024
+      val probes = Seq("click", "error")
+      val ests = probes.map { p =>
+        val sums = (0 until D).map { r =>
+          s"SUM(CASE WHEN ${duckH32(r, "event_type")} % $W = ${CountMinSketchAgg.bucket(r, p, W)} THEN 1 ELSE 0 END)"
+        }
+        s"CAST(least(${sums.mkString(", ")}) AS BIGINT) AS est_$p"
+      }
+      s"""SELECT date_trunc('hour', ts) AS w_start, ${ests.mkString(", ")}
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.streaming.WindowedAggs.windowedCms(
+        Tables.load(s, dir, "events"), "event_type",
+        Seq("click", "error"), 4, 1024)
+        .orderBy("w_start")
+    },
+
     // Two-stage salted aggregation (heavy-hitter mitigation): stage 1
     // spreads each key over 16 salt buckets, stage 2 merges partials —
     // a hot key occupies 16 reducers instead of serializing one.

@@ -55,6 +55,36 @@ object WindowedAggs {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Per-window Count-Min heavy-hitter guard — the sketch-as-join-guard
+    * shape: one depth×width CMS of `probeCol` per tumbling window,
+    * probed (plan-time bucket lookups, no second scan) for the keys a
+    * downstream join would have to treat as skewed. In a streaming
+    * pipeline this runs under the watermark in append mode: the window
+    * closes, the sketch's estimates for the probe set are emitted, and
+    * a salted/broadcast join for the next period takes its heavy-key
+    * list from them — mergeable sketch state (CountMinSketchAgg is a
+    * TypedImperativeAggregate, so partial buffers serialize through
+    * the state store) instead of an exact per-key count whose state
+    * would be O(distinct keys). Works identically over a batch frame
+    * (the `cms_windowed` gate query; StreamingSpec pins
+    * streaming==batch parity under late arrivals).
+    */
+  def windowedCms(events: DataFrame, probeCol: String, probes: Seq[String],
+                  depth: Int, width: Int,
+                  window_ : String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.CountMinSketchAgg
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(CountMinSketchAgg(col(probeCol), depth, width).as("sk"))
+      .select(col("w.start").as("w_start") +: probes.map { p =>
+        least((0 until depth).map(r =>
+          element_at(col("sk"), r * width + CountMinSketchAgg.bucket(r, p, width) + 1)): _*)
+          .as(s"est_$p")
+      }: _*)
+  }
+
   // ---- custom keyed state ----
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

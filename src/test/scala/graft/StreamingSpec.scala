@@ -426,6 +426,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed CMS heavy-hitter guard: streaming append == batch, sketch state merges across batches") {
+    import graft.streaming.WindowedAggs
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val probes = Seq("click", "view")
+    val stream = WindowedAggs.windowedCms(
+      mem.toDF(), "event_type", probes, 4, 256)
+    val q = stream.writeStream.format("memory").queryName("cms_win")
+      .outputMode("append").start()
+    val events = Seq(
+      // window 10:00 — click is the heavy hitter
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 2, "click", 1.0),
+      Ev(3, ts("2024-01-01 10:20:00"), 1, "view", 1.0),
+      Ev(4, ts("2024-01-01 10:40:00"), 3, "click", 1.0),
+      // in-watermark late arrival for 10:00, delivered in batch 2
+      Ev(5, ts("2024-01-01 10:55:00"), 2, "click", 1.0))
+    try {
+      mem.addData(events.take(3): _*)
+      q.processAllAvailable()
+      // batch 2: late-but-in-watermark rows MERGE into the open
+      // window's sketch buffer (serialize/merge through the state store)
+      mem.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      // advance the watermark past 11:10 so the 10:00 window seals
+      mem.addData(Ev(6, ts("2024-01-01 11:30:00"), 1, "signup", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cms_win")
+        .select(col("w_start").cast("string"), col("est_click"), col("est_view"))
+        .as[(String, Long, Long)].collect().sorted
+      // batch twin over the SAME sealed-window rows (tuple-projected:
+      // inner-class Ev has no batch encoder scope)
+      val batch = WindowedAggs.windowedCms(
+        events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "event_type", probes, 4, 256)
+        .select(col("w_start").cast("string"), col("est_click"), col("est_view"))
+        .as[(String, Long, Long)].collect().sorted
+      assert(got === batch, "streaming sketch diverged from batch twin")
+      assert(got === Array(("2024-01-01 10:00:00", 4L, 1L)),
+        "heavy-hitter estimate wrong (expect exact at this vocab/width)")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per key, state bounded by watermark") {
     import graft.streaming.StreamDedup
     implicit val ctx = spark.sqlContext
