@@ -202,6 +202,42 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Edit-distance VERIFICATION of the MinHash candidates — the
+    // recall/precision split of a production near-dup pipeline: LSH
+    // banding proposes (recall, bounded pair count by design),
+    // thresholded Levenshtein disposes (precision). Spark's 3-arg
+    // levenshtein bounds each pair to O(len × threshold) work and
+    // returns -1 past the bound (the filter keeps 0..T — identical set
+    // to DuckDB's unbounded levenshtein <= T). Texts reach the verify
+    // join by shuffle keyed on each pair side; candidate pairs are the
+    // build side — nothing corpus-sized is broadcast or rescanned.
+    Q("dedup_edit_verify", {
+      val T = 32
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+         |SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+         |  levenshtein(a.text, b.text) AS edit_dist
+         |FROM pairs JOIN documents a ON d1 = a.doc_id
+         |           JOIN documents b ON d2 = b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= $T
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin
+    }) { (s, dir) =>
+      val T = 32
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashFromText(docs, "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      pairs.hint("shuffle_hash")
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .hint("shuffle_hash")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .select(col("id_a").as("doc_id_1"), col("id_b").as("doc_id_2"),
+          levenshtein(col("ta"), col("tb"), T).as("edit_dist"))
+        .filter(col("edit_dist") >= 0)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+
     // 16-bit SimHash fingerprints over the token set
     Q("dedup_simhash", {
       val ws = (0 until 16)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.{CountMinSketchAgg, WeightedMean}
-import graft.functions.PortableHash.duckH32
+import graft.functions.PortableHash.{duckH32, h32}
 
 /** Remaining extension-point operators: table-generating explode
   * (the UDTF surface, SURVEY §2.7), pivot, exact interpolated
@@ -144,6 +144,46 @@ object ExtraQueries {
             .as(s"est_$p")
         }: _*)
         .orderBy("l_returnflag")
+    },
+
+    // Corpus SNAPSHOT DIFF — the audit step between two versions of a
+    // training corpus: classify every doc as added / removed / changed
+    // / unchanged by comparing content hashes across a full-outer join
+    // on doc_id. Only (doc_id, md5) pairs shuffle — document bodies
+    // never leave their scan. Snapshots are simulated from the fixture
+    // by the train_split hash rule: old = bucket < 95, new = bucket >=
+    // 5, and buckets [40,45) get edited text in the new snapshot.
+    Q("corpus_diff", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (SELECT doc_id, $h % 100 AS bucket, text FROM documents),
+         |a AS (SELECT doc_id, md5(text) AS h FROM s WHERE bucket < 95),
+         |b AS (SELECT doc_id, md5(CASE WHEN bucket >= 40 AND bucket < 45
+         |        THEN text || ' v2' ELSE text END) AS h
+         |      FROM s WHERE bucket >= 5),
+         |d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+         |        WHEN b.doc_id IS NULL THEN 'removed'
+         |        WHEN a.h <> b.h THEN 'changed'
+         |        ELSE 'unchanged' END AS status
+         |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT status, COUNT(*) AS n FROM d GROUP BY status
+         |ORDER BY status""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (h32(col("doc_id").cast("string")) % 100).as("bucket"))
+      val a = docs.filter(col("bucket") < 95)
+        .select(col("doc_id"), md5(col("text")).as("ha"))
+      val b = docs.filter(col("bucket") >= 5)
+        .select(col("doc_id"),
+          md5(when(col("bucket") >= 40 && col("bucket") < 45,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
     },
 
     // CMS heavy-hitter JOIN GUARD per tumbling window: the same sketch

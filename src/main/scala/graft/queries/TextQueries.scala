@@ -163,6 +163,30 @@ object TextQueries {
         .orderBy("lang", "split")
     },
 
+    // Deterministic STRATIFIED sampling — balance a skewed corpus by
+    // language without rand(): per-stratum counts (tiny agg, broadcast
+    // back) set each doc's keep test to h32(doc_id) % stratum_count <
+    // target, so every stratum keeps ~target docs regardless of its
+    // share of the corpus. Reproducible under any partitioning and
+    // re-runnable on a grown corpus (membership shifts only as counts
+    // do — no RNG state to persist). The corpus side streams; only the
+    // per-lang count table moves.
+    Q("stratified_sample", {
+      val target = 30
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+         |SELECT doc_id, lang FROM documents JOIN cnt USING (lang)
+         |WHERE $h % n < $target ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val target = 30
+      val docs = Tables.load(s, dir, "documents")
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      docs.join(broadcast(cnt), "lang")
+        .filter(h32(col("doc_id").cast("string")) % col("n") < target)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // repetition statistics — the Gopher/C4-family repetition filters:
     // type-token ratio, most-frequent-token coverage, most-frequent-
     // bigram coverage. Shape matters at 100 TB: token counts come from
