@@ -244,6 +244,97 @@ object TextQueries {
     // EXACT here and the oracle is the plain grouped count with the
     // same (count DESC, token ASC) total order; FreqItemsSpec covers
     // the lossy (decrement/truncate) regime the oracle can't.
+    // DECONTAMINATION — the eval-leakage check every training corpus
+    // runs: which held-out (test-split) documents share verbatim
+    // n-grams with the train split? Splits come from the train_split
+    // hash rule; evidence n-grams are RARE shingles only (document
+    // frequency <= 20 across the corpus) because ubiquitous n-grams
+    // are function-of-the-language, not leakage — exactly the max-df
+    // cut real decontamination pipelines apply, and ALSO the scale
+    // guard: it bounds the per-shingle join fanout, so the
+    // train x test equi-join on shingle hash stays linear in matches
+    // (never |train| x |test|). Bodies don't join — only (doc, hash)
+    // pairs. Output: each contaminated test doc with its count of
+    // distinct shared rare shingles and of distinct train docs
+    // implicated.
+    Q("decontamination", {
+      val maxDf = 20
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
+         |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle FROM arr),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |rare AS (SELECT shingle FROM dsh GROUP BY shingle
+         |         HAVING COUNT(*) <= $maxDf),
+         |tagged AS (SELECT doc_id, $h % 100 AS bucket FROM documents),
+         |tr AS (SELECT dsh.doc_id, shingle FROM dsh
+         |       JOIN tagged USING (doc_id) JOIN rare USING (shingle)
+         |       WHERE bucket < 80),
+         |te AS (SELECT dsh.doc_id, shingle FROM dsh
+         |       JOIN tagged USING (doc_id) JOIN rare USING (shingle)
+         |       WHERE bucket >= 90)
+         |SELECT te.doc_id,
+         |  COUNT(DISTINCT te.shingle) AS n_shared_shingles,
+         |  COUNT(DISTINCT tr.doc_id) AS n_train_docs
+         |FROM te JOIN tr USING (shingle)
+         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val maxDf = 20
+      val docs = Tables.load(s, dir, "documents")
+      val dsh = graft.ops.Dedup.distinctShingles(docs, "doc_id", "text")
+      val rare = dsh.groupBy("shingle")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select("shingle")
+      val bucket = h32(col("doc_id").cast("string")) % 100
+      val tagged = dsh.join(rare, "shingle")
+        .withColumn("bucket", bucket)
+      val tr = tagged.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      val te = tagged.filter(col("bucket") >= 90)
+        .select(col("doc_id"), col("shingle"))
+      te.join(tr, "shingle")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("train_doc")).as("n_train_docs"))
+        .orderBy("doc_id")
+    },
+
+    // Source MIXING WEIGHTS — temperature-scaled sampling weights per
+    // source (w_s ∝ tokens_s^0.7, the standard upweight-the-tail
+    // recipe for multi-source training data). Cross-engine float
+    // parity: pow() is rounded to 6 dp THEN cast to decimal, the
+    // normalizer is an EXACT decimal sum (order-independent — a double
+    // sum would drift with partitioning and engine), and the final
+    // ratio divides the two exact-decimal-to-double values.
+    Q("source_mix",
+      """WITH t AS (SELECT source, COUNT(*) AS n_docs,
+        |    SUM(len(string_split(text, ' '))) AS n_tokens FROM documents
+        |    GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    CAST(round(pow(n_tokens, 0.7), 6) AS DECIMAL(28,6)) AS raw FROM t)
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(raw AS DOUBLE) /
+        |    CAST(SUM(raw) OVER () AS DOUBLE), 6) AS weight
+        |FROM w ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .withColumn("raw",
+          round(pow(col("n_tokens"), 0.7), 6).cast(DecimalType(28, 6)))
+      // the unpartitioned window is over the SOURCE dimension (tens of
+      // rows after aggregation), not the corpus — same scale class as
+      // any broadcast dimension
+      t.select(col("source"), col("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(col("raw").cast("double") /
+            sum(col("raw")).over(Window.partitionBy()).cast("double"), 6)
+            .as("weight"))
+        .orderBy("source")
+    },
+
     Q("freq_tokens",
       """WITH tc AS (SELECT lang, tok, COUNT(*) AS est FROM
         |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
