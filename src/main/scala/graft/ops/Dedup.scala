@@ -172,10 +172,22 @@ object Dedup {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.repartition(parallelism, col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok")).distinct()
-    val h = h32(0, col("tok"))
+    simhashOf(tok, idCol, "tok", bits)
+  }
+
+  /** SimHash over an arbitrary pre-exploded distinct (id, feature)
+    * frame — the production form runs on SHINGLE features: token-set
+    * simhash saturates on small vocabularies (every long doc contains
+    * every frequent token, so fingerprints tie), while shingle sets
+    * stay discriminative. One partial-aggregable pass: per id,
+    * `bits` vote sums, then the sign bits pack into one long.
+    */
+  def simhashOf(features: DataFrame, idCol: String, featCol: String,
+                bits: Int): DataFrame = {
+    val h = h32(0, col(featCol))
     val weights = (0 until bits).map(j =>
       sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"w$j"))
-    tok.groupBy(col(idCol))
+    features.groupBy(col(idCol))
       .agg(weights.head, weights.tail: _*)
       .select(col(idCol),
         (0 until bits).map(j =>

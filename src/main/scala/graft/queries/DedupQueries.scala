@@ -254,6 +254,65 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // SimHash NEAR-dup pair search with a pigeonhole guarantee: a
+    // 32-bit fingerprint over the SHINGLE set (token-set simhash
+    // saturates on a 31-word vocabulary — every long doc holds every
+    // token and all fingerprints tie; shingle features keep ~30k
+    // distinct values and stay discriminative) split into 4 byte
+    // bands — any pair with Hamming distance <= 3 differs in at most
+    // 3 bands, so it MUST collide on at least one (band, byte)
+    // bucket; candidates from bucket grouping (in-bucket expansion,
+    // same shape as MinHash candidatePairs — never an all-pairs
+    // join), then EXACT verify via bit_count(xor) <= 3 on the two
+    // ints. The whole verify payload is one int per doc: at 100 TB
+    // the pair scan touches 20 bytes/pair. Completeness is structural
+    // (pigeonhole), not probabilistic — unlike MinHash banding.
+    Q("dedup_simhash_pairs", {
+      val ws = (0 until 32)
+        .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS w$j").mkString(", ")
+      val bits = (0 until 32)
+        .map(j => s"(CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""$shingleCtes,
+         |hh AS (SELECT doc_id, ${duckH32(0, "shingle")} AS h FROM dsh),
+         |w AS (SELECT doc_id, $ws FROM hh GROUP BY doc_id),
+         |sg AS (SELECT doc_id, $bits AS simhash FROM w),
+         |bb AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sg),
+         |k AS (SELECT doc_id, simhash, band,
+         |        (simhash >> (band * 8)) & 255 AS nib FROM bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |           a.simhash AS h1, b.simhash AS h2
+         |         FROM k a JOIN k b ON a.band = b.band AND a.nib = b.nib
+         |           AND a.doc_id < b.doc_id)
+         |SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+         |  CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin
+    }) { (s, dir) =>
+      val sh = Dedup.simhashOf(
+        Dedup.distinctShingles(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"), "doc_id", "text"),
+        "doc_id", "shingle", 32)
+      val keyed = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("nib"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.nib").as("nib"))
+      keyed.groupBy("band", "nib")
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a.doc_id").as("doc_id_1"), col("p.b.doc_id").as("doc_id_2"),
+          bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+
     // blocked n-gram Jaccard: pairs sharing >=1 shingle within
     // (lang, length-bucket) blocks, with exact Jaccard over shingle sets
     // Prefix-filtered exact set-similarity self-join (the PPJoin-family

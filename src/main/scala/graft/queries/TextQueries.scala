@@ -244,6 +244,67 @@ object TextQueries {
     // EXACT here and the oracle is the plain grouped count with the
     // same (count DESC, token ASC) total order; FreqItemsSpec covers
     // the lossy (decrement/truncate) regime the oracle can't.
+    // Sequence PACKING — greedy contiguous packing of documents into
+    // fixed-token-budget training sequences (the pretraining batch
+    // construction step). Docs are sharded by portable hash so each
+    // cumulative-sum window is PARTITIONED (a global cumsum would be a
+    // single-partition window — the exact scale bug the prefix-Jaccard
+    // fix removed); within a shard, seq_id = floor(tokens-before/
+    // budget). At cluster scale shards map 1:1 to writer tasks and the
+    // window is per-task streaming state.
+    Q("pack_sequences", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, $h % 8 AS shard,
+         |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (h32(col("doc_id").cast("string")) % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 2048).as("seq_id"))
+        .orderBy("doc_id")
+    },
+
+    // Document CHUNKING — split long documents into fixed-budget token
+    // windows (context-length preparation): one output row per
+    // (doc, chunk), chunk text re-joined from the token slice. Pure
+    // map-side generate — no shuffle at all; chunk counts derive from
+    // the token array already in hand.
+    Q("chunk_documents",
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |c AS (SELECT doc_id, len(a) AS n,
+        |    unnest(generate_series(0, (len(a) - 1) // 64)) AS chunk_idx, a
+        |  FROM arr)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 64) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(a[chunk_idx * 64 + 1 : least(chunk_idx * 64 + 64, n)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val W = 64
+      Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), size(col("a")).as("n"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("a")) - 1) / W).cast("int")),
+            i => slice(col("a"), i * W + 1, lit(W)))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // DECONTAMINATION — the eval-leakage check every training corpus
     // runs: which held-out (test-split) documents share verbatim
     // n-grams with the train split? Splits come from the train_split
