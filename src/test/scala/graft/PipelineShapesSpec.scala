@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Structural guarantees of the round-4 pipeline operators — the
+  * properties the oracle's value-compare can't articulate:
+  * simhash banding's pigeonhole COMPLETENESS, chunking's lossless
+  * reassembly, and packing's budget invariant.
+  */
+class PipelineShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byName(n: String) =
+    SparkEntry.allQueries.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"query $n not registered"))
+
+  test("simhash byte-band candidates are COMPLETE for hamming <= 3 (pigeonhole)") {
+    // brute force the ground truth over the fingerprints themselves
+    val sh = Dedup.simhashOf(
+      Dedup.distinctShingles(
+        Tables.load(spark, sf0001, "documents").select("doc_id", "text"),
+        "doc_id", "text"),
+      "doc_id", "shingle", 32)
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (d1, h1) <- sh; (d2, h2) <- sh
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2)).toSet
+    val got = byName("dedup_simhash_pairs").run(spark, sf0001)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain hamming<=3 pairs")
+    assert(got === truth,
+      s"banding lost ${truth -- got} / invented ${got -- truth}")
+  }
+
+  test("chunking reassembles losslessly and chunk sizes telescope") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n")).as[(Long, String, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val chunks = byName("chunk_documents").run(spark, sf0001)
+      .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      assert(cs.map(_._2).toSeq === cs.indices.toSeq, s"doc $id chunk idx gap")
+      // every chunk but the last is exactly the 64-token budget
+      assert(cs.init.forall(_._3 == 64L), s"doc $id has a short mid chunk")
+      assert(cs.map(_._3).sum === docs(id)._2.toLong, s"doc $id token count")
+      assert(cs.map(_._4).mkString(" ") === docs(id)._1, s"doc $id reassembly")
+    }
+  }
+
+  test("packing never starts a doc past the sequence budget; seq ids dense per shard") {
+    val rows = byName("pack_sequences").run(spark, sf0001)
+      .select("doc_id", "shard", "n_tokens", "seq_id")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val seqs = rs.map(_._4).distinct.sorted
+      assert(seqs.head === 0L && seqs === (0L until seqs.length).toArray.toSeq,
+        s"shard $shard seq ids not dense: ${seqs.take(5).mkString(",")}")
+      // invariant of tokens-before packing: every doc STARTS inside its
+      // sequence's budget window
+      rs.sortBy(_._1).foldLeft(0L) { case (cum, (_, _, n, seq)) =>
+        assert(cum - seq * 2048 < 2048, s"shard $shard doc starts past budget")
+        assert(cum / 2048 === seq, s"shard $shard seq assignment mismatch")
+        cum + n
+      }
+    }
+  }
+}
