@@ -470,6 +470,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup store grows across micro-batches (foreachBatch append path)") {
+    // the SCALE.md signature-store loop: each micro-batch probes the
+    // store, novel docs are emitted AND their band keys appended, so a
+    // later batch dedups against earlier batches' additions — not just
+    // the original corpus.
+    import graft.ops.Dedup
+    import scala.collection.mutable
+    implicit val ctx = spark.sqlContext
+    val (k, b, r) = (12, 6, 2)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandKeys(Dedup.minhashFromText(df, "doc_id", "text", k), "doc_id", b, r)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "red orange yellow green blue indigo violet black white gray"
+    var store = bands(Seq((0L, t1)).toDF("doc_id", "text"))
+      .select("band").distinct().localCheckpoint(true)
+    val novel = mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bb = bands(batch).localCheckpoint(true)
+        val dup = bb.join(store, Seq("band")).select("doc_id").distinct()
+        val nov = batch.select("doc_id").except(dup)
+        novel ++= nov.as[Long].collect().sorted
+        store = store.union(bb.join(nov, Seq("doc_id")).select("band"))
+          .distinct().localCheckpoint(true)
+      }.start()
+    try {
+      mem.addData((1L, t1), (2L, t2)) // 1 dups the corpus; 2 is novel
+      q.processAllAvailable()
+      assert(novel.toSeq === Seq(2L), s"batch 1 novel set wrong: $novel")
+      // batch 2: doc 3 duplicates doc 2 — only caught if the store GREW
+      mem.addData((3L, t2), (4L, t3))
+      q.processAllAvailable()
+      assert(novel.toSeq === Seq(2L, 4L),
+        s"store did not grow across batches: $novel")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per key, state bounded by watermark") {
     import graft.streaming.StreamDedup
     implicit val ctx = spark.sqlContext
