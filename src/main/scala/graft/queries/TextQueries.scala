@@ -342,7 +342,13 @@ object TextQueries {
     }) { (s, dir) =>
       val maxDf = 20
       val docs = Tables.load(s, dir, "documents")
+      // materialize the (doc, shingle) index ONCE — rare + both split
+      // branches would otherwise each re-shingle the corpus (the same
+      // ReuseExchange-defeating branch shape as dedup_prefix_jaccard);
+      // at scale this materialization IS the decontamination index a
+      // production pipeline persists
       val dsh = graft.ops.Dedup.distinctShingles(docs, "doc_id", "text")
+        .localCheckpoint(false)
       val rare = dsh.groupBy("shingle")
         .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         .select("shingle")
