@@ -72,8 +72,11 @@ object Bench {
     // since everything Spark/JVM emits goes to stderr — and (3) to
     // stdout again AFTER spark.stop(), so a pure tail-capture also
     // ends on an intact copy whatever shutdown noise precedes it.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a name-filtered run is a local iteration tool — never let its
+    // partial total clobber the full-suite artifact
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     Console.out.flush()
     spark.stop()

@@ -98,21 +98,29 @@ object Dedup {
           lit(band.toString) +: (0 until r).map(j => col(s"m${band * r + j}")): _*)
       }: _*)).as("band"))
 
-  /** Candidate duplicate pairs: ids sharing at least one band key.
-    * Implemented as groupBy(band) + in-bucket pair expansion rather
-    * than a band self-join — a self-join would recompute the whole
-    * shingle->minhash pipeline for both sides (2x the dominant cost),
-    * and at scale would shuffle the bands twice. Bucket sizes are small
-    * by LSH design, so the quadratic expansion stays local and cheap.
+  /** In-bucket pair expansion — THE candidate-generation idiom shared
+    * by every blocked/banded dedup here (MinHash bands, prefix-shingle
+    * buckets, simhash byte bands): group by the bucket key(s), collect
+    * the sorted distinct payloads, and explode each bucket's unordered
+    * pairs (a < b in sort order, which for struct payloads is
+    * first-field order). Never a self-join — a self-join would
+    * recompute the upstream pipeline for both sides and shuffle it
+    * twice; bucket sizes are bounded by blocking design, so the
+    * quadratic expansion stays local. Output: struct columns `a`, `b`.
     */
+  def bucketPairs(df: DataFrame, bucketCols: Seq[Column], payload: Column): DataFrame =
+    df.groupBy(bucketCols: _*)
+      .agg(sort_array(collect_set(payload)).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Candidate duplicate pairs: ids sharing at least one band key. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
-    bands.groupBy(col("band"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    bucketPairs(bands, Seq(col("band")), col(idCol))
+      .select(col("a").as("id_a"), col("b").as("id_b")).distinct()
 
   /** Connected components over candidate duplicate pairs: every doc in
     * a pair gets `cluster_id` = the minimum doc id reachable through

@@ -140,7 +140,7 @@ case class TopKPerGroupExec(
             out.next()
           }
           private def refill(): Unit = {
-            while (iter.hasNext && retained <= cap) {
+            while (iter.hasNext && retained < cap) {
               val row = iter.next()
               val heap = heaps.getOrElseUpdate(groupProj(row).copy(),
                 mutable.PriorityQueue.empty[InternalRow](ordering))
@@ -157,17 +157,22 @@ case class TopKPerGroupExec(
       }
     } else {
       child.execute().mapPartitions { iter =>
-        val groupProj = UnsafeProjection.create(grouping, childOutput)
+        // group-run boundaries MUST use the sort's own equality, not
+        // UnsafeRow byte equality: SQL ordering treats -0.0 == 0.0 (and
+        // canonicalizes NaN), so byte comparison would split one sorted
+        // run of float keys into several and emit extra ranked rows
+        val groupOrdering = RowOrdering.create(
+          grouping.map(SortOrder(_,
+            org.apache.spark.sql.catalyst.expressions.Ascending)), childOutput)
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
         // input is (group, order)-sorted: a group is one consecutive
         // run; emit ranks 1..k per run, skip the rest. O(1) memory.
-        var currentGroup: InternalRow = null
+        var currentRow: InternalRow = null
         var rank = 0
         iter.flatMap { row =>
-          val g = groupProj(row)
-          if (currentGroup == null || g != currentGroup) {
-            currentGroup = g.copy()
+          if (currentRow == null || groupOrdering.compare(row, currentRow) != 0) {
+            currentRow = row.copy()
             rank = 0
           }
           if (rank < limit) {
@@ -217,7 +222,14 @@ object TopKPerGroup {
       plan.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
-    val g = groupCols.map(attr)
+    // float/double group keys must be normalized (-0.0 -> 0.0, one
+    // canonical NaN) BEFORE they feed hashpartitioning / heap keys /
+    // the run-boundary ordering: Spark's NormalizeFloatingNumbers rule
+    // does this for Aggregate/Window/Join but does not look inside
+    // foreign nodes, so un-normalized keys would split one group
+    // across exchange partitions. No-op for non-float types.
+    val g: Seq[Expression] = groupCols.map(a =>
+      GraftSqlBridge.normalizeFloat(attr(a)))
     val o = order.map { case (n, desc) =>
       SortOrder(attr(n),
         if (desc) org.apache.spark.sql.catalyst.expressions.Descending

@@ -180,22 +180,29 @@ object DedupQueries {
          |WHERE t.bucket >= 90 ORDER BY t.doc_id""".stripMargin
     }) { (s, dir) =>
       val bucket = h32(col("doc_id").cast("string")) % 100
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"), bucket.as("bucket"))
-      val corpus = docs.filter(col("bucket") < 90).select("doc_id", "text")
-      val batch = docs.filter(col("bucket") >= 90).select("doc_id", "text")
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      // ONE shingle->minhash->band pipeline over the whole table,
+      // bucket-tagged (the split key derives from doc_id, no join
+      // back) and materialized once — separate corpus/batch pipelines
+      // would scan and re-shingle the documents twice. Mirrors the
+      // oracle's shared bands/tagged CTEs.
+      val allBands = Dedup.bandKeys(
+        Dedup.minhashFromText(docs, "doc_id", "text", K), "doc_id", B, R)
+        .withColumn("bucket", bucket)
+        .localCheckpoint(false)
       // the signature store: novelty only needs band-key MEMBERSHIP,
       // so distinct band keys — not (band, doc) — is the stored set
-      val store = Dedup.bandKeys(
-        Dedup.minhashFromText(corpus, "doc_id", "text", K), "doc_id", B, R)
-        .select("band").distinct()
-      val batchBands = Dedup.bandKeys(
-        Dedup.minhashFromText(batch, "doc_id", "text", K), "doc_id", B, R)
+      val store = allBands.filter(col("bucket") < 90).select("band").distinct()
+      val batchBands = allBands.filter(col("bucket") >= 90)
+        .select("doc_id", "band")
       // store and batch are both unique per band (store by distinct,
       // batch by the band-index prefix), so count(1) = hit-band count
       val hits = store.join(batchBands.hint("shuffle_hash"), Seq("band"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit_bands"))
-      batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+      // batch doc list comes from the TABLE, not the band frame: a doc
+      // too short to shingle has no bands but is still a (novel) batch doc
+      docs.select(col("doc_id")).filter(bucket >= 90)
+        .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
           (coalesce(col("n_hit_bands"), lit(0L)) > 0).as("dup_candidate"))
@@ -299,14 +306,10 @@ object DedupQueries {
           .as("bk"))
         .select(col("doc_id"), col("simhash"),
           col("bk.band").as("band"), col("bk.nib").as("nib"))
-      keyed.groupBy("band", "nib")
-        .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("xs"))
-        .filter(size(col("xs")) > 1)
-        .select(explode(flatten(transform(col("xs"), (x, i) =>
-          transform(slice(col("xs"), i + 2, size(col("xs"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a.doc_id").as("doc_id_1"), col("p.b.doc_id").as("doc_id_2"),
-          bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+      Dedup.bucketPairs(keyed, Seq(col("band"), col("nib")),
+          struct(col("doc_id"), col("simhash")))
+        .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
             .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()

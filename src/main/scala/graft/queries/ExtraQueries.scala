@@ -171,15 +171,20 @@ object ExtraQueries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           (h32(col("doc_id").cast("string")) % 100).as("bucket"))
+      // presence markers, NOT hash nullness, decide added/removed —
+      // md5(NULL text) is null while the doc exists in both snapshots
+      // (the oracle branches on doc_id nullness; `ha <> hb` on two
+      // nulls is null and falls through to 'unchanged' on both engines)
       val a = docs.filter(col("bucket") < 95)
-        .select(col("doc_id"), md5(col("text")).as("ha"))
+        .select(col("doc_id"), md5(col("text")).as("ha"), lit(true).as("in_a"))
       val b = docs.filter(col("bucket") >= 5)
         .select(col("doc_id"),
           md5(when(col("bucket") >= 40 && col("bucket") < 45,
-            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("hb"))
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("hb"),
+          lit(true).as("in_b"))
       a.join(b, Seq("doc_id"), "full_outer")
-        .select(when(col("ha").isNull, "added")
-          .when(col("hb").isNull, "removed")
+        .select(when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
           .when(col("ha") =!= col("hb"), "changed")
           .otherwise("unchanged").as("status"))
         .groupBy("status").agg(count(lit(1)).as("n"))

@@ -71,18 +71,14 @@ object PrefixJaccard {
     candidatesFrom(docsets(s, dir), t)
 
   private def candidatesFrom(ds: DataFrame, t: Double): DataFrame =
-    rankedShingles(ds)
-      // prefix length n - ceil(t*n) + 1: a pair with J >= t MUST
-      // collide inside both prefixes under any consistent global order
-      .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      .groupBy("h")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
-        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+    Dedup.bucketPairs(
+      rankedShingles(ds)
+        // prefix length n - ceil(t*n) + 1: a pair with J >= t MUST
+        // collide inside both prefixes under any consistent global order
+        .filter(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1),
+      Seq(col("h")), struct(col("doc_id"), col("n")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t —
       // prune before the distinct shuffle and the verify join
       // (completeness preserved; ~24% of candidates on the fixture)

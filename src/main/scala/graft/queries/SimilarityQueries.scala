@@ -24,6 +24,49 @@ object SimilarityQueries {
   private def duckDot(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
 
+  /** Shared 2-iteration unrolled Lloyd CTE chain over `embeddings`
+    * for `k` md5-init centroids — ONE definition serves both the
+    * kmeans_centroids oracle and the ann_ivf_trained oracle (the
+    * trickiest SQL in the repo: decimal-exact order-independent
+    * means, 6-dp pre-round, empty-cluster COALESCE; a fix applied to
+    * one copy but not another would silently diverge). Defines CTEs
+    * ev, c0, a1, m1, c1, c1a, s2, a2 and m2 (cv = new component, n =
+    * member count); callers append their tail after a trailing comma.
+    */
+  private def duckLloyd2(k: Int): String = {
+    val coefs = Similarity.centroidCoefs(k, Dim)
+    val c0rows = (for { c <- 0 until k; i <- 0 until Dim } yield
+      s"($c,${i + 1},${if (coefs(c)(i) > 0) "1.0" else "-1.0"})").mkString(",")
+    val ds = coefs.zipWithIndex.map { case (cen, c) =>
+      val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
+    }.mkString(",\n    ")
+    val assign1 = (0 until k - 1).map { c =>
+      val rest = (c + 1 until k).map(o => s"d_$c >= d_$o").mkString(" AND ")
+      s"WHEN $rest THEN $c"
+    }.mkString(" ")
+    s"""WITH ev AS (SELECT vec_id, i, round(CAST(embedding[i] AS DOUBLE), 6) AS v
+       |    FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, $Dim)) AS i FROM embeddings)),
+       |c0(c, i, cv) AS (VALUES $c0rows),
+       |a1 AS (SELECT vec_id, CASE $assign1 ELSE ${k - 1} END AS c
+       |       FROM (SELECT vec_id, $ds FROM embeddings)),
+       |m1 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+       |       FROM ev JOIN a1 USING (vec_id) GROUP BY c, i),
+       |c1 AS (SELECT c0.c AS c, c0.i AS i, COALESCE(m1.cv, c0.cv) AS cv
+       |       FROM c0 LEFT JOIN m1 ON c0.c = m1.c AND c0.i = m1.i),
+       |c1a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c1 GROUP BY c),
+       |s2 AS (SELECT e.vec_id, c1a.c,
+       |         round(list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * c1a.cvec[i])), 6) AS sim
+       |       FROM embeddings e CROSS JOIN c1a),
+       |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (
+       |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s2) WHERE rn = 1),
+       |m2 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv,
+       |         COUNT(*) AS n
+       |       FROM ev JOIN a2 USING (vec_id) GROUP BY c, i)""".stripMargin
+  }
+
   /** DuckDB literal for the md5-derived hyperplane coefficients —
     * identical constants to [[Similarity.planeCoefs]].
     */
@@ -173,41 +216,10 @@ object SimilarityQueries {
     // (order-independent, so Spark's distributed partial aggregation
     // and DuckDB's single-node scan produce bit-identical centroids),
     // empty clusters keep their previous centroid on both engines.
-    Q("kmeans_centroids", {
-      val coefs = Similarity.centroidCoefs(KmeansK, Dim)
-      val c0rows = (for { c <- 0 until KmeansK; i <- 0 until Dim } yield
-        s"($c,${i + 1},${if (coefs(c)(i) > 0) "1.0" else "-1.0"})").mkString(",")
-      val ds = coefs.zipWithIndex.map { case (cen, c) =>
-        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
-      }.mkString(",\n    ")
-      val assign1 = (0 until KmeansK - 1).map { c =>
-        val rest = (c + 1 until KmeansK).map(o => s"d_$c >= d_$o").mkString(" AND ")
-        s"WHEN $rest THEN $c"
-      }.mkString(" ")
-      s"""WITH ev AS (SELECT vec_id, i, round(CAST(embedding[i] AS DOUBLE), 6) AS v
-         |    FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, $Dim)) AS i FROM embeddings)),
-         |c0(c, i, cv) AS (VALUES $c0rows),
-         |a1 AS (SELECT vec_id, CASE $assign1 ELSE ${KmeansK - 1} END AS c
-         |       FROM (SELECT vec_id, $ds FROM embeddings)),
-         |m1 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
-         |       FROM ev JOIN a1 USING (vec_id) GROUP BY c, i),
-         |c1 AS (SELECT c0.c AS c, c0.i AS i, COALESCE(m1.cv, c0.cv) AS cv
-         |       FROM c0 LEFT JOIN m1 ON c0.c = m1.c AND c0.i = m1.i),
-         |c1a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c1 GROUP BY c),
-         |s2 AS (SELECT e.vec_id, c1a.c,
-         |         round(list_sum(list_transform(generate_series(1, $Dim),
-         |           i -> CAST(e.embedding[i] AS DOUBLE) * c1a.cvec[i])), 6) AS sim
-         |       FROM embeddings e CROSS JOIN c1a),
-         |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (
-         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s2) WHERE rn = 1),
-         |m2 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS component,
-         |         COUNT(*) AS n
-         |       FROM ev JOIN a2 USING (vec_id) GROUP BY c, i)
-         |SELECT c AS cluster, CAST(i - 1 AS INT) AS idx, component, n
-         |FROM m2 ORDER BY cluster, idx""".stripMargin
-    }) { (s, dir) =>
+    Q("kmeans_centroids",
+      s"""${duckLloyd2(KmeansK)}
+         |SELECT c AS cluster, CAST(i - 1 AS INT) AS idx, cv AS component, n
+         |FROM m2 ORDER BY cluster, idx""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val (cents, counts) =
         Similarity.kmeansTrain(emb, "embedding", KmeansK, Dim, 2)
@@ -233,38 +245,8 @@ object SimilarityQueries {
     // one-shot unrolled literal sims (each sim appears once, so no
     // O(k^2) janino blowup; same literals every run, so the codegen
     // cache holds across bench passes).
-    Q("ann_ivf_trained", {
-      val K = Centroids
-      val coefs = Similarity.centroidCoefs(K, Dim)
-      val c0rows = (for { c <- 0 until K; i <- 0 until Dim } yield
-        s"($c,${i + 1},${if (coefs(c)(i) > 0) "1.0" else "-1.0"})").mkString(",")
-      val ds = coefs.zipWithIndex.map { case (cen, c) =>
-        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
-      }.mkString(",\n    ")
-      val assign1 = (0 until K - 1).map { c =>
-        val rest = (c + 1 until K).map(o => s"d_$c >= d_$o").mkString(" AND ")
-        s"WHEN $rest THEN $c"
-      }.mkString(" ")
-      s"""WITH ev AS (SELECT vec_id, i, round(CAST(embedding[i] AS DOUBLE), 6) AS v
-         |    FROM (SELECT vec_id, embedding,
-         |          unnest(generate_series(1, $Dim)) AS i FROM embeddings)),
-         |c0(c, i, cv) AS (VALUES $c0rows),
-         |a1 AS (SELECT vec_id, CASE $assign1 ELSE ${K - 1} END AS c
-         |       FROM (SELECT vec_id, $ds FROM embeddings)),
-         |m1 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
-         |       FROM ev JOIN a1 USING (vec_id) GROUP BY c, i),
-         |c1 AS (SELECT c0.c AS c, c0.i AS i, COALESCE(m1.cv, c0.cv) AS cv
-         |       FROM c0 LEFT JOIN m1 ON c0.c = m1.c AND c0.i = m1.i),
-         |c1a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c1 GROUP BY c),
-         |s2 AS (SELECT e.vec_id, c1a.c,
-         |         round(list_sum(list_transform(generate_series(1, $Dim),
-         |           i -> CAST(e.embedding[i] AS DOUBLE) * c1a.cvec[i])), 6) AS sim
-         |       FROM embeddings e CROSS JOIN c1a),
-         |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER (
-         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s2) WHERE rn = 1),
-         |m2 AS (SELECT c, i, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
-         |       FROM ev JOIN a2 USING (vec_id) GROUP BY c, i),
+    Q("ann_ivf_trained",
+      s"""${duckLloyd2(Centroids)},
          |c2 AS (SELECT c1.c AS c, c1.i AS i, COALESCE(m2.cv, c1.cv) AS cv
          |       FROM c1 LEFT JOIN m2 ON c1.c = m2.c AND c1.i = m2.i),
          |c2a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c2 GROUP BY c),
@@ -288,8 +270,7 @@ object SimilarityQueries {
          |r AS (SELECT q_id, cl, n_id, cos_sim, row_number() OVER (
          |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
          |SELECT q_id, rnk, n_id, cl, cos_sim FROM r WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val (cents, _) = Similarity.kmeansTrain(emb, "embedding", Centroids, Dim, 2)
       val e = emb.select(col("vec_id"), col("embedding"),

@@ -20,6 +20,14 @@ object GraftSqlBridge {
     */
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
 
+  /** `NormalizeFloatingNumbers.normalize` is `private[sql]`; foreign
+    * plan nodes must normalize float/double grouping keys themselves
+    * (the optimizer rule only rewrites known operators), so re-export
+    * it. No-op for types that don't need normalization.
+    */
+  def normalizeFloat(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** `Dataset.ofRows` is `private[sql]`; custom logical operators
     * (graft.plans.TopKPerGroup) need it to wrap their plan node in a
     * DataFrame.

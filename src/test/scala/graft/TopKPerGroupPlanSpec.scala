@@ -71,6 +71,20 @@ class TopKPerGroupPlanSpec extends SparkSpec {
     assert(parts.exceptAll(one).isEmpty && one.exceptAll(parts).isEmpty)
   }
 
+  test("float group keys: -0.0 and 0.0 are ONE group (sort-equality, not byte-equality)") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("g", "id")
+    val native = TopKPerGroup(df, Seq("g"), Seq(("id", false)), 2)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    // Spark's groupBy/window normalize -0.0 into 0.0: one group of ids
+    // {1,2,3} (top-2 = 1,2) plus {4} — the native operator must agree
+    assert(native.count() === windowed.count(),
+      "byte-equality split the -0.0/0.0 run into extra ranked rows")
+    assert(native.select("id", "rn").exceptAll(windowed.select("id", "rn")).isEmpty)
+  }
+
   test("k larger than group size returns whole groups, ranks dense from 1") {
     val native = TopKPerGroup(
       li.filter(col("l_orderkey") < 100), Seq("l_returnflag"),
