@@ -32,6 +32,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental probes the store by shuffle-hash, batch side as build") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("ShuffledHashJoin") && p.contains("BuildRight"),
+      s"store probe is not a batch-build shuffle-hash join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"incremental dedup funnels through one partition:\n$p")
+  }
+
   test("q1_agg combines map-side (partial aggregation before the exchange)") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
