@@ -45,7 +45,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that materialize an intermediate (localCheckpoint
+      // signature stores) leave blocks behind until the driver GCs the
+      // RDD — with 3 executions per query that's up to 3 corpus-sized
+      // copies pressuring memory and skewing later timings. No query
+      // persists state ACROSS runs, so release everything eagerly.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
     // warmup pass: JIT + classloading + page cache (cold-start cost is
     // ~5x on the first queries and not what's being measured); then two

@@ -208,15 +208,20 @@ object TopKPerGroup {
     * `row_number() OVER w <= k`. Columns are resolved here against the
     * analyzed child (name-based), so the node enters the plan fully
     * resolved — the analyzer does not resolve expressions inside
-    * foreign operators.
-    */
-  /** `maxRetained` caps the partial pass's heap memory in ROWS per
-    * task (default 1M ≈ tens–low-hundreds of MB of UnsafeRows); past
-    * it, survivors flush downstream and pruning restarts block-wise.
+    * foreign operators. `maxRetained` caps the partial pass's heap
+    * memory in ROWS per task (default 1M ≈ tens–low-hundreds of MB of
+    * UnsafeRows); past it, survivors flush downstream and pruning
+    * restarts block-wise.
     */
   def apply(df: DataFrame, groupCols: Seq[String], order: Seq[(String, Boolean)],
             k: Int, rankName: String = "rn",
             maxRetained: Int = 1 << 20): DataFrame = {
+    // k <= 0 would emit nothing but still heap; maxRetained <= 0 would
+    // make the partial refill loop unable to consume ANY row — the
+    // iterator would spin forever in a Spark task. Fail at build time.
+    require(k > 0, s"k must be positive, got $k")
+    require(maxRetained >= k,
+      s"maxRetained ($maxRetained) must be >= k ($k) so one full heap fits")
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute =
       plan.output.find(_.name.equalsIgnoreCase(n)).getOrElse(

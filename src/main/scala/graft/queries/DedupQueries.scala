@@ -90,6 +90,21 @@ object DedupQueries {
     s"bands AS (SELECT doc_id, unnest([${keys.mkString(", ")}]) AS band FROM mh)"
   }
 
+  /** Bucket-tagged band keys over the whole documents table — the
+    * incremental-dedup pipeline BEFORE its localCheckpoint, exposed
+    * separately because the checkpoint hides everything upstream
+    * behind a Scan ExistingRDD boundary: PlanShapeSpec asserts the
+    * no-single-partition property on THIS frame, the query
+    * materializes it.
+    */
+  private[graft] def incrementalBands(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    Dedup.bandKeys(
+      Dedup.minhashFromText(docs, "doc_id", "text", K), "doc_id", B, R)
+      .withColumn("bucket", h32(col("doc_id").cast("string")) % 100)
+  }
+
   def all: Seq[Q] = Seq(
 
     // exact dedup: group on md5(text) (16-byte shuffle key, not the body)
@@ -186,10 +201,7 @@ object DedupQueries {
       // back) and materialized once — separate corpus/batch pipelines
       // would scan and re-shingle the documents twice. Mirrors the
       // oracle's shared bands/tagged CTEs.
-      val allBands = Dedup.bandKeys(
-        Dedup.minhashFromText(docs, "doc_id", "text", K), "doc_id", B, R)
-        .withColumn("bucket", bucket)
-        .localCheckpoint(false)
+      val allBands = incrementalBands(s, dir).localCheckpoint(false)
       // the signature store: novelty only needs band-key MEMBERSHIP,
       // so distinct band keys — not (band, doc) — is the stored set
       val store = allBands.filter(col("bucket") < 90).select("band").distinct()

@@ -342,26 +342,33 @@ object TextQueries {
     }) { (s, dir) =>
       val maxDf = 20
       val docs = Tables.load(s, dir, "documents")
-      // materialize the (doc, shingle) index ONCE — rare + both split
-      // branches would otherwise each re-shingle the corpus (the same
-      // ReuseExchange-defeating branch shape as dedup_prefix_jaccard);
-      // at scale this materialization IS the decontamination index a
-      // production pipeline persists
+      // materialize the (doc, shingle-HASH) index ONCE — rare + both
+      // split branches would otherwise each re-shingle the corpus (the
+      // same ReuseExchange-defeating branch shape as
+      // dedup_prefix_jaccard); at scale this materialization IS the
+      // decontamination index a production pipeline persists. Shingle
+      // STRINGS never leave the scan stage: everything wide (df
+      // counts, the train x test equi-join, the distinct counts) runs
+      // on 8-byte xxhash64 keys — same accepted collision class
+      // (~1e-11 at the fixture dictionary) as the prefix-Jaccard
+      // verify arrays; the oracle counts strings, so a collision
+      // would surface as a gate mismatch, not silent corruption.
       val dsh = graft.ops.Dedup.distinctShingles(docs, "doc_id", "text")
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
         .localCheckpoint(false)
-      val rare = dsh.groupBy("shingle")
+      val rare = dsh.groupBy("h")
         .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        .select("shingle")
+        .select("h")
       val bucket = h32(col("doc_id").cast("string")) % 100
-      val tagged = dsh.join(rare, "shingle")
+      val tagged = dsh.join(rare, "h")
         .withColumn("bucket", bucket)
       val tr = tagged.filter(col("bucket") < 80)
-        .select(col("doc_id").as("train_doc"), col("shingle"))
+        .select(col("doc_id").as("train_doc"), col("h"))
       val te = tagged.filter(col("bucket") >= 90)
-        .select(col("doc_id"), col("shingle"))
-      te.join(tr, "shingle")
+        .select(col("doc_id"), col("h"))
+      te.join(tr, "h")
         .groupBy("doc_id")
-        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        .agg(countDistinct(col("h")).as("n_shared_shingles"),
           countDistinct(col("train_doc")).as("n_train_docs"))
         .orderBy("doc_id")
     },

@@ -38,6 +38,13 @@ class PlanShapeSpec extends SparkSpec {
       s"store probe is not a batch-build shuffle-hash join:\n$p")
     assert(!p.contains("SinglePartition"),
       s"incremental dedup funnels through one partition:\n$p")
+    // the band pipeline itself hides behind the localCheckpoint's Scan
+    // ExistingRDD boundary in the query plan — assert its shape on the
+    // un-checkpointed frame
+    val bands = graft.queries.DedupQueries.incrementalBands(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!bands.contains("SinglePartition"),
+      s"band pipeline funnels through one partition:\n$bands")
   }
 
   test("q1_agg combines map-side (partial aggregation before the exchange)") {
