@@ -373,6 +373,192 @@ object TpchQueries {
       Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       Tables.load(s, dir, "part").createOrReplaceTempView("part")
       s.sql(TpchQueries.q17Sql)
+    },
+
+    // Q4-style: order-priority checking — a correlated EXISTS whose
+    // predicate references BOTH sides (l_shipdate > o_orderdate + 30d
+    // stands in for TPC-H's l_commitdate < l_receiptdate, absent from
+    // the driver schema). The DataFrame form is the decorrelated plan
+    // spelled directly: a LEFT SEMI join on the order key with the
+    // mixed-side lateness residual evaluated inside the hash join —
+    // lineitem is never aggregated or deduplicated first, and each
+    // order row is emitted at most once no matter how many late lines
+    // match. At 100 TB both sides shuffle once on the join key; the
+    // date filter cuts orders before the shuffle.
+    Q("q4_priority",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q9-style: product-type profit by nation and year. The driver
+    // schema has no partsupp, so supply cost is proxied as
+    // 0.6 x p_retailprice (decimal-exact: every term stays DECIMAL
+    // until the final output cast, so grouping order can't perturb the
+    // sum). Plan shape: the two dims that shrink the fact (part-name
+    // filter, supplier->nation) broadcast; orders joins shuffle-side;
+    // one aggregate on (nation, year).
+    Q("q9_profit",
+      """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * 0.6 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%blue%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part").filter(col("p_name").contains("blue"))
+        .select("p_partkey", "p_retailprice")
+      val su = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit =
+        revenue - dec(col("p_retailprice"), 12, 2) * lit(BigDecimal("0.6")) *
+          dec(col("l_quantity"), 12, 2)
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy("nation", "o_year")
+    },
+
+    // Q12-style: late-shipment counts by return flag split into
+    // high/low order priority (l_returnflag stands in for the absent
+    // l_shipmode). Conditional COUNT over one fact pass — numerator
+    // and denominator classes come from the same shuffle, no second
+    // scan, no self-join.
+    Q("q12_shipmode",
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_linestatus = 'F'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_linestatus") === "F"
+          && col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // Q11-style: important stock — parts whose value (from NATION_0
+    // suppliers' shipments; lineitem stands in for partsupp) exceeds a
+    // fixed fraction of the nation's total. The threshold compare is
+    // kept integer-decimal-exact on BOTH engines by comparing
+    // val x 500 > total instead of val > total x 0.002 — a fractional
+    // decimal multiply would overflow Spark's 38-digit precision and
+    // round, and a rounded threshold can flip borderline parts. The
+    // Spark side evaluates the total as a 1-row broadcast joined into
+    // the filter (the uncorrelated-scalar plan), so the per-part table
+    // streams once.
+    Q("q11_important_stock", TpchQueries.q11Sql) { (s, dir) =>
+      val su = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_0")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val nval = Tables.load(s, dir, "lineitem")
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_quantity"), 12, 2))
+          .cast(DecimalType(18, 4)).as("val"))
+      val total = nval.agg(sum(col("val")).as("total"))
+      nval.join(broadcast(total))
+        .filter(col("val") * 500 > col("total"))
+        .select(col("l_partkey"), col("val").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // Q20-style: nested-IN chain — suppliers who moved a large total
+    // quantity of some PROMO part. Each IN becomes a semi join: the
+    // part filter broadcasts into lineitem's scan, the per
+    // (supplier, part) HAVING aggregate is map-side-combined before
+    // its one shuffle, and the surviving supplier keys (tiny) semi-
+    // join supplier. Nothing here materializes the fact table twice.
+    Q("q20_excess",
+      """SELECT s_name, n_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100)
+        |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      val promo = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val bigMovers = Tables.load(s, dir, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(dec(col("l_quantity"), 12, 2)).as("q"))
+        .filter(col("q") > 100)
+        .select("l_suppkey")
+      // the survivor key set is small BY CONSTRUCTION (the HAVING
+      // threshold keeps only heavy movers), but that's a post-aggregate
+      // fact Catalyst can't see statically — hint the broadcast so the
+      // supplier table never shuffles for the semi join
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(bigMovers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+
+    // Q2-style: minimum-cost supplier — a correlated scalar MIN
+    // subquery over the same join tree as the outer query (unit price
+    // from lineitem stands in for ps_supplycost). One SQL text for
+    // both engines: the modality under test is Catalyst decorrelating
+    // the per-part MIN into an aggregate + join instead of re-running
+    // the inner query per outer row (which at 100 TB would be
+    // O(|part| x |lineitem|)). Division of two stored doubles is
+    // bit-deterministic IEEE on both engines, so the equality join on
+    // unit_price is exact.
+    Q("q2_min_cost", TpchQueries.q2Sql) { (s, dir) =>
+      Seq("part", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(TpchQueries.q2Sql)
+    },
+
+    // Q21-style: suppliers who kept orders waiting — the double
+    // correlated existential: EXISTS (another supplier on the same
+    // order) AND NOT EXISTS (another supplier who shipped LATER).
+    // One SQL text for both engines; Spark decorrelates the EXISTS to
+    // a semi join and the NOT EXISTS (with its non-equi shipdate
+    // correlation) to an anti join — three passes over lineitem's
+    // orderkey-hashed shuffle, never a per-row subquery loop.
+    Q("q21_waiting", TpchQueries.q21Sql) { (s, dir) =>
+      Seq("lineitem", "orders", "supplier", "nation")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(TpchQueries.q21Sql)
     }
   )
 
@@ -400,6 +586,63 @@ object TpchQueries {
       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q11 (important stock): HAVING-against-fraction-of-total with the
+    * compare kept decimal-exact via an integer multiply (see the Q
+    * comment — a 0.002 decimal multiply would round under Spark's
+    * 38-digit cap).
+    */
+  val q11Sql: String =
+    """WITH nval AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_0'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+      |FROM nval
+      |WHERE val * 500 > (SELECT SUM(val) FROM nval)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** Q2 (min-cost supplier): correlated scalar MIN over a join tree —
+    * one SQL text, decorrelated by Catalyst, oracled verbatim.
+    */
+  val q2Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  l_extendedprice / l_quantity AS unit_price
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND r_name = 'EUROPE'
+      |  AND l_extendedprice / l_quantity = (
+      |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** Q21 (waiting suppliers): double correlated existential with a
+    * non-equi correlation in the NOT EXISTS; lateness is
+    * l_shipdate > o_orderdate + 30 days (no commit/receipt dates in
+    * the driver schema).
+    */
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
   /** Q22 (idle rich customers): uncorrelated scalar AVG + correlated
     * NOT EXISTS; avg written as decimal-sum / count for float parity.

@@ -150,4 +150,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"),
       s"supplier dim should broadcast:\n$phys")
   }
+
+  test("q4 EXISTS runs as one semi join, each order emitted at most once") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    // the lateness residual (l_shipdate vs o_orderdate + 30d) must ride
+    // inside the join, not force a pre-join aggregate or distinct of
+    // lineitem
+    assert(!p.contains("Distinct") && !p.contains("partial_first"),
+      s"lineitem should not be deduplicated before the semi join:\n$p")
+  }
+
+  test("q21 double existential decorrelates to semi + anti joins") {
+    val q = SparkEntry.allQueries.find(_.name == "q21_waiting").get
+      .run(spark, sf0001).queryExecution
+    val opt = q.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("exists-subquery"),
+      s"correlated EXISTS survived optimization:\n$opt")
+    val phys = q.executedPlan.toString
+    assert(phys.contains("LeftSemi") || phys.contains("ExistenceJoin"),
+      s"EXISTS did not become a semi join:\n$phys")
+    assert(phys.contains("LeftAnti"),
+      s"NOT EXISTS did not become an anti join:\n$phys")
+  }
+
+  test("q2 correlated MIN decorrelates; no per-row subquery loop") {
+    val q = SparkEntry.allQueries.find(_.name == "q2_min_cost").get
+      .run(spark, sf0001).queryExecution
+    val opt = q.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"),
+      s"correlated MIN not decorrelated:\n$opt")
+    val phys = q.executedPlan.toString
+    assert(phys.contains("partial_min"),
+      s"per-part MIN should partial-aggregate map-side:\n$phys")
+  }
+
+  test("q11 threshold is a one-row broadcast, per-part values stream once") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar threshold should broadcast into the filter:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row threshold join must never shuffle the part values:\n$p")
+    assert(p.contains("partial_sum"), s"value agg not partial:\n$p")
+  }
+
+  test("q20 nested-IN chain: part filter broadcasts, survivors semi-join supplier") {
+    val p = plan("q20_excess")
+    assert(p.contains("LeftSemi"), s"supplier IN should be a semi join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"(supplier, part) HAVING agg should map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in this chain should sort-merge at test scale:\n$p")
+  }
 }
