@@ -439,6 +439,42 @@ object DedupQueries {
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.2)
         .orderBy("vec_id_1", "vec_id_2")
+    },
+
+    // Cross-source near-dup overlap matrix — the corpus-curation audit
+    // that tells you WHICH crawls duplicate each other (a mirror pair
+    // shows up as a hot off-diagonal cell; a self-heavy cell means
+    // within-crawl boilerplate). Rides entirely on the minhash band
+    // pipeline: candidate pairs come out small (banded, never
+    // all-pairs), so the pair->source decoration broadcasts the PAIRS
+    // and streams the corpus — never the reverse. The (least, greatest)
+    // normalization makes the matrix triangular regardless of pair
+    // orientation.
+    Q("source_overlap",
+      s"""$minhashCte,
+         |$bandsCte,
+         |prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |ss AS (SELECT da.source AS sa, db.source AS sb
+         |  FROM prs JOIN documents da ON da.doc_id = prs.a
+         |  JOIN documents db ON db.doc_id = prs.b)
+         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM ss GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashFromText(docs, "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val srcs = docs.select("doc_id", "source")
+      val tagged = srcs
+        .join(broadcast(pairs), col("doc_id") === col("id_a"))
+        .select(col("source").as("sa"), col("id_b"))
+        .join(srcs, col("doc_id") === col("id_b"))
+        .select(col("sa"), col("source").as("sb"))
+      tagged
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

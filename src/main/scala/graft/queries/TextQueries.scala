@@ -593,6 +593,84 @@ object TextQueries {
     Q.noOracle("multimodal_features") { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+    },
+
+    // Bigram conditional-LM scoring — the second-order companion to
+    // unigram_logprob: P(w2|w1) = c(w1,w2) / c(w1-as-context), trained
+    // on the corpus itself. The bigram pairs are derived MAP-SIDE from
+    // each row's own token array (arrays_zip of the two shifted
+    // slices) — no window, no self-join on position, no shuffle until
+    // the count aggregates. Unlike the unigram LM (word vocab,
+    // broadcast), the bigram table scales with vocab² — both LM joins
+    // are plain shuffle joins on their keys by design; at 100 TB
+    // that's the only shape that survives. Determinism: per-bigram log
+    // terms round to 6 dp and sum as DECIMAL(20,6) (an unrounded
+    // double sum is row-order-dependent).
+    Q("bigram_logprob",
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p FROM arr),
+        |pairs AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS dc FROM pairs GROUP BY 1, 2, 3),
+        |g AS (SELECT w1, w2, CAST(SUM(dc) AS BIGINT) AS c FROM dbc GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(dc * CAST(round(ln(CAST(c AS DOUBLE) / cc), 6) AS DECIMAL(20,6))) AS DOUBLE) AS logprob,
+        |  CAST(SUM(dc * CAST(round(ln(CAST(c AS DOUBLE) / cc), 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |    / CAST(SUM(dc) AS BIGINT) AS avg_logprob
+        |FROM dbc JOIN g USING (w1, w2) JOIN ctx USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val arr = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val pairs = arr
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"))
+        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      val dbc = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+      // global and context counts DERIVE from the per-doc counts: one
+      // tokenize, one explode, and the heavier aggregates run over
+      // |doc x bigram-vocab| rows, not raw pairs
+      val g = dbc.groupBy("w1", "w2").agg(sum(col("dc")).as("c"))
+      val ctx = g.groupBy("w1").agg(sum(col("c")).as("cc"))
+      val term = round(log(col("c").cast("double") / col("cc")), 6)
+        .cast(DecimalType(20, 6))
+      dbc.join(g, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(sum(col("dc")).as("n_bigrams"),
+          sum(col("dc") * term).cast("double").as("logprob"))
+        .select(col("doc_id"), col("n_bigrams"), col("logprob"),
+          (col("logprob") / col("n_bigrams")).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source quota capping — the standard corpus-curation guard
+    // against one crawl dominating the mix: keep at most CapPerSource
+    // docs per source, chosen by a DETERMINISTIC hash rank (md5 of the
+    // doc id — reshuffling or re-partitioning the corpus cannot change
+    // the selection, unlike rand()). One hash-partitioned window per
+    // source; for sources large enough that a single partition's sort
+    // hurts, the native TopKPerGroup operator (topk_native) is the
+    // drop-in scale twin — same contract, bounded heaps, no full sort.
+    Q("source_cap",
+      s"""SELECT source, rnk, doc_id FROM (
+         |  SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+         |  FROM documents) WHERE rnk <= ${TextQueries.CapPerSource}
+         |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.load(s, dir, "documents").select("source", "doc_id")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TextQueries.CapPerSource)
+        .select("source", "rnk", "doc_id")
+        .orderBy("source", "rnk")
     }
   )
+
+  /** source_cap quota — binds at every fixture scale (25 docs/source
+    * at sf0.01) so the gate actually exercises the cut.
+    */
+  val CapPerSource = 10
 }

@@ -71,4 +71,49 @@ class PipelineShapesSpec extends SparkSpec {
       }
     }
   }
+
+  test("bigram pairs derive map-side: n_bigrams = tokens - 1, no window in plan") {
+    val q = byName("bigram_logprob").run(spark, sf0001)
+    // every doc's bigram count must equal its token count minus one
+    // (pairs come from the row's own array, nothing dropped or joined in)
+    val got = q.select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
+    val want = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want.filter(_._2 >= 1))
+    // the pair derivation must not smuggle in a per-position window or
+    // self-join — one generator, aggregates only
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bigram derivation used a window:\n$plan")
+  }
+
+  test("source_cap selection is deterministic under repartitioning and binds") {
+    val out = byName("source_cap").run(spark, sf001)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted
+    // every source capped exactly (fixture has 25 docs/source > cap 10)
+    val perSource = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perSource.values.forall(_ === graft.queries.TextQueries.CapPerSource))
+    // the hash rank is a property of the ROW, not of partitioning:
+    // recompute over a shuffled layout, selection must be identical
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val reshuffled = Tables.load(spark, sf001, "documents")
+      .repartition(13, col("doc_id"))
+      .select("source", "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= graft.queries.TextQueries.CapPerSource)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted
+    assert(reshuffled === out, "cap selection changed under repartitioning")
+  }
+
+  test("source_overlap conserves the candidate-pair count and is triangular") {
+    val m = byName("source_overlap").run(spark, sf0001)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(m.forall { case (a, b, _) => a <= b }, "matrix not normalized")
+    val totalPairs = byName("dedup_minhash").run(spark, sf0001).count()
+    assert(m.map(_._3).sum === totalPairs,
+      "overlap matrix dropped or double-counted candidate pairs")
+  }
 }
