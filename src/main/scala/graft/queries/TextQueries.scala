@@ -644,6 +644,57 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD '03) —
+    // the position-robust local fingerprinting used for plagiarism and
+    // overlap detection: hash every token 3-gram, slide a window of
+    // WinnowW consecutive gram hashes, keep each window's minimum
+    // (rightmost on ties). Guarantees every WinnowW-run contributes a
+    // fingerprint at ~2/(w+1) density, and — unlike doc_fingerprint's
+    // whole-doc hash — shared passages match at ANY offset. The
+    // rightmost-min tie rule is not expressible in one window
+    // function, so (hash, pos) packs into a single BIGINT
+    // (h * PosBase + (PosBase-1-pos)) whose plain MIN implements it
+    // exactly in both engines. One generator + one keyed window per
+    // doc — no self-join, no pair expansion; fingerprints shuffle as
+    // single longs.
+    Q("winnow_fingerprints", {
+      val h = duckH32("a[i] || ' ' || a[i+1] || ' ' || a[i+2]")
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |kg AS (SELECT doc_id, unnest(generate_series(1, len(a)-2)) AS i, a FROM arr),
+         |kk AS (SELECT doc_id, i,
+         |    $h * ${TextQueries.WinnowPosBase} + (${TextQueries.WinnowPosBase} - 1 - i) AS key FROM kg),
+         |win AS (SELECT doc_id, i, min(key) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN ${TextQueries.WinnowW - 1} PRECEDING AND CURRENT ROW) AS wk FROM kk)
+         |SELECT DISTINCT doc_id,
+         |  ${TextQueries.WinnowPosBase} - 1 - (wk % ${TextQueries.WinnowPosBase}) AS pos,
+         |  wk // ${TextQueries.WinnowPosBase} AS khash
+         |FROM win WHERE i >= ${TextQueries.WinnowW}
+         |ORDER BY doc_id, pos""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = TextQueries.WinnowPosBase
+      val w = TextQueries.WinnowW
+      // 1-based gram index i over token 3-grams, derived map-side from
+      // the row's own array (brackets are 0-based in Spark SQL)
+      val kk = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(a)-2, 0)), " +
+            "i -> struct(i AS i, concat_ws(' ', a[i-1], a[i], a[i+1]) AS g))")).as("kg"))
+        .select(col("doc_id"), col("kg.i").as("i"),
+          (h32(col("kg.g")) * base + (lit(base - 1) - col("kg.i"))).as("key"))
+      val win = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+      kk.withColumn("wk", min(col("key")).over(win))
+        .filter(col("i") >= w)
+        .select(col("doc_id"),
+          (lit(base - 1) - col("wk") % base).as("pos"),
+          expr(s"wk div ${base}L").as("khash"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    },
+
     // Per-source quota capping — the standard corpus-curation guard
     // against one crawl dominating the mix: keep at most CapPerSource
     // docs per source, chosen by a DETERMINISTIC hash rank (md5 of the
@@ -673,4 +724,19 @@ object TextQueries {
     * at sf0.01) so the gate actually exercises the cut.
     */
   val CapPerSource = 10
+
+  /** Winnowing window: every run of WinnowW consecutive k-grams
+    * contributes at least one fingerprint (the winnowing guarantee,
+    * pinned in PipelineShapesSpec); expected density is 2/(WinnowW+1).
+    */
+  val WinnowW = 4
+
+  /** Position-encoding base for the winnowing tie-break: positions
+    * must stay below it for the packed (hash, pos) BIGINT ordering to
+    * be exact. 2^21 ≈ 2M token positions per document; h32's 2^32
+    * range times this stays under 2^53 — exact in any engine's int64
+    * (and even a double). Re-chunk longer documents (chunk_documents)
+    * before fingerprinting.
+    */
+  val WinnowPosBase = 2097152L
 }

@@ -107,6 +107,27 @@ class PipelineShapesSpec extends SparkSpec {
     assert(reshuffled === out, "cap selection changed under repartitioning")
   }
 
+  test("winnowing guarantee: every full window contributes a fingerprint") {
+    val w = graft.queries.TextQueries.WinnowW
+    val selected = byName("winnow_fingerprints").run(spark, sf0001)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nGrams = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 2).cast("long"))
+      .as[(Long, Long)].collect()
+    assert(nGrams.nonEmpty)
+    for ((doc, n) <- nGrams if n >= w) {
+      val sel = selected.getOrElse(doc, Set.empty)
+      for (t <- 1L to (n - w + 1))
+        assert((t until t + w).exists(sel), s"doc $doc window at $t uncovered")
+      // density stays in the winnowing band: never more than one
+      // fingerprint per window-step on average, never less than the
+      // guarantee's floor
+      assert(sel.size <= n - w + 1 || n < 2 * w,
+        s"doc $doc over-selected (${sel.size} of ${n - w + 1} windows)")
+    }
+  }
+
   test("source_overlap conserves the candidate-pair count and is triangular") {
     val m = byName("source_overlap").run(spark, sf0001)
       .select("source_a", "source_b", "n_pairs")
