@@ -295,6 +295,61 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "n_id", "cl", "cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // Symmetric int8 scalar quantization of the embedding store — the
+    // compression step that makes a 100 TB float32 corpus a 25 TB
+    // int8 one (4x more vectors per executor page, the difference
+    // between an ANN probe that fits in memory and one that spills).
+    // Per-vector max-abs scale; codes = floor(x/scale + 0.5) spelled
+    // EXPLICITLY (both engines' round() tie rules differ on half-way
+    // doubles; floor(+0.5) is the same IEEE op everywhere). Everything
+    // is row-local map work — no shuffle at all until the output sort,
+    // and none in production where results write back partition-wise.
+    // Codes are pinned cross-engine as md5 of the joined code string
+    // (list columns don't survive every comparator; the hash pins all
+    // 64 values exactly). MSE folds in index order like every dot
+    // product here.
+    Q("embed_quantize",
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, embedding, scale,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS codes
+         |  FROM s WHERE scale > 0)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  list_max(list_transform(codes, x -> abs(x))) AS max_code,
+         |  md5(array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',')) AS codes_md5,
+         |  round(list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> (CAST(embedding[i] AS DOUBLE) - codes[i] * scale)
+         |       * (CAST(embedding[i] AS DOUBLE) - codes[i] * scale))) / $Dim, 9) AS mse
+         |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // the raw scale column is NOT named "scale": the output select
+      // aliases round(raw, 6) AS scale, and Spark 4's lateral column
+      // alias resolution would silently rebind later col("scale")
+      // references in the SAME select to the rounded alias — measured
+      // as a 0.15% mse shift (Δscale² · E[code²]) that flips the 9 dp
+      // rounding
+      val scaled = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            / 127.0).as("scale_raw"))
+        .filter(col("scale_raw") > 0)
+        .withColumn("codes", transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("int")))
+      scaled.select(
+          col("vec_id"), round(col("scale_raw"), 6).as("scale"),
+          array_max(transform(col("codes"), abs(_))).as("max_code"),
+          md5(concat_ws(",", col("codes")).cast("binary")).as("codes_md5"),
+          round(aggregate(
+            zip_with(col("embedding"), col("codes"),
+              // (d * d), not pow(d, 2): libm pow need not be the exact
+              // IEEE product, and the two engines' pows disagree in the
+              // last ulp — enough to flip a 9 dp rounding
+              (e, cd) => (e.cast("double") - cd * col("scale_raw"))
+                * (e.cast("double") - cd * col("scale_raw"))),
+            lit(0.0), (acc, x) => acc + x) / Dim, 9).as("mse"))
+        .orderBy("vec_id")
     }
   )
 }

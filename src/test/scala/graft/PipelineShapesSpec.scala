@@ -128,6 +128,19 @@ class PipelineShapesSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes bounded, mse under the half-step bound") {
+    val rows = byName("embed_quantize").run(spark, sf0001)
+      .select("vec_id", "scale", "max_code", "mse")
+      .as[(Long, Double, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, maxCode, mse) =>
+      assert(maxCode <= 127, s"vec $id code overflows int8: $maxCode")
+      // |x - code*scale| <= scale/2 per element, so mse <= scale^2/4
+      // (rounding slack: scale is 6 dp, mse 9 dp)
+      assert(mse <= scale * scale / 4 + 1e-9, s"vec $id mse $mse vs scale $scale")
+    }
+  }
+
   test("source_overlap conserves the candidate-pair count and is triangular") {
     val m = byName("source_overlap").run(spark, sf0001)
       .select("source_a", "source_b", "n_pairs")
