@@ -657,42 +657,50 @@ object TextQueries {
     // exactly in both engines. One generator + one keyed window per
     // doc — no self-join, no pair expansion; fingerprints shuffle as
     // single longs.
-    Q("winnow_fingerprints", {
-      val h = duckH32("a[i] || ' ' || a[i+1] || ' ' || a[i+2]")
-      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-         |kg AS (SELECT doc_id, unnest(generate_series(1, len(a)-2)) AS i, a FROM arr),
-         |kk AS (SELECT doc_id, i,
-         |    $h * ${TextQueries.WinnowPosBase} + (${TextQueries.WinnowPosBase} - 1 - i) AS key FROM kg),
-         |win AS (SELECT doc_id, i, min(key) OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN ${TextQueries.WinnowW - 1} PRECEDING AND CURRENT ROW) AS wk FROM kk)
-         |SELECT DISTINCT doc_id,
-         |  ${TextQueries.WinnowPosBase} - 1 - (wk % ${TextQueries.WinnowPosBase}) AS pos,
-         |  wk // ${TextQueries.WinnowPosBase} AS khash
-         |FROM win WHERE i >= ${TextQueries.WinnowW}
-         |ORDER BY doc_id, pos""".stripMargin
-    }) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val base = TextQueries.WinnowPosBase
-      val w = TextQueries.WinnowW
-      // 1-based gram index i over token 3-grams, derived map-side from
-      // the row's own array (brackets are 0-based in Spark SQL)
-      val kk = Tables.parallelize(Tables.load(s, dir, "documents")
-          .select("doc_id", "text"))
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, greatest(size(a)-2, 0)), " +
-            "i -> struct(i AS i, concat_ws(' ', a[i-1], a[i], a[i+1]) AS g))")).as("kg"))
-        .select(col("doc_id"), col("kg.i").as("i"),
-          (h32(col("kg.g")) * base + (lit(base - 1) - col("kg.i"))).as("key"))
-      val win = Window.partitionBy("doc_id").orderBy("i")
-        .rowsBetween(-(w - 1), Window.currentRow)
-      kk.withColumn("wk", min(col("key")).over(win))
-        .filter(col("i") >= w)
-        .select(col("doc_id"),
-          (lit(base - 1) - col("wk") % base).as("pos"),
-          expr(s"wk div ${base}L").as("khash"))
-        .distinct()
-        .orderBy("doc_id", "pos")
+    Q("winnow_fingerprints",
+      s"""${TextQueries.winnowCtes}
+         |SELECT doc_id, pos, khash FROM sel
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      TextQueries.winnowFingerprints(s, dir).orderBy("doc_id", "pos")
+    },
+
+    // Cross-document duplicate SPANS — exact-substring dedup in the
+    // style of "Deduplicating Training Data Makes Language Models
+    // Better" (Lee et al., ACL '22), but over the winnowed
+    // fingerprints instead of a suffix array: two documents sharing a
+    // verbatim passage share its fingerprints at a CONSTANT position
+    // offset, so grouping fingerprint matches by (d1, d2, pos1-pos2)
+    // and keeping groups with >= MinSharedFp hits recovers the
+    // aligned span (start + token extent) — boilerplate headers,
+    // mirrored articles, license blocks. Ubiquitous fingerprints
+    // (corpus-wide boilerplate k-grams) are capped at MaxFpDocFreq
+    // before the self-join — the standard guard that keeps the
+    // candidate join linear instead of hot-key quadratic at 100 TB.
+    // The winnowing guarantee bounds what this can miss: any shared
+    // run of >= WinnowW + 2 tokens contains a selected fingerprint.
+    Q("dup_spans",
+      s"""${TextQueries.winnowCtes},
+         |freq AS (SELECT khash, COUNT(*) AS f FROM sel GROUP BY 1),
+         |fp AS (SELECT sel.doc_id, sel.pos, sel.khash FROM sel
+         |       JOIN freq USING (khash) WHERE f <= ${TextQueries.MaxFpDocFreq}),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos - b.pos AS off, a.pos AS p1
+         |       FROM fp a JOIN fp b ON a.khash = b.khash AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, off, COUNT(*) AS n_shared, MIN(p1) AS start1,
+         |  MAX(p1) - MIN(p1) + 3 AS span_tokens
+         |FROM pr GROUP BY 1, 2, 3 HAVING COUNT(*) >= ${TextQueries.MinSharedFp}
+         |ORDER BY d1, d2, off""".stripMargin) { (s, dir) =>
+      val sel = TextQueries.winnowFingerprints(s, dir)
+      val freq = sel.groupBy("khash").agg(count(lit(1)).as("f"))
+        .filter(col("f") <= TextQueries.MaxFpDocFreq)
+      val fp = sel.join(freq.select("khash"), "khash")
+      val a = fp.select(col("khash"), col("doc_id").as("d1"), col("pos").as("p1"))
+      val b = fp.select(col("khash"), col("doc_id").as("d2"), col("pos").as("p2"))
+      a.join(b, Seq("khash")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"), (col("p1") - col("p2")).as("off"))
+        .agg(count(lit(1)).as("n_shared"), min(col("p1")).as("start1"),
+          (max(col("p1")) - min(col("p1")) + 3).as("span_tokens"))
+        .filter(col("n_shared") >= TextQueries.MinSharedFp)
+        .orderBy("d1", "d2", "off")
     },
 
     // Per-source quota capping — the standard corpus-curation guard
@@ -739,4 +747,59 @@ object TextQueries {
     * before fingerprinting.
     */
   val WinnowPosBase = 2097152L
+
+  /** dup_spans: drop fingerprints appearing in more than this many
+    * (doc, pos) slots before the self-join — corpus-wide boilerplate
+    * k-grams would otherwise make the khash join hot-key quadratic.
+    */
+  val MaxFpDocFreq = 50
+
+  /** dup_spans: minimum aligned fingerprint hits for a reported span. */
+  val MinSharedFp = 3
+
+  /** Shared winnowing CTE chain (arr, kg, kk, win, sel) — sel is the
+    * DISTINCT (doc_id, pos, khash) fingerprint set. ONE definition
+    * serves winnow_fingerprints and dup_spans, mirroring
+    * [[winnowFingerprints]] below.
+    */
+  private[queries] val winnowCtes: String = {
+    val h = duckH32("a[i] || ' ' || a[i+1] || ' ' || a[i+2]")
+    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |kg AS (SELECT doc_id, unnest(generate_series(1, len(a)-2)) AS i, a FROM arr),
+       |kk AS (SELECT doc_id, i,
+       |    $h * $WinnowPosBase + ($WinnowPosBase - 1 - i) AS key FROM kg),
+       |win AS (SELECT doc_id, i, min(key) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wk FROM kk),
+       |sel AS (SELECT DISTINCT doc_id,
+       |  $WinnowPosBase - 1 - (wk % $WinnowPosBase) AS pos,
+       |  wk // $WinnowPosBase AS khash
+       |FROM win WHERE i >= $WinnowW)""".stripMargin
+  }
+
+  /** The winnowed fingerprint set (doc_id, pos, khash), unordered —
+    * the Spark twin of [[winnowCtes]]'s `sel`. One generator + one
+    * keyed window per doc; 1-based gram index (Spark SQL brackets are
+    * 0-based).
+    */
+  private[queries] def winnowFingerprints(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = WinnowPosBase
+    val kk = Tables.parallelize(Tables.load(s, dir, "documents")
+        .select("doc_id", "text"))
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(a)-2, 0)), " +
+          "i -> struct(i AS i, concat_ws(' ', a[i-1], a[i], a[i+1]) AS g))")).as("kg"))
+      .select(col("doc_id"), col("kg.i").as("i"),
+        (h32(col("kg.g")) * base + (lit(base - 1) - col("kg.i"))).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(-(WinnowW - 1), Window.currentRow)
+    kk.withColumn("wk", min(col("key")).over(win))
+      .filter(col("i") >= WinnowW)
+      .select(col("doc_id"),
+        (lit(base - 1) - col("wk") % base).as("pos"),
+        expr(s"wk div ${base}L").as("khash"))
+      .distinct()
+  }
 }

@@ -128,6 +128,28 @@ class PipelineShapesSpec extends SparkSpec {
     }
   }
 
+  test("dup_spans spans are real: aligned grams match in the raw texts") {
+    val spans = byName("dup_spans").run(spark, sf0001)
+      .select("d1", "d2", "off", "n_shared", "start1", "span_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty, "fixture lost its shared passages")
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    // every reported span must be backed by at least n_shared ALIGNED
+    // equal 3-grams inside its extent (fingerprint hash matches stand
+    // for gram matches; a 32-bit collision would fail here)
+    for ((d1, d2, off, nShared, start1, spanTokens) <- spans) {
+      def gram(ts: Seq[String], p: Long): Option[String] =
+        if (p >= 1 && p + 1 < ts.length) Some(ts.slice(p.toInt - 1, p.toInt + 2).mkString(" "))
+        else None
+      val matches = (start1 to start1 + spanTokens - 3).count(p =>
+        gram(toks(d1), p).isDefined && gram(toks(d1), p) == gram(toks(d2), p - off))
+      assert(matches >= nShared,
+        s"span ($d1, $d2, off=$off): only $matches aligned grams for $nShared fingerprints")
+    }
+  }
+
   test("int8 quantization: codes bounded, mse under the half-step bound") {
     val rows = byName("embed_quantize").run(spark, sf0001)
       .select("vec_id", "scale", "max_code", "mse")
