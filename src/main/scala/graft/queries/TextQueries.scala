@@ -689,6 +689,13 @@ object TextQueries {
          |  MAX(p1) - MIN(p1) + 3 AS span_tokens
          |FROM pr GROUP BY 1, 2, 3 HAVING COUNT(*) >= ${TextQueries.MinSharedFp}
          |ORDER BY d1, d2, off""".stripMargin) { (s, dir) =>
+      // NOT localCheckpoint'ed (unlike decontamination's shingle
+      // index): all three consumers — the frequency counts and both
+      // self-join sides — hang off the fingerprint distinct()'s
+      // exchange, which Spark already shares via ReusedExchange
+      // (asserted in PipelineShapesSpec; measured 2.00s vs 2.27s
+      // checkpointed at sf0.1). At production scale the persisted
+      // fingerprint index replaces the recompute either way.
       val sel = TextQueries.winnowFingerprints(s, dir)
       val freq = sel.groupBy("khash").agg(count(lit(1)).as("f"))
         .filter(col("f") <= TextQueries.MaxFpDocFreq)

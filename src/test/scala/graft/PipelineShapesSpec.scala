@@ -129,9 +129,22 @@ class PipelineShapesSpec extends SparkSpec {
   }
 
   test("dup_spans spans are real: aligned grams match in the raw texts") {
-    val spans = byName("dup_spans").run(spark, sf0001)
-      .select("d1", "d2", "off", "n_shared", "start1", "span_tokens")
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val q = byName("dup_spans").run(spark, sf0001)
+    // collect from q ITSELF (not a derived select) so the reuse
+    // assertion below reads the query execution that actually ran
+    val spans = q.collect().map(r => (
+      r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("off"),
+      r.getAs[Long]("n_shared"), r.getAs[Long]("start1"),
+      r.getAs[Long]("span_tokens")))
+    // the fingerprint pipeline must be computed ONCE and shared: the
+    // frequency branch and both self-join sides reuse the distinct()'s
+    // exchange rather than re-running the shingle+window chain (the
+    // reason the query skips a localCheckpoint — see the query
+    // comment). Static planning duplicates the subtree; AQE dedupes it
+    // at runtime, so assert on the FINAL adaptive plan post-execution.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"fingerprint pipeline not shared across branches:\n$plan")
     assert(spans.nonEmpty, "fixture lost its shared passages")
     val toks = Tables.load(spark, sf0001, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
