@@ -469,20 +469,25 @@ object TpchQueries {
         .orderBy("l_returnflag")
     },
 
-    // Q11-style: important stock — parts whose value (from NATION_0
-    // suppliers' shipments; lineitem stands in for partsupp) exceeds a
-    // fixed fraction of the nation's total. The threshold compare is
-    // kept integer-decimal-exact on BOTH engines by comparing
-    // val x 500 > total instead of val > total x 0.002 — a fractional
-    // decimal multiply would overflow Spark's 38-digit precision and
-    // round, and a rounded threshold can flip borderline parts. The
-    // Spark side evaluates the total as a 1-row broadcast joined into
-    // the filter (the uncorrelated-scalar plan), so the per-part table
-    // streams once.
+    // Q11-style: important stock — parts whose value (from EUROPE
+    // suppliers' shipments; lineitem stands in for partsupp) exceeds
+    // 2x the mean part value. TPC-H's own fraction scales by 1/SF
+    // because a FIXED fraction of total empties as the part count
+    // grows; comparing against the mean (val x cnt > 2 x total) is
+    // the scale-invariant form, and it keeps the compare
+    // decimal-exact on BOTH engines — a fractional decimal multiply
+    // would overflow Spark's 38-digit precision and round, and a
+    // rounded threshold can flip borderline parts (cnt casts to INT:
+    // decimal(18,4) x decimal(10,0) stays under the cap). The Spark
+    // side evaluates (total, cnt) as a 1-row broadcast joined into
+    // the filter (the uncorrelated-scalar plan), so the per-part
+    // table streams once.
     Q("q11_important_stock", TpchQueries.q11Sql) { (s, dir) =>
       val su = Tables.load(s, dir, "supplier")
         .join(broadcast(Tables.load(s, dir, "nation")
-          .filter(col("n_name") === "NATION_0")),
+          .join(broadcast(Tables.load(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val nval = Tables.load(s, dir, "lineitem")
@@ -490,9 +495,10 @@ object TpchQueries {
         .groupBy("l_partkey")
         .agg(sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_quantity"), 12, 2))
           .cast(DecimalType(18, 4)).as("val"))
-      val total = nval.agg(sum(col("val")).as("total"))
+      val total = nval.agg(sum(col("val")).as("total"),
+        count(lit(1)).cast("int").as("cnt"))
       nval.join(broadcast(total))
-        .filter(col("val") * 500 > col("total"))
+        .filter(col("val") * col("cnt") > col("total") * 2)
         .select(col("l_partkey"), col("val").cast("double").as("part_value"))
         .orderBy(col("part_value").desc, col("l_partkey"))
     },
@@ -556,7 +562,7 @@ object TpchQueries {
     // correlation) to an anti join — three passes over lineitem's
     // orderkey-hashed shuffle, never a per-row subquery loop.
     Q("q21_waiting", TpchQueries.q21Sql) { (s, dir) =>
-      Seq("lineitem", "orders", "supplier", "nation")
+      Seq("lineitem", "orders", "supplier", "nation", "region")
         .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
       s.sql(TpchQueries.q21Sql)
     }
@@ -598,11 +604,13 @@ object TpchQueries {
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS val
       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
-      |  WHERE n_name = 'NATION_0'
-      |  GROUP BY l_partkey)
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT SUM(val) AS total, CAST(COUNT(*) AS INT) AS cnt FROM nval)
       |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
-      |FROM nval
-      |WHERE val * 500 > (SELECT SUM(val) FROM nval)
+      |FROM nval, tot
+      |WHERE val * cnt > 2 * total
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
   /** Q2 (min-cost supplier): correlated scalar MIN over a join tree —
@@ -635,7 +643,8 @@ object TpchQueries {
       |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
       |JOIN orders ON o_orderkey = l1.l_orderkey
       |JOIN nation ON s_nationkey = n_nationkey
-      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderstatus = 'F' AND r_name = 'ASIA'
       |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
       |  AND EXISTS (SELECT 1 FROM lineitem l2
       |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
