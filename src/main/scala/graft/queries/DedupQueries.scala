@@ -465,12 +465,19 @@ object DedupQueries {
       val sig = Dedup.minhashFromText(docs, "doc_id", "text", K)
       val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
       val srcs = docs.select("doc_id", "source")
+      // BOTH decoration joins broadcast the pair-derived side: after
+      // the first join Catalyst's size estimate for the tagged frame
+      // inflates past the broadcast threshold while srcs has accurate
+      // scan stats, so an unhinted second join would broadcast the
+      // CORPUS (or sort-merge it at scale) — the exact reverse of the
+      // contract
       val tagged = srcs
         .join(broadcast(pairs), col("doc_id") === col("id_a"))
         .select(col("source").as("sa"), col("id_b"))
-        .join(srcs, col("doc_id") === col("id_b"))
+      val both = srcs
+        .join(broadcast(tagged), col("doc_id") === col("id_b"))
         .select(col("sa"), col("source").as("sb"))
-      tagged
+      both
         .groupBy(least(col("sa"), col("sb")).as("source_a"),
           greatest(col("sa"), col("sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))

@@ -330,7 +330,11 @@ object SimilarityQueries {
       // references in the SAME select to the rounded alias — measured
       // as a 0.15% mse shift (Δscale² · E[code²]) that flips the 9 dp
       // rounding
-      val scaled = Tables.load(s, dir, "embeddings")
+      // parallelize: all the heavy work (two 64-element transforms,
+      // the mse fold, the md5) is row-local map work BEFORE the only
+      // exchange (the output sort), and the fixture parquet is a
+      // single row group = one scan task without it
+      val scaled = Tables.parallelize(Tables.load(s, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"),
           (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
             / 127.0).as("scale_raw"))

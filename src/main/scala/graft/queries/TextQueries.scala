@@ -789,14 +789,28 @@ object TextQueries {
     * 0-based).
     */
   private[queries] def winnowFingerprints(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    winnowFingerprintsOf(Tables.parallelize(Tables.load(s, dir, "documents")
+      .select("doc_id", "text")))
+
+  /** [[winnowFingerprints]] over an explicit (doc_id, text) frame —
+    * split out so short-document behavior is unit-testable without a
+    * fixture directory.
+    */
+  private[graft] def winnowFingerprintsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = WinnowPosBase
-    val kk = Tables.parallelize(Tables.load(s, dir, "documents")
-        .select("doc_id", "text"))
+    // docs with < 3 tokens have no 3-grams and MUST be filtered before
+    // the sequence: sequence(1, 0) is the DESCENDING array [1, 0] in
+    // Spark (not empty), and its out-of-range gram indices throw under
+    // ANSI mode — the DuckDB twin's generate_series(1, len-2) is empty
+    // for the same docs, so the filter is also the parity rule
+    val kk = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(a)-2, 0)), " +
+        "transform(sequence(1, size(a)-2), " +
           "i -> struct(i AS i, concat_ws(' ', a[i-1], a[i], a[i+1]) AS g))")).as("kg"))
       .select(col("doc_id"), col("kg.i").as("i"),
         (h32(col("kg.g")) * base + (lit(base - 1) - col("kg.i"))).as("key"))

@@ -177,12 +177,29 @@ class PipelineShapesSpec extends SparkSpec {
   }
 
   test("source_overlap conserves the candidate-pair count and is triangular") {
-    val m = byName("source_overlap").run(spark, sf0001)
+    val q = byName("source_overlap").run(spark, sf0001)
+    val m = q
       .select("source_a", "source_b", "n_pairs")
       .as[(String, String, Long)].collect()
     assert(m.forall { case (a, b, _) => a <= b }, "matrix not normalized")
     val totalPairs = byName("dedup_minhash").run(spark, sf0001).count()
     assert(m.map(_._3).sum === totalPairs,
       "overlap matrix dropped or double-counted candidate pairs")
+    // both decoration joins must broadcast the pair-derived side — the
+    // corpus streams; a sort-merge here means the corpus shuffled
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair decoration shuffled the corpus:\n$plan")
+  }
+
+  test("winnowing tolerates documents shorter than one 3-gram") {
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — without
+    // the size filter these docs throw INVALID_ARRAY_INDEX under ANSI
+    // mode (and diverge from the oracle's empty generate_series)
+    val docs = Seq((1L, "hello world"), (2L, "one"), (3L, ""),
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    val fp = graft.queries.TextQueries.winnowFingerprintsOf(docs)
+      .select("doc_id").distinct().as[Long].collect().sorted
+    assert(fp === Array(4L), "short docs must yield zero fingerprints, long ones survive")
   }
 }
