@@ -354,6 +354,58 @@ object SimilarityQueries {
                 * (e.cast("double") - cd * col("scale_raw"))),
             lit(0.0), (acc, x) => acc + x) / Dim, 9).as("mse"))
         .orderBy("vec_id")
+    },
+
+    // ANN over the QUANTIZED store — the production use of
+    // embed_quantize: top-k by cosine of the int8 code vectors. The
+    // per-vector scales cancel in the cosine (codes*s_q · codes*s_n /
+    // norms), so the probe is pure integer dot products — 4x less
+    // memory bandwidth than float32, the reason quantized stores probe
+    // faster at 100 TB. Products stay exact in int64 (64·127² ≈ 10^6)
+    // and cast to double per term, so both engines fold identical
+    // values. Same broadcast-query/stream-corpus shape as
+    // ann_bruteforce; PipelineShapesSpec pins recall@10 against the
+    // float32 exact baseline.
+    Q("ann_quantized",
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |c AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
+         |  FROM s WHERE scale > 0),
+         |q AS (SELECT vec_id AS q_id, codes AS qc FROM c WHERE vec_id < 5),
+         |p AS (SELECT q_id, c.vec_id AS n_id,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, $Dim), i -> CAST(qc[i] * codes[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(qc[i] * qc[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(codes[i] * codes[i] AS DOUBLE))))), 6) AS qcos
+         |  FROM q JOIN c ON c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, n_id, qcos, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, rnk, n_id, qcos FROM r WHERE rnk <= $TopK
+         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val c = Tables.parallelize(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            / 127.0).as("scale_raw"))
+        .filter(col("scale_raw") > 0)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("long")).as("codes"))
+      def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val qs = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("codes").as("qc"))
+      val n = c.select(col("vec_id").as("n_id"), col("codes").as("nc"))
+      val qcos = round(idot(col("qc"), col("nc"))
+        / (sqrt(idot(col("qc"), col("qc"))) * sqrt(idot(col("nc"), col("nc")))), 6)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+      n.join(broadcast(qs), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), qcos.as("qcos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "rnk", "n_id", "qcos")
+        .orderBy("q_id", "rnk")
     }
   )
 }

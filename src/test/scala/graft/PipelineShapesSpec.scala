@@ -192,6 +192,23 @@ class PipelineShapesSpec extends SparkSpec {
       s"pair decoration shuffled the corpus:\n$plan")
   }
 
+  test("quantized ANN holds recall@10 >= 0.9 against the float32 exact baseline") {
+    def topk(name: String) =
+      byName(name).run(spark, sf001)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk("ann_bruteforce")
+    val quant = topk("ann_quantized")
+    assert(exact.keySet === quant.keySet)
+    // int8 over 64 dims loses almost nothing; anything below 0.9 means
+    // the codes or the cosine went wrong, not that quantization "hurts"
+    val recalls = exact.map { case (q, ex) =>
+      quant(q).intersect(ex).size.toDouble / ex.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean recall ${recalls.sum / recalls.size} below floor (per-q: $recalls)")
+  }
+
   test("winnowing tolerates documents shorter than one 3-gram") {
     // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — without
     // the size filter these docs throw INVALID_ARRAY_INDEX under ANSI
