@@ -13,7 +13,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     CoreQueries.all ++ AggQueries.all ++ TimeQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      ExtraQueries.all ++ TpchQueries.all
+      ExtraQueries.all ++ TpchQueries.all ++ BehaviorQueries.all ++
+      VocabQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral / product-analytics operators over `events` — the OLAP
+  * query family the reference's event stream feeds in practice
+  * (reference semantics: per-key ordered event processing,
+  * `KafkaStreamApp.java:154-169`; here re-expressed as set-oriented
+  * Spark plans instead of per-record state machines).
+  *
+  * Every query is a single- or two-shuffle plan with an explicit
+  * 100 TB story in its comment; none holds per-user state on the
+  * driver or collects anything.
+  */
+object BehaviorQueries {
+
+  /** Running-min window: one shuffle + one sort per user, frame bounded
+    * to the current row. All four funnel stages share this spec, so
+    * Catalyst plans ONE Exchange + ONE Sort feeding four chained
+    * WindowExecs (asserted in BehaviorSpec).
+    */
+  private def userScan = Window
+    .partitionBy("user_id")
+    .orderBy(col("ts"), col("event_id"))
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** 8-bit × 8-bit Morton (Z-order) interleave, bit-parallel-free
+    * composed form: disjoint target bits make `+` equal `|`, keeping
+    * the whole key inside whole-stage codegen as a 16-term integer
+    * expression (no UDF, no array allocation).
+    */
+  private[graft] def zInterleave(ux: Column, vb: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(ux, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(vb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[zInterleave]] — generated over the same bit
+    * positions, never hand-expanded.
+    */
+  private val zInterleaveSql: String =
+    (0 until 8).map { i =>
+      s"(((ux >> $i) & 1) << ${2 * i}) + (((vb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** One skyline elimination pass: keep a row iff no earlier row in
+    * (value DESC, ts DESC, event_id ASC) order within the partition
+    * keys has ts >= this row's ts. Earlier rows are exactly the
+    * dominators-or-identical-with-smaller-id, so survivors are the
+    * partition-local skyline (plus the min-id representative of exact
+    * duplicate points).
+    */
+  private[graft] def skylinePass(df: org.apache.spark.sql.DataFrame,
+                          partCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("value").desc, col("ts").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__pmax", max(col("ts")).over(w))
+      .where(col("__pmax").isNull || col("ts") > col("__pmax"))
+      .drop("__pmax")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ordered conversion funnel signup -> view -> click -> purchase:
+    // cascaded running-mins over ONE sort (stage k's earliest-valid
+    // timestamp feeds stage k+1's qualification), then per-user flags,
+    // then a global 1-row rollup. 100 TB: one shuffle on user_id, one
+    // sort, O(1) state per row; no per-user event list is ever
+    // materialized (the collect_list-then-scan shape this replaces).
+    Q("funnel_steps",
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND r1 IS NOT NULL THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND r2 IS NOT NULL THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r3
+        |  FROM w2),
+        |w4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND r3 IS NOT NULL THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+        |  FROM w3),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+        |    max(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+        |    max(CASE WHEN r3 IS NOT NULL THEN 1 ELSE 0 END) AS f3,
+        |    max(CASE WHEN r4 IS NOT NULL THEN 1 ELSE 0 END) AS f4
+        |  FROM w4 GROUP BY user_id)
+        |SELECT CAST(SUM(f1) AS BIGINT) AS signup_users,
+        |       CAST(SUM(f2) AS BIGINT) AS view_users,
+        |       CAST(SUM(f3) AS BIGINT) AS click_users,
+        |       CAST(SUM(f4) AS BIGINT) AS purchase_users
+        |FROM u""".stripMargin) { (s, dir) =>
+      val w = userScan
+      Tables.load(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("r1",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("r2",
+          min(when(col("event_type") === "view" && col("r1").isNotNull, col("ts"))).over(w))
+        .withColumn("r3",
+          min(when(col("event_type") === "click" && col("r2").isNotNull, col("ts"))).over(w))
+        .withColumn("r4",
+          min(when(col("event_type") === "purchase" && col("r3").isNotNull, col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("r1").isNotNull, 1).otherwise(0)).as("f1"),
+          max(when(col("r2").isNotNull, 1).otherwise(0)).as("f2"),
+          max(when(col("r3").isNotNull, 1).otherwise(0)).as("f3"),
+          max(when(col("r4").isNotNull, 1).otherwise(0)).as("f4"))
+        .agg(
+          sum(col("f1")).cast("long").as("signup_users"),
+          sum(col("f2")).cast("long").as("view_users"),
+          sum(col("f3")).cast("long").as("click_users"),
+          sum(col("f4")).cast("long").as("purchase_users"))
+    },
+
+    // cohort retention: cohort = first-activity day per user (unordered
+    // window min — same shuffle as the day-offset distinct that
+    // follows, no self-join), offsets capped at 7 days to bound output.
+    // 100 TB: two shuffles (user_id, then the distinct's composite
+    // key); the per-user min rides the first shuffle as a window
+    // aggregate instead of a groupBy + join back.
+    Q("cohort_retention",
+      """WITH c AS (
+        |  SELECT user_id, ts,
+        |    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day
+        |  FROM events),
+        |a AS (
+        |  SELECT DISTINCT cohort_day,
+        |    CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) AS BIGINT) AS day_offset,
+        |    user_id
+        |  FROM c
+        |  WHERE date_diff('day', cohort_day, CAST(ts AS DATE)) <= 7)
+        |SELECT cohort_day, day_offset, COUNT(*) AS active_users
+        |FROM a GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select("user_id", "ts")
+        .withColumn("cohort_day",
+          min(col("ts")).over(Window.partitionBy("user_id")).cast("date"))
+        .withColumn("day_offset",
+          datediff(col("ts").cast("date"), col("cohort_day")).cast("long"))
+        .where(col("day_offset") <= 7)
+        .select("cohort_day", "day_offset", "user_id")
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // 2-D skyline (pareto frontier) per event_type, maximizing
+    // (value, ts): the classic OLAP operator Spark lacks, built as
+    // sort + running-max instead of the O(n^2) dominance anti-join the
+    // oracle uses. TWO passes: a partition-local pass keyed by
+    // (event_type, spark_partition_id) eliminates locally-dominated
+    // rows in parallel, then the global pass runs over the (skyline-
+    // sized) survivors — so the per-event_type sort never sees the
+    // full table. Dominated-elimination is order-insensitive, so the
+    // result is invariant to the physical partitioning (BehaviorSpec
+    // asserts equality under repartition). Exact-duplicate (value,ts)
+    // points keep the min event_id — the oracle's second NOT EXISTS
+    // pins the same rule.
+    Q("skyline_events",
+      """SELECT p.event_type, p.event_id, p.value, p.ts
+        |FROM events p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events q
+        |  WHERE q.event_type = p.event_type
+        |    AND q.value >= p.value AND q.ts >= p.ts
+        |    AND (q.value > p.value OR q.ts > p.ts))
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM events q
+        |  WHERE q.event_type = p.event_type
+        |    AND q.value = p.value AND q.ts = p.ts
+        |    AND q.event_id < p.event_id)
+        |ORDER BY p.event_type, p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select("event_type", "event_id", "value", "ts")
+      val local = skylinePass(
+        ev.withColumn("__pid", spark_partition_id()),
+        Seq("event_type", "__pid")).drop("__pid")
+      skylinePass(local, Seq("event_type"))
+        .select("event_type", "event_id", "value", "ts")
+        .orderBy("event_type", "event_id")
+    },
+
+    // Z-order (Morton) layout audit: interleave 8-bit user and value
+    // codes into one clustering key and report per-key-range extents.
+    // This is the data-layout primitive for multi-dimensional file
+    // skipping: writing sorted by zkey (repartitionByRange +
+    // sortWithinPartitions at the writer) makes each file's parquet
+    // footer min/max cover a compact (user, value) rectangle — the
+    // query materializes exactly those per-range rectangles. The key
+    // is a pure 16-term integer expression (codegen, no UDF); the
+    // rollup is one shuffle on the 64 coarse ranges.
+    Q("zorder_layout",
+      s"""WITH c AS (
+         |  SELECT (user_id & 255) AS ux,
+         |    GREATEST(0, LEAST(255, CAST(FLOOR(value / 3.0) AS BIGINT))) AS vb
+         |  FROM events),
+         |z AS (SELECT ux, vb, ($zInterleaveSql) AS zkey FROM c)
+         |SELECT (zkey >> 10) AS zbucket, COUNT(*) AS n,
+         |  MIN(ux) AS u_min, MAX(ux) AS u_max,
+         |  MIN(vb) AS v_min, MAX(vb) AS v_max,
+         |  MIN(zkey) AS z_min, MAX(zkey) AS z_max
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(
+          col("user_id").bitwiseAND(lit(255L)).as("ux"),
+          greatest(lit(0L),
+            least(lit(255L), floor(col("value") / 3.0).cast("long"))).as("vb"))
+        .withColumn("zkey", zInterleave(col("ux"), col("vb")))
+        .groupBy(shiftright(col("zkey"), 10).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("u_min"), max(col("ux")).as("u_max"),
+          min(col("vb")).as("v_min"), max(col("vb")).as("v_max"),
+          min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
+        .orderBy("zbucket")
+    }
+  )
+}

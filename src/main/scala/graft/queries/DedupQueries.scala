@@ -142,6 +142,39 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
+    // duplicate-graph degree histogram: how many near-dup partners
+    // each doc has, rolled into degree -> n_docs (the shape of this
+    // distribution decides the dedup strategy: a long tail of
+    // degree-1 pairs dedups pairwise; heavy hubs need clustering).
+    // Zero-degree docs are included via the left join against the
+    // table. 100 TB: pairs are banding-bounded; the degree count is
+    // one union-all + groupBy; the left join shuffles on doc_id with
+    // the (tiny) degree side as build.
+    Q("dup_degree",
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM
+         |          (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+         |        GROUP BY doc_id),
+         |alld AS (SELECT d.doc_id, COALESCE(g.degree, 0) AS degree
+         |         FROM documents d LEFT JOIN deg g USING (doc_id))
+         |SELECT degree, COUNT(*) AS n_docs FROM alld
+         |GROUP BY degree ORDER BY degree""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sig = Dedup.minhashFromText(docs, "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val deg = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      docs.select("doc_id").join(deg, Seq("doc_id"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    },
+
     // duplicate CLUSTERS: connected components over the MinHash
     // candidate pairs (cluster_id = min reachable doc; "keep one per
     // cluster" = doc_id == cluster_id). Oracle: recursive-CTE

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.BehaviorQueries
+
+/** Behavioral-analytics operators (BehaviorQueries): funnel plan shape
+  * and monotonicity, skyline correctness against an in-test brute
+  * force plus partitioning invariance, cohort accounting identities,
+  * and the Z-order key's bijectivity / locality-rectangle guarantees.
+  */
+class BehaviorSpec extends SparkSpec {
+
+  private def run(name: String, dir: String) =
+    SparkEntry.allQueries.find(_.name == name).get.run(spark, dir)
+
+  test("funnel_steps plans ONE user sort feeding all four stages") {
+    val p = run("funnel_steps", sf0001)
+      .queryExecution.executedPlan.toString
+    val sorts = p.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sorts == 1, s"expected one Sort for four funnel windows:\n$p")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected one user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("funnel counts are monotone and bounded by the user universe") {
+    val r = run("funnel_steps", sf001).collect()(0)
+    val Seq(s1, s2, s3, s4) = (0 to 3).map(r.getLong)
+    assert(s1 >= s2 && s2 >= s3 && s3 >= s4,
+      s"funnel not monotone: $s1 >= $s2 >= $s3 >= $s4")
+    val users = Tables.load(spark, sf001, "events")
+      .select("user_id").distinct().count()
+    assert(s1 <= users && s4 > 0)
+  }
+
+  test("skyline matches the in-test brute force at sf0.001") {
+    val got = run("skyline_events", sf0001)
+      .select("event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = Tables.load(spark, sf0001, "events")
+      .select("event_type", "event_id", "value", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime))
+    val expect = rows.filter { case (t, id, v, ts) =>
+      !rows.exists { case (t2, id2, v2, ts2) =>
+        t2 == t && ((v2 >= v && ts2 >= ts && (v2 > v || ts2 > ts)) ||
+          (v2 == v && ts2 == ts && id2 < id))
+      }
+    }.map(r => (r._1, r._2)).toSet
+    assert(got == expect)
+  }
+
+  test("skyline is invariant to the physical partitioning of its input") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_type", "event_id", "value", "ts")
+    def skyline(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val local = BehaviorQueries.skylinePass(
+        df.withColumn("__pid", spark_partition_id()),
+        Seq("event_type", "__pid")).drop("__pid")
+      BehaviorQueries.skylinePass(local, Seq("event_type"))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    }
+    val base = skyline(ev)
+    for (n <- Seq(1, 7, 32))
+      assert(skyline(ev.repartition(n)) == base,
+        s"skyline changed under repartition($n)")
+  }
+
+  test("cohort day-0 actives equal the user universe; offsets stay in range") {
+    val rows = run("cohort_retention", sf001).collect()
+    val offsets = rows.map(_.getLong(1))
+    assert(offsets.forall(o => o >= 0 && o <= 7))
+    val day0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = Tables.load(spark, sf001, "events")
+      .select("user_id").distinct().count()
+    // every user is active on their own first day, exactly once
+    assert(day0 == users, s"day-0 actives $day0 != $users users")
+  }
+
+  test("zInterleave is a bijection on the 8-bit x 8-bit grid") {
+    val grid = spark.range(256 * 256).select(
+      (col("id") % 256).as("ux"), (col("id") / 256).cast("long").as("vb"))
+    val keys = grid.select(
+      BehaviorQueries.zInterleave(col("ux"), col("vb")).as("z"))
+    val stats = keys.agg(
+      countDistinct("z").as("d"), min("z").as("lo"), max("z").as("hi"))
+      .collect()(0)
+    assert(stats.getLong(0) == 65536L)
+    assert(stats.getLong(1) == 0L && stats.getLong(2) == 65535L)
+  }
+
+  test("zorder buckets are compact (user, value) rectangles covering all rows") {
+    val rows = run("zorder_layout", sf001).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.load(spark, sf001, "events").count())
+    rows.foreach { r =>
+      // zbucket pins the top 3 bits of both 8-bit codes, so each
+      // bucket's extent is at most a 32 x 32 rectangle
+      assert(r.getLong(3) - r.getLong(2) <= 31,
+        s"ux extent too wide in bucket ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) <= 31,
+        s"vb extent too wide in bucket ${r.getLong(0)}")
+    }
+  }
+}
