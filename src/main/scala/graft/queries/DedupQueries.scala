@@ -175,6 +175,66 @@ object DedupQueries {
         .orderBy("degree")
     },
 
+    // PageRank over the (undirected) near-dup candidate graph: hub
+    // docs — templates shared by many near-copies — float to the top,
+    // which is how a corpus pipeline finds boilerplate FAMILIES
+    // rather than single pairs. Three fixed power iterations, damping
+    // 0.85; every node has degree >= 1 (the graph is the symmetrized
+    // pair set) so there is no dangling mass. Cross-engine float
+    // discipline: each iteration's per-node contribution and the
+    // damped sum are rounded to 9 dp and SUMMED AS DECIMAL, so the
+    // result is independent of aggregation order on both engines.
+    // 100 TB: contributions join edges on the partition key the
+    // groupBy already produced; 3 bounded iterations need no lineage
+    // truncation (contrast connectedComponents' unbounded loop, which
+    // checkpoints per round).
+    Q("pagerank_dups", {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT r.doc_id,
+           |  CAST(round(CAST(r.r AS DOUBLE) / d.degree, 9) AS DECIMAL(18,9)) AS c
+           |  FROM r${k - 1} r JOIN deg d USING (doc_id)),
+           |r$k AS (SELECT e.b AS doc_id,
+           |  CAST(round(0.15 + 0.85 * CAST(SUM(c.c) AS DOUBLE), 9) AS DECIMAL(18,9)) AS r
+           |  FROM edges e JOIN c$k c ON e.a = c.doc_id GROUP BY e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT a AS doc_id, COUNT(*) AS degree FROM edges GROUP BY a),
+         |r0 AS (SELECT doc_id, CAST(1.0 AS DECIMAL(18,9)) AS r FROM deg),
+         |$iterCtes
+         |SELECT r3.doc_id AS doc_id, CAST(r3.r AS DOUBLE) AS pagerank, deg.degree
+         |FROM r3 JOIN deg USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      val deg = edges.groupBy(col("a").as("doc_id"))
+        .agg(count(lit(1)).as("degree"))
+      var r = deg.select(col("doc_id"),
+        lit(1.0).cast(DecimalType(18, 9)).as("r"))
+      for (_ <- 1 to 3) {
+        val c = r.join(deg, "doc_id").select(col("doc_id"),
+          round(col("r").cast("double") / col("degree"), 9)
+            .cast(DecimalType(18, 9)).as("c"))
+        r = edges.join(c, edges("a") === c("doc_id"))
+          .groupBy(col("b").as("doc_id"))
+          .agg(round(lit(0.15) + lit(0.85) * sum(col("c")).cast("double"), 9)
+            .cast(DecimalType(18, 9)).as("r"))
+      }
+      r.join(deg, "doc_id")
+        .select(col("doc_id"), col("r").cast("double").as("pagerank"),
+          col("degree"))
+        .orderBy("doc_id")
+    },
+
     // duplicate CLUSTERS: connected components over the MinHash
     // candidate pairs (cluster_id = min reachable doc; "keep one per
     // cluster" = doc_id == cluster_id). Oracle: recursive-CTE

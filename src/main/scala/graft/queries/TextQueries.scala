@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -185,6 +186,46 @@ object TextQueries {
         .filter(h32(col("doc_id").cast("string")) % col("n") < target)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // WEIGHTED sampling (Efraimidis–Spirakis exponential-key form,
+    // "Weighted random sampling with a reservoir", IPL 2006): per
+    // source, keep the k docs minimizing -ln(u)/w where w = n_chars —
+    // longer docs proportionally likelier, exactly the importance-
+    // weighted subset selection a data-mixing pipeline runs. u is
+    // hash-derived (no rand()): reproducible under any partitioning
+    // and any cluster size, re-runnable as the corpus grows. The
+    // per-source top-k is one hash-partitioned window (sources are
+    // the parallelism unit; a mega-source swaps in TopKPerGroup —
+    // same contract as source_cap). Keys are rounded to 12 dp so the
+    // cross-engine ln ulp cannot flip an ordering that the doc_id
+    // tiebreak doesn't already fix.
+    Q("weighted_sample", {
+      val k = 5
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH u AS (SELECT source, doc_id, n_chars,
+         |    CAST(($h % 1000003) + 1 AS DOUBLE) / 1000003.0 AS u
+         |  FROM documents WHERE n_chars > 0),
+         |kk AS (SELECT source, doc_id, n_chars,
+         |    round(-ln(u) / n_chars, 12) AS samp_key FROM u),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY source ORDER BY samp_key, doc_id) AS rnk
+         |      FROM kk)
+         |SELECT source, doc_id, n_chars, samp_key FROM r
+         |WHERE rnk <= $k ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val k = 5
+      val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .where(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          ((h32(col("doc_id").cast("string")) % 1000003 + 1).cast("double") /
+            1000003.0).as("u"))
+        .withColumn("samp_key", round(-log(col("u")) / col("n_chars"), 12))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select("source", "doc_id", "n_chars", "samp_key")
+        .orderBy("source", "doc_id")
     },
 
     // repetition statistics — the Gopher/C4-family repetition filters:
