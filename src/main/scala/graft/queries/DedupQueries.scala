@@ -214,6 +214,12 @@ object DedupQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text", K)
       val pairs = Dedup.candidatePairs(
         Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      // edges is joined by all 3 iterations; AQE stage reuse dedupes
+      // the upstream shingle->minhash->band computation, so an
+      // explicit localCheckpoint is pure overhead (measured at sf0.1:
+      // 1.84 s without vs 1.92 s with — the dup_spans finding again).
+      // A production run over a persisted pair table skips the
+      // question entirely.
       val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       val deg = edges.groupBy(col("a").as("doc_id"))
