@@ -581,4 +581,96 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_.sender).sorted === Array("a", "b", "c"))
     } finally q.stop()
   }
+
+  test("streaming funnel emits ordered-stage transitions; pre-signup views don't count") {
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.transitions(mem.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // user 1 completes the funnel in order
+        FunnelEvent(1, 10, ts("2024-01-01 10:00:00"), "signup"),
+        FunnelEvent(1, 11, ts("2024-01-01 10:05:00"), "view"),
+        FunnelEvent(1, 12, ts("2024-01-01 10:10:00"), "click"),
+        FunnelEvent(1, 13, ts("2024-01-01 10:20:00"), "purchase"),
+        // user 2: the 10:00 view precedes the signup -> must NOT count;
+        // the 10:06 view (after signup) does; no click ever
+        FunnelEvent(2, 20, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(2, 21, ts("2024-01-01 10:05:00"), "signup"),
+        FunnelEvent(2, 22, ts("2024-01-01 10:06:00"), "view"),
+        FunnelEvent(2, 23, ts("2024-01-01 10:07:00"), "purchase"))
+      q.processAllAvailable()
+      // advance the watermark past every event (13:00 - 1h), then once
+      // more so the timeout pass replays the sealed buffers
+      mem.addData(FunnelEvent(99, 90, ts("2024-01-01 13:00:00"), "error"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99, 91, ts("2024-01-01 13:05:00"), "error"))
+      q.processAllAvailable()
+      // a late straggler (ts far below the watermark) must be dropped
+      mem.addData(FunnelEvent(3, 30, ts("2024-01-01 09:00:00"), "signup"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream")
+        .select(col("user_id"), col("stage"), col("ts").cast("string"))
+        .as[(Long, Int, String)].collect().sorted
+      assert(rows === Array(
+        (1L, 1, "2024-01-01 10:00:00"), (1L, 2, "2024-01-01 10:05:00"),
+        (1L, 3, "2024-01-01 10:10:00"), (1L, 4, "2024-01-01 10:20:00"),
+        (2L, 1, "2024-01-01 10:05:00"), (2L, 2, "2024-01-01 10:06:00")))
+    } finally q.stop()
+  }
+
+  test("streaming funnel matches the batch cascaded-min windows under random arrival") {
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val types = Vector("signup", "view", "click", "purchase", "error")
+    val rnd = new scala.util.Random(20260813L)
+    val events = (1 to 120).map { i =>
+      FunnelEvent(1 + rnd.nextInt(8), i.toLong,
+        new Timestamp(ts("2024-01-01 10:00:00").getTime + rnd.nextInt(1800) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }
+    val mem = MemoryStream[FunnelEvent]
+    // 2h delay >> the 30min event span: random arrival never looks late
+    val q = StreamFunnel.transitions(mem.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("funnel_rand")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(40).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      mem.addData(FunnelEvent(99, 900, ts("2024-01-01 14:00:00"), "error"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99, 901, ts("2024-01-01 14:05:00"), "error"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_rand")
+        .select(col("user_id"), col("stage"), col("ts"))
+        .as[(Long, Int, Timestamp)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // batch truth: the funnel_steps cascaded running-mins on the
+      // same events; min(r_k) per user = the final stage-k timestamp
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expect = events.toDF()
+        .withColumn("r1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("r2", min(when(col("event_type") === "view" && col("r1").isNotNull, col("ts"))).over(w))
+        .withColumn("r3", min(when(col("event_type") === "click" && col("r2").isNotNull, col("ts"))).over(w))
+        .withColumn("r4", min(when(col("event_type") === "purchase" && col("r3").isNotNull, col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min("r1").as("s1"), min("r2").as("s2"),
+          min("r3").as("s3"), min("r4").as("s4"))
+        .collect().flatMap { r =>
+          (1 to 4).flatMap { k =>
+            Option(r.getTimestamp(k)).map(t => (r.getLong(0), k) -> t)
+          }
+        }.toMap
+      assert(got === expect)
+    } finally q.stop()
+  }
 }
