@@ -64,6 +64,40 @@ object BehaviorQueries {
       .drop("__pmax")
   }
 
+  private[graft] case class SkyRow(event_type: String, event_id: Long,
+                                   value: Double, ts: java.sql.Timestamp)
+
+  /** Genuinely EXCHANGE-FREE local skyline elimination: a
+    * partition-local sort (Sort(global=false) — no shuffle) followed
+    * by one streaming pass holding a per-event_type running max
+    * (|event_type| entries, not O(rows)). A Window keyed on
+    * (event_type, spark_partition_id) would NOT be local — the
+    * derived partition-id column forces a full-table hash Exchange
+    * because Catalyst cannot prove the input is already clustered by
+    * it. Timestamps compare at full microsecond precision
+    * (Timestamp.getTime alone truncates to ms, which could wrongly
+    * eliminate a non-dominated same-millisecond point).
+    */
+  private[graft] def localSkyline(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    df.select("event_type", "event_id", "value", "ts").as[SkyRow]
+      .sortWithinPartitions(col("value").desc, col("ts").desc, col("event_id"))
+      .mapPartitions { it =>
+        val maxTs = scala.collection.mutable.HashMap.empty[String, Long]
+        it.filter { r =>
+          val t = us(r.ts)
+          val keep = maxTs.get(r.event_type).forall(t > _)
+          if (keep) maxTs(r.event_type) = t
+          keep
+        }
+      }
+      .toDF()
+  }
+
   def all: Seq[Q] = Seq(
 
     // ordered conversion funnel signup -> view -> click -> purchase:
@@ -130,12 +164,15 @@ object BehaviorQueries {
           sum(col("f4")).cast("long").as("purchase_users"))
     },
 
-    // cohort retention: cohort = first-activity day per user (unordered
-    // window min — same shuffle as the day-offset distinct that
-    // follows, no self-join), offsets capped at 7 days to bound output.
-    // 100 TB: two shuffles (user_id, then the distinct's composite
-    // key); the per-user min rides the first shuffle as a window
-    // aggregate instead of a groupBy + join back.
+    // cohort retention: cohort = first-activity day per user as an
+    // UNORDERED window min (no groupBy + join-back, no second scan),
+    // offsets capped at 7 days to bound output. 100 TB: three hash
+    // shuffles — user_id for the window, the distinct's composite
+    // key, and the 2-key rollup (hashpartitioning on 3 columns does
+    // not satisfy the 2-column clustering, so the rollup re-shuffles
+    // the distinct's output; that input is already
+    // cohort×offset×user-deduped, far smaller than the event table)
+    // — plus the final presentation sort.
     Q("cohort_retention",
       """WITH c AS (
         |  SELECT user_id, ts,
@@ -167,15 +204,16 @@ object BehaviorQueries {
     // 2-D skyline (pareto frontier) per event_type, maximizing
     // (value, ts): the classic OLAP operator Spark lacks, built as
     // sort + running-max instead of the O(n^2) dominance anti-join the
-    // oracle uses. TWO passes: a partition-local pass keyed by
-    // (event_type, spark_partition_id) eliminates locally-dominated
-    // rows in parallel, then the global pass runs over the (skyline-
-    // sized) survivors — so the per-event_type sort never sees the
-    // full table. Dominated-elimination is order-insensitive, so the
-    // result is invariant to the physical partitioning (BehaviorSpec
-    // asserts equality under repartition). Exact-duplicate (value,ts)
-    // points keep the min event_id — the oracle's second NOT EXISTS
-    // pins the same rule.
+    // oracle uses. TWO passes: an exchange-free partition-local pass
+    // (local sort + streaming per-type running max — see
+    // [[localSkyline]]) eliminates locally-dominated rows in
+    // parallel, then the global window pass runs over the (skyline-
+    // sized) survivors — the only full-table exchange in the plan is
+    // the survivors' event_type shuffle, asserted in BehaviorSpec.
+    // Dominated-elimination is order-insensitive, so the result is
+    // invariant to the physical partitioning (asserted under
+    // repartition). Exact-duplicate (value,ts) points keep the min
+    // event_id — the oracle's second NOT EXISTS pins the same rule.
     Q("skyline_events",
       """SELECT p.event_type, p.event_id, p.value, p.ts
         |FROM events p
@@ -192,10 +230,7 @@ object BehaviorQueries {
         |ORDER BY p.event_type, p.event_id""".stripMargin) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
         .select("event_type", "event_id", "value", "ts")
-      val local = skylinePass(
-        ev.withColumn("__pid", spark_partition_id()),
-        Seq("event_type", "__pid")).drop("__pid")
-      skylinePass(local, Seq("event_type"))
+      skylinePass(localSkyline(ev), Seq("event_type"))
         .select("event_type", "event_id", "value", "ts")
         .orderBy("event_type", "event_id")
     },

@@ -56,9 +56,7 @@ class BehaviorSpec extends SparkSpec {
     val ev = Tables.load(spark, sf0001, "events")
       .select("event_type", "event_id", "value", "ts")
     def skyline(df: org.apache.spark.sql.DataFrame): Set[Long] = {
-      val local = BehaviorQueries.skylinePass(
-        df.withColumn("__pid", spark_partition_id()),
-        Seq("event_type", "__pid")).drop("__pid")
+      val local = BehaviorQueries.localSkyline(df)
       BehaviorQueries.skylinePass(local, Seq("event_type"))
         .select("event_id").collect().map(_.getLong(0)).toSet
     }
@@ -66,6 +64,18 @@ class BehaviorSpec extends SparkSpec {
     for (n <- Seq(1, 7, 32))
       assert(skyline(ev.repartition(n)) == base,
         s"skyline changed under repartition($n)")
+  }
+
+  test("skyline's only full-table exchange is the survivors' event_type shuffle") {
+    val p = run("skyline_events", sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toList
+    assert(exchanges.count(_.contains("hashpartitioning(event_type")) == 1,
+      s"expected one event_type exchange:\n$p")
+    assert(exchanges.count(_.contains("rangepartitioning")) == 1,
+      s"expected one presentation-sort exchange:\n$p")
+    assert(exchanges.size == 2,
+      s"local pass must be exchange-free; found:\n${exchanges.mkString("\n")}")
   }
 
   test("cohort day-0 actives equal the user universe; offsets stay in range") {

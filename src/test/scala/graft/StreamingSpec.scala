@@ -613,6 +613,19 @@ class StreamingSpec extends SparkSpec {
       // a late straggler (ts far below the watermark) must be dropped
       mem.addData(FunnelEvent(3, 30, ts("2024-01-01 09:00:00"), "signup"))
       q.processAllAvailable()
+      // POST-COMPLETION arrivals for user 1 must not re-emit: the
+      // completed funnel keeps a tombstone, so a second full pass
+      // through the stages is ignored
+      mem.addData(
+        FunnelEvent(1, 40, ts("2024-01-01 14:00:00"), "signup"),
+        FunnelEvent(1, 41, ts("2024-01-01 14:01:00"), "view"),
+        FunnelEvent(1, 42, ts("2024-01-01 14:02:00"), "click"),
+        FunnelEvent(1, 43, ts("2024-01-01 14:03:00"), "purchase"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99, 92, ts("2024-01-01 16:00:00"), "error"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(99, 93, ts("2024-01-01 16:05:00"), "error"))
+      q.processAllAvailable()
       val rows = spark.table("funnel_stream")
         .select(col("user_id"), col("stage"), col("ts").cast("string"))
         .as[(Long, Int, String)].collect().sorted
@@ -620,6 +633,11 @@ class StreamingSpec extends SparkSpec {
         (1L, 1, "2024-01-01 10:00:00"), (1L, 2, "2024-01-01 10:05:00"),
         (1L, 3, "2024-01-01 10:10:00"), (1L, 4, "2024-01-01 10:20:00"),
         (2L, 1, "2024-01-01 10:05:00"), (2L, 2, "2024-01-01 10:06:00")))
+      // state holds ONLY the two funnel entrants (user 1's tombstone,
+      // user 2 at stage 2) — never the error-only user 99 or the
+      // late-dropped user 3
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 2, s"state store holds $stateRows rows, want 2")
     } finally q.stop()
   }
 
