@@ -235,6 +235,35 @@ object BehaviorQueries {
         .orderBy("event_type", "event_id")
     },
 
+    // SCD2 (slowly-changing-dimension type 2) interval construction:
+    // collapse each user's event stream into [valid_from, valid_to)
+    // state intervals, one row per event_type CHANGE — the standard
+    // warehouse history-table build. Both windows share the
+    // (user_id)-(ts, event_id) sort, and the change filter preserves
+    // ordering, so the plan is ONE shuffle + ONE sort feeding lag,
+    // filter, lead. 100 TB: output is bounded by state changes, not
+    // events; open intervals carry NULL valid_to.
+    Q("scd2_intervals",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev_type IS NULL OR event_type <> prev_type),
+        |i AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to
+        |FROM i ORDER BY user_id, valid_from, event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
     // Z-order (Morton) layout audit: interleave 8-bit user and value
     // codes into one clustering key and report per-key-range extents.
     // This is the data-layout primitive for multi-dimensional file

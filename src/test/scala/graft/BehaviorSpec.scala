@@ -78,6 +78,31 @@ class BehaviorSpec extends SparkSpec {
       s"local pass must be exchange-free; found:\n${exchanges.mkString("\n")}")
   }
 
+  test("scd2_intervals plans one user_id exchange for both windows") {
+    val p = run("scd2_intervals", sf0001)
+      .queryExecution.executedPlan.toString
+    val userExchanges = p.linesIterator
+      .count(_.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"lag and lead must share one user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("scd2 intervals chain per user: valid_to = next valid_from, types alternate") {
+    val rows = run("scd2_intervals", sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._3.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, t1, _, Some(end)), (_, t2, from, _)) =>
+          assert(end == from, s"user $u: interval gap at $from")
+          assert(t1 != t2, s"user $u: non-change row for $t2")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, s"user $u: last interval not open")
+    }
+  }
+
   test("cohort day-0 actives equal the user universe; offsets stay in range") {
     val rows = run("cohort_retention", sf001).collect()
     val offsets = rows.map(_.getLong(1))
