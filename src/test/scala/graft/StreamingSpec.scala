@@ -641,6 +641,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cohort emits each (user, day-offset) exactly once, matching batch") {
+    import graft.streaming.StreamCohort
+    import graft.streaming.StreamCohort.CohortEvent
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(424242L)
+    val events = (1 to 150).map { i =>
+      CohortEvent(1 + rnd.nextInt(10), i.toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime
+          + rnd.nextInt(10 * 86400) * 1000L))
+    }
+    val mem = MemoryStream[CohortEvent]
+    // 240h delay >> the 10-day span: random arrival never looks late
+    val q = StreamCohort.activities(mem.toDS(), 7, "240 hours")
+      .writeStream.format("memory").queryName("cohort_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(50).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      mem.addData(CohortEvent(999, 900, ts("2024-01-25 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(CohortEvent(999, 901, ts("2024-01-25 00:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("cohort_stream")
+        .where(col("user_id") <= 10)
+        .select(col("user_id"), col("cohort_day").cast("string"),
+          col("day_offset"))
+        .as[(Long, String, Int)].collect()
+      assert(got.length == got.toSet.size, "duplicate activity emission")
+      val expect = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val days = evs.map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+        val cohort = days.min
+        days.map(d => (d - cohort).toInt).distinct.filter(_ <= 7)
+          .map(off => (u, java.time.LocalDate.ofEpochDay(cohort).toString, off))
+      }.toSet
+      assert(got.toSet == expect)
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch cascaded-min windows under random arrival") {
     import graft.streaming.StreamFunnel
     import graft.streaming.StreamFunnel.FunnelEvent
