@@ -681,6 +681,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 changes equal the batch query's change rows on real events") {
+    import graft.streaming.StreamScd2
+    import graft.streaming.StreamScd2.ScdEvent
+    implicit val ctx = spark.sqlContext
+    val evs = Tables.load(spark, sf0001, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, Timestamp, String)].collect()
+      .map(t => ScdEvent(t._1, t._2, t._3, t._4))
+    val rnd = new scala.util.Random(7L)
+    val mem = MemoryStream[ScdEvent]
+    // 31-day delay > the fixture's 30-day span: nothing looks late
+    val q = StreamScd2.changes(mem.toDS(), "744 hours")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(evs.toSeq).grouped(400).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      mem.addData(ScdEvent(999999, 1L << 40, ts("2024-03-15 00:00:00"), "x"))
+      q.processAllAvailable()
+      mem.addData(ScdEvent(999999, (1L << 40) + 1, ts("2024-03-15 00:05:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_stream")
+        .where(col("user_id") < 999999)
+        .select(col("user_id"), col("event_type"), col("valid_from").cast("string"))
+        .as[(Long, String, String)].collect()
+      assert(got.length == got.toSet.size, "duplicate change emission")
+      val expect = SparkEntry.allQueries.find(_.name == "scd2_intervals").get
+        .run(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("valid_from").cast("string"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got.toSet == expect)
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch cascaded-min windows under random arrival") {
     import graft.streaming.StreamFunnel
     import graft.streaming.StreamFunnel.FunnelEvent
