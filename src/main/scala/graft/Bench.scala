@@ -58,6 +58,11 @@ object Bench {
     // ~5x on the first queries and not what's being measured); then two
     // timed passes, reporting the per-query minimum — a single pass is
     // vulnerable to transient host load (observed 2.5x total swings)
+    // fail loudly on typo'd filter names (same contract as Verify) —
+    // a silently-empty suite prints a zero-total JSON that looks like
+    // a broken bench downstream
+    val unknown = only.diff(SparkEntry.allQueries.map(_.name).toSet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val suite =
       if (only.isEmpty) SparkEntry.allQueries
       else SparkEntry.allQueries.filter(q => only(q.name))

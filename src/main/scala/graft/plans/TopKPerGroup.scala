@@ -142,8 +142,18 @@ case class TopKPerGroupExec(
           private def refill(): Unit = {
             while (iter.hasNext && retained < cap) {
               val row = iter.next()
-              val heap = heaps.getOrElseUpdate(groupProj(row).copy(),
-                mutable.PriorityQueue.empty[InternalRow](ordering))
+              // probe with the projection's reused buffer; copy the key
+              // ONLY on first sight of a group — with few groups and
+              // billions of rows (this operator's target shape) a
+              // copy-per-row would allocate on the hottest loop
+              val key = groupProj(row)
+              val heap = heaps.get(key) match {
+                case Some(h) => h
+                case None =>
+                  val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+                  heaps.put(key.copy(), h)
+                  h
+              }
               if (heap.size < limit) { heap.enqueue(row.copy()); retained += 1 }
               else if (ordering.compare(row, heap.head) < 0) {
                 heap.dequeue(); heap.enqueue(row.copy())

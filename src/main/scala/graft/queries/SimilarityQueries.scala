@@ -24,6 +24,41 @@ object SimilarityQueries {
   private def duckDot(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
 
+  /** (vec_id, embedding, scale_raw, codes): per-vector symmetric int8
+    * quantization — max-abs/127 scale, codes = floor(x/scale + 0.5)
+    * as LONG. ONE definition feeds both embed_quantize (the store
+    * build) and ann_quantized (the probe over that store); the rule
+    * carries two hard-won fixes (floor(+0.5), not round() — the
+    * engines' tie rules differ on half-way doubles; the raw scale
+    * deliberately NOT named "scale" — Spark 4's lateral column alias
+    * resolution would rebind same-select references to a rounded
+    * output alias, a measured 0.15% mse shift), so a drift between
+    * copies would silently quantize the probe differently from the
+    * store it claims to read. Tables.parallelize: everything here is
+    * row-local map work before the caller's first exchange, and the
+    * fixture parquet is a single row group = one scan task without it.
+    */
+  private def quantized(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    Tables.parallelize(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / 127.0).as("scale_raw"))
+      .filter(col("scale_raw") > 0)
+      .withColumn("codes", transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("long")))
+
+  /** DuckDB twin of [[quantized]]: the `s`/`c` CTE pair (codes as
+    * BIGINT, matching the LONG Spark codes).
+    */
+  private val duckQuantizeCtes: String =
+    """s AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, embedding, scale,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
+      |  FROM s WHERE scale > 0)""".stripMargin
+
   /** Shared 2-iteration unrolled Lloyd CTE chain over `embeddings`
     * for `k` md5-init centroids — ONE definition serves both the
     * kmeans_centroids oracle and the ann_ivf_trained oracle (the
@@ -311,12 +346,7 @@ object SimilarityQueries {
     // 64 values exactly). MSE folds in index order like every dot
     // product here.
     Q("embed_quantize",
-      s"""WITH s AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-         |  FROM embeddings),
-         |c AS (SELECT vec_id, embedding, scale,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS codes
-         |  FROM s WHERE scale > 0)
+      s"""WITH $duckQuantizeCtes
          |SELECT vec_id, round(scale, 6) AS scale,
          |  list_max(list_transform(codes, x -> abs(x))) AS max_code,
          |  md5(array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',')) AS codes_md5,
@@ -324,23 +354,7 @@ object SimilarityQueries {
          |    i -> (CAST(embedding[i] AS DOUBLE) - codes[i] * scale)
          |       * (CAST(embedding[i] AS DOUBLE) - codes[i] * scale))) / $Dim, 9) AS mse
          |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      // the raw scale column is NOT named "scale": the output select
-      // aliases round(raw, 6) AS scale, and Spark 4's lateral column
-      // alias resolution would silently rebind later col("scale")
-      // references in the SAME select to the rounded alias — measured
-      // as a 0.15% mse shift (Δscale² · E[code²]) that flips the 9 dp
-      // rounding
-      // parallelize: all the heavy work (two 64-element transforms,
-      // the mse fold, the md5) is row-local map work BEFORE the only
-      // exchange (the output sort), and the fixture parquet is a
-      // single row group = one scan task without it
-      val scaled = Tables.parallelize(Tables.load(s, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"),
-          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-            / 127.0).as("scale_raw"))
-        .filter(col("scale_raw") > 0)
-        .withColumn("codes", transform(col("embedding"),
-          x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("int")))
+      val scaled = quantized(s, dir)
       scaled.select(
           col("vec_id"), round(col("scale_raw"), 6).as("scale"),
           array_max(transform(col("codes"), abs(_))).as("max_code"),
@@ -367,12 +381,7 @@ object SimilarityQueries {
     // ann_bruteforce; PipelineShapesSpec pins recall@10 against the
     // float32 exact baseline.
     Q("ann_quantized",
-      s"""WITH s AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-         |  FROM embeddings),
-         |c AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
-         |  FROM s WHERE scale > 0),
+      s"""WITH $duckQuantizeCtes,
          |q AS (SELECT vec_id AS q_id, codes AS qc FROM c WHERE vec_id < 5),
          |p AS (SELECT q_id, c.vec_id AS n_id,
          |    round(
@@ -384,13 +393,7 @@ object SimilarityQueries {
          |        PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk FROM p)
          |SELECT q_id, rnk, n_id, qcos FROM r WHERE rnk <= $TopK
          |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
-      val c = Tables.parallelize(Tables.load(s, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"),
-          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-            / 127.0).as("scale_raw"))
-        .filter(col("scale_raw") > 0)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => floor(x.cast("double") / col("scale_raw") + 0.5).cast("long")).as("codes"))
+      val c = quantized(s, dir).select("vec_id", "codes")
       def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
           lit(0.0), (acc, v) => acc + v)

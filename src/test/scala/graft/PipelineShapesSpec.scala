@@ -166,7 +166,7 @@ class PipelineShapesSpec extends SparkSpec {
   test("int8 quantization: codes bounded, mse under the half-step bound") {
     val rows = byName("embed_quantize").run(spark, sf0001)
       .select("vec_id", "scale", "max_code", "mse")
-      .as[(Long, Double, Int, Double)].collect()
+      .as[(Long, Double, Long, Double)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (id, scale, maxCode, mse) =>
       assert(maxCode <= 127, s"vec $id code overflows int8: $maxCode")
