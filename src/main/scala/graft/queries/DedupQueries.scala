@@ -241,6 +241,52 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // triangle census of the near-dup graph: true duplicate FAMILIES
+    // are near-cliques (every copy matches every copy), while chained
+    // false positives from banding are open wedges — so the global
+    // clustering coefficient 3*triangles/wedges is the standard
+    // one-number audit of candidate-pair quality. Triangles count
+    // once per ordered triple a<b<c via three joins of the ordered
+    // pair list (p1=(a,b), p2=(b,c), p3=(a,c)); wedges derive from
+    // the degree table. 100 TB: pairs are banding-bounded and the
+    // join keys are doc ids — the standard ordered-triple plan; a
+    // hub-heavy graph would first cap per-node neighbor lists
+    // (dup_spans' hot-key cap) before the join chain.
+    Q("dup_triangles",
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM pairs p1
+         |        JOIN pairs p2 ON p2.d1 = p1.d2
+         |        JOIN pairs p3 ON p3.d1 = p1.d1 AND p3.d2 = p2.d2),
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM
+         |          (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+         |        GROUP BY doc_id),
+         |w AS (SELECT SUM(degree * (degree - 1)) // 2 AS n_wedges FROM deg)
+         |SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(3.0 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS clustering_coeff
+         |FROM tri, w""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+        .select(col("id_a").as("d1"), col("id_b").as("d2"))
+      val tri = pairs.as("p1")
+        .join(pairs.as("p2"), col("p2.d1") === col("p1.d2"))
+        .join(pairs.as("p3"),
+          col("p3.d1") === col("p1.d1") && col("p3.d2") === col("p2.d2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = pairs.select(col("d1").as("doc_id"))
+        .unionAll(pairs.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .agg(expr("sum(degree * (degree - 1)) div 2").as("n_wedges"))
+      tri.crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges").cast("long").as("n_wedges"),
+          (col("n_triangles").cast("double") * 3.0 /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+    },
+
     // duplicate CLUSTERS: connected components over the MinHash
     // candidate pairs (cluster_id = min reachable doc; "keep one per
     // cluster" = doc_id == cluster_id). Oracle: recursive-CTE
