@@ -370,6 +370,37 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // per-label mean embeddings — the class-prototype table (nearest-
+    // centroid classification, per-class drift monitoring, embedding-
+    // space dataset cards). A grouped VECTOR reduce: posexplode to
+    // (label, idx, x), decimal-exact sums per (label, idx) so the
+    // mean is aggregation-order-independent (the kmeans discipline),
+    // mean = sum/count rounded at 6 dp. 100 TB: one shuffle on the
+    // (label, idx) composite key with map-side partial sums; output
+    // is |labels| x dim rows regardless of corpus size.
+    Q("label_centroids",
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |a AS (SELECT label, i,
+        |    CAST(SUM(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    COUNT(*) AS n FROM e GROUP BY label, i)
+        |SELECT label, CAST(i - 1 AS INT) AS idx,
+        |  round(sx / n, 6) AS component, n
+        |FROM a ORDER BY label, idx""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "x")
+        .groupBy("label", "idx")
+        .agg(
+          sum(round(col("x").cast("double"), 6).cast(DecimalType(18, 6)))
+            .cast("double").as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("idx"),
+          round(col("sx") / col("n"), 6).as("component"), col("n"))
+        .orderBy("label", "idx")
+    },
+
     // ANN over the QUANTIZED store — the production use of
     // embed_quantize: top-k by cosine of the int8 code vectors. The
     // per-vector scales cancel in the cosine (codes*s_q · codes*s_n /
