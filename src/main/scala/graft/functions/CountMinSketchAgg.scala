@@ -108,4 +108,33 @@ object CountMinSketchAgg {
     GraftSqlBridge.column(
       CountMinSketchAgg(GraftSqlBridge.expression(c), depth, width)
         .toAggregateExpression())
+
+  /** CMS inner product — the classic JOIN-SIZE estimator (Alon-
+    * Matias-Szegedy '99 via Cormode-Muthukrishnan '05 §4.2): for
+    * sketches of the two join columns, min over rows of
+    * Σ_j a[r][j]·b[r][j] estimates Σ_k f_a(k)·f_b(k) = |A ⋈_k B|,
+    * never under it, within ε·N_a·N_b (ε = e/width) w.h.p. The
+    * planner use: estimate a join's output size from two tiny
+    * mergeable sketches — depth×width longs each, collected to the
+    * driver — before committing a strategy, without touching either
+    * input again.
+    */
+  def innerProduct(a: Array[Long], b: Array[Long],
+                   depth: Int, width: Int): Long = {
+    require(a.length == depth * width && b.length == depth * width,
+      s"sketch shape mismatch: ${a.length}/${b.length} vs $depth x $width")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) {
+        s += a(r * width + j) * b(r * width + j)
+        j += 1
+      }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
 }

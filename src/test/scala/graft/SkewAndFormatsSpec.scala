@@ -149,4 +149,24 @@ class CmsSpec extends SparkSpec {
       .agg(CountMinSketchAgg(col("item"), D, W)).as[Seq[Long]].head()
     assert(one === many)
   }
+
+  test("count-min inner product estimates join size within the AMS bound") {
+    import spark.implicits._
+    val D = 4; val W = 256
+    // the real fixture: how many (click, purchase) same-user pairs
+    // would a user_id join produce?
+    val ev = Tables.load(spark, sf001, "events")
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").cast("string").as("k"))
+    def sketch(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(CountMinSketchAgg(col("k"), D, W)).as[Seq[Long]].head().toArray
+    val (a, b) = (sketch(side("click")), sketch(side("purchase")))
+    val est = CountMinSketchAgg.innerProduct(a, b, D, W)
+    val exact = side("click").join(side("purchase"), "k").count()
+    val (na, nb) = (side("click").count(), side("purchase").count())
+    // CMS guarantee: never under; over by at most (e/W)·N_a·N_b w.h.p.
+    assert(est >= exact, s"inner product undercounts: $est < $exact")
+    assert(est <= exact + (math.E / W * na * nb).toLong,
+      s"inner product blew the AMS bound: $est vs $exact (N=$na,$nb)")
+  }
 }
