@@ -269,6 +269,10 @@ object DedupQueries {
          |FROM tri, w""".stripMargin) { (s, dir) =>
       val sig = Dedup.minhashFromText(
         Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      // pairs feeds four branches (p1/p2/p3 + the wedge degrees); AQE
+      // stage reuse dedupes the shared minhash pipeline, and an
+      // explicit localCheckpoint measured SLOWER at sf0.1 (1.66 s vs
+      // 1.32 s) — the pagerank_dups/dup_spans finding a third time
       val pairs = Dedup.candidatePairs(
         Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
         .select(col("id_a").as("d1"), col("id_b").as("d2"))
