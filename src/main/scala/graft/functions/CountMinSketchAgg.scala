@@ -123,13 +123,20 @@ object CountMinSketchAgg {
                    depth: Int, width: Int): Long = {
     require(a.length == depth * width && b.length == depth * width,
       s"sketch shape mismatch: ${a.length}/${b.length} vs $depth x $width")
+    // saturate on overflow instead of wrapping: counter products at
+    // the estimator's own target regime (multi-billion-row heavy
+    // hitters on both sides) can exceed Long range, and a wrapped
+    // negative sum would win the min and break the never-under
+    // guarantee. A saturated row is simply a uselessly-loose upper
+    // bound, which the min over the other rows may still improve.
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
       var s = 0L
       var j = 0
-      while (j < width) {
-        s += a(r * width + j) * b(r * width + j)
+      while (j < width && s != Long.MaxValue) {
+        try s = Math.addExact(s, Math.multiplyExact(a(r * width + j), b(r * width + j)))
+        catch { case _: ArithmeticException => s = Long.MaxValue }
         j += 1
       }
       if (s < best) best = s

@@ -82,8 +82,9 @@ object BehaviorQueries {
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val session = df.sparkSession
     import session.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // one shared µs conversion guards both precision-critical sites
+    // (this elimination scan and OrderedReplay's replay ordering)
+    val us = graft.streaming.OrderedReplay.toUs _
     df.select("event_type", "event_id", "value", "ts").as[SkyRow]
       .sortWithinPartitions(col("value").desc, col("ts").desc, col("event_id"))
       .mapPartitions { it =>

@@ -265,7 +265,9 @@ object DedupQueries {
          |        GROUP BY doc_id),
          |w AS (SELECT SUM(degree * (degree - 1)) // 2 AS n_wedges FROM deg)
          |SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
-         |  CAST(3.0 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS clustering_coeff
+         |  CASE WHEN n_wedges = 0 THEN 0.0
+         |       ELSE CAST(3.0 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         |  END AS clustering_coeff
          |FROM tri, w""".stripMargin) { (s, dir) =>
       val sig = Dedup.minhashFromText(
         Tables.load(s, dir, "documents"), "doc_id", "text", K)
@@ -287,8 +289,12 @@ object DedupQueries {
         .agg(expr("sum(degree * (degree - 1)) div 2").as("n_wedges"))
       tri.crossJoin(wedges)
         .select(col("n_triangles"), col("n_wedges").cast("long").as("n_wedges"),
-          (col("n_triangles").cast("double") * 3.0 /
-            col("n_wedges").cast("double")).as("clustering_coeff"))
+          // explicit 0-wedge guard: Spark's non-ANSI 0.0/0.0 is NULL
+          // where DuckDB's IEEE division is NaN — a perfect-matching
+          // pair graph (every degree 1) would diverge without it
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(col("n_triangles").cast("double") * 3.0 /
+              col("n_wedges").cast("double")).as("clustering_coeff"))
     },
 
     // duplicate CLUSTERS: connected components over the MinHash

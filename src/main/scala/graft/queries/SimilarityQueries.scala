@@ -373,31 +373,33 @@ object SimilarityQueries {
     // per-label mean embeddings — the class-prototype table (nearest-
     // centroid classification, per-class drift monitoring, embedding-
     // space dataset cards). A grouped VECTOR reduce: posexplode to
-    // (label, idx, x), decimal-exact sums per (label, idx) so the
-    // mean is aggregation-order-independent (the kmeans discipline),
-    // mean = sum/count rounded at 6 dp. 100 TB: one shuffle on the
+    // (label, idx, x), then per-(label, idx) sums of INTEGER
+    // micro-units — floor(x*1e6 + 0.5), the quantized() tie rule, NOT
+    // round() (engines' round() tie rules differ exactly on the
+    // dyadic float32 values embeddings are full of) — so the sum is
+    // both aggregation-order-independent and tie-rule-exact; the mean
+    // divides in a fixed double-op order. 100 TB: one shuffle on the
     // (label, idx) composite key with map-side partial sums; output
     // is |labels| x dim rows regardless of corpus size.
     Q("label_centroids",
       """WITH e AS (SELECT label, unnest(embedding) AS x,
         |    generate_subscripts(embedding, 1) AS i FROM embeddings),
         |a AS (SELECT label, i,
-        |    CAST(SUM(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sx,
         |    COUNT(*) AS n FROM e GROUP BY label, i)
         |SELECT label, CAST(i - 1 AS INT) AS idx,
-        |  round(sx / n, 6) AS component, n
+        |  round(sx / n / 1000000.0, 6) AS component, n
         |FROM a ORDER BY label, idx""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
       Tables.load(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .withColumnRenamed("pos", "idx").withColumnRenamed("col", "x")
         .groupBy("label", "idx")
         .agg(
-          sum(round(col("x").cast("double"), 6).cast(DecimalType(18, 6)))
+          sum(floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long"))
             .cast("double").as("sx"),
           count(lit(1)).as("n"))
         .select(col("label"), col("idx"),
-          round(col("sx") / col("n"), 6).as("component"), col("n"))
+          round(col("sx") / col("n") / 1000000.0, 6).as("component"), col("n"))
         .orderBy("label", "idx")
     },
 

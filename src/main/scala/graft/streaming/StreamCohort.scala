@@ -34,12 +34,16 @@ object StreamCohort {
                  watermarkDelay: String = "1 hour"): Dataset[Activity] = {
     import events.sparkSession.implicits._
     require(maxOffset < 31, "offset bitmask is an Int")
+    // Long.MinValue (not -1) as the unset sentinel: valid epoch days
+    // are negative for pre-1970 event times, and a colliding sentinel
+    // would silently re-base the cohort on every subsequent event
+    val Unset = Long.MinValue
     OrderedReplay.replay[CohortEvent, (Long, Int), Boolean, Activity](
       events, "ts", watermarkDelay, _.user_id,
       e => Some((e.ts, e.event_id, true)),
-      zero = (-1L, 0)) { case (user, (day0, mask), us, _) =>
+      zero = (Unset, 0)) { case (user, (day0, mask), us, _) =>
       val day = Math.floorDiv(us, UsPerDay)
-      val cohortDay = if (day0 < 0) day else day0
+      val cohortDay = if (day0 == Unset) day else day0
       val off = (day - cohortDay).toInt
       if (off <= maxOffset && (mask & (1 << off)) == 0)
         ((cohortDay, mask | (1 << off)),
