@@ -265,6 +265,55 @@ object BehaviorQueries {
         .orderBy("user_id", "valid_from", "event_type")
     },
 
+    // z-score outlier census per event_type — the streaming-metrics
+    // data-quality gate (alert when a type's value distribution grows
+    // a tail). Moments come from INTEGER cent-unit sums
+    // (floor(x*100 + 0.5) — the engines' decimal-cast tie rules
+    // differ, integer sums don't), so mean/std are exact identical
+    // doubles in both engines; sqrt is IEEE-correctly-rounded
+    // everywhere. Two passes over events (moments, then the flag
+    // count with the tiny stats table broadcast) — the textbook
+    // two-pass variance shape that survives any scale; sxx stays
+    // exact under 2^53 up to ~10^15 cent^2 mass per type.
+    Q("value_outliers",
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(vi) AS DOUBLE) AS sx, CAST(SUM(vi * vi) AS DOUBLE) AS sxx
+        |  FROM v GROUP BY event_type),
+        |m AS (SELECT event_type, n, sx / n AS mc,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sc FROM s)
+        |SELECT v.event_type, m.n,
+        |  round(m.mc / 100.0, 6) AS mean_value,
+        |  round(m.sc / 100.0, 6) AS std_value,
+        |  CAST(SUM(CASE WHEN abs(CAST(vi AS DOUBLE) - m.mc) > m.sc * 3.0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM v JOIN m USING (event_type)
+        |GROUP BY v.event_type, m.n, m.mc, m.sc
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value").cast("double") * 100.0 + 0.5).cast("long").as("vi"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("vi")).cast("double").as("sx"),
+          sum(col("vi") * col("vi")).cast("double").as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("sx") / col("n")).as("mc"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)).as("sc"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mc", "sc")
+        .agg(sum(when(abs(col("vi").cast("double") - col("mc")) > col("sc") * 3.0, 1)
+          .otherwise(0)).cast("long").as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          round(col("mc") / 100.0, 6).as("mean_value"),
+          round(col("sc") / 100.0, 6).as("std_value"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Z-order (Morton) layout audit: interleave 8-bit user and value
     // codes into one clustering key and report per-key-range extents.
     // This is the data-layout primitive for multi-dimensional file
