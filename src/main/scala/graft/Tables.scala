@@ -48,6 +48,32 @@ object Tables {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** [[parallelize]] variant for pipelines that aggregate by `key` and
+    * END in a global ORDER BY the same key (the MinHash/SimHash shape):
+    * spreads with RANGE partitioning on the key instead of round-robin.
+    * Aggregates preserve their child's partitioning over the grouping
+    * key, and `RangePartitioning(key)` satisfies both the aggregate's
+    * clustering AND the final sort's `OrderedDistribution` — so the
+    * whole pipeline runs with ONE exchange and a local sort. The
+    * alternative (hash spread + trailing `orderBy`) pays a second,
+    * range exchange whose sampling pass re-executes the expensive
+    * upstream (measured 2.3 s vs 1.3 s on the minhash signature at
+    * sf0.1): range-sampling the cheap SCAN is fine, range-sampling a
+    * shingle pipeline is not.
+    *
+    * Same guard and same caveats as [[parallelize]]: call only on
+    * scan-stage frames, and skip entirely when the scan already has
+    * enough splits — at 100 TB the input arrives as many splits and an
+    * unconditional repartition would shuffle the full corpus text for
+    * nothing (the post-aggregate exchanges carry only a few integers
+    * per document).
+    */
+  def parallelizeByRange(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartitionByRange(target, key)
+  }
+
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -41,19 +41,23 @@ object Dedup {
   }
 
   /** Exploded distinct (id, shingle) pairs — the unit of MinHash and
-    * Jaccard set arithmetic. The input is repartitioned BEFORE the
-    * explode: shingling inflates rows ~30x, so when the source has
-    * fewer splits than cores (single-row-group parquet locally; always
-    * possible after heavy pruning at cluster scale) the inflation and
-    * hashing would otherwise run on one thread. The pre-explode
-    * exchange moves only the small un-inflated rows.
+    * Jaccard set arithmetic. The input is spread BEFORE the explode:
+    * shingling inflates rows ~30x, so when the source has fewer splits
+    * than cores (single-row-group parquet locally; always possible
+    * after heavy pruning at cluster scale) the inflation and hashing
+    * would otherwise run on one thread. The spread is GUARDED
+    * ([[graft.Tables.parallelizeByRange]]): at 100 TB the input
+    * arrives as many splits and an unconditional repartition would
+    * shuffle the full corpus text before a pipeline whose later
+    * exchanges carry only a handful of integers per document. Range
+    * (not hash) partitioning on the id so the downstream per-id
+    * aggregate AND a trailing global ORDER BY id both reuse the one
+    * exchange.
     */
-  def distinctShingles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(parallelism, col(idCol))
+  def distinctShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Tables.parallelizeByRange(df, col(idCol))
       .select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
       .distinct()
-  }
 
   /** MinHash signature: K min-hashes over the shingle set via ONE md5
     * per shingle + K affine permutations mod 2^31-1 (12x fewer md5
@@ -79,13 +83,11 @@ object Dedup {
     * [[distinctShingles]] + [[minhashSignature]] only when the distinct
     * set itself is needed (e.g. Jaccard intersection counts).
     */
-  def minhashFromText(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+  def minhashFromText(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     minhashSignature(
-      df.repartition(parallelism, col(idCol))
+      graft.Tables.parallelizeByRange(df, col(idCol))
         .select(col(idCol), explode(shingles(col(textCol))).as("shingle")),
       idCol, k)
-  }
 
   /** LSH band keys from a signature: b bands of r rows each
     * (k = b*r). One output row per (id, band). Collision probability of
@@ -177,8 +179,7 @@ object Dedup {
     * votes (2*bit_j(h32(token)) - 1); bit set iff the sum is > 0.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val tok = df.repartition(parallelism, col(idCol))
+    val tok = graft.Tables.parallelizeByRange(df, col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok")).distinct()
     simhashOf(tok, idCol, "tok", bits)
   }

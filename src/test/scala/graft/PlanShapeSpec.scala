@@ -71,14 +71,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$p")
   }
 
-  test("minhash signature pipeline holds to three exchanges") {
-    // repartition (parallelize the explode+hash), signature groupBy,
-    // final orderBy — the distinct-shuffle of shingle strings must not
-    // reappear
+  test("minhash signature pipeline runs on ONE exchange, local sort") {
+    // the guarded RANGE spread (Tables.parallelizeByRange) is the only
+    // exchange: the per-id aggregate preserves it and the final ORDER
+    // BY doc_id is satisfied without a second (range) exchange — whose
+    // sampling pass would re-execute the whole shingle pipeline. The
+    // distinct-shuffle of shingle strings must not reappear either.
     val p = plan("dedup_minhash_sig")
     val n = "Exchange".r.findAllIn(p).length
-    assert(n <= 3, s"minhash pipeline gained exchanges ($n):\n$p")
+    assert(n <= 1, s"minhash pipeline gained exchanges ($n):\n$p")
     assert(p.linesIterator.count(_.contains("Scan parquet")) === 1)
+  }
+
+  test("minhash spread is guarded: an already-parallel scan adds no pre-explode exchange") {
+    // at 100 TB the input arrives as many splits; the pre-explode
+    // spread must then be a no-op (no gratuitous full-corpus text
+    // shuffle). Simulate with a checkpointed frame that already has
+    // >= defaultParallelism partitions: the only exchange left is the
+    // signature groupBy, which carries K integers per doc.
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    val docs = spark.range(500)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(i => substring(md5(concat(col("id"), lit(i))), 1, 8)): _*).as("text"))
+      .repartition(target)
+      .localCheckpoint(true)
+    val p = graft.ops.Dedup.minhashFromText(docs, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n === 1,
+      s"guarded spread should add no exchange on a parallel input (got $n):\n$p")
   }
 
   test("bloom_semi_join pre-filters the fact scan stage before the exact join") {
