@@ -51,9 +51,58 @@ object TimeQueries {
         .orderBy("w_start", "event_type")
     },
 
-    // time-range (interval) self-join: pairs of same-user events within
-    // 5 minutes; aggregated to bound output size
+    // time-range (interval) pair count: same-user event pairs within 5
+    // minutes, WITHOUT materializing the pairs. The self-join form (kept
+    // below as range_join_pairs_join) inflates to every qualifying pair
+    // before aggregating it away — at 100x a hot user's in-window
+    // density makes that quadratic in output rows, where this stays
+    // O(n log n): one hash exchange on user_id, a local sort, and a
+    // RANGE-frame count. Per event a, the frame
+    //   [ts_a, ts_a + 5min]  (unix_micros, so the bound is exact)
+    // holds every same-user event in the interval INCLUDING a itself
+    // and any ts-ties; subtracting a's row_number within its (user, ts)
+    // tie group (ordered by event_id) leaves exactly
+    //   #{b : ts_a <= ts_b <= ts_a+5min, event_id_b > event_id_a}
+    // PRECONDITION (asserted on the driver fixtures at every SF): per
+    // user, event_id order agrees with ts order for distinct ts — true
+    // of any log whose ids are assigned at append time. Under it the
+    // per-event counts sum to the join's per-user pair count; users
+    // with zero pairs are filtered to match the inner join's output.
     Q("range_join_pairs",
+      """SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        | AND e1.event_id < e2.event_id
+        |GROUP BY e1.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // RANGE (not hash) spread on user_id: RangePartitioning satisfies
+      // the windows' clustering, the per-user aggregate's, AND the final
+      // global ORDER BY user_id — the whole query runs on this ONE
+      // exchange (sampling the bare scan for range bounds is cheap; cf.
+      // Tables.parallelizeByRange).
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .repartitionByRange(col("user_id"))
+      val fiveMinMicros = 300L * 1000 * 1000
+      val inWindow = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(0, fiveMinMicros)
+      val tieRank = Window.partitionBy("user_id", "ts").orderBy("event_id")
+      ev.select(col("user_id"),
+          (count(lit(1)).over(inWindow) - row_number().over(tieRank))
+            .as("fwd"))
+        .groupBy("user_id")
+        .agg(sum(col("fwd")).as("n_pairs"))
+        .filter(col("n_pairs") > 0)
+        .orderBy("user_id")
+    },
+
+    // the same pair count as an explicit interval self-join — the shape
+    // a user writes when the PAIRS themselves are the output (sampling
+    // qualifying pairs, joining pair attributes). Kept gated alongside
+    // the window form so both stay correct; prefer range_join_pairs
+    // when only the aggregate is needed.
+    Q("range_join_pairs_join",
       """SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
         |FROM events e1 JOIN events e2
         |  ON e1.user_id = e2.user_id

@@ -103,6 +103,17 @@ class PlanShapeSpec extends SparkSpec {
       s"guarded spread should add no exchange on a parallel input (got $n):\n$p")
   }
 
+  test("range_join_pairs is ONE exchange and NO join (window form, pairs never materialize)") {
+    // the self-join form (kept as range_join_pairs_join) inflates to
+    // every qualifying pair; the window form must run on the single
+    // RANGE spread on user_id that the windows, the per-user sum, and
+    // the final ORDER BY all reuse.
+    val p = plan("range_join_pairs")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n === 1, s"window form should need exactly one exchange (got $n):\n$p")
+    assert(!p.contains("Join"), s"window form must not join:\n$p")
+  }
+
   test("bloom_semi_join pre-filters the fact scan stage before the exact join") {
     val p = plan("bloom_semi_join")
     assert(p.contains("LeftSemi"))
