@@ -216,10 +216,12 @@ object DedupQueries {
         Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
       // edges is joined by all 3 iterations; AQE stage reuse dedupes
       // the upstream shingle->minhash->band computation, so an
-      // explicit localCheckpoint is pure overhead (measured at sf0.1:
-      // 1.84 s without vs 1.92 s with — the dup_spans finding again).
-      // A production run over a persisted pair table skips the
-      // question entirely.
+      // explicit localCheckpoint buys nothing: an interleaved A/B at
+      // sf0.1 (local[32], min-of-2 after per-variant warmup,
+      // 2026-08-13) puts both variants at ~2.4-2.8 s, within host
+      // noise — absolute times on this box swing ~2x with load, so
+      // only the relative reading is meaningful. A production run
+      // over a persisted pair table skips the question entirely.
       val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       val deg = edges.groupBy(col("a").as("doc_id"))
@@ -272,9 +274,10 @@ object DedupQueries {
       val sig = Dedup.minhashFromText(
         Tables.load(s, dir, "documents"), "doc_id", "text", K)
       // pairs feeds four branches (p1/p2/p3 + the wedge degrees); AQE
-      // stage reuse dedupes the shared minhash pipeline, and an
-      // explicit localCheckpoint measured SLOWER at sf0.1 (1.66 s vs
-      // 1.32 s) — the pagerank_dups/dup_spans finding a third time
+      // stage reuse dedupes the shared minhash pipeline, so an
+      // explicit localCheckpoint buys nothing: interleaved A/B at
+      // sf0.1 (local[32], 2026-08-13) puts both at ~1.0 s, within
+      // host noise — the pagerank_dups/dup_spans finding again
       val pairs = Dedup.candidatePairs(
         Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
         .select(col("id_a").as("d1"), col("id_b").as("d2"))

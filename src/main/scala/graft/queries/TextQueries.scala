@@ -734,9 +734,10 @@ object TextQueries {
       // index): all three consumers — the frequency counts and both
       // self-join sides — hang off the fingerprint distinct()'s
       // exchange, which Spark already shares via ReusedExchange
-      // (asserted in PipelineShapesSpec; measured 2.00s vs 2.27s
-      // checkpointed at sf0.1). At production scale the persisted
-      // fingerprint index replaces the recompute either way.
+      // (asserted in PipelineShapesSpec; an interleaved A/B at sf0.1,
+      // local[32], 2026-08-13 puts both variants at ~2.0 s, within
+      // host noise). At production scale the persisted fingerprint
+      // index replaces the recompute either way.
       val sel = TextQueries.winnowFingerprints(s, dir)
       val freq = sel.groupBy("khash").agg(count(lit(1)).as("f"))
         .filter(col("f") <= TextQueries.MaxFpDocFreq)
