@@ -18,6 +18,74 @@ import graft.Tables
   */
 object VocabQueries {
 
+  /** Number of iterative merges bpe_merges performs. */
+  val BpeRounds = 10
+
+  /** Greedy left-to-right single-pair BPE merge of a symbol array, as
+    * one row-local fold (no shuffle, no UDF): append each symbol
+    * unless the accumulator ends with `a` and the symbol is `b`, in
+    * which case the tail becomes the merged symbol. A freshly-merged
+    * tail equals a||b, never bare `a` (unless a==b chains — where the
+    * fold's skip-after-merge IS the standard odd-occurrence rule), so
+    * overlaps resolve exactly like classic BPE. VocabSpec pins this
+    * against hand-computed merges AND against the oracle's
+    * gaps-and-islands formulation.
+    */
+  def bpeMergeFold(syms: org.apache.spark.sql.Column, a: String,
+                   b: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, size(acc)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Oracle CTE chain for bpe_merges: `rounds` unrolled merge steps.
+    * The merge itself is the gaps-and-islands form (marks where
+    * (s_i, s_{i+1}) equals the round's best pair; within each maximal
+    * run of consecutive marks — which only occur when a==b — keep the
+    * odd-ranked ones; a row is dropped iff its predecessor is a kept
+    * mark), which is provably the same greedy-left-to-right semantics
+    * as the Spark side's [[bpeMergeFold]].
+    *
+    * Each w$k is AS MATERIALIZED: it is referenced 4x (next round's
+    * pair count, next round's explode, and both audit subqueries), and
+    * DuckDB 1.0 inlines CTEs by default — un-hinted, the 10-round
+    * chain re-expands 4^10-fold and never finishes; materialized it
+    * runs in ~0.2 s.
+    */
+  private def duckBpe(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, cnt,
+        |    string_split(w, '') AS syms
+        |  FROM (SELECT w, COUNT(*) AS cnt
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE length(w) > 0 GROUP BY w))""".stripMargin
+    val rs = (1 to rounds).map { k =>
+      val prev = s"w${k - 1}"
+      s"""p$k AS (SELECT syms[i] AS pa, syms[i + 1] AS pb, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM $prev WHERE len(syms) > 1)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, n FROM p$k ORDER BY n DESC, pa, pb LIMIT 1),
+         |e$k AS (SELECT wid, cnt, i, syms[i] AS s, b.pa || b.pb AS mrg,
+         |    CASE WHEN syms[i] = b.pa AND syms[i + 1] = b.pb THEN 1 ELSE 0 END AS mk
+         |  FROM (SELECT wid, cnt, syms, unnest(generate_series(1, len(syms))) AS i FROM $prev)
+         |  CROSS JOIN b$k b),
+         |g$k AS (SELECT *, i - row_number() OVER (PARTITION BY wid, mk ORDER BY i) AS grp FROM e$k),
+         |k$k AS (SELECT *, CASE WHEN mk = 1 AND row_number() OVER (
+         |    PARTITION BY wid, mk, grp ORDER BY i) % 2 = 1 THEN 1 ELSE 0 END AS keepm FROM g$k),
+         |d$k AS (SELECT *, COALESCE(lag(keepm) OVER (PARTITION BY wid ORDER BY i), 0) AS dropped FROM k$k),
+         |w$k AS MATERIALIZED (SELECT wid, cnt, list(CASE WHEN keepm = 1 THEN mrg ELSE s END ORDER BY i) AS syms
+         |  FROM d$k WHERE dropped = 0 GROUP BY wid, cnt),
+         |st$k AS (SELECT CAST($k AS INT) AS merge_rank, b.pa, b.pb, b.pa || b.pb AS merged,
+         |    b.n AS pair_count,
+         |    (SELECT COUNT(DISTINCT s) FROM (SELECT unnest(syms) AS s FROM w$k)) AS vocab_types,
+         |    (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w$k) AS corpus_symbols
+         |  FROM b$k b)""".stripMargin
+    }
+    (w0 +: rs).mkString(",\n")
+  }
+
   def all: Seq[Q] = Seq(
 
     // Heaps-law ingredients per source: token count, type (vocab)
@@ -122,6 +190,61 @@ object VocabQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(50)
+    },
+
+    // FULL iterative BPE: BpeRounds greedy merges over the word-TYPE
+    // table (BPE trains on the vocabulary weighted by frequency, not
+    // the token stream — at 100 TB the type table is bounded by vocab
+    // size, ~millions of rows, and the token counts ride in as
+    // weights). Per round: one shuffle (the weighted pair count), one
+    // driver decision (the argmax pair — a single row, the same
+    // bounded-collect contract as each k-means iteration), and a
+    // row-local fold merge (bpeMergeFold — no shuffle, no UDF), with
+    // the connectedComponents lineage discipline: localCheckpoint per
+    // round so 10 rounds don't nest 10 interpreted folds in one plan.
+    // Output is the merge table + vocabulary-growth audit: each round's
+    // chosen pair, its weighted frequency, distinct symbol types after
+    // the merge, and the total corpus length in symbols after the
+    // merge (the compression curve). Ties break (n DESC, pa, pb) on
+    // both engines' binary string order.
+    Q("bpe_merges",
+      s"""WITH ${duckBpe(BpeRounds)}
+         |SELECT merge_rank, pa, pb, merged, pair_count, vocab_types, corpus_symbols
+         |FROM (${(1 to BpeRounds).map(k => s"SELECT * FROM st$k").mkString(" UNION ALL ")})
+         |ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+      var words = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(filter(split(col("w"), ""), c => c =!= lit("")).as("syms"),
+          col("cnt"))
+        .localCheckpoint(true)
+      val stats = (1 to BpeRounds).flatMap { k =>
+        val best = words.filter(size(col("syms")) > 1)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
+            .as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pa"), col("pb"))
+          .limit(1).collect()
+        if (best.isEmpty) None
+        else {
+          val (a, b, n) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          words = words
+            .select(bpeMergeFold(col("syms"), a, b).as("syms"), col("cnt"))
+            .localCheckpoint(true)
+          Some(words.select(col("cnt"), explode(col("syms")).as("sym"))
+            .agg(countDistinct(col("sym")).as("vocab_types"),
+              sum(col("cnt")).cast("long").as("corpus_symbols"))
+            .select(lit(k).as("merge_rank"), lit(a).as("pa"), lit(b).as("pb"),
+              lit(a + b).as("merged"), lit(n).as("pair_count"),
+              col("vocab_types"), col("corpus_symbols")))
+        }
+      }
+      stats.reduce(_.unionAll(_)).orderBy("merge_rank")
     }
   )
 }

@@ -49,4 +49,43 @@ class VocabSpec extends SparkSpec {
       assert(manual(p) == n, s"pair $p: query $n != manual ${manual(p)}")
     }
   }
+
+  test("bpeMergeFold implements greedy left-to-right BPE, chains included") {
+    import spark.implicits._
+    // (symbols, pair to merge, expected) — chain cases (a==b) resolve
+    // by the odd-occurrence rule, overlaps never double-consume
+    val cases = Seq(
+      (Seq("a", "b", "c"), ("a", "b"), Seq("ab", "c")),
+      (Seq("a", "a", "a"), ("a", "a"), Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), ("a", "a"), Seq("aa", "aa")),
+      (Seq("a", "a", "a", "a", "a"), ("a", "a"), Seq("aa", "aa", "a")),
+      (Seq("x", "a", "b", "a", "b"), ("a", "b"), Seq("x", "ab", "ab")),
+      (Seq("a", "a", "b"), ("a", "b"), Seq("a", "ab")),
+      (Seq("ab", "ab", "ab"), ("ab", "ab"), Seq("abab", "ab")),
+      (Seq("b", "a"), ("a", "b"), Seq("b", "a")),
+      (Seq("a"), ("a", "a"), Seq("a")))
+    cases.foreach { case (syms, (a, b), expect) =>
+      val got = Seq(syms).toDF("syms")
+        .select(graft.queries.VocabQueries.bpeMergeFold(col("syms"), a, b))
+        .as[Seq[String]].head()
+      assert(got === expect, s"merge ($a,$b) over $syms")
+    }
+  }
+
+  test("bpe_merges is deterministic and the audit telescopes") {
+    val a = run("bpe_merges", sf0001).collect()
+    val b = run("bpe_merges", sf0001).collect()
+    assert(a.sameElements(b), "merge order must be run-to-run deterministic")
+    // each round merges pair_count occurrences: corpus symbol count
+    // drops by exactly pair_count per round
+    val rows = a.map(r => (r.getInt(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.sliding(2).foreach { case Array((_, _, _, prevSyms), (k, n, _, syms)) =>
+      assert(prevSyms - n === syms,
+        s"round $k: symbols $prevSyms - merged $n != $syms")
+    }
+    // vocab never grows by more than 1 type per round
+    rows.sliding(2).foreach { case Array((_, _, v1, _), (k, _, v2, _)) =>
+      assert(v2 <= v1 + 1, s"round $k vocab jumped $v1 -> $v2")
+    }
+  }
 }
