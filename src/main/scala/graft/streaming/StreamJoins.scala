@@ -33,4 +33,34 @@ object StreamJoins {
               |$rightTs <= $leftTs""".stripMargin),
       "inner")
   }
+
+  /** Streaming twin of the batch `range_join_pairs` query: a FORWARD
+    * interval SELF-join — pairs of same-key events with the right
+    * side's timestamp in `[left.ts, left.ts + window]` and the left
+    * id strictly smaller. Pass the same streaming frame as both
+    * conceptual sides; the two watermarked aliases Spark needs are
+    * derived here. Each matched pair is emitted exactly once in
+    * append mode regardless of arrival order (stream-stream join
+    * state holds both sides until the opposite watermark passes the
+    * interval bound — the same watermark+bound pair that keeps state
+    * finite at scale; parity under randomized arrival is pinned in
+    * StreamingSpec).
+    */
+  def forwardPairJoin(events: DataFrame, key: String, tsCol: String,
+                      idCol: String, windowMinutes: Int,
+                      watermarkDelay: String): DataFrame = {
+    val l = events
+      .select(events(key), events(tsCol).as("ts_l"), events(idCol).as("id_l"))
+      .withWatermark("ts_l", watermarkDelay)
+    val r = events
+      .select(events(key).as(s"${key}_r"), events(tsCol).as("ts_r"),
+        events(idCol).as("id_r"))
+      .withWatermark("ts_r", watermarkDelay)
+    l.join(r,
+      expr(s"""$key = ${key}_r AND
+              |ts_r >= ts_l AND
+              |ts_r <= ts_l + INTERVAL $windowMinutes MINUTES AND
+              |id_l < id_r""".stripMargin),
+      "inner")
+  }
 }

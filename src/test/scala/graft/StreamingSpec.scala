@@ -375,6 +375,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream forward self-join matches batch range_join_pairs under random arrival") {
+    import graft.streaming.StreamJoins
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // the watermark delay exceeds the fixture's 30-day span so the
+    // RANDOMIZED arrival below can never lose a row to late-data drop;
+    // the bounded-state production configuration (short delay, state
+    // expiring at watermark - interval) is exercised by the
+    // errors-to-clicks test above
+    val joined = StreamJoins.forwardPairJoin(
+      mem.toDF(), "user_id", "ts", "event_id", 5, "35 days")
+    val q = joined.writeStream.format("memory").queryName("ss_fwd_pairs")
+      .outputMode("append").start()
+    try {
+      val evs = Tables.load(spark, sf0001, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+        .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+      val rnd = new scala.util.Random(42)
+      rnd.shuffle(evs.toVector).grouped(137).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ss_fwd_pairs")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .as[(Long, Long)].collect().toMap
+      val want = SparkEntry.allQueries.find(_.name == "range_join_pairs").get
+        .run(spark, sf0001)
+        .as[(Long, Long)].collect().toMap
+      assert(want.nonEmpty)
+      assert(got === want,
+        s"extra: ${got.keySet -- want.keySet}, missing: ${want.keySet -- got.keySet}, " +
+          s"diffs: ${want.collect { case (k, v) if got.getOrElse(k, -1L) != v => (k, v, got.get(k)) }}")
+    } finally q.stop()
+  }
+
   test("FreqItemsAgg aggregates across micro-batches (state-store serde round-trip)") {
     import graft.functions.FreqItemsAgg
     implicit val ctx = spark.sqlContext
