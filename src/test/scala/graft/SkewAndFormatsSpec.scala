@@ -58,6 +58,45 @@ class SkewAndFormatsSpec extends SparkSpec {
     assert(occupied === 8, s"hot key occupied $occupied of 8 buckets")
   }
 
+  test("AQE splits the hot-key join unaided; declines when a same-key agg follows (salting's niche)") {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      // shrink AQE's skew thresholds so the fixture-scale hot key is
+      // "oversized" the way a 100 TB hot key would be at defaults
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 3 of 4 rows land on key 1, with a fat payload
+      def big = spark.range(40000).select(
+        when(col("id") % 4 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      def dim = spark.range(40000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("d"))
+      // (1) bare join: AQE's OptimizeSkewedJoin splits the hot
+      // partition at runtime — no manual salting needed
+      val joined = big.join(dim, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+      // (2) the same join feeding a same-key aggregate: splitting
+      // would force an extra shuffle, so AQE declines — THIS is where
+      // Skew.saltedJoin still wins (it pre-spreads the hot key and
+      // the agg runs on (key, salt) partials)
+      val agged = big.join(dim, "k").groupBy("k").count()
+      agged.collect()
+      val aggPlan = agged.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("skew=true"),
+        s"expected AQE to decline the skew split under a same-key agg:\n$aggPlan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("csv and json round-trip the documents table") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select("doc_id", "lang", "source", "n_chars") // text has no commas but keep it simple
