@@ -55,7 +55,7 @@ object VocabQueries {
     */
   private def duckBpe(rounds: Int): String = {
     val w0 =
-      """w0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, cnt,
+      """w0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
         |    string_split(w, '') AS syms
         |  FROM (SELECT w, COUNT(*) AS cnt
         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -212,39 +212,100 @@ object VocabQueries {
          |SELECT merge_rank, pa, pb, merged, pair_count, vocab_types, corpus_symbols
          |FROM (${(1 to BpeRounds).map(k => s"SELECT * FROM st$k").mkString(" UNION ALL ")})
          |ORDER BY merge_rank""".stripMargin) { (s, dir) =>
-      var words = Tables.load(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(filter(split(col("w"), ""), c => c =!= lit("")).as("syms"),
-          col("cnt"))
-        .localCheckpoint(true)
-      val stats = (1 to BpeRounds).flatMap { k =>
-        val best = words.filter(size(col("syms")) > 1)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-              "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
-            .as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("pa"), col("pb"))
-          .limit(1).collect()
-        if (best.isEmpty) None
-        else {
-          val (a, b, n) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          words = words
-            .select(bpeMergeFold(col("syms"), a, b).as("syms"), col("cnt"))
-            .localCheckpoint(true)
-          Some(words.select(col("cnt"), explode(col("syms")).as("sym"))
-            .agg(countDistinct(col("sym")).as("vocab_types"),
-              sum(col("cnt")).cast("long").as("corpus_symbols"))
-            .select(lit(k).as("merge_rank"), lit(a).as("pa"), lit(b).as("pb"),
-              lit(a + b).as("merged"), lit(n).as("pair_count"),
-              col("vocab_types"), col("corpus_symbols")))
-        }
+      val rounds = bpeTrainRounds(s, dir, BpeRounds)
+      val stats = rounds.zipWithIndex.map { case ((a, b, n, words), i) =>
+        words.select(col("cnt"), explode(col("syms")).as("sym"))
+          .agg(countDistinct(col("sym")).as("vocab_types"),
+            sum(col("cnt")).cast("long").as("corpus_symbols"))
+          .select(lit(i + 1).as("merge_rank"), lit(a).as("pa"), lit(b).as("pb"),
+            lit(a + b).as("merged"), lit(n).as("pair_count"),
+            col("vocab_types"), col("corpus_symbols"))
       }
       stats.reduce(_.unionAll(_)).orderBy("merge_rank")
+    },
+
+    // ENCODE with the learned merges — what makes the bpe_merges table
+    // actionable: the final word-type segmentation (a vocabulary-sized
+    // (word -> token count) map after all BpeRounds merges) broadcasts
+    // back onto the corpus, and each document reports its whitespace
+    // token count, character count, BPE token count, and compression
+    // ratio. The corpus tokenizes ONCE per side (documents join the
+    // segmentation on the word string); at 100 TB the segmentation
+    // table is vocab-bounded and the per-doc aggregation is a single
+    // shuffle on doc_id.
+    Q("bpe_encode",
+      s"""WITH ${duckBpe(BpeRounds)},
+         |fin AS (SELECT w0.w, len(w$BpeRounds.syms) AS n_bpe
+         |        FROM w$BpeRounds JOIN w0 USING (wid)),
+         |enc AS (SELECT doc_id, w, COUNT(*) AS n
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE length(w) > 0 GROUP BY doc_id, w)
+         |SELECT doc_id,
+         |  CAST(SUM(n) AS BIGINT) AS n_words,
+         |  CAST(SUM(n * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n * n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n * length(w)) AS DOUBLE) / CAST(SUM(n * n_bpe) AS DOUBLE) AS compression
+         |FROM enc JOIN fin USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fin = bpeTrainRounds(s, dir, BpeRounds).last._4
+        .select(col("w"), size(col("syms")).as("n_bpe"))
+      val enc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      enc.join(broadcast(fin), "w")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).cast("long").as("n_words"),
+          sum(col("n") * length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n") * col("n_bpe")).cast("long").as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+            .as("compression"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The bpe_merges training loop, shared with bpe_encode: `rounds`
+    * greedy merges over the word-type table. Returns, per completed
+    * round, the chosen pair, its weighted frequency, and the
+    * localCheckpoint'ed words frame (w, syms, cnt) AFTER that round's
+    * merge. Per round: one shuffle (the weighted pair count), one
+    * single-row driver decision (the argmax pair — the same
+    * bounded-collect contract as each k-means iteration), and a
+    * row-local [[bpeMergeFold]] merge, with the connectedComponents
+    * lineage discipline so `rounds` interpreted folds never nest in
+    * one plan.
+    */
+  private[graft] def bpeTrainRounds(s: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int): Seq[(String, String, Long, org.apache.spark.sql.DataFrame)] = {
+    var words = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        filter(split(col("w"), ""), c => c =!= lit("")).as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    (1 to rounds).flatMap { _ =>
+      val best = words.filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.isEmpty) None
+      else {
+        val (a, b, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        words = words
+          .select(col("w"), bpeMergeFold(col("syms"), a, b).as("syms"),
+            col("cnt"))
+          .localCheckpoint(true)
+        Some((a, b, n, words))
+      }
+    }
+  }
 }

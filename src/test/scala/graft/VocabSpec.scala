@@ -72,6 +72,23 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode bounds: words <= bpe tokens <= chars, compression >= 1") {
+    val rows = run("bpe_encode", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, chars, bpe, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(words <= bpe, s"doc ${r.getLong(0)}: fewer tokens than words")
+      assert(bpe <= chars, s"doc ${r.getLong(0)}: merging grew the token count")
+      assert(ratio >= 1.0 && ratio == chars.toDouble / bpe)
+    }
+    // corpus-wide: the final audit row of bpe_merges must agree with
+    // the summed per-doc encode (same segmentation, two paths)
+    val audit = run("bpe_merges", sf0001).collect().last.getLong(6)
+    assert(rows.map(_.getLong(3)).sum === audit,
+      "per-doc BPE token total != bpe_merges final corpus_symbols")
+  }
+
   test("bpe_merges is deterministic and the audit telescopes") {
     val a = run("bpe_merges", sf0001).collect()
     val b = run("bpe_merges", sf0001).collect()
