@@ -324,6 +324,52 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // keep-list RESOLUTION — the decision step that turns clusters
+    // into an actionable dedup: every document gets its cluster (its
+    // connected-component label; singletons are their own cluster)
+    // and a keep/drop verdict, keeping the longest document per
+    // cluster (ties to the lowest doc_id). Representative choice uses
+    // the pre-computed n_chars column, so document BODIES never
+    // shuffle: the component labels join on doc_id and the
+    // representative window shuffles (doc_id, cluster, n_chars)
+    // triples only. At 100 TB the emitted keep-list is what the next
+    // pipeline stage anti-joins against — the reason it covers ALL
+    // docs, not just clustered ones.
+    Q("dedup_keep_list",
+      s"""${minhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |alld AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster,
+         |         d.n_chars FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |r AS (SELECT doc_id, cluster, row_number() OVER (
+         |        PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn FROM alld)
+         |SELECT doc_id, cluster, rn = 1 AS keep FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val cl = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
+          col("n_chars"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster", "keep")
+        .orderBy("doc_id")
+    },
+
     // INCREMENTAL dedup — the daily production shape: a new batch of
     // documents screened against the signature store of the existing
     // corpus, not a whole-corpus self-join. The corpus/batch split is

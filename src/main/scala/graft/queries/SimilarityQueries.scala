@@ -401,6 +401,59 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // Cluster-quality audit: after training the KmeansK-centroid
+    // quantizer (the same 2-iteration Lloyd as kmeans_centroids),
+    // cross-tab the assignment against the fixture's label column —
+    // per-cluster size, majority label, and purity (majority share).
+    // This is the eval step that tells a pipeline whether its coarse
+    // quantizer respects the corpus's semantic partitions (high
+    // purity: IVF lists align with labels, probes can prune by label;
+    // low purity on a labeled corpus: the embedding space or k is
+    // wrong). One map-only assignment pass + a |k x labels| aggregate
+    // — at 100 TB the cross-tab is k*|labels| partials per task, the
+    // same bounded-shuffle contract as every audit here. Majority
+    // ties break to the lexicographically smallest label on both
+    // engines (row_number over n DESC, label).
+    Q("cluster_purity",
+      s"""${duckLloyd2(KmeansK)},
+         |c2 AS (SELECT c1.c AS c, c1.i AS i, COALESCE(m2.cv, c1.cv) AS cv
+         |       FROM c1 LEFT JOIN m2 ON c1.c = m2.c AND c1.i = m2.i),
+         |c2a AS (SELECT c, list(cv ORDER BY i) AS cvec FROM c2 GROUP BY c),
+         |s3 AS (SELECT e.vec_id, c2a.c,
+         |         round(list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * c2a.cvec[i])), 6) AS sim
+         |       FROM embeddings e CROSS JOIN c2a),
+         |asg AS (SELECT vec_id, c AS cl FROM (SELECT vec_id, c, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY sim DESC, c) AS rn FROM s3) WHERE rn = 1),
+         |lc AS (SELECT cl, label, COUNT(*) AS n
+         |       FROM asg JOIN embeddings USING (vec_id) GROUP BY cl, label),
+         |tot AS (SELECT cl, CAST(SUM(n) AS BIGINT) AS sz FROM lc GROUP BY cl),
+         |maj AS (SELECT cl, label, n FROM (SELECT cl, label, n, row_number() OVER (
+         |         PARTITION BY cl ORDER BY n DESC, label) AS rn FROM lc) WHERE rn = 1)
+         |SELECT tot.cl AS cluster, tot.sz AS size, maj.label AS majority_label,
+         |  CAST(maj.n AS BIGINT) AS majority_n,
+         |  CAST(maj.n AS DOUBLE) / CAST(tot.sz AS DOUBLE) AS purity
+         |FROM tot JOIN maj USING (cl) ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val (cents, _) = Similarity.kmeansTrain(emb, "embedding", KmeansK, Dim, 2)
+      val lc = emb.select(
+          graft.functions.CentroidAssign(col("embedding"), cents).as("cl"),
+          col("label"))
+        .groupBy("cl", "label").agg(count(lit(1)).as("n"))
+      val tot = lc.groupBy("cl").agg(sum(col("n")).cast("long").as("sz"))
+      val maj = lc.withColumn("rn", row_number().over(
+          Window.partitionBy("cl").orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("cl"), col("label").as("majority_label"),
+          col("n").as("majority_n"))
+      tot.join(maj, "cl")
+        .select(col("cl").as("cluster"), col("sz").as("size"),
+          col("majority_label"), col("majority_n"),
+          (col("majority_n").cast("double") / col("sz").cast("double"))
+            .as("purity"))
+        .orderBy("cluster")
+    },
+
     // Symmetric int8 scalar quantization of the embedding store — the
     // compression step that makes a 100 TB float32 corpus a 25 TB
     // int8 one (4x more vectors per executor page, the difference

@@ -239,6 +239,44 @@ class PipelineShapesSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall $mean below floor (per-q: $recalls)")
   }
 
+  test("cluster_purity accounting: sizes cover the corpus, purity in (0,1]") {
+    val rows = byName("cluster_purity").run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sf001, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === total, "cluster sizes must cover every vector")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "majority count exceeds cluster size")
+      val p = r.getDouble(4)
+      assert(p > 0 && p <= 1.0 && p === r.getLong(3).toDouble / r.getLong(1))
+    }
+  }
+
+  test("dedup_keep_list: every doc verdicted, exactly one keep per cluster, longest wins") {
+    val rows = byName("dedup_keep_list").run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(rows.length.toLong === nDocs, "keep-list must cover every document")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._3) === 1, s"cluster $c must keep exactly one doc")
+    }
+    // the kept doc is the longest (ties lowest id) of its cluster
+    val chars = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (c, ms) =>
+      val kept = ms.find(_._3).get._1
+      val want = ms.map(_._1).minBy(id => (-chars(id), id))
+      assert(kept === want, s"cluster $c kept $kept, expected $want")
+    }
+    // clustered docs agree with dedup_clusters' labels
+    val lbls = byName("dedup_clusters").run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, c, _) =>
+      assert(lbls.getOrElse(d, d) === c, s"doc $d cluster mismatch")
+    }
+  }
+
   test("winnowing tolerates documents shorter than one 3-gram") {
     // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — without
     // the size filter these docs throw INVALID_ARRAY_INDEX under ANSI
