@@ -436,21 +436,24 @@ object SimilarityQueries {
          |FROM tot JOIN maj USING (cl) ORDER BY cluster""".stripMargin) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val (cents, _) = Similarity.kmeansTrain(emb, "embedding", KmeansK, Dim, 2)
-      val lc = emb.select(
+      // ONE scan, two cascaded aggregates: the majority label is
+      // max(struct(n, -label)) — largest count, ties to the SMALLEST
+      // label (labels are ints; negation flips struct order) — so the
+      // tot/maj split never duplicates the (cl, label) counts the way
+      // a count-branch + window-branch pair would (measured: that
+      // shape scanned embeddings twice and paid 6 exchanges; this one
+      // scans once and pays 2 + the output sort)
+      Tables.load(s, dir, "embeddings")
+        .select(
           graft.functions.CentroidAssign(col("embedding"), cents).as("cl"),
           col("label"))
         .groupBy("cl", "label").agg(count(lit(1)).as("n"))
-      val tot = lc.groupBy("cl").agg(sum(col("n")).cast("long").as("sz"))
-      val maj = lc.withColumn("rn", row_number().over(
-          Window.partitionBy("cl").orderBy(col("n").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("cl"), col("label").as("majority_label"),
-          col("n").as("majority_n"))
-      tot.join(maj, "cl")
+        .groupBy("cl")
+        .agg(sum(col("n")).cast("long").as("sz"),
+          max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
         .select(col("cl").as("cluster"), col("sz").as("size"),
-          col("majority_label"), col("majority_n"),
-          (col("majority_n").cast("double") / col("sz").cast("double"))
-            .as("purity"))
+          (-col("m.neg")).as("majority_label"), col("m.n").as("majority_n"),
+          (col("m.n").cast("double") / col("sz").cast("double")).as("purity"))
         .orderBy("cluster")
     },
 

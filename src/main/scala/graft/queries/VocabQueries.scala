@@ -249,15 +249,19 @@ object VocabQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val fin = bpeTrainRounds(s, dir, BpeRounds).last._4
         .select(col("w"), size(col("syms")).as("n_bpe"))
-      val enc = Tables.load(s, dir, "documents")
+      // tokens probe the broadcast segmentation DIRECTLY — a
+      // (doc_id, w) pre-aggregate before a broadcast join would buy
+      // nothing (the join is map-side either way) and cost an extra
+      // corpus-token exchange; this shape pays ONE shuffle (doc_id)
+      // plus the output sort
+      Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      enc.join(broadcast(fin), "w")
+        .join(broadcast(fin), "w")
         .groupBy("doc_id")
-        .agg(sum(col("n")).cast("long").as("n_words"),
-          sum(col("n") * length(col("w"))).cast("long").as("n_chars"),
-          sum(col("n") * col("n_bpe")).cast("long").as("n_bpe_tokens"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
         .select(col("doc_id"), col("n_words"), col("n_chars"),
           col("n_bpe_tokens"),
           (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
