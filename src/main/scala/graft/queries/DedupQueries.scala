@@ -142,6 +142,77 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
+    // signature CALIBRATION — the audit that tells you whether K=12
+    // minhashes are enough for this corpus: per banding candidate
+    // pair, the signature's Jaccard estimate (fraction of agreeing
+    // components — the unbiased minhash estimator) against the exact
+    // Jaccard of the shingle-hash sets, with the absolute error. A
+    // drifting error distribution is the signal to re-tune K/b/r
+    // before dedup quality silently degrades. One shingling pass
+    // feeds BOTH statistics through a single aggregation (the K
+    // min-permutes and the sorted hash-set array per doc); the pair
+    // decoration is the PrefixJaccard verify shape — shuffle-hash
+    // joins with the (banding-bounded) candidate side as build, the
+    // per-doc feature table streams, nothing corpus-sized broadcasts.
+    Q("minhash_calibration", {
+      val estTerms = (0 until K)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |hset AS (SELECT DISTINCT doc_id, hm FROM hs),
+         |hsz AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+         |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |      FROM hset x JOIN hset y ON x.hm = y.hm AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |c AS (SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2,
+         |    round(($estTerms) / $K.0, 6) AS est_jaccard,
+         |    round(COALESCE(i.inter, 0) * 1.0
+         |      / (x.n + y.n - COALESCE(i.inter, 0)), 6) AS jaccard
+         |  FROM pairs p JOIN mh a ON a.doc_id = p.d1 JOIN mh b ON b.doc_id = p.d2
+         |  JOIN hsz x ON x.doc_id = p.d1 JOIN hsz y ON y.doc_id = p.d2
+         |  LEFT JOIN i ON i.d1 = p.d1 AND i.d2 = p.d2)
+         |SELECT doc_id_1, doc_id_2, est_jaccard, jaccard,
+         |  round(abs(est_jaccard - jaccard), 6) AS abs_err
+         |FROM c ORDER BY doc_id_1, doc_id_2""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.PortableHash
+      val dsh = Dedup.distinctShingles(
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
+      val mins = PortableHash.minhashPerms(K).zipWithIndex.map {
+        case ((a, b), i) => min(PortableHash.permute(col("hm"), a, b)).as(s"m$i")
+      }
+      // ONE aggregation builds the whole per-doc feature row:
+      // signature components + the sorted distinct hash set + its size
+      val feat = dsh.groupBy("doc_id")
+        .agg(mins.head, (mins.tail :+
+          sort_array(collect_set(col("hm"))).as("toks")): _*)
+        .withColumn("n", size(col("toks")))
+        .localCheckpoint(false)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(feat.select(col("doc_id") +:
+          (0 until K).map(i => col(s"m$i")): _*), "doc_id", B, R), "doc_id")
+      val est = (0 until K)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .reduceLeft(_ + _) / lit(K.toDouble)
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      pairs.hint("shuffle_hash")
+        .join(feat.as("a"), col("id_a") === col("a.doc_id"))
+        .hint("shuffle_hash")
+        .join(feat.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a").as("doc_id_1"), col("id_b").as("doc_id_2"),
+          round(est, 6).as("est_jaccard"),
+          round(inter * lit(1.0) / (col("a.n") + col("b.n") - inter), 6)
+            .as("jaccard"))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+
     // duplicate-graph degree histogram: how many near-dup partners
     // each doc has, rolled into degree -> n_docs (the shape of this
     // distribution decides the dedup strategy: a long tail of

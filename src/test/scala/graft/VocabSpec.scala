@@ -89,6 +89,39 @@ class VocabSpec extends SparkSpec {
       "per-doc BPE token total != bpe_merges final corpus_symbols")
   }
 
+  test("bpeMergeFold equals an independent reference merger on randomized inputs") {
+    import spark.implicits._
+    // classic two-pointer greedy with explicit skip-after-merge — an
+    // implementation with a DIFFERENT shape from the fold, so a
+    // semantic bug in either surfaces as a mismatch
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // adversarial alphabet: symbols that PREFIX each other and equal
+    // merged outputs, arrays up to length 8 including empty
+    val alphabet = Vector("a", "b", "ab", "ba", "aa", "c")
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq(("a", "b"), ("a", "a"), ("ab", "ab"), ("b", "a"),
+      ("aa", "a"), ("a", "ab"))
+    pairs.foreach { case (a, b) =>
+      val cases = Vector.fill(200)(
+        Vector.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.size))))
+      val got = cases.toDF("syms")
+        .select(graft.queries.VocabQueries.bpeMergeFold(col("syms"), a, b))
+        .as[Seq[String]].collect()
+      cases.zip(got).foreach { case (in, out) =>
+        assert(out === ref(in, a, b), s"merge ($a,$b) over $in")
+      }
+    }
+  }
+
   test("bpe_merges is deterministic and the audit telescopes") {
     val a = run("bpe_merges", sf0001).collect()
     val b = run("bpe_merges", sf0001).collect()
