@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.plans.TopKPerGroup
+
+/** Event-sequence analytics over `events` — the order-sensitive half of
+  * behavioral analysis (reference analogue: the per-key ordered
+  * processing a Kafka Streams topology gets for free from partition
+  * order, cf. `KafkaStreamApp.java:137-172`; here the order is
+  * reconstructed per user with ONE window sort and every downstream
+  * statistic derives from that single pass).
+  *
+  * Shared scale shape: all four queries prune to the few columns they
+  * need, spend exactly one hash exchange on `user_id` for the per-user
+  * ordering (or none at all for the map-side JSON extraction), and
+  * aggregate down to type-cardinality-bounded outputs (|event_type| = 5
+  * in the driver fixtures, so transition matrices are ≤ 25 rows and
+  * path tables ≤ 125) — nothing row-scale ever reaches a second
+  * exchange, which is what lets the same plans run at 100 TB.
+  */
+object SequenceQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // First-order Markov transition matrix over per-user event streams:
+    // P(next | prev) with exact counts. One exchange on user_id for the
+    // lag; the (prev, next) aggregate is map-side-combined down to at
+    // most |types|^2 rows, so the trailing probability window runs on a
+    // handful of rows regardless of input scale.
+    Q("markov_transitions",
+      """WITH o AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type, next_type, COUNT(*) AS n FROM o
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM t ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      t.select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy("prev_type")), 6).as("p"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Top entry paths: each user's first three events as a ">"-joined
+    // path, counted across users. The per-user first-3 runs on the
+    // custom TopKPerGroupExec — bounded per-task heaps prune to ≤ 3
+    // rows per user BEFORE the exchange-side sort, where the
+    // row_number() window form would shuffle-sort every event. The
+    // path assembly then folds ≤ 3 structs per user (array_sort on the
+    // rank makes collect_list's arrival order irrelevant — same
+    // determinism discipline as collect_sources).
+    Q("event_paths",
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path""".stripMargin) { (s, dir) =>
+      val first3 = TopKPerGroup(
+        Tables.load(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), Seq(("ts", false), ("event_id", false)), k = 3)
+      first3.groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            (x: Column) => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    },
+
+    // Inter-arrival gap statistics per event type: the time since the
+    // same user's previous event (any type), aggregated by the type of
+    // the LATER event. Sums are exact (DECIMAL over integral micros —
+    // a double sum would be row-order-dependent); the average divides
+    // the exact sum once at the end.
+    Q("gap_stats",
+      """WITH o AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(SUM(CAST(gap_us AS DECIMAL(20,0))) AS BIGINT) AS total_us,
+        |  CAST(MIN(gap_us) AS BIGINT) AS min_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_us,
+        |  round(CAST(SUM(CAST(gap_us AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_s
+        |FROM o WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_us").cast(DecimalType(20, 0))).cast("long").as("total_us"),
+          min(col("gap_us")).as("min_us"),
+          max(col("gap_us")).as("max_us"),
+          round(sum(col("gap_us").cast(DecimalType(20, 0))).cast("double")
+            / count(lit(1)) / lit(1e6), 6).as("avg_s"))
+        .orderBy("event_type")
+    },
+
+    // Typed extraction from the semi-structured `props` JSON column —
+    // the "sidecar metadata" pattern (every event log carries one).
+    // get_json_object is a pure column expression: the whole query is
+    // map-side work plus ONE bounded aggregate exchange (10 buckets);
+    // no window, no join, no per-user clustering needed.
+    Q("props_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("props"), col("value"))
+        .withColumn("k_bucket",
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+        .orderBy("k_bucket")
+    }
+  )
+}

@@ -511,6 +511,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Perplexity-band census — the curation rollup over the unigram
+    // scores: how much of the corpus (docs AND token mass) sits in
+    // each quality band, with band extremes for spot-checking. Bands
+    // are FIXED-WIDTH bins of avg log-prob (0.25 nats), not deciles:
+    // ntile() is an unpartitioned window — a single-partition global
+    // sort at 100 TB — where value bucketing is pure map-side work on
+    // the per-doc scores (the only exchange below is the 10-ish-row
+    // band aggregate). Same per-doc score derivation as
+    // unigram_logprob (one tokenize, vocab-broadcast join); floor and
+    // the /0.25 scaling are exact IEEE ops on identical inputs, so
+    // band assignment is cross-engine deterministic.
+    Q("perplexity_buckets",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dtc AS (SELECT doc_id, tok, COUNT(*) AS dc FROM toks GROUP BY 1, 2),
+        |g AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM g),
+        |scored AS (
+        |  SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(dc * CAST(round(ln(CAST(c AS DOUBLE) / total), 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |      / CAST(SUM(dc) AS BIGINT) AS alp
+        |  FROM dtc JOIN g USING (tok) CROSS JOIN n GROUP BY doc_id)
+        |SELECT CAST(floor(alp / 0.25) AS BIGINT) AS band, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(alp) AS min_alp, MAX(alp) AS max_alp
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val toks = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dtc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("dc"))
+      val g = dtc.groupBy("tok").agg(sum(col("dc")).as("c"))
+      val n = g.agg(sum(col("c")).as("total"))
+      val term = round(log(col("c").cast("double") / col("total")), 6)
+        .cast(DecimalType(20, 6))
+      dtc.join(broadcast(g), "tok").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(sum(col("dc")).as("n_tokens"),
+          sum(col("dc") * term).cast("double").as("logprob"))
+        .select(col("n_tokens"),
+          (col("logprob") / col("n_tokens")).as("alp"))
+        .groupBy(floor(col("alp") / 0.25).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("alp")).as("min_alp"),
+          max(col("alp")).as("max_alp"))
+        .orderBy("band")
+    },
+
     // TF-IDF top terms per document — the classic salient-term
     // extraction. All three statistics (tf, df, N) derive from ONE
     // tokenize/explode: df and N aggregate the per-doc counts, ride

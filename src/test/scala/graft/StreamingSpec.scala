@@ -804,4 +804,42 @@ class StreamingSpec extends SparkSpec {
       assert(got === expect)
     } finally q.stop()
   }
+
+  test("streaming adjacency emission aggregates to the batch Markov matrix under random arrival") {
+    import graft.streaming.StreamTransitions
+    import graft.streaming.StreamTransitions.SeqEvent
+    implicit val ctx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[SeqEvent].collect()
+    val rnd = new scala.util.Random(20260815L)
+    val mem = MemoryStream[SeqEvent]
+    // 60d delay >> the fixture's 30d span: random arrival never looks late
+    val q = StreamTransitions.adjacencies(mem.toDS(), "60 days")
+      .writeStream.format("memory").queryName("markov_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events.toSeq).grouped(300).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // advance the watermark past every event + delay, then once more
+      // so the timeout pass replays the sealed buffers
+      mem.addData(SeqEvent(999999, 1L << 40, ts("2024-06-01 00:00:00"), "x"))
+      q.processAllAvailable()
+      mem.addData(SeqEvent(999999, (1L << 40) + 1, ts("2024-06-01 00:05:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("markov_stream")
+        .where(col("user_id") < 999999)
+        .groupBy("prev_type", "next_type").count()
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val expect = SparkEntry.allQueries.find(_.name == "markov_transitions").get
+        .run(spark, sf0001)
+        .select(col("prev_type"), col("next_type"), col("n"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expect)
+    } finally q.stop()
+  }
 }
