@@ -213,6 +213,86 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
+    // LSH band-occupancy audit — the OTHER half of minhash tuning
+    // (minhash_calibration checks estimator accuracy; this checks the
+    // cost side): per band index, how many buckets exist, how many
+    // collide, the candidate-pair mass sum(n*(n-1)/2), and the biggest
+    // bucket. This is the statistic to watch BEFORE running candidate
+    // generation at 100 TB: cand_pairs is exactly the row count the
+    // in-bucket pair expansion will emit, and max_bucket bounds the
+    // largest local blow-up (a mega-bucket here means a degenerate
+    // band — e.g. a corpus-wide boilerplate shingle dominating a
+    // permutation — and is the cue to raise r or blocklist the
+    // shingle). Two cascaded bounded aggregates over the band keys:
+    // the first carries one row per occupied bucket, the second B
+    // rows total; nothing corpus-sized survives the first exchange.
+    Q("dedup_band_stats",
+      s"""$minhashCte,
+         |$bandsCte,
+         |bs AS (SELECT CAST(string_split(band, ',')[1] AS BIGINT) AS band_idx,
+         |         band, COUNT(*) AS n
+         |       FROM bands GROUP BY 1, 2)
+         |SELECT band_idx, COUNT(*) AS n_buckets,
+         |  CAST(SUM(n) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+         |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(MAX(n) AS BIGINT) AS max_bucket
+         |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      Dedup.bandKeys(sig, "doc_id", B, R)
+        .groupBy(element_at(split(col("band"), ","), 1).cast("long").as("band_idx"),
+          col("band"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("band_idx")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n")).cast("long").as("n_docs"),
+          sum(when(col("n") > 1, 1).otherwise(0)).cast("long").as("n_colliding"),
+          sum(expr("(n * (n - 1)) div 2")).cast("long").as("cand_pairs"),
+          max(col("n")).cast("long").as("max_bucket"))
+        .orderBy("band_idx")
+    },
+
+    // n-gram novelty scoring — per document, the fraction of its
+    // distinct 3-gram hashes whose FIRST corpus occurrence (minimum
+    // doc_id) is this document. The curation signal between exact
+    // dedup and near-dup pairs: a low-novelty doc is mostly recycled
+    // text even when no single partner crosses the pair threshold
+    // (template farms, quote aggregators). Hashes, not shingle
+    // strings, cross the exchanges: first-occurrence is a min over
+    // h32(shingle) (collision bias ~2^-31 — fine for a score), so the
+    // two shuffles (first-seen min, decoration join back) both carry
+    // (int, long) pairs, never text. At 100 TB with a growing corpus
+    // the `first` table is the persistent store and new batches probe
+    // it — the dedup_incremental shape applied to novelty.
+    Q("ngram_novelty",
+      s"""$shingleCtes,
+         |dh AS (SELECT DISTINCT doc_id, ${duckH32("shingle")} AS hm FROM dsh),
+         |first AS (SELECT hm, MIN(doc_id) AS first_doc FROM dh GROUP BY hm)
+         |SELECT dh.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN first.first_doc = dh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(SUM(CASE WHEN first.first_doc = dh.doc_id THEN 1 ELSE 0 END) * 1.0
+         |    / COUNT(*), 6) AS novelty
+         |FROM dh JOIN first USING (hm)
+         |GROUP BY dh.doc_id ORDER BY dh.doc_id""".stripMargin) { (s, dir) =>
+      // distinct AFTER hashing (not just distinctShingles' pre-hash
+      // distinct): two shingles colliding to one hm must count once,
+      // matching the oracle's DISTINCT over (doc_id, hm)
+      val dh = Dedup.distinctShingles(
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"), h32(col("shingle")).as("hm"))
+        .distinct()
+      val first = dh.groupBy("hm").agg(min(col("doc_id")).as("first_doc"))
+      val novel = when(col("first_doc") === col("doc_id"), 1).otherwise(0)
+      dh.join(first, "hm")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(novel).cast("long").as("n_novel"),
+          round(sum(novel) * lit(1.0) / count(lit(1)), 6).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // duplicate-graph degree histogram: how many near-dup partners
     // each doc has, rolled into degree -> n_docs (the shape of this
     // distribution decides the dedup strategy: a long tail of

@@ -660,6 +660,126 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "n_id", "cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // IVF + PQ — the two previous rungs COMPOSED, which is the actual
+    // production index layout (FAISS's IVFADC): the coarse quantizer
+    // partitions the corpus into inverted lists (table PARTITIONED BY
+    // cl at cluster scale), the PQ codes make each list 32x smaller
+    // than float32, and a probe touches nprobe lists' codes plus
+    // Shortlist full vectors. ann_ivf proves the pruning, ann_pq
+    // proves the compression; this query proves they compose: the ADC
+    // scan runs only over the probed lists' candidates, so the probe
+    // cost is (corpus/K * nprobe) LUT lookups instead of ann_pq's
+    // full-corpus scan — at 100 TB with K=65k lists and nprobe=64,
+    // ~0.1% of the codes are touched. Same cross-engine discipline as
+    // the parents: coarse assignment is the rounded-dot argmax CASE,
+    // ADC scores sum as DECIMAL(18,6), shortlist ties (approx_dot
+    // DESC, n_id), exact-cosine re-rank ties (cos_sim DESC, n_id).
+    Q("ann_ivf_pq", {
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      def duckArr(c: Array[Double]) =
+        c.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * (${duckArr(cen)})[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign = (0 until Centroids - 1).map { c =>
+        val rest = (c + 1 until Centroids).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      val structs = (0 until Centroids)
+        .map(c => s"struct_pack(c := $c, s := d_$c)").mkString(", ")
+      s"""WITH $duckPqCtes,
+         |ivfe AS (SELECT vec_id, $ds,
+         |    CASE $assign ELSE ${Centroids - 1} END AS cl
+         |  FROM embeddings),
+         |ivfq AS (SELECT vec_id, unnest([$structs]) AS cs
+         |       FROM ivfe WHERE vec_id < 20),
+         |ivfp AS (SELECT vec_id AS q_id, cs.c AS cl,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs.s DESC, cs.c) AS crn
+         |       FROM ivfq),
+         |cand AS (SELECT p.q_id, n.vec_id AS n_id
+         |  FROM (SELECT * FROM ivfp WHERE crn <= $Nprobe) p
+         |  JOIN ivfe n ON n.cl = p.cl AND n.vec_id <> p.q_id),
+         |allc AS (${(0 until PqM).map(m => s"SELECT * FROM contrib_$m").mkString(" UNION ALL ")}),
+         |scores AS (SELECT q_id, n_id,
+         |    CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS approx_dot
+         |  FROM allc JOIN cand USING (q_id, n_id) GROUP BY q_id, n_id),
+         |short AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY approx_dot DESC, n_id) AS srn FROM scores)
+         |      WHERE srn <= $PqShortlist),
+         |x AS (SELECT short.q_id, short.n_id,
+         |    round(${duckDot("qv", "nv")} /
+         |      (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("nv", "nv")})), 6) AS cos_sim
+         |  FROM short JOIN embeddings qv ON qv.vec_id = short.q_id
+         |  JOIN embeddings nv ON nv.vec_id = short.n_id),
+         |r AS (SELECT q_id, n_id, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM x)
+         |SELECT q_id, rnk, n_id, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // PQ codebooks: same 2 batched pqStep jobs as ann_pq
+      var cbs: IndexedSeq[Array[Array[Double]]] =
+        (0 until PqM).map(m => Similarity.pqInitCoefs(m, PqK, PqSub))
+      cbs = Similarity.pqStep(emb, "embedding", cbs, PqSub)
+      cbs = Similarity.pqStep(emb, "embedding", cbs, PqSub)
+      // corpus side: coarse list id + PQ codes — 9 small ints per
+      // vector; at cluster scale this frame is the stored index
+      // (PARTITIONED BY cl), built once, probed forever
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      val codeCols = (0 until PqM).map(m =>
+        graft.functions.CentroidAssign(
+          slice(col("embedding"), m * PqSub + 1, PqSub), cbs(m)).as(s"code_$m"))
+      val n = emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(Seq(col("vec_id").as("n_id"),
+          graft.functions.CentroidAssign(col("embedding"), coefs).as("cl")) ++
+          codeCols: _*)
+      // query side: nprobe coarse lists (unrolled literal sims, the
+      // ann_ivf_trained construction) + the flattened ADC LUT riding
+      // on the probe rows (2 rows x PqM*PqK doubles per query)
+      val sims = coefs.toIndexedSeq.map(cen =>
+        round(Similarity.dotLit(col("embedding"), cen), 6))
+      def subDot(m: Int, cen: Array[Double]) =
+        cen.zipWithIndex.map { case (cv, i) =>
+          element_at(col("embedding"), m * PqSub + i + 1).cast("double") * lit(cv)
+        }.reduceLeft(_ + _)
+      val lutCols = for { m <- 0 until PqM; c <- 0 until PqK }
+        yield round(subDot(m, cbs(m)(c)), 6)
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), array(lutCols: _*).as("luts"),
+          explode(array((0 until Centroids).map(c =>
+            struct(lit(c).as("c"), sims(c).as("s"))): _*)).as("cs"))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cs.s").desc, col("cs.c"))))
+        .filter(col("crn") <= Nprobe)
+        .select(col("q_id"), col("luts"), col("cs.c").as("cl"))
+      // ADC scan over the probed lists only: corpus codes stream, the
+      // probe list broadcasts, each candidate costs PqM lookups
+      val score = (0 until PqM).map(m =>
+          element_at(col("luts"), lit(m * PqK + 1) + col(s"code_$m"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .reduceLeft(_ + _).cast("double")
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_dot").desc, col("n_id"))
+      val short = n.join(broadcast(probes), Seq("cl"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), score.as("approx_dot"))
+        .withColumn("srn", row_number().over(ws))
+        .filter(col("srn") <= PqShortlist)
+        .select("q_id", "n_id")
+      val qv = emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val nv = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      short.join(qv, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "n_id", "cos_sim")
+        .orderBy("q_id", "rnk")
     }
   )
 }

@@ -287,4 +287,100 @@ class PipelineShapesSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().sorted
     assert(fp === Array(4L), "short docs must yield zero fingerprints, long ones survive")
   }
+
+  test("IVF+PQ ANN: every neighbor shares a probed coarse list; recall@5 holds the floor") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Similarity
+    val got = byName("ann_ivf_pq").run(spark, sf001)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    // composition invariant: a returned neighbor must live in one of
+    // its query's Nprobe most-similar coarse lists — anything else
+    // means the ADC scan leaked past the IVF pruning
+    val coefs = Similarity.centroidCoefs(
+      graft.queries.SimilarityQueries.Centroids, graft.queries.SimilarityQueries.Dim)
+    val e = Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.CentroidAssign(col("embedding"), coefs).as("cl"))
+      .as[(Long, Int)].collect().toMap
+    val sims = coefs.toIndexedSeq.map(cen =>
+      round(Similarity.dotLit(col("embedding"), cen), 6))
+    val probed = Tables.load(spark, sf001, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"), array(sims: _*).as("ss"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (q, ss) =>
+        q -> ss.zipWithIndex.sortBy { case (s, c) => (-s, c) }
+          .take(graft.queries.SimilarityQueries.Nprobe).map(_._2).toSet
+      }.toMap
+    got.foreach { case (q, n) =>
+      assert(probed(q).contains(e(n)),
+        s"neighbor $n of query $q is outside the probed lists ${probed(q)}")
+    }
+    // recall@5 vs the exact cosine baseline: 0.65 — lower than
+    // ann_pq's 0.87 by construction (IVF prunes ~half the candidates
+    // before the ADC scan — recall trades for the 2x scan cut, the
+    // knob being nprobe), deterministic on the fixed fixture; 0.6
+    // leaves margin only for intentional parameter retuning
+    val pq = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    val exact = n.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      pq(qid).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ann_ivf_pq mean recall@5 = $mean%.3f")
+    assert(mean >= 0.6, s"mean recall $mean below floor (per-q: $recalls)")
+  }
+
+  test("dedup_band_stats accounting matches the banding it audits") {
+    val rows = byName("dedup_band_stats").run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (0 until graft.queries.DedupQueries.B).map(_.toLong))
+    // every doc with >= 1 shingle contributes exactly one key per band
+    val docsWithShingles = graft.ops.Dedup.minhashFromText(
+      Tables.load(spark, sf001, "documents"), "doc_id", "text",
+      graft.queries.DedupQueries.K).count()
+    rows.foreach { case (b, buckets, docs, colliding, pairs, maxB) =>
+      assert(docs === docsWithShingles, s"band $b dropped docs")
+      assert(colliding <= buckets && maxB >= 1 && buckets <= docs)
+      assert(pairs >= colliding, s"band $b: a colliding bucket yields >= 1 pair")
+    }
+    // summed pair mass bounds the DISTINCT candidate set from above
+    // (a pair colliding in two bands is counted twice here, once there)
+    val distinctPairs = byName("dedup_minhash").run(spark, sf001).count()
+    assert(rows.map(_._5).sum >= distinctPairs,
+      "band pair mass cannot undercount the distinct candidate pairs")
+  }
+
+  test("ngram_novelty: first doc fully novel, novel mass = distinct shingle universe") {
+    val rows = byName("ngram_novelty").run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the minimum doc_id owns every one of its shingles
+    val first = rows.minBy(_._1)
+    assert(first._2 === first._3 && first._4 === 1.0,
+      s"lowest doc ${first._1} must be fully novel")
+    rows.foreach { case (d, n, novel, frac) =>
+      assert(novel <= n, s"doc $d: novel exceeds shingle count")
+      assert(math.abs(frac - novel.toDouble / n) < 1e-6)
+    }
+    // each distinct shingle hash is novel in exactly one document, so
+    // the novel counts partition the shingle universe
+    val universe = graft.ops.Dedup.distinctShingles(
+        Tables.load(spark, sf001, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+      .select(graft.functions.PortableHash.h32(col("shingle")))
+      .distinct().count()
+    assert(rows.map(_._3).sum === universe,
+      "novel-shingle mass must equal the distinct shingle-hash universe")
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+/** Suite-wide plan-shape net over EVERY registered query (the per-query
+  * plan tests pin individual shapes; this pins the invariants that must
+  * hold across the whole surface, so a new query that accidentally
+  * plans a cartesian product or an unbounded single-partition exchange
+  * fails here before it ships). PLANS.md is the human-readable dump of
+  * the same compilation pass (graft.PlanAudit).
+  */
+class PlanInventorySpec extends SparkSpec {
+
+  /** Single-partition exchanges that are CORRECT because the exchanged
+    * data is aggregate-bounded at that point: global scalar rollups
+    * (one-row answers, corpus totals feeding a broadcast), driver-bound
+    * argmax steps, bounded final summaries. A name on this list is a
+    * claim someone verified the bound — new entries need the same look.
+    */
+  private val singlePartitionOk = Set(
+    "dup_triangles",      // global triangle census: one output row
+    "source_mix",         // global temperature normalization over |sources| rows
+    "unigram_logprob",    // corpus token total N: one row, broadcast back
+    "perplexity_buckets", // same N derivation as unigram_logprob
+    "tfidf_top_terms",    // corpus doc count N for the idf term
+    "dq_checks",          // fixed 5-row quality summary
+    "null_semantics",     // one-row semantics probe
+    "q6_forecast", "q14_promo", "q17_small_qty", "q19_disjunctive",
+    "q22_idle_rich",      // TPC-H single-row answers
+    "q15_top_supplier",   // global MAX(total_revenue) subquery: one row
+    "q11_important_stock",// global value sum for the threshold: one row
+    "funnel_steps",       // one-row funnel summary
+    "bpe_merges")         // per-round argmax: one row per merge round
+
+  /** Broadcast nested-loop joins that are CORRECT because the
+    * broadcast side is tiny by construction: ANN query sets (vec_id <
+    * 20 with a non-equi self-exclusion) and one-row corpus totals.
+    */
+  private val bnljOk = Set(
+    "ann_bruteforce", "ann_quantized", "ann_pq",
+    "dup_triangles",
+    "unigram_logprob", "perplexity_buckets", "tfidf_top_terms",
+    "q11_important_stock")
+
+  test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
+    val offenders = SparkEntry.allQueries.map { q =>
+      val plan = q.run(spark, sf0001).queryExecution.executedPlan.toString
+      val cart = "CartesianProduct".r.findAllMatchIn(plan).size
+      val single = "Exchange SinglePartition".r.findAllMatchIn(plan).size
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+      (q.name, cart, single, bnlj)
+    }
+    val carts = offenders.filter(_._2 > 0).map(_._1)
+    assert(carts.isEmpty, s"cartesian products in: $carts")
+    val badSingle = offenders.filter(o => o._3 > 0 && !singlePartitionOk(o._1)).map(_._1)
+    assert(badSingle.isEmpty,
+      s"unreviewed single-partition exchanges in: $badSingle — verify the " +
+        "exchanged data is aggregate-bounded, then extend the allowlist")
+    val badBnlj = offenders.filter(o => o._4 > 0 && !bnljOk(o._1)).map(_._1)
+    assert(badBnlj.isEmpty,
+      s"unreviewed broadcast nested-loop joins in: $badBnlj — verify the " +
+        "broadcast side is bounded, then extend the allowlist")
+    // the allowlists must not drift stale: every listed name still
+    // exists and still exhibits the shape it excuses
+    val byName = offenders.map(o => o._1 -> o).toMap
+    singlePartitionOk.foreach { n =>
+      assert(byName.contains(n), s"allowlisted query $n no longer exists")
+      assert(byName(n)._3 > 0, s"$n no longer plans a single-partition exchange — drop it from the allowlist")
+    }
+    bnljOk.foreach { n =>
+      assert(byName(n)._4 > 0, s"$n no longer plans a BNLJ — drop it from the allowlist")
+    }
+  }
+}
