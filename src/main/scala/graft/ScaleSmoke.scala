@@ -90,6 +90,82 @@ object ScaleSmoke {
       cbs = Similarity.pqStep(emb, "embedding", cbs, 8)
       cbs.length.toLong
     }
+    // IVFADC probe (ann_ivf_pq's scan half, codebooks pre-trained on
+    // the base corpus so the stage isolates encode + ADC scan +
+    // shortlist — the per-query cost that must stay linear in the
+    // probed-list size, here worst-case because every replica lands
+    // in the same list as its original)
+    time("ivfpq_encode_adc_scan") {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(spark, dir, "embeddings")
+      var cbs: IndexedSeq[Array[Array[Double]]] =
+        (0 until 8).map(m => Similarity.pqInitCoefs(m, 16, 8))
+      cbs = Similarity.pqStep(base, "embedding", cbs, 8)
+      cbs = Similarity.pqStep(base, "embedding", cbs, 8)
+      val coefs = Similarity.centroidCoefs(4, 64)
+      val codeCols = (0 until 8).map(m =>
+        graft.functions.CentroidAssign(
+          slice(col("embedding"), m * 8 + 1, 8), cbs(m)).as(s"code_$m"))
+      val n = emb.select(Seq(col("vec_id").as("n_id"),
+        graft.functions.CentroidAssign(col("embedding"), coefs).as("cl")) ++
+        codeCols: _*)
+      val sims = coefs.toIndexedSeq.map(cen =>
+        round(Similarity.dotLit(col("embedding"), cen), 6))
+      def subDot(m: Int, cen: Array[Double]) =
+        cen.zipWithIndex.map { case (cv, i) =>
+          element_at(col("embedding"), m * 8 + i + 1).cast("double") * lit(cv)
+        }.reduceLeft(_ + _)
+      val lutCols = for { m <- 0 until 8; c <- 0 until 16 }
+        yield round(subDot(m, cbs(m)(c)), 6)
+      val probes = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), array(lutCols: _*).as("luts"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("c"), sims(c).as("s"))): _*)).as("cs"))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cs.s").desc, col("cs.c"))))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("luts"), col("cs.c").as("cl"))
+      val score = (0 until 8).map(m =>
+          element_at(col("luts"), lit(m * 16 + 1) + col(s"code_$m"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .reduceLeft(_ + _).cast("double")
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_dot").desc, col("n_id"))
+      n.join(broadcast(probes), Seq("cl"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), score.as("approx_dot"))
+        .withColumn("srn", row_number().over(ws))
+        .filter(col("srn") <= 100).count()
+    }
+    // first-occurrence novelty: replicas contribute no new shingles,
+    // so the `first` table stays base-sized while the probe side grows
+    // `mult`x — the incremental-store regime at its worst-case ratio
+    time("ngram_novelty_scoring") {
+      import graft.functions.PortableHash.h32
+      val dh = Dedup.distinctShingles(
+          docs.select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), h32(col("shingle")).as("hm")).distinct()
+      val first = dh.groupBy("hm").agg(min(col("doc_id")).as("first_doc"))
+      dh.join(first, "hm").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).as("novel"))
+        .count()
+    }
+    // per-user lag + type-bounded aggregate (markov_transitions core):
+    // users are remapped per replica, so per-user density is constant
+    // and the one user_id exchange must scale linearly
+    time("lag_window_transitions") {
+      import org.apache.spark.sql.expressions.Window
+      val events = replicate(Tables.load(spark, dir, "events"), "user_id")
+        .withColumn("event_id",
+          col("event_id") + expr("user_id div 10000000") * 1000000000L)
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type").count().count()
+    }
     spark.stop()
   }
 }

@@ -805,6 +805,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latest-per-key snapshot equals the batch table under random arrival (KTable duality)") {
+    import graft.streaming.StreamLatest
+    import graft.streaming.StreamLatest.KV
+    implicit val ctx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .as[KV].collect()
+    val rnd = new scala.util.Random(20260816L)
+    val mem = MemoryStream[KV]
+    val q = StreamLatest.latest(mem.toDS())
+      .writeStream.format("memory").queryName("ktable_snapshot")
+      .outputMode("complete").start()
+    try {
+      rnd.shuffle(events.toSeq).grouped(400).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ktable_snapshot")
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      val expect = SparkEntry.allQueries.find(_.name == "latest_per_key").get
+        .run(spark, sf0001)
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("streaming adjacency emission aggregates to the batch Markov matrix under random arrival") {
     import graft.streaming.StreamTransitions
     import graft.streaming.StreamTransitions.SeqEvent
