@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.CentroidAssign
+import graft.ops.Similarity
+
+/** The stored form of `ann_ivf_pq` — train once, probe forever. The
+  * inline query retrains codebooks and re-encodes the corpus on every
+  * run (the right shape for a correctness gate, the wrong one for
+  * production: SCALE.md records that at sf0.1 training dominates the
+  * probe). Here the index is BUILT once — one row of 9 small ints per
+  * vector, hive-partitioned by the coarse list id — and a probe:
+  *
+  *  1. ranks coarse lists per query and collects the DISTINCT probed
+  *     list ids (bounded by the centroid count — the same k-scalars
+  *     driver contract as kmeansTrain);
+  *  2. reads the index with `cl IN (probed)` — directory-level
+  *     partition pruning, so unprobed lists are never listed, opened,
+  *     or scanned (BucketingSpec asserts the PartitionFilters in the
+  *     scan node);
+  *  3. runs the ADC scan + shortlist + exact re-rank of the inline
+  *     query, bit-identically (BucketingSpec pins probe == query).
+  *
+  * At 100 TB with K=65k lists this is the difference between touching
+  * ~0.1% of the index files and scanning all of them.
+  */
+object AnnIndex {
+
+  import graft.queries.SimilarityQueries.{Centroids, Dim, Nprobe, PqK, PqM, PqShortlist, PqSub}
+
+  case class Codebooks(coarse: Array[Array[Double]],
+                       pq: IndexedSeq[Array[Array[Double]]])
+
+  /** Train the PQ codebooks (2 batched Lloyd jobs) and persist the
+    * encoded corpus partitioned by coarse list. Returns the codebooks
+    * — k*dim scalars, the probe-time broadcast state.
+    */
+  def build(emb: DataFrame, path: String): Codebooks = {
+    var cbs: IndexedSeq[Array[Array[Double]]] =
+      (0 until PqM).map(m => Similarity.pqInitCoefs(m, PqK, PqSub))
+    cbs = Similarity.pqStep(emb, "embedding", cbs, PqSub)
+    cbs = Similarity.pqStep(emb, "embedding", cbs, PqSub)
+    val coarse = Similarity.centroidCoefs(Centroids, Dim)
+    val codeCols = (0 until PqM).map(m =>
+      CentroidAssign(slice(col("embedding"), m * PqSub + 1, PqSub), cbs(m))
+        .as(s"code_$m"))
+    Layout.writePartitioned(
+      emb.select(Seq(col("vec_id"),
+        CentroidAssign(col("embedding"), coarse).as("cl")) ++ codeCols: _*),
+      path, Seq("cl"))
+    Codebooks(coarse, cbs)
+  }
+
+  /** Probe the stored index for the queries `vec_id < maxQueryId` of
+    * `emb` (the inline query's convention), returning its exact
+    * output shape: (q_id, rnk, n_id, cos_sim), top-`topK` per query.
+    */
+  def probe(spark: SparkSession, path: String, emb: DataFrame,
+            cb: Codebooks, maxQueryId: Long = 20, topK: Int = 5): DataFrame = {
+    val sims = cb.coarse.toIndexedSeq.map(cen =>
+      round(Similarity.dotLit(col("embedding"), cen), 6))
+    def subDot(m: Int, cen: Array[Double]) =
+      cen.zipWithIndex.map { case (cv, i) =>
+        element_at(col("embedding"), m * PqSub + i + 1).cast("double") * lit(cv)
+      }.reduceLeft(_ + _)
+    val lutCols = for { m <- 0 until PqM; c <- 0 until PqK }
+      yield round(subDot(m, cb.pq(m)(c)), 6)
+    val probes = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), array(lutCols: _*).as("luts"),
+        explode(array((0 until Centroids).map(c =>
+          struct(lit(c).as("c"), sims(c).as("s"))): _*)).as("cs"))
+      .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cs.s").desc, col("cs.c"))))
+      .filter(col("crn") <= Nprobe)
+      .select(col("q_id"), col("luts"), col("cs.c").as("cl"))
+      .localCheckpoint(true)
+    // the union of probed lists: bounded by the centroid count BY
+    // CONTRACT (nprobe * |queries| keys over <= Centroids values) —
+    // this literal list is what turns the read below into directory
+    // pruning instead of a full index scan
+    val probedLists = probes.select("cl").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(path)
+      .filter(col("cl").isin(probedLists.map(Integer.valueOf).toSeq: _*))
+    val score = (0 until PqM).map(m =>
+        element_at(col("luts"), lit(m * PqK + 1) + col(s"code_$m"))
+          .cast(DecimalType(18, 6)))
+      .reduceLeft(_ + _).cast("double")
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("n_id"))
+    val short = index.select(Seq(col("vec_id").as("n_id"), col("cl")) ++
+        (0 until PqM).map(m => col(s"code_$m")): _*)
+      .join(broadcast(probes), Seq("cl"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), score.as("approx_dot"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= PqShortlist)
+      .select("q_id", "n_id")
+    val qv = emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val nv = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    short.join(qv, "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= topK)
+      .select("q_id", "rnk", "n_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+}

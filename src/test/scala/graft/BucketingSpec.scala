@@ -70,4 +70,35 @@ class BucketingSpec extends SparkSpec {
     val expected = docs.filter(col("lang") === "en").count()
     assert(read.count() === expected)
   }
+
+  test("stored IVFADC index: probe is partition-pruned and equals the inline ann_ivf_pq") {
+    import graft.sources.AnnIndex
+    val base = Files.createTempDirectory("graft_annidx").toString
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val cb = AnnIndex.build(emb, s"$base/idx")
+    val probe = AnnIndex.probe(spark, s"$base/idx", emb, cb)
+    // the index read must prune to the probed coarse lists at the
+    // directory level — `cl` in PartitionFilters, not a post-scan
+    // Filter over all partitions
+    val scan = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") && l.contains("cl"))
+    assert(scan.isDefined && "cl#\\d+ IN \\(".r.findFirstIn(scan.get).isDefined,
+      s"index scan not partition-pruned on cl:\n${scan.getOrElse("(no scan line)")}")
+    // a single query probes exactly Nprobe of the Centroids lists, so
+    // the IN-list shrinks and real directories drop out of the scan
+    val one = AnnIndex.probe(spark, s"$base/idx", emb, cb, maxQueryId = 1)
+    val oneScan = one.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") && l.contains("cl")).get
+    val inList = "cl#\\d+ IN \\(([0-9,]+)\\)".r.findFirstMatchIn(oneScan).get.group(1)
+    assert(inList.split(",").length === graft.queries.SimilarityQueries.Nprobe,
+      s"single-query probe should scan Nprobe lists, got IN ($inList)")
+    // probe == the inline query, row for row (same codebooks by
+    // md5-determinism, same ADC + shortlist + re-rank tie rules)
+    val got = probe.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = SparkEntry.allQueries.find(_.name == "ann_ivf_pq").get
+      .run(spark, sf001).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got === want, "stored-index probe diverges from the inline query")
+  }
 }
