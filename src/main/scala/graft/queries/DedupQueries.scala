@@ -293,6 +293,71 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // k-nearest-neighbor graph by exact Jaccard over the banding
+    // candidates — the thinned dup graph every graph-based clustering
+    // step wants (connected components over ALL candidates chains
+    // borderline pairs into mega-clusters; keeping each node's top-3
+    // strongest edges bounds the degree before clustering). Edges are
+    // the banding-bounded candidate pairs decorated with exact
+    // Jaccard (the minhash_calibration shape), symmetrized with one
+    // union, then a per-doc window ranks partners (jaccard DESC,
+    // partner) — the window input is the pair set, never the corpus.
+    Q("jaccard_knn_graph",
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |hset AS (SELECT DISTINCT doc_id, hm FROM hs),
+         |hsz AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+         |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |      FROM hset x JOIN hset y ON x.hm = y.hm AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |jp AS (SELECT p.d1, p.d2,
+         |    round(COALESCE(i.inter, 0) * 1.0
+         |      / (x.n + y.n - COALESCE(i.inter, 0)), 6) AS jaccard
+         |  FROM pairs p JOIN hsz x ON x.doc_id = p.d1 JOIN hsz y ON y.doc_id = p.d2
+         |  LEFT JOIN i ON i.d1 = p.d1 AND i.d2 = p.d2),
+         |e AS (SELECT d1 AS doc_id, d2 AS partner, jaccard FROM jp
+         |      UNION ALL SELECT d2, d1, jaccard FROM jp),
+         |r AS (SELECT doc_id, partner, jaccard, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY jaccard DESC, partner) AS rnk FROM e)
+         |SELECT doc_id, rnk, partner, jaccard FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import graft.functions.PortableHash
+      import org.apache.spark.sql.expressions.Window
+      val dsh = Dedup.distinctShingles(
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
+      val mins = PortableHash.minhashPerms(K).zipWithIndex.map {
+        case ((a, b), i) => min(PortableHash.permute(col("hm"), a, b)).as(s"m$i")
+      }
+      val feat = dsh.groupBy("doc_id")
+        .agg(mins.head, (mins.tail :+
+          sort_array(collect_set(col("hm"))).as("toks")): _*)
+        .withColumn("n", size(col("toks")))
+        .localCheckpoint(false)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(feat.select(col("doc_id") +:
+          (0 until K).map(i => col(s"m$i")): _*), "doc_id", B, R), "doc_id")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val jp = pairs.hint("shuffle_hash")
+        .join(feat.as("a"), col("id_a") === col("a.doc_id"))
+        .hint("shuffle_hash")
+        .join(feat.as("b"), col("id_b") === col("b.doc_id"))
+        .select(col("id_a").as("d1"), col("id_b").as("d2"),
+          round(inter * lit(1.0) / (col("a.n") + col("b.n") - inter), 6)
+            .as("jaccard"))
+      val e = jp.select(col("d1").as("doc_id"), col("d2").as("partner"), col("jaccard"))
+        .unionAll(jp.select(col("d2").as("doc_id"), col("d1").as("partner"), col("jaccard")))
+      val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner"))
+      e.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "partner", "jaccard")
+        .orderBy("doc_id", "rnk")
+    },
+
     // duplicate-graph degree histogram: how many near-dup partners
     // each doc has, rolled into degree -> n_docs (the shape of this
     // distribution decides the dedup strategy: a long tail of

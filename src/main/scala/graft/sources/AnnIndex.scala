@@ -55,6 +55,31 @@ object AnnIndex {
     Codebooks(coarse, cbs)
   }
 
+  /** Streaming maintenance of the stored index: encode arriving
+    * vectors with the FROZEN codebooks (at production scale codebooks
+    * retrain offline on a sample and the index rebuilds by version —
+    * an in-place re-encode would corrupt in-flight probes) and append
+    * them to the same hive layout via the exactly-once parquet file
+    * sink (checkpoint + _spark_metadata commit log: a restarted batch
+    * never double-appends, and readers see only committed files).
+    * StreamingSpec pins that a probe over a streamed-in index equals
+    * the probe over the batch-built one.
+    */
+  def appendStream(vectors: DataFrame, path: String, checkpoint: String,
+                   cb: Codebooks): org.apache.spark.sql.streaming.StreamingQuery = {
+    val codeCols = (0 until PqM).map(m =>
+      CentroidAssign(slice(col("embedding"), m * PqSub + 1, PqSub), cb.pq(m))
+        .as(s"code_$m"))
+    vectors.select(Seq(col("vec_id"),
+        CentroidAssign(col("embedding"), cb.coarse).as("cl")) ++ codeCols: _*)
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cl")
+      .outputMode("append")
+      .start()
+  }
+
   /** Probe the stored index for the queries `vec_id < maxQueryId` of
     * `emb` (the inline query's convention), returning its exact
     * output shape: (q_id, rnk, n_id, cos_sim), top-`topK` per query.

@@ -362,6 +362,27 @@ class PipelineShapesSpec extends SparkSpec {
       "band pair mass cannot undercount the distinct candidate pairs")
   }
 
+  test("jaccard_knn_graph: degree-capped, candidate-closed, calibration-consistent") {
+    val rows = byName("jaccard_knn_graph").run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // per-doc: at most 3 partners, ranks dense from 1, jaccard non-increasing
+    rows.groupBy(_._1).foreach { case (d, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.length <= 3 && sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"doc $d: jaccard not non-increasing in rank")
+    }
+    // closure: every edge is a banding candidate pair, and its weight
+    // equals minhash_calibration's exact jaccard for that pair
+    val calib = byName("minhash_calibration").run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    rows.foreach { case (d, _, p, j) =>
+      val key = if (d < p) (d, p) else (p, d)
+      assert(calib.contains(key), s"edge $key is not a banding candidate")
+      assert(calib(key) === j, s"edge $key weight $j != calibration ${calib(key)}")
+    }
+  }
+
   test("ngram_novelty: first doc fully novel, novel mass = distinct shingle universe") {
     val rows = byName("ngram_novelty").run(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

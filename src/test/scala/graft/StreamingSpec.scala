@@ -805,6 +805,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed-in ANN index probes identically to the batch-built one") {
+    import graft.sources.AnnIndex
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annstream").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // batch-built reference index (also trains the codebooks)
+    val cb = AnnIndex.build(emb, s"$tmp/batch")
+    // stream the same vectors in shuffled chunks into a fresh index
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val rnd = new scala.util.Random(20260817L)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = AnnIndex.appendStream(
+      mem.toDF().toDF("vec_id", "embedding"), s"$tmp/streamed", s"$tmp/ckpt", cb)
+    try {
+      rnd.shuffle(vecs.toSeq).grouped(40).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = AnnIndex.probe(spark, s"$tmp/streamed", emb, cb, maxQueryId = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = AnnIndex.probe(spark, s"$tmp/batch", emb, cb, maxQueryId = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got === want, "streamed index diverges from the batch-built index")
+  }
+
   test("streaming latest-per-key snapshot equals the batch table under random arrival (KTable duality)") {
     import graft.streaming.StreamLatest
     import graft.streaming.StreamLatest.KV
