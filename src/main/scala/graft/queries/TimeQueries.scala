@@ -196,6 +196,57 @@ object TimeQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy("user_id", "session_id")
+    },
+
+    // Temporal (point-in-time) dimension join — THE warehouse lookup:
+    // every event joined to the dimension state valid AT ITS
+    // TIMESTAMP. The dimension here is each user's most recent
+    // PURCHASE value band (floor(value/25)): purchase events open
+    // half-open validity intervals [ts, next_purchase_ts), and all
+    // events LEFT-join to the covering interval (band -1 = no
+    // purchase yet), rolled up to the bounded (band, event_type)
+    // matrix. The join is the standard Spark shape for validity
+    // intervals: an EQUI-join on user_id (one exchange each side)
+    // plus the interval predicate as a post-join filter — per-user
+    // interval lists are bounded by dimension CHANGES (purchases),
+    // so the filter scans a handful of rows per event, and intervals
+    // tile [first_purchase, inf) so each event matches at most one
+    // (AsOfTieSpec asserts the exactly-once cover). For a dimension
+    // whose per-key history is unbounded, the as-of formulation
+    // (asof_join: latest change <= ts via one union-sort pass) is
+    // the escape hatch — same semantics, no per-key quadratic term.
+    Q("temporal_dim_join",
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(CAST(value AS DOUBLE) / 25.0) AS BIGINT) AS band
+        |  FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, band, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM p)
+        |SELECT COALESCE(i.band, -1) AS purchase_band, e.event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e LEFT JOIN i ON e.user_id = i.user_id
+        |  AND e.ts >= i.valid_from
+        |  AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val intervals = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value").cast("double") / 25.0).cast("long").as("band"))
+        .select(col("user_id"), col("band"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      ev.join(intervals,
+          ev("user_id") === intervals("user_id")
+            && col("ts") >= col("valid_from")
+            && (col("valid_to").isNull || col("ts") < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("band"), lit(-1L)).as("purchase_band"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(ev("user_id")).as("n_users"))
+        .orderBy("purchase_band", "event_type")
     }
   )
 }

@@ -74,7 +74,10 @@ class BucketingSpec extends SparkSpec {
   test("stored IVFADC index: probe is partition-pruned and equals the inline ann_ivf_pq") {
     import graft.sources.AnnIndex
     val base = Files.createTempDirectory("graft_annidx").toString
-    val emb = Tables.load(spark, sf001, "embeddings")
+    // sf0.001: parity and pruning are plan/row identities, not
+    // statistics — the small fixture proves them at 1/10 the runtime
+    // (recall statistics run at sf0.01 in PipelineShapesSpec)
+    val emb = Tables.load(spark, sf0001, "embeddings")
     val cb = AnnIndex.build(emb, s"$base/idx")
     val probe = AnnIndex.probe(spark, s"$base/idx", emb, cb)
     // the index read must prune to the probed coarse lists at the
@@ -97,7 +100,7 @@ class BucketingSpec extends SparkSpec {
     val got = probe.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val want = SparkEntry.allQueries.find(_.name == "ann_ivf_pq").get
-      .run(spark, sf001).collect().map(r =>
+      .run(spark, sf0001).collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(got === want, "stored-index probe diverges from the inline query")
   }

@@ -236,6 +236,28 @@ class AsOfTieSpec extends SparkSpec {
     assert(fwd === 400L, "forward tie must resolve to the smallest struct")
   }
 
+  test("temporal_dim_join covers every event exactly once (intervals tile the timeline)") {
+    // purchase intervals are half-open and tile [first_purchase, inf)
+    // per user, so the point-in-time LEFT join must keep EVERY event
+    // with AT MOST one match — a double-matched event inflates the
+    // sum above |events|, a dropped one deflates it
+    val rows = SparkEntry.allQueries.find(_.name == "temporal_dim_join").get
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val matched = rows.map(_._3).sum
+    val events = Tables.load(spark, sf001, "events").count()
+    assert(matched === events,
+      s"temporal join accounted for $matched of $events events")
+    // pre-first-purchase events exist (band -1) AND real bands exist
+    assert(rows.exists(_._1 == -1L), "no pre-purchase events — fixture drift?")
+    assert(rows.count(_._1 >= 0L) > 0, "no matched purchase bands")
+    // every purchase event matches a REAL band: its own interval opens
+    // at its timestamp, so 'purchase' rows can't appear under band -1
+    // unless the user had an EARLIER unmatched purchase — impossible
+    assert(!rows.exists(r => r._1 == -1L && r._2 == "purchase"),
+      "a purchase event failed to match its own validity interval")
+  }
+
   test("oracled asof fixture keeps (user_id, ts) unique on the right side") {
     // the asof_join / asof_join_forward oracles (DuckDB ASOF JOIN) make
     // no tie promise, so the click side of the events fixture must be
