@@ -121,15 +121,20 @@ object SequenceQueries {
     // get_json_object is a pure column expression: the whole query is
     // map-side work plus ONE bounded aggregate exchange (10 buckets);
     // no window, no join, no per-user clustering needed.
+    // Bucketing is floor(k/10) on BOTH engines (not DuckDB '//' vs
+    // Spark 'div', which disagree for negative k: floor vs truncation
+    // toward zero), and the ORDER BY pins NULLS FIRST (Spark's asc
+    // default; DuckDB defaults NULLS LAST) so a missing '$.k' key
+    // cannot reorder the two results.
     Q("props_extract",
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .select(col("props"), col("value"))
         .withColumn("k_bucket",
-          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10"))
+          floor(expr("CAST(get_json_object(props, '$.k') AS BIGINT)") / 10))
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))

@@ -63,9 +63,11 @@ object TimeQueries {
     // and any ts-ties; subtracting a's row_number within its (user, ts)
     // tie group (ordered by event_id) leaves exactly
     //   #{b : ts_a <= ts_b <= ts_a+5min, event_id_b > event_id_a}
-    // PRECONDITION (asserted on the driver fixtures at every SF): per
-    // user, event_id order agrees with ts order for distinct ts — true
-    // of any log whose ids are assigned at append time. Under it the
+    // PRECONDITION (pinned by SequenceSpec "range_join_pairs
+    // window-rewrite precondition", which checks all three fixture
+    // SFs): per user, event_id order agrees with ts order for distinct
+    // ts — true of any log whose ids are assigned at append time. A
+    // dataset violating it must use range_join_pairs_join. Under it the
     // per-event counts sum to the join's per-user pair count; users
     // with zero pairs are filtered to match the inner join's output.
     Q("range_join_pairs",

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,6 +36,66 @@ object AnnIndex {
   case class Codebooks(coarse: Array[Array[Double]],
                        pq: IndexedSeq[Array[Array[Double]]])
 
+  /** True iff `path` carries a FileStreamSink commit log. A directory
+    * either is batch-built (no log; readers list files) or
+    * streaming-built (log; commit-log-aware readers trust ONLY logged
+    * files) — MIXING the two silently drops the batch-written files
+    * from every probe, so both ends guard against it below.
+    */
+  private def hasSinkLog(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, "_spark_metadata")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** All data files under `path` (recursive; sink log, checkpoints and
+    * _SUCCESS markers excluded), as bare path components.
+    */
+  private def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val it = fs.listFiles(root, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val uri = f.toUri.getPath
+      if (!uri.contains("/_spark_metadata/") && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        buf += uri
+    }
+    buf.result()
+  }
+
+  /** Fail loudly if `path` is a commit-logged index with data files the
+    * log does not cover (a batch write snuck in): `spark.read.parquet`
+    * over such a directory would silently ignore the unlogged files
+    * and the probe would return confidently-wrong neighbors. The log's
+    * v1 entries are one JSON object per line with a "path" field; the
+    * union over all log files (compacts included) is exactly the set a
+    * commit-log-aware reader can ever see.
+    */
+  private def assertLogCoversDir(spark: SparkSession, path: String): Unit = {
+    if (!hasSinkLog(spark, path)) return
+    val logDir = new Path(path, "_spark_metadata")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pathRe = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val logged = fs.listStatus(logDir).filter(_.isFile).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      pathRe.findAllMatchIn(text).map(m =>
+        new Path(m.group(1).replace("\\/", "/")).toUri.getPath)
+    }.toSet
+    val orphans = dataFiles(spark, path).filterNot(logged.contains)
+    if (orphans.nonEmpty)
+      throw new IllegalStateException(
+        s"ANN index at $path mixes a streaming commit log with " +
+          s"${orphans.size} file(s) the log does not cover (e.g. " +
+          s"${orphans.head}) — a commit-log-aware read would silently " +
+          "drop them. Rebuild the index by version instead of mixing " +
+          "batch and streaming writes in one directory.")
+  }
+
   /** Train the PQ codebooks (2 batched Lloyd jobs) and persist the
     * encoded corpus partitioned by coarse list. Returns the codebooks
     * — k*dim scalars, the probe-time broadcast state.
@@ -55,18 +116,31 @@ object AnnIndex {
     Codebooks(coarse, cbs)
   }
 
-  /** Streaming maintenance of the stored index: encode arriving
-    * vectors with the FROZEN codebooks (at production scale codebooks
-    * retrain offline on a sample and the index rebuilds by version —
-    * an in-place re-encode would corrupt in-flight probes) and append
+  /** Streaming maintenance of a stored index: encode arriving vectors
+    * with the FROZEN codebooks (at production scale codebooks retrain
+    * offline on a sample and the index rebuilds by version — an
+    * in-place re-encode would corrupt in-flight probes) and append
     * them to the same hive layout via the exactly-once parquet file
     * sink (checkpoint + _spark_metadata commit log: a restarted batch
     * never double-appends, and readers see only committed files).
+    *
+    * `path` MUST be a fresh or streaming-only directory: the sink's
+    * commit log claims the whole directory, so starting it over a
+    * batch-built index ([[build]]) would hide every pre-existing file
+    * from commit-log-aware readers. That mix is REFUSED here (and a
+    * mix created behind our back fails in [[probe]]); to fold batch
+    * and streamed vectors together, rebuild the index by version.
     * StreamingSpec pins that a probe over a streamed-in index equals
-    * the probe over the batch-built one.
+    * the probe over the batch-built one, and that the mix guards fire.
     */
   def appendStream(vectors: DataFrame, path: String, checkpoint: String,
                    cb: Codebooks): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    if (!hasSinkLog(spark, path) && dataFiles(spark, path).nonEmpty)
+      throw new IllegalStateException(
+        s"refusing to start a FileStreamSink over batch-built index $path: " +
+          "its commit log would hide every existing file from readers. " +
+          "Stream into a fresh directory (index rebuild by version).")
     val codeCols = (0 until PqM).map(m =>
       CentroidAssign(slice(col("embedding"), m * PqSub + 1, PqSub), cb.pq(m))
         .as(s"code_$m"))
@@ -109,6 +183,7 @@ object AnnIndex {
     // pruning instead of a full index scan
     val probedLists = probes.select("cl").distinct()
       .collect().map(_.getInt(0)).sorted
+    assertLogCoversDir(spark, path) // loud, not silently-partial, on a batch/streaming mix
     val index = spark.read.parquet(path)
       .filter(col("cl").isin(probedLists.map(Integer.valueOf).toSeq: _*))
     val score = (0 until PqM).map(m =>

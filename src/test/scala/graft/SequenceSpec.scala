@@ -81,4 +81,30 @@ class SequenceSpec extends SparkSpec {
     assert(rows.map(_._2).sum == Tables.load(spark, sf001, "events").count())
     assert(rows.forall { case (b, _) => b >= 0 && b <= 9 })
   }
+
+  test("range_join_pairs window-rewrite precondition holds on every fixture SF") {
+    // The window form of range_join_pairs counts forward neighbors as
+    // (RANGE-frame count) - (tie rank), which equals the self-join's
+    // e1.event_id < e2.event_id pair count ONLY when, per user, a
+    // strictly earlier ts implies a strictly smaller event_id (true of
+    // any log whose ids are assigned at append time). A fixture — or a
+    // production feed — violating that would silently miscount, so the
+    // invariant is pinned HERE for every SF the driver gates at:
+    // max(event_id) over strictly-earlier-ts rows must never exceed
+    // the current event_id.
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val earlier = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val violations = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("max_earlier", max(col("event_id")).over(earlier))
+        .filter(col("max_earlier") > col("event_id"))
+        .count()
+      assert(violations === 0L,
+        s"$dir: $violations events break ts/event_id monotonicity — " +
+          "the range_join_pairs window rewrite is unsound on this data")
+    }
+  }
 }

@@ -85,15 +85,21 @@ class SkewAndFormatsSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE did not split the skewed join:\n$plan")
-      // (2) the same join feeding a same-key aggregate: splitting
-      // would force an extra shuffle, so AQE declines — THIS is where
-      // Skew.saltedJoin still wins (it pre-spreads the hot key and
-      // the agg runs on (key, salt) partials)
+      // (2) the same join feeding a same-key aggregate: splitting the
+      // hot partition would force an extra shuffle before the agg, so
+      // AQE *currently* declines — that gap is saltedJoin's niche. The
+      // decline is an AQE cost-model heuristic, not a product contract,
+      // so it is LOGGED (a Spark upgrade may legitimately flip it);
+      // what we assert is correctness of the result either way.
       val agged = big.join(dim, "k").groupBy("k").count()
-      agged.collect()
+      val got = agged.collect()
       val aggPlan = agged.queryExecution.executedPlan.toString
-      assert(!aggPlan.contains("skew=true"),
-        s"expected AQE to decline the skew split under a same-key agg:\n$aggPlan")
+      info(s"AQE skew split under same-key agg applied: ${aggPlan.contains("skew=true")}")
+      // 30000 of 40000 big-side ids collapse onto k=1 (id % 4 != 0),
+      // each matching exactly one dim row; the rest keep their own id
+      assert(got.length === 10001)
+      assert(got.find(_.getLong(0) == 1L).map(_.getLong(1)).contains(30000L),
+        "hot-key group count wrong under the skew-tuned AQE config")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 

@@ -832,6 +832,43 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "streamed index diverges from the batch-built index")
   }
 
+  test("ANN index refuses a batch/streaming directory mix instead of silently dropping files") {
+    import graft.sources.AnnIndex
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annmix").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cb = AnnIndex.build(emb, s"$tmp/batch")
+    // (1) a FileStreamSink started over the batch-built index would
+    // claim the directory with a commit log that hides every existing
+    // file from commit-log-aware readers — appendStream must refuse
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val refused = intercept[IllegalStateException] {
+      AnnIndex.appendStream(mem.toDF().toDF("vec_id", "embedding"),
+        s"$tmp/batch", s"$tmp/ck_refused", cb)
+    }
+    assert(refused.getMessage.contains("rebuild"), refused.getMessage)
+    // (2) the converse mix — a batch write snuck into a streaming-only
+    // index behind the sink's back — cannot be prevented here, so the
+    // PROBE must fail loudly: spark.read.parquet would otherwise trust
+    // the commit log and silently ignore the unlogged file
+    val q = AnnIndex.appendStream(mem.toDF().toDF("vec_id", "embedding"),
+      s"$tmp/streamed", s"$tmp/ckpt", cb)
+    try {
+      mem.addData(emb.select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // sane before the corruption...
+    assert(AnnIndex.probe(spark, s"$tmp/streamed", emb, cb, maxQueryId = 2).count() > 0)
+    spark.read.parquet(s"$tmp/batch").limit(1)
+      .write.mode("append").parquet(s"$tmp/streamed")
+    // ...loud after it
+    val mixed = intercept[IllegalStateException] {
+      AnnIndex.probe(spark, s"$tmp/streamed", emb, cb, maxQueryId = 2).count()
+    }
+    assert(mixed.getMessage.contains("does not cover"), mixed.getMessage)
+  }
+
   test("streaming latest-per-key snapshot equals the batch table under random arrival (KTable duality)") {
     import graft.streaming.StreamLatest
     import graft.streaming.StreamLatest.KV
