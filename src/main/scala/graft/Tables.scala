@@ -14,13 +14,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects. Read the raw int64 nanos and floor-divide to
-      // microseconds — bit-identical to DuckDB's own ns->us conversion
-      // (verified: DuckDB truncates toward zero / floors).
+      // events.ts has shipped in two parquet encodings across driver
+      // rounds, so branch on what actually landed on disk:
+      //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects nanos,
+      //    so read the raw int64 via nanosAsLong and floor-divide to
+      //    micros — bit-identical to DuckDB's own ns->us truncation.
+      //  - TIMESTAMP(MICROS): reads natively as TIMESTAMP_NTZ; cast to
+      //    the session-UTC TimestampType so every query (and the
+      //    written Verify output the driver compares) sees the exact
+      //    same column type and micros values as the nanos path.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash.{duckH32, h32}
+import graft.ops.Similarity
+
+/** Data-SELECTION operators — the "which documents make the training
+  * set" stage that runs after cleaning/dedup in an LLM data pipeline:
+  *
+  *  - `dsir_select`: DSIR importance resampling (Xie et al., "Data
+  *    Selection for Language Models via Importance Resampling",
+  *    NeurIPS 2023) — score raw-pool documents by a hashed-n-gram
+  *    bag-of-words log-likelihood ratio against a target domain and
+  *    keep the top scorers.
+  *  - `mix_temperature`: temperature-scaled source mixing (the
+  *    p_s ∝ (n_s/N)^α rule from XLM-R / mC4, α = 0.5) with
+  *    deterministic hash-gated membership.
+  *  - `semdedup_keep`: SemDeDup (Abbas et al., 2023) — k-means-cluster
+  *    the embedding space, drop any vector with a higher-priority
+  *    near-identical neighbor IN ITS OWN CLUSTER (cosine >= tau), so
+  *    the all-pairs work is bounded per cluster, never corpus-wide.
+  *  - `hard_negatives`: contrastive hard-negative mining — for each
+  *    query vector, the top-k most similar vectors carrying a
+  *    DIFFERENT label (the training pairs an embedding model needs).
+  *
+  * Cross-engine float discipline (same rules as the ANN/k-means
+  * family): anything summed across rows is first quantized to integer
+  * micro-units with `floor(x * scale + 0.5)` — NOT `round()`, whose
+  * half-way tie rule differs between engines on dyadic doubles — so
+  * every SUM is order-independent and exact; `sqrt` is IEEE
+  * correctly-rounded (bit-identical everywhere); `ln` is quantized at
+  * 1e7 right after evaluation so a last-ulp libm difference cannot
+  * survive into a comparison (flip odds ~1e-7 per bucket, see the
+  * dsir comment).
+  */
+object SelectionQueries {
+
+  /** Hashed feature buckets for DSIR (production: 10k-100k). */
+  val DsirBuckets = 256
+
+  /** Selected-set size for dsir_select (production: the token budget). */
+  val DsirTopK = 50
+
+  /** Total document budget mix_temperature allocates across sources. */
+  val MixBudget = 200
+
+  /** SemDeDup coarse clusters (production: corpus/K rows per cluster
+    * sized to keep the in-cluster pair expansion tractable — the
+    * SemDeDup paper uses K = 100k on LAION).
+    */
+  val SemK = 4
+  val SemDim = 64
+
+  /** SemDeDup cosine threshold: fixture embeddings are near-random
+    * (max pairwise cosine ~0.51, p99.9 ~0.38 at sf0.01) so 0.30 keeps
+    * the drop set non-trivial; production uses ~0.95+ on real
+    * embeddings.
+    */
+  val SemTau = 0.30
+
+  val HardNegK = 5
+
+  private def duckDot(x: String, y: String) =
+    s"list_sum(list_transform(generate_series(1, $SemDim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
+
+  def all: Seq[Q] = Seq(
+
+    // DSIR importance resampling. Features are hashed unigram buckets
+    // (h32(token) % B — the paper's hashed n-grams with n=1); the
+    // target domain is lang='en', the raw pool everything else. Each
+    // bucket gets a smoothed log-likelihood ratio
+    //   lam_b = ln((t_b + 1/2) / (T + B/2)) - ln((r_b + 1/2) / (R + B/2))
+    // quantized to 1e-7 units as a BIGINT the moment it is computed
+    // (ln is the one libm call here; a last-ulp cross-engine
+    // difference flips the floor(x*1e7 + 0.5) boundary only when the
+    // true value sits within ~5e-8 of a half-unit — ~1e-7 odds per
+    // bucket, 256 buckets, negligible; every downstream op is exact
+    // integer math). A raw document's importance weight is then
+    // SUM(c_db * lam_u) — an order-independent integer — and the
+    // selected set is the global top-K by (score DESC, doc_id).
+    //
+    // 100 TB shape: (doc, bucket) counts partial-aggregate map-side
+    // before one doc_id-keyed shuffle; the bucket table is B rows
+    // regardless of corpus size, so lam broadcasts; the top-K is
+    // TakeOrdered (per-partition heaps + driver merge of K*parts
+    // rows), never a global sort. Rerunnable incrementally: lam is a
+    // pure function of corpus-level counts, so a persisted lam table
+    // scores new batches without touching old ones.
+    Q("dsir_select", {
+      val B = DsirBuckets
+      s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dc AS (SELECT doc_id, lang, ${duckH32("tok")} % $B AS bk, COUNT(*) AS c
+         |       FROM t GROUP BY 1, 2, 3),
+         |bs AS (SELECT bk,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tb,
+         |    CAST(SUM(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS BIGINT) AS rb
+         |  FROM dc GROUP BY bk),
+         |tot AS (SELECT CAST(SUM(tb) AS BIGINT) AS tt, CAST(SUM(rb) AS BIGINT) AS rr FROM bs),
+         |lam AS (SELECT bk, CAST(floor((ln((tb + 0.5) / (tt + ${B / 2}.0))
+         |                             - ln((rb + 0.5) / (rr + ${B / 2}.0))) * 1e7 + 0.5) AS BIGINT) AS lam_u
+         |  FROM bs CROSS JOIN tot),
+         |sc AS (SELECT doc_id, lang, CAST(SUM(c * lam_u) AS BIGINT) AS score_u
+         |  FROM dc JOIN lam USING (bk) WHERE lang <> 'en' GROUP BY 1, 2)
+         |SELECT doc_id, lang, score_u, score_u / 1e7 AS score
+         |FROM sc ORDER BY score_u DESC, doc_id LIMIT $DsirTopK""".stripMargin
+    }) { (s, dir) =>
+      val B = DsirBuckets
+      val dc = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "lang", "text"))
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("lang"), (h32(col("tok")) % B).as("bk"))
+        .groupBy("doc_id", "lang", "bk").agg(count(lit(1)).as("c"))
+      val bs = dc.groupBy("bk").agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tb"),
+        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("rb"))
+      val tot = bs.agg(sum("tb").as("tt"), sum("rb").as("rr"))
+      val lam = bs.crossJoin(broadcast(tot))
+        .select(col("bk"),
+          floor((log((col("tb") + 0.5) / (col("tt") + lit(B / 2.0)))
+            - log((col("rb") + 0.5) / (col("rr") + lit(B / 2.0)))) * 1e7 + 0.5)
+            .cast("long").as("lam_u"))
+      dc.filter(col("lang") =!= "en")
+        .join(broadcast(lam), "bk")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") * col("lam_u")).as("score_u"))
+        .select(col("doc_id"), col("lang"), col("score_u"),
+          (col("score_u") / 1e7).as("score"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(DsirTopK)
+    },
+
+    // Temperature-scaled source mixing MATERIALIZED: `source_mix`
+    // computes the float weight vector; this op carries it to an
+    // actual training set — integer per-source quotas under a document
+    // budget plus a deterministic membership gate. Sampling weight
+    // p_s ∝ (n_s / N)^alpha with alpha = 1/2 — sqrt(n_s) after the
+    // common 1/sqrt(N) cancels in the normalization — upsamples small
+    // sources and caps big ones. Weights quantize to 1e-6 units via
+    // IEEE-exact sqrt, the normalizer Z is their exact integer sum,
+    // quotas are exact integer floor division of the budget, and
+    // membership is the deterministic hash gate h32(doc_id) % n_s <
+    // quota_s (stable under reruns, repartitioning, and corpus
+    // growth — same contract as stratified_sample). 100 TB: the
+    // per-source table is |sources| rows (broadcast), the corpus
+    // streams once; nothing shuffles but the tiny count agg.
+    Q("mix_temperature", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n,
+         |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w_u FROM cnt),
+         |z AS (SELECT CAST(SUM(w_u) AS BIGINT) AS z FROM w),
+         |q AS (SELECT source, n, w_u,
+         |    CAST(($MixBudget * w_u) // z AS BIGINT) AS quota FROM w CROSS JOIN z)
+         |SELECT q.source AS source, n, w_u, quota,
+         |  COUNT(CASE WHEN $h % n < quota THEN 1 END) AS n_kept
+         |FROM documents JOIN q ON documents.source = q.source
+         |GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w_u",
+          floor(sqrt(col("n").cast("double")) * 1e6 + 0.5).cast("long"))
+      val z = cnt.agg(sum("w_u").as("z"))
+      val quotas = cnt.crossJoin(broadcast(z))
+        .select(col("source"), col("n"), col("w_u"),
+          expr(s"CAST(($MixBudget * w_u) DIV z AS BIGINT)").as("quota"))
+      docs.join(broadcast(quotas), "source")
+        .groupBy("source", "n", "w_u", "quota")
+        .agg(count(when(
+          h32(col("doc_id").cast("string")) % col("n") < col("quota"), 1))
+          .as("n_kept"))
+        .orderBy("source")
+    },
+
+    // SemDeDup: coarse k-means assignment (the shared md5-init ±1
+    // centroids, native CentroidAssign — identical rounded-dot argmax
+    // to the unrolled oracle CASE) buckets the corpus; within each
+    // cluster, a vector is DROPPED when any lower-vec_id clustermate
+    // sits at cosine >= tau (greedy keep-first — the deterministic
+    // form of the paper's keep-one-per-near-duplicate-group; like the
+    // paper, transitive chains resolve greedily, not exactly). The
+    // pair expansion joins on cl only, so its cost is sum over
+    // clusters of |cluster|^2 — the SemDeDup contract is that K is
+    // chosen to bound that (100k clusters on LAION); here K=4 on a
+    // 2k-row fixture. 100 TB: the cluster id is the partition key of
+    // the stored embedding table, so the join is co-located; the drop
+    // list is a fraction of the corpus and anti-joins back
+    // shuffle-hash on vec_id.
+    Q("semdedup_keep", {
+      val coefs = Similarity.centroidCoefs(SemK, SemDim)
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"round(list_sum(list_transform(generate_series(1, $SemDim), i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign = (0 until SemK - 1).map { c =>
+        val rest = (c + 1 until SemK).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      s"""WITH e0 AS (SELECT vec_id, embedding, $ds FROM embeddings),
+         |e AS (SELECT vec_id, embedding, CASE $assign ELSE ${SemK - 1} END AS cl FROM e0),
+         |p AS (SELECT b.vec_id AS vb,
+         |    round(${duckDot("a", "b")} /
+         |      (sqrt(${duckDot("a", "a")}) * sqrt(${duckDot("b", "b")})), 6) AS cs
+         |  FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT vb FROM p WHERE cs >= $SemTau)
+         |SELECT vec_id, cl FROM e WHERE vec_id NOT IN (SELECT vb FROM d)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val coefs = Similarity.centroidCoefs(SemK, SemDim)
+      val e = Tables.parallelize(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.CentroidAssign(col("embedding"), coefs).as("cl"))
+      val a = e.select(col("cl"), col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("cl"), col("vec_id").as("vb"), col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cl"))
+        .filter(col("va") < col("vb"))
+        .filter(Similarity.cosine(col("ea"), col("eb")) >= SemTau)
+        .select(col("vb").as("vec_id")).distinct()
+      e.join(dropped, Seq("vec_id"), "left_anti")
+        .select("vec_id", "cl").orderBy("vec_id")
+    },
+
+    // Contrastive hard-negative mining: for each query vector the
+    // top-k most-similar vectors with a DIFFERENT label — the
+    // "hardest" negatives an embedding-model trainer pairs with each
+    // anchor. Same broadcast-query / stream-corpus shape as
+    // ann_bruteforce (the label inequality rides the join condition,
+    // so pruning happens before any cosine is computed); production
+    // replaces the full scan with the IVF shortlist and keeps this
+    // exact pass as the re-rank.
+    Q("hard_negatives",
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, e.label AS n_label,
+         |    round(${duckDot("q", "e")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("e", "e")})), 6) AS cos_sim
+         |  FROM q JOIN embeddings e ON e.label <> q.label),
+         |r AS (SELECT q_id, n_id, n_label, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, rnk, n_id, n_label, cos_sim FROM r WHERE rnk <= $HardNegK
+         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("q_label"))
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+          col("label").as("n_label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      n.join(broadcast(q), col("n_label") =!= col("q_label"))
+        .select(col("q_id"), col("n_id"), col("n_label"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= HardNegK)
+        .select("q_id", "rnk", "n_id", "n_label", "cos_sim")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

@@ -28,7 +28,9 @@ class PlanInventorySpec extends SparkSpec {
     "q15_top_supplier",   // global MAX(total_revenue) subquery: one row
     "q11_important_stock",// global value sum for the threshold: one row
     "funnel_steps",       // one-row funnel summary
-    "bpe_merges")         // per-round argmax: one row per merge round
+    "bpe_merges",         // per-round argmax: one row per merge round
+    "dsir_select",        // corpus totals (tt, rr): one row, broadcast back
+    "mix_temperature")    // weight normalizer Z: one row, broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -38,7 +40,9 @@ class PlanInventorySpec extends SparkSpec {
     "ann_bruteforce", "ann_quantized", "ann_pq",
     "dup_triangles",
     "unigram_logprob", "perplexity_buckets", "tfidf_top_terms",
-    "q11_important_stock")
+    "q11_important_stock",
+    "dsir_select", "mix_temperature", // one-row totals cross-joined back
+    "hard_negatives") // label-inequality join; broadcast side is the <20-vector query set
 
   test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
     val offenders = SparkEntry.allQueries.map { q =>
