@@ -627,15 +627,13 @@ object SimilarityQueries {
       val n = emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id").as("n_id") +: codeCols: _*)
       // query LUT: rounded subspace dots against every codebook entry,
-      // flattened to one array so the probe is pure element_at lookups
-      def subDot(m: Int, cen: Array[Double]) =
-        cen.zipWithIndex.map { case (cv, i) =>
-          element_at(col("embedding"), m * PqSub + i + 1).cast("double") * lit(cv)
-        }.reduceLeft(_ + _)
-      val lutCols = for { m <- 0 until PqM; c <- 0 until PqK }
-        yield round(subDot(m, cbs(m)(c)), 6)
+      // flattened to one array so the probe is pure element_at lookups.
+      // Native PqLut: the codebooks ride as ONE codegen reference
+      // object instead of an M*K*subDim-term unrolled tree (see the
+      // expression's scaladoc for the plan-size argument).
       val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), array(lutCols: _*).as("luts"))
+        .select(col("vec_id").as("q_id"),
+          graft.functions.PqLut(col("embedding"), cbs.toArray).as("luts"))
       val score = (0 until PqM).map(m =>
           element_at(col("luts"), lit(m * PqK + 1) + col(s"code_$m"))
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
@@ -741,14 +739,9 @@ object SimilarityQueries {
       // on the probe rows (2 rows x PqM*PqK doubles per query)
       val sims = coefs.toIndexedSeq.map(cen =>
         round(Similarity.dotLit(col("embedding"), cen), 6))
-      def subDot(m: Int, cen: Array[Double]) =
-        cen.zipWithIndex.map { case (cv, i) =>
-          element_at(col("embedding"), m * PqSub + i + 1).cast("double") * lit(cv)
-        }.reduceLeft(_ + _)
-      val lutCols = for { m <- 0 until PqM; c <- 0 until PqK }
-        yield round(subDot(m, cbs(m)(c)), 6)
       val probes = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), array(lutCols: _*).as("luts"),
+        .select(col("vec_id").as("q_id"),
+          graft.functions.PqLut(col("embedding"), cbs.toArray).as("luts"),
           explode(array((0 until Centroids).map(c =>
             struct(lit(c).as("c"), sims(c).as("s"))): _*)).as("cs"))
         .withColumn("crn", row_number().over(Window.partitionBy("q_id")

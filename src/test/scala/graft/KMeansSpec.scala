@@ -36,6 +36,26 @@ class KMeansSpec extends SparkSpec {
     assert(both1.filter(col("native") =!= col("composed")).count() === 0)
   }
 
+  test("native PqLut matches the composed round(subDot) columns exactly") {
+    import graft.functions.PqLut
+    // same parity contract as CentroidAssign above: the native loop
+    // must reproduce the unrolled element_at fold bit-for-bit on real
+    // float vectors, entry by entry, or the ADC scores drift
+    val pqM = 8; val pqSub = 8; val pqK = 4
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(pqM)(m => Similarity.pqInitCoefs(m, pqK, pqSub))
+    def subDot(m: Int, cen: Array[Double]) =
+      cen.zipWithIndex.map { case (cv, i) =>
+        element_at(col("embedding"), m * pqSub + i + 1).cast("double") * lit(cv)
+      }.reduceLeft(_ + _)
+    val lutCols = for { m <- 0 until pqM; c <- 0 until pqK }
+      yield round(subDot(m, cbs(m)(c)), 6)
+    val both = emb.select(PqLut(col("embedding"), cbs).as("native"),
+      array(lutCols: _*).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+  }
+
   test("kmeansStep is exactly deterministic under repartitioning") {
     val df = vecs(200).toDF("vec_id", "embedding")
     val init = Similarity.centroidCoefs(4, dim)
