@@ -773,6 +773,76 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "n_id", "cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // Simplified (centroid-based) silhouette — the clustering-QA
+    // companion to cluster_purity: per vector, a = cosine distance to
+    // the ASSIGNED centroid, b = min distance to any OTHER centroid,
+    // s = (b - a) / max(a, b) ∈ [-1, 1]; per-cluster mean silhouette
+    // says how separated that cluster is (the medoid-free variant —
+    // full silhouette's pairwise a/b is quadratic; the centroid form
+    // is the one production clustering audits run at scale). Shape:
+    // cosines to K centroids are per-row column math riding the scan;
+    // the only exchange carries (cl, s_u) pairs into a K-row
+    // aggregate. Cross-engine: cosines round to 6 dp, s derives from
+    // those identical doubles in one fixed op order, then quantizes
+    // to 1e-6 integer units so the per-cluster SUM is exact. The own-
+    // cluster term is excluded from b with a 9.9 sentinel (cosine
+    // distance caps at 2.0), never engine-specific NULL-skipping. ±1
+    // centroids all have norm sqrt(Dim) = 8 exactly.
+    Q("cluster_silhouette", {
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign = (0 until Centroids - 1).map { c =>
+        val rest = (c + 1 until Centroids).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      val cs = coefs.zipWithIndex.map { case (cen, c) =>
+        val arr = cen.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])) / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) * 8.0), 6) AS c_$c"
+      }.mkString(",\n    ")
+      val bTerms = (0 until Centroids)
+        .map(c => s"CASE WHEN cl = $c THEN 9.9 ELSE 1.0 - c_$c END")
+        .mkString(", ")
+      s"""WITH e0 AS (SELECT vec_id, embedding, $ds, $cs FROM embeddings),
+         |e AS (SELECT vec_id, CASE $assign ELSE ${Centroids - 1} END AS cl,
+         |    ${(0 until Centroids).map(c => s"c_$c").mkString(", ")} FROM e0),
+         |ab AS (SELECT vec_id, cl,
+         |    1.0 - (CASE ${(0 until Centroids).map(c => s"WHEN cl = $c THEN c_$c").mkString(" ")} END) AS a,
+         |    least($bTerms) AS b FROM e),
+         |s AS (SELECT cl, CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5) AS BIGINT) END AS s_u
+         |      FROM ab)
+         |SELECT cl, COUNT(*) AS n, CAST(SUM(s_u) AS BIGINT) AS sil_u,
+         |  SUM(s_u) / COUNT(*) / 1000000.0 AS avg_sil
+         |FROM s GROUP BY cl ORDER BY cl""".stripMargin
+    }) { (s, dir) =>
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      val cosC = coefs.toIndexedSeq.map(cen =>
+        round(Similarity.dotLit(col("embedding"), cen)
+          / (Similarity.norm(col("embedding")) * 8.0), 6))
+      val e = Tables.parallelize(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          graft.functions.CentroidAssign(col("embedding"), coefs).as("cl"),
+          array(cosC: _*).as("cs"))
+      val a = lit(1.0) - element_at(col("cs"), col("cl") + 1)
+      val bTerms = (0 until Centroids).map(c =>
+        when(col("cl") === c, lit(9.9))
+          .otherwise(lit(1.0) - element_at(col("cs"), lit(c + 1))))
+      val b = least(bTerms: _*)
+      val sU = when(greatest(col("a"), col("b")) === 0, lit(0L))
+        .otherwise(floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+          * 1e6 + 0.5).cast("long"))
+      e.select(col("cl"), a.as("a"), b.as("b"))
+        .select(col("cl"), sU.as("s_u"))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n"), sum(col("s_u")).as("sil_u"))
+        .select(col("cl"), col("n"), col("sil_u"),
+          (col("sil_u") / col("n") / lit(1000000.0)).as("avg_sil"))
+        .orderBy("cl")
     }
   )
 }

@@ -821,6 +821,61 @@ object TextQueries {
         .filter(col("rnk") <= TextQueries.CapPerSource)
         .select("source", "rnk", "doc_id")
         .orderBy("source", "rnk")
+    },
+
+    // Model-based quality filtering — the serving shape of the trained
+    // linear classifier every production pipeline runs after the
+    // heuristic gates (quality_score / filter_flags): per-doc features
+    // (length saturation, type-token ratio, stopword fraction, mean
+    // word length) -> fixed-order linear combination -> sigmoid ->
+    // decile census. The weights here are FIXTURE CONSTANTS standing
+    // in for trainer output; production loads them from a model table
+    // and the plan is unchanged (scoring is pure per-row column math
+    // riding the scan; the only exchange carries (bucket, score_u)
+    // into an 11-row aggregate). Cross-engine: features are exact
+    // integer-derived doubles combined in one fixed op order, so z is
+    // bit-identical; exp() is the one libm call and the sigmoid
+    // quantizes to 1e-6 integer units right after it (flip odds
+    // ~1e-10/doc — the dsir_select argument), making the SUM exact
+    // and the bucket assignment an integer floor-division.
+    Q("quality_logit",
+      """WITH f AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_toks,
+        |    len(list_distinct(string_split(text, ' '))) AS n_types,
+        |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop,
+        |    length(text) AS n_ch FROM documents),
+        |z AS (SELECT doc_id,
+        |    -1.0 + 2.0 * least(1.0, n_toks / 100.0)
+        |         + 1.5 * (CAST(n_types AS DOUBLE) / n_toks)
+        |         - 2.0 * (CAST(n_stop AS DOUBLE) / n_toks)
+        |         + 0.3 * (CAST(n_ch - n_toks + 1 AS DOUBLE) / n_toks) AS z
+        |  FROM f WHERE n_toks > 0),
+        |s AS (SELECT doc_id,
+        |    CAST(floor(1e6 / (1.0 + exp(-z)) + 0.5) AS BIGINT) AS score_u FROM z)
+        |SELECT score_u // 100000 AS k_bucket, COUNT(*) AS n,
+        |  CAST(SUM(score_u) AS BIGINT) AS su,
+        |  SUM(score_u) / COUNT(*) / 1000000.0 AS avg_score
+        |FROM s GROUP BY 1 ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val f = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_types"),
+          size(filter(toks, t => t === "the" || t === "a")).as("n_stop"),
+          length(col("text")).as("n_ch"))
+        .filter(col("n_toks") > 0)
+      val z = lit(-1.0) +
+        lit(2.0) * least(lit(1.0), col("n_toks") / 100.0) +
+        lit(1.5) * (col("n_types").cast("double") / col("n_toks")) -
+        lit(2.0) * (col("n_stop").cast("double") / col("n_toks")) +
+        lit(0.3) * ((col("n_ch") - col("n_toks") + 1).cast("double") / col("n_toks"))
+      f.select(floor(lit(1e6) / (lit(1.0) + exp(-z)) + 0.5).cast("long").as("score_u"))
+        .groupBy(expr("score_u div 100000").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("score_u").as("su"))
+        .select(col("k_bucket"), col("n"), col("su"),
+          (col("su") / col("n") / lit(1000000.0)).as("avg_score"))
+        .orderBy("k_bucket")
     }
   )
 
