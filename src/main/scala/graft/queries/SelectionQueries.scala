@@ -66,6 +66,47 @@ object SelectionQueries {
   private def duckDot(x: String, y: String) =
     s"list_sum(list_transform(generate_series(1, $SemDim), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
 
+  /** (doc_id, lang, bk, c): per-document hashed-bucket token counts —
+    * the shared feature extraction of the DSIR train and score paths.
+    */
+  private def dsirCounts(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    Tables.parallelize(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), (h32(col("tok")) % DsirBuckets).as("bk"))
+      .groupBy("doc_id", "lang", "bk").agg(count(lit(1)).as("c"))
+
+  /** (bk, lam_u): the smoothed log-likelihood-ratio vector in 1e-7
+    * integer units — see the dsir_select comment for the math and the
+    * cross-engine quantization argument.
+    */
+  private def dsirLam(dc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val B = DsirBuckets
+    val bs = dc.groupBy("bk").agg(
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tb"),
+      sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("rb"))
+    val tot = bs.agg(sum("tb").as("tt"), sum("rb").as("rr"))
+    bs.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        floor((log((col("tb") + 0.5) / (col("tt") + lit(B / 2.0)))
+          - log((col("rb") + 0.5) / (col("rr") + lit(B / 2.0)))) * 1e7 + 0.5)
+          .cast("long").as("lam_u"))
+  }
+
+  /** λ as a driver-side map — B entries by contract (the bucket table
+    * never grows with the corpus), so collecting it is the same scale
+    * class as collecting k-means centroids. This is the persisted
+    * model artifact the streaming scorer
+    * ([[graft.streaming.StreamSelect]]) loads to score arriving
+    * batches without recomputing corpus statistics.
+    */
+  def lamTable(s: org.apache.spark.sql.SparkSession,
+               dir: String): Map[Long, Long] =
+    dsirLam(dsirCounts(s, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   def all: Seq[Q] = Seq(
 
     // DSIR importance resampling. Features are hashed unigram buckets
@@ -107,22 +148,8 @@ object SelectionQueries {
          |SELECT doc_id, lang, score_u, score_u / 1e7 AS score
          |FROM sc ORDER BY score_u DESC, doc_id LIMIT $DsirTopK""".stripMargin
     }) { (s, dir) =>
-      val B = DsirBuckets
-      val dc = Tables.parallelize(
-          Tables.load(s, dir, "documents").select("doc_id", "lang", "text"))
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), col("lang"), (h32(col("tok")) % B).as("bk"))
-        .groupBy("doc_id", "lang", "bk").agg(count(lit(1)).as("c"))
-      val bs = dc.groupBy("bk").agg(
-        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tb"),
-        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("rb"))
-      val tot = bs.agg(sum("tb").as("tt"), sum("rb").as("rr"))
-      val lam = bs.crossJoin(broadcast(tot))
-        .select(col("bk"),
-          floor((log((col("tb") + 0.5) / (col("tt") + lit(B / 2.0)))
-            - log((col("rb") + 0.5) / (col("rr") + lit(B / 2.0)))) * 1e7 + 0.5)
-            .cast("long").as("lam_u"))
+      val dc = dsirCounts(s, dir)
+      val lam = dsirLam(dc)
       dc.filter(col("lang") =!= "en")
         .join(broadcast(lam), "bk")
         .groupBy("doc_id", "lang")

@@ -24,6 +24,8 @@ class StreamingSpec extends SparkSpec {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
+  import StreamingSpec.Doc
+
   test("golden moderation pipeline under streaming (MemoryStream -> memory sink)") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Message]
@@ -507,6 +509,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR scorer: stateless per-row scores match batch bit-exactly across micro-batches") {
+    // the production split of dsir_select: λ trains once in batch
+    // (lamTable — B integer micro-units), then every ARRIVING document
+    // scores row-locally against the λ map — no state, no watermark,
+    // no shuffle, so streaming==batch parity must be exact integers
+    import graft.queries.SelectionQueries
+    import graft.streaming.StreamSelect
+    implicit val ctx = spark.sqlContext
+    val lam = SelectionQueries.lamTable(spark, sf001)
+    assert(lam.size <= SelectionQueries.DsirBuckets)
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "lang", "text").as[Doc].collect().take(40)
+    val batch = StreamSelect.scored(
+      docs.toSeq.toDF(), lam, SelectionQueries.DsirBuckets)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // the row-local fold must agree with the explode+join batch query
+    // on its own selected set (same integers, independent plans)
+    val sel = SparkEntry.queries("dsir_select")(spark, sf001)
+      .select("doc_id", "score_u").as[(Long, Long)].collect().toMap
+    val byId = batch.map(r => r._1 -> r._3).toMap
+    sel.foreach { case (id, su) =>
+      byId.get(id).foreach(b => assert(b === su,
+        s"fold scorer disagrees with dsir_select on doc $id"))
+    }
+    val mem = MemoryStream[Doc]
+    val out = StreamSelect.scored(mem.toDF(), lam, SelectionQueries.DsirBuckets)
+    val q = out.writeStream.format("memory").queryName("dsir_scores")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(17)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("dsir_scores")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got === batch, "streaming scores diverged from batch")
+    } finally q.stop()
+  }
+
   test("incremental dedup store grows across micro-batches (foreachBatch append path)") {
     // the SCALE.md signature-store loop: each micro-batch probes the
     // store, novel docs are emitted AND their band keys appended, so a
@@ -933,4 +973,9 @@ class StreamingSpec extends SparkSpec {
       assert(got === expect)
     } finally q.stop()
   }
+}
+
+/** Top-level (encoder-friendly) fixture types. */
+object StreamingSpec {
+  case class Doc(doc_id: Long, lang: String, text: String)
 }
