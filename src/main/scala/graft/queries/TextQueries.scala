@@ -823,6 +823,79 @@ object TextQueries {
         .orderBy("source", "rnk")
     },
 
+    // Tokenizer fertility per language — the standard tokenizer-
+    // quality table (subword tokens per whitespace word; chars per
+    // subword token): a language whose fertility is far above the
+    // corpus mean is under-served by the vocabulary and pays more
+    // sequence length per sentence. Uses the same BPE-ish regex
+    // segmentation as token_count. Pure scan-side counting into a
+    // |langs|-row aggregate; ratios derive from exact integer sums
+    // (order-independent), divided once at the end.
+    Q("tokenizer_fertility",
+      """WITH f AS (SELECT lang,
+        |    len(string_split(text, ' ')) AS ws,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe,
+        |    length(text) AS ch FROM documents)
+        |SELECT lang, CAST(SUM(ws) AS BIGINT) AS n_words,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_subwords,
+        |  round(SUM(bpe) * 1.0 / SUM(ws), 6) AS fertility,
+        |  round(SUM(ch) * 1.0 / SUM(bpe), 6) AS chars_per_token
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpe"),
+          length(col("text")).as("ch"))
+        .groupBy("lang")
+        .agg(sum("ws").as("n_words"), sum("bpe").as("n_subwords"),
+          round(sum("bpe") * lit(1.0) / sum("ws"), 6).as("fertility"),
+          round(sum("ch") * lit(1.0) / sum("bpe"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
+    // Vocabulary coverage of the held-out split — the tokenizer/LM
+    // eval stage after train_split: what fraction of the test split's
+    // token mass is out-of-vocabulary w.r.t. the TRAIN split's
+    // vocabulary, per language (decontamination asks "did test leak
+    // into train"; this asks the complementary curation question
+    // "does train COVER test"). Scale shape: test tokens partial-
+    // aggregate to (lang, tok, c) map-side BEFORE the vocabulary
+    // join, so the token shuffle carries distinct-type rows, not the
+    // token stream; the train vocabulary is dictionary-sized and the
+    // final aggregate is |langs| rows. Same deterministic md5 split
+    // as train_split — no persisted split table needed.
+    Q("vocab_coverage", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (SELECT doc_id, lang, text, $h % 100 AS bucket FROM documents),
+         |tr AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+         |       FROM s WHERE bucket < 80),
+         |te AS (SELECT lang, tok, COUNT(*) AS c FROM
+         |         (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |          FROM s WHERE bucket >= 90) GROUP BY 1, 2),
+         |j AS (SELECT lang, c, (tr.tok IS NOT NULL) AS hit
+         |      FROM te LEFT JOIN tr ON te.tok = tr.tok)
+         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN NOT hit THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(SUM(CASE WHEN NOT hit THEN c ELSE 0 END) * 1.0 / SUM(c), 6) AS oov_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          (h32(col("doc_id").cast("string")) % 100).as("bucket"))
+      val tr = docs.filter(col("bucket") < 80)
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      val te = docs.filter(col("bucket") >= 90)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      te.join(tr.withColumn("hit", lit(true)), Seq("tok"), "left_outer")
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("hit").isNull, col("c")).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov") * lit(1.0) / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy("lang")
+    },
+
     // Model-based quality filtering — the serving shape of the trained
     // linear classifier every production pipeline runs after the
     // heuristic gates (quality_score / filter_flags): per-doc features
