@@ -55,6 +55,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** [[norm]] with the self-dot unrolled to `element_at` terms —
+    * whole-stage-codegen'd flops instead of the HOF's per-element
+    * interpreter (the [[dotLit]] trade; safe here because the terms
+    * appear once). Bit-identical to [[norm]]: same element order,
+    * float widened to double in each multiply, left-fold addition.
+    */
+  def normUnrolled(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map { i =>
+      element_at(a, i + 1).cast("double") * element_at(a, i + 1)
+    }.reduceLeft(_ + _))
+
   /** Cosine similarity rounded to 6 dp (cross-engine safe). */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)

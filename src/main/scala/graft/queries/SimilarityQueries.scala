@@ -823,7 +823,7 @@ object SimilarityQueries {
       val coefs = Similarity.centroidCoefs(Centroids, Dim)
       val cosC = coefs.toIndexedSeq.map(cen =>
         round(Similarity.dotLit(col("embedding"), cen)
-          / (Similarity.norm(col("embedding")) * 8.0), 6))
+          / (Similarity.normUnrolled(col("embedding"), Dim) * 8.0), 6))
       val e = Tables.parallelize(Tables.load(s, dir, "embeddings"))
         .select(col("vec_id"),
           graft.functions.CentroidAssign(col("embedding"), coefs).as("cl"),
