@@ -151,6 +151,22 @@ object ScaleSmoke {
           sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0)).as("novel"))
         .count()
     }
+    // DSIR train + score (selection core): λ stays B rows however the
+    // corpus grows, so training is one (doc,bucket) aggregate plus a
+    // constant-size rollup, and scoring is a broadcast join + doc
+    // aggregate — both must scale linearly in token mass (replicas
+    // multiply every bucket count uniformly, leaving λ's VALUES near
+    // constant while the scored row count grows mult-x)
+    time("dsir_train_score") {
+      import graft.queries.SelectionQueries
+      val dc = SelectionQueries.dsirCountsOf(docs)
+      val lam = SelectionQueries.dsirLam(dc)
+      dc.filter(col("lang") =!= "en")
+        .join(broadcast(lam), "bk")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("lam_u")).as("score_u"))
+        .count()
+    }
     // per-user lag + type-bounded aggregate (markov_transitions core):
     // users are remapped per replica, so per-user density is constant
     // and the one user_id exchange must scale linearly

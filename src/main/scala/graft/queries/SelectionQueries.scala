@@ -68,21 +68,26 @@ object SelectionQueries {
 
   /** (doc_id, lang, bk, c): per-document hashed-bucket token counts —
     * the shared feature extraction of the DSIR train and score paths.
+    * Package-private overload on an arbitrary documents frame so
+    * ScaleSmoke can drive it on replicated inputs.
     */
-  private def dsirCounts(s: org.apache.spark.sql.SparkSession,
-                         dir: String): org.apache.spark.sql.DataFrame =
-    Tables.parallelize(
-        Tables.load(s, dir, "documents").select("doc_id", "lang", "text"))
+  private[graft] def dsirCountsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Tables.parallelize(docs.select("doc_id", "lang", "text"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"), (h32(col("tok")) % DsirBuckets).as("bk"))
       .groupBy("doc_id", "lang", "bk").agg(count(lit(1)).as("c"))
 
+  private def dsirCounts(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    dsirCountsOf(Tables.load(s, dir, "documents"))
+
   /** (bk, lam_u): the smoothed log-likelihood-ratio vector in 1e-7
     * integer units — see the dsir_select comment for the math and the
     * cross-engine quantization argument.
     */
-  private def dsirLam(dc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def dsirLam(dc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val B = DsirBuckets
     val bs = dc.groupBy("bk").agg(
       sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tb"),
