@@ -346,6 +346,41 @@ object BehaviorQueries {
           min(col("vb")).as("v_min"), max(col("vb")).as("v_max"),
           min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
         .orderBy("zbucket")
+    },
+
+    // Recency-weighted engagement — the time-decay aggregate behind
+    // "recent activity" user features (ranking/personalization
+    // training labels): score_u = Σ value·exp(-age/τ), τ = 7 days,
+    // ages measured back from the corpus max event time. Cross-engine:
+    // ages are exact integer microseconds scaled to days (one double
+    // division), each row's decayed contribution quantizes to 1e-6
+    // integer units IMMEDIATELY after the one libm call (exp — the
+    // dsir_select boundary-flip argument, odds ~1e-10/row), so the
+    // per-user SUM is order-independent and exact. Scale: the global
+    // max-ts is a one-row aggregate broadcast back (allowlisted the
+    // same way as unigram_logprob's corpus total); scoring is
+    // scan-side math; the only corpus exchange is the user aggregate.
+    Q("decayed_engagement",
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+        |w AS (SELECT user_id,
+        |    CAST(floor(value * exp(-((tmax - epoch_us(ts)) / 86400000000.0) / 7.0) * 1e6 + 0.5) AS BIGINT) AS w_u
+        |  FROM events CROSS JOIN mx)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(w_u) AS BIGINT) AS score_u,
+        |  SUM(w_u) / 1000000.0 AS score
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("tmax"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          floor(col("value") *
+            exp(-((col("tmax") - unix_micros(col("ts"))) / 86400000000.0) / 7.0)
+            * 1e6 + 0.5).cast("long").as("w_u"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("w_u")).as("score_u"))
+        .select(col("user_id"), col("n_events"), col("score_u"),
+          (col("score_u") / lit(1000000.0)).as("score"))
+        .orderBy("user_id")
     }
   )
 }

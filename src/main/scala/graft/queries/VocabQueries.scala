@@ -267,6 +267,57 @@ object VocabQueries {
           (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
             .as("compression"))
         .orderBy("doc_id")
+    },
+
+    // Coverage-at-k curve — the vocab-SIZING tool: per language, what
+    // fraction of total token mass do the top-k types cover? The knee
+    // of this curve is how a tokenizer budget gets chosen. Ks are
+    // fixture-scaled (the generator vocabulary is ~31 types/lang;
+    // production runs 1k/10k/100k — same plan). Scale shape: token
+    // counts partial-aggregate map-side; the rank window and running
+    // sum run over DICTIONARY-sized (lang, type) rows, never the
+    // token stream; output is |langs| x |Ks| rows. Exact: masses are
+    // integer sums, each coverage a single double division.
+    Q("vocab_topk_mass", {
+      val ks = Seq(5, 10, 20)
+      s"""WITH tc AS (SELECT lang, tok, COUNT(*) AS c FROM
+         |    (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |    GROUP BY 1, 2),
+         |r AS (SELECT lang, c, row_number() OVER (
+         |        PARTITION BY lang ORDER BY c DESC, tok) AS rnk FROM tc),
+         |cum AS (SELECT lang, rnk, SUM(c) OVER (
+         |        PARTITION BY lang ORDER BY rnk) AS cm FROM r),
+         |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        COUNT(*) AS n_types FROM tc GROUP BY lang),
+         |ks(k) AS (VALUES ${ks.map(k => s"($k)").mkString(", ")})
+         |SELECT tot.lang AS lang, k, n_types,
+         |  CAST(cm AS BIGINT) AS mass, n_tokens,
+         |  CAST(cm AS DOUBLE) / n_tokens AS coverage
+         |FROM tot JOIN ks ON true
+         |JOIN cum ON cum.lang = tot.lang
+         |  AND cum.rnk = least(k, n_types)
+         |ORDER BY lang, k""".stripMargin
+    }) { (s, dir) =>
+      val ks = Seq(5, 10, 20)
+      val tc = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val r = tc.withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+      val cum = r.withColumn("cm", sum(col("c")).over(
+        Window.partitionBy("lang").orderBy("rnk")))
+        .select("lang", "rnk", "cm")
+      val tot = tc.groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      import s.implicits._
+      val kdf = ks.toDF("k")
+      tot.crossJoin(broadcast(kdf))
+        .join(cum, cum("lang") === tot("lang") &&
+          cum("rnk") === least(col("k"), col("n_types")))
+        .select(tot("lang").as("lang"), col("k"), col("n_types"),
+          col("cm").as("mass"), col("n_tokens"),
+          (col("cm").cast("double") / col("n_tokens")).as("coverage"))
+        .orderBy("lang", "k")
     }
   )
 

@@ -30,7 +30,8 @@ class PlanInventorySpec extends SparkSpec {
     "funnel_steps",       // one-row funnel summary
     "bpe_merges",         // per-round argmax: one row per merge round
     "dsir_select",        // corpus totals (tt, rr): one row, broadcast back
-    "mix_temperature")    // weight normalizer Z: one row, broadcast back
+    "mix_temperature",    // weight normalizer Z: one row, broadcast back
+    "decayed_engagement") // global max event time: one row, broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -42,7 +43,9 @@ class PlanInventorySpec extends SparkSpec {
     "unigram_logprob", "perplexity_buckets", "tfidf_top_terms",
     "q11_important_stock",
     "dsir_select", "mix_temperature", // one-row totals cross-joined back
-    "hard_negatives") // label-inequality join; broadcast side is the <20-vector query set
+    "hard_negatives", // label-inequality join; broadcast side is the <20-vector query set
+    "vocab_topk_mass", // |Ks|-row literal k table cross-joined onto the |langs|-row totals
+    "decayed_engagement") // one-row max-ts cross-joined back
 
   test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
     val offenders = SparkEntry.allQueries.map { q =>
