@@ -56,4 +56,50 @@ object StreamSelect {
   def scored(docs: DataFrame, lam: Map[Long, Long], buckets: Int): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       scoreU(col("text"), lam, buckets).as("score_u"))
+
+  /** One micro-batch of INCREMENTAL SemDeDup — the foreachBatch body
+    * of a streaming keep-list (the semdedup_keep twin, same shape as
+    * the incremental-dedup signature-store loop):
+    *
+    *  - `store` holds every vector SEEN so far (kept or dropped —
+    *    the batch query's greedy rule drops v when ANY lower-id
+    *    clustermate is near, so parity requires probing dropped
+    *    vectors too; the keep flag is the OUTPUT, not the store
+    *    membership),
+    *  - a new vector survives iff no near-dup (cosine >= tau) exists
+    *    in its coarse cluster among stored vectors or lower-vec_id
+    *    batchmates,
+    *  - the caller appends the WHOLE batch (with cluster ids) to the
+    *    store and emits only the survivors.
+    *
+    * Feeding id-ascending batches reproduces the batch
+    * semdedup_keep keep-list exactly (pinned in StreamingSpec). At
+    * scale the store is PARTITIONED BY cl, so the probe join is
+    * partition-pruned to the batch's clusters.
+    *
+    * Returns (assigned, kept): the cluster-assigned batch to append,
+    * and its surviving rows.
+    */
+  def semdedupBatch(
+      batch: DataFrame,
+      store: DataFrame,
+      centroids: Array[Array[Double]],
+      tau: Double): (DataFrame, DataFrame) = {
+    import graft.ops.Similarity
+    val b = batch.select(col("vec_id"), col("embedding"),
+      graft.functions.CentroidAssign(col("embedding"), centroids).as("cl"))
+    val prior = store.select(col("cl"), col("embedding").as("se"))
+    val nearStore = b.join(prior, Seq("cl"))
+      .filter(Similarity.cosine(col("embedding"), col("se")) >= tau)
+      .select("vec_id").distinct()
+    val lower = b.select(col("cl"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val nearBatch = b.join(lower, Seq("cl"))
+      .filter(col("va") < col("vec_id"))
+      .filter(Similarity.cosine(col("ea"), col("embedding")) >= tau)
+      .select("vec_id").distinct()
+    val kept = b.join(nearStore.union(nearBatch).distinct(),
+      Seq("vec_id"), "left_anti")
+    (b, kept)
+  }
 }

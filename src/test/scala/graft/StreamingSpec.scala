@@ -547,6 +547,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental SemDeDup keep-list equals the batch query under id-ordered batches") {
+    // the semdedup_keep twin of the signature-store loop below: the
+    // store holds every SEEN vector (kept or dropped — the batch
+    // greedy rule probes dropped ones too), survivors emit, and
+    // id-ascending batching must reproduce the batch keep-list exactly
+    import graft.queries.SelectionQueries
+    import graft.streaming.StreamSelect
+    import scala.collection.mutable
+    implicit val ctx = spark.sqlContext
+    val coefs = graft.ops.Similarity.centroidCoefs(
+      SelectionQueries.SemK, SelectionQueries.SemDim)
+    val all = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").as[StreamingSpec.Vec]
+      .collect().sortBy(_.vec_id)
+    var store = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "cl")
+    val keptIds = mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[StreamingSpec.Vec]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (assigned, kept) = StreamSelect.semdedupBatch(
+          batch, store, coefs, SelectionQueries.SemTau)
+        keptIds ++= kept.select("vec_id").as[Long].collect()
+        store = store
+          .union(assigned.select("vec_id", "embedding", "cl"))
+          .localCheckpoint(true)
+      }.start()
+    try {
+      val slices = all.grouped((all.length + 2) / 3).toSeq
+      slices.foreach { s => mem.addData(s.toIndexedSeq); q.processAllAvailable() }
+      val batchKept = SparkEntry.queries("semdedup_keep")(spark, sf001)
+        .select("vec_id").as[Long].collect().toSet
+      assert(keptIds.toSet === batchKept,
+        "incremental keep-list diverged from the batch semdedup_keep")
+      assert(keptIds.nonEmpty && keptIds.size < all.length,
+        "fixture should both keep and drop")
+    } finally q.stop()
+  }
+
   test("incremental dedup store grows across micro-batches (foreachBatch append path)") {
     // the SCALE.md signature-store loop: each micro-batch probes the
     // store, novel docs are emitted AND their band keys appended, so a
@@ -978,4 +1017,5 @@ class StreamingSpec extends SparkSpec {
 /** Top-level (encoder-friendly) fixture types. */
 object StreamingSpec {
   case class Doc(doc_id: Long, lang: String, text: String)
+  case class Vec(vec_id: Long, embedding: Array[Float])
 }
