@@ -52,6 +52,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Language-ID CONFUSION MATRIX — the eval census over lang_id's
+    // per-doc predictions: (true lang, predicted lang, count). The
+    // off-diagonal mass is the curation signal (which language pairs
+    // the n-gram heuristic confuses, hence which lang buckets need a
+    // stronger classifier before lang-stratified sampling trusts
+    // them). Same scan-side scoring as lang_id; the aggregate output
+    // is <= |langs|^2 rows at any corpus size.
+    Q("lang_confusion", {
+      val scores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        s"(${ws.map(w => s"len(list_filter(string_split(text, ' '), t -> t = '$w'))").mkString(" + ")}) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents),
+         |p AS (SELECT lang, CASE $cases ELSE '${langs.last}' END AS pred_lang FROM s)
+         |SELECT lang, pred_lang, COUNT(*) AS n
+         |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    }) { (s, dir) =>
+      val scoreCols = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        lang -> TextAnalysis.langScore(col("text"), ws)
+      }
+      val pred = TextAnalysis.predictedLang(
+        scoreCols.map { case (l, _) => l -> col(s"s_$l") })
+      Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text"))
+        .select(Seq(col("lang")) ++
+          scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+        .select(col("lang"), pred.as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // quality scoring: length saturation x (1 - stopword ratio)
     Q("quality_score",
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -76,6 +76,34 @@ class SelectionSpec extends SparkSpec {
     assert(dropped === hasEarlierNeighbor, "drop set = vectors with a lower-id near-dup clustermate")
   }
 
+  test("dsir lam: empty target domain still yields finite scores (smoothing floor)") {
+    // tb = 0 everywhere must not produce NULL/NaN/-Inf — the +1/2
+    // smoothing floors the ratio; scores just become uniformly negative
+    import org.apache.spark.sql.functions._
+    val dc = Seq(
+      (1L, "fr", 3L, 5L), (2L, "fr", 7L, 2L), (3L, "zh", 3L, 1L)
+    ).toDF("doc_id", "lang", "bk", "c")
+    val lam = graft.queries.SelectionQueries.dsirLam(dc).collect()
+    assert(lam.length === 2) // buckets 3 and 7
+    lam.foreach { r =>
+      val v = r.getAs[Long]("lam_u")
+      assert(v < 0, "no-target buckets must score negative, not null")
+    }
+  }
+
+  test("semdedupBatch: tau above max cosine keeps everything; empty store is safe") {
+    import graft.streaming.StreamSelect
+    val coefs = graft.ops.Similarity.centroidCoefs(
+      SelectionQueries.SemK, SelectionQueries.SemDim)
+    val batch = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").limit(50)
+    val store = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "cl")
+    val (assigned, kept) = StreamSelect.semdedupBatch(batch, store, coefs, 1.1)
+    assert(kept.count() === batch.count(), "tau > 1 must drop nothing")
+    assert(assigned.columns.toSet === Set("vec_id", "embedding", "cl"))
+  }
+
   test("hard_negatives: every mined negative carries a different label than its anchor") {
     val labels = Tables.load(spark, sf001, "embeddings")
       .select("vec_id", "label").as[(Long, Int)].collect().toMap
