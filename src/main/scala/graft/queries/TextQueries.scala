@@ -719,6 +719,35 @@ object TextQueries {
       Multimodal.extractFeatures(media).toDF().orderBy("media_id")
     },
 
+    // Frame-sample PLANNING — the step between video metadata and the
+    // decoder: for each video, the evenly-strided frame indices to
+    // decode (at most 8 per video), emitted as (media_id, frame_idx)
+    // work units. This is the row set a decode stage mapPartitions
+    // over — planning is pure metadata math (no bytes touched), so at
+    // 100 TB it runs on the metadata column chunks alone and the
+    // decoder's input is already balanced work units, not whole
+    // videos (a 2-frame clip contributes 2 units, a 240-frame one 8).
+    // n_frames is the same md5-derived stub rule as the decoder's.
+    Q("frame_sample_plan", {
+      val nf = s"1 + ${duckH32(2, "text")} % 240"
+      s"""WITH v AS (SELECT doc_id AS media_id, $nf AS n_frames,
+         |    CAST(ceil(($nf) / 8.0) AS BIGINT) AS step
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT media_id, n_frames, step,
+         |  unnest(generate_series(0, n_frames - 1, step)) AS frame_idx
+         |FROM v ORDER BY media_id, frame_idx""".stripMargin
+    }) { (s, dir) =>
+      val nf = lit(1) + h32(2, col("text")) % 240
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"), nf.as("n_frames"),
+          ceil(nf / 8.0).cast("long").as("step"))
+        .select(col("media_id"), col("n_frames"), col("step"),
+          explode(sequence(lit(0L), col("n_frames") - 1, col("step")))
+            .as("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Bigram conditional-LM scoring — the second-order companion to
     // unigram_logprob: P(w2|w1) = c(w1,w2) / c(w1-as-context), trained
     // on the corpus itself. The bigram pairs are derived MAP-SIDE from
