@@ -167,6 +167,30 @@ object ScaleSmoke {
         .agg(sum(col("c") * col("lam_u")).as("score_u"))
         .count()
     }
+    // SemDeDup pair expansion (semdedup_keep core): replicated vectors
+    // are exact duplicates, so every copy set is mutually near-dup —
+    // the in-cluster pair count MUST grow ~mult^2 (that is the
+    // documented design bound, paid WITHIN clusters and controlled by
+    // K, not a hidden scale bug). The stage therefore runs on a
+    // DETERMINISTIC 10% id-slice (the quadratic mass still shows:
+    // pairs grow mult^2 while sampled rows grow mult) and precomputes
+    // per-vector norms scan-side so each pair pays ONE interpreted
+    // dot, not three — wall-clock per PAIR is what must stay flat.
+    time("semdedup_near_pairs") {
+      val coefs = Similarity.centroidCoefs(4, 64)
+      val e = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.CentroidAssign(col("embedding"), coefs).as("cl"),
+          Similarity.normUnrolled(col("embedding"), 64).as("nrm"))
+      val a = e.select(col("cl"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("cl"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("cl")).filter(col("va") < col("vb"))
+        .filter(round(Similarity.dot(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6) >= 0.30)
+        .count()
+    }
     // per-user lag + type-bounded aggregate (markov_transitions core):
     // users are remapped per replica, so per-user density is constant
     // and the one user_id exchange must scale linearly
