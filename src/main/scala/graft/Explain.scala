@@ -11,8 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // first arg is the sf dir ONLY if it looks like one — so
+    // `runMain graft.Explain some_query` does what it reads as
+    val (sfDir, rest) = args.headOption match {
+      case Some(d) if d.contains("/") => (d, args.drop(1).toSeq)
+      case _ => ("/root/testdata/sf0.001", args.toSeq)
+    }
+    val names = if (rest.nonEmpty) rest
                 else SparkEntry.allQueries.map(_.name)
     val spark = SparkSession.builder()
       .appName("graft-explain").master("local[4]")
