@@ -547,6 +547,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: same dedup answers, provider actually engaged") {
+    // the 100 TB state story: HDFSBackedStateStore holds state on the
+    // executor HEAP (bounded by memory at large key cardinality);
+    // RocksDBStateStoreProvider spills to local disk and is what a
+    // production deployment runs. Same answers, and the progress
+    // metrics must prove the provider was really in play.
+    import graft.streaming.StreamDedup
+    import scala.jdk.CollectionConverters._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val deduped = StreamDedup.firstPerKey(
+        mem.toDF(), "ts", "30 minutes", Seq("event_id"))
+      val q = deduped.writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+          Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // in-batch dup
+          Ev(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0))
+        q.processAllAvailable()
+        mem.addData(
+          Ev(2, ts("2024-01-01 10:06:00"), 1, "view", 2.0), // cross-batch dup
+          Ev(3, ts("2024-01-01 10:10:00"), 2, "click", 3.0))
+        q.processAllAvailable()
+        val got = spark.table("rocksdb_dedup")
+          .select("event_id").as[Long].collect().sorted
+        assert(got === Array(1L, 2L, 3L))
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty && ops.exists(
+          _.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb"))),
+          "RocksDB provider not engaged (no rocksdb custom metrics)")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("incremental SemDeDup keep-list equals the batch query under id-ordered batches") {
     // the semdedup_keep twin of the signature-store loop below: the
     // store holds every SEEN vector (kept or dropped — the batch
