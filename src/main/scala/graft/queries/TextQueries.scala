@@ -382,6 +382,45 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // OVERLAPPING chunking — the retrieval-index variant of
+    // chunk_documents: windows of W tokens advancing by stride S < W,
+    // so every boundary-crossing span is fully inside at least one
+    // chunk (the property retrieval needs and disjoint chunking
+    // lacks; the cost is W/S-x duplication, here 2x). Same map-side
+    // shape as chunk_documents: chunks derive row-locally from each
+    // doc's own token array, no shuffle until the output sort, and at
+    // 100 TB no sort at all — chunks land partitioned however the
+    // writer wants them.
+    Q("chunk_overlap", {
+      val (w, st) = (64, 32)
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |c AS (SELECT doc_id, len(a) AS n,
+         |    unnest(generate_series(0, greatest(0, ((len(a) - 1) - ($w - $st)) // $st))) AS chunk_idx, a
+         |  FROM arr)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * $st AS BIGINT) AS start_tok,
+         |  CAST(least($w, n - chunk_idx * $st) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(a[chunk_idx * $st + 1 : least(chunk_idx * $st + $w, n)], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      val W = 64
+      val S = 32
+      val nChunks = // last window starts at the largest multiple of S < n - (W - S)
+        greatest(lit(0), floor((size(col("a")) - 1 - (W - S)) / S)).cast("int")
+      Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), size(col("a")).as("n"),
+          posexplode(transform(
+            sequence(lit(0), nChunks),
+            i => slice(col("a"), i * S + 1, lit(W)))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S).cast("long").as("start_tok"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // DECONTAMINATION — the eval-leakage check every training corpus
     // runs: which held-out (test-split) documents share verbatim
     // n-grams with the train split? Splits come from the train_split

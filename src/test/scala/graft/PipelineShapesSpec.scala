@@ -54,6 +54,30 @@ class PipelineShapesSpec extends SparkSpec {
     }
   }
 
+  test("overlapping chunks cover every token; adjacent windows overlap by W-S") {
+    val (w, s) = (64, 32)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = byName("chunk_overlap").run(spark, sf0001)
+      .select("doc_id", "chunk_idx", "start_tok", "chunk_tokens")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id).toLong
+      // strides are exact, coverage reaches the last token, and every
+      // boundary-crossing span of <= W-S tokens is inside some chunk
+      cs.foreach { case (_, idx, start, len) =>
+        assert(start === idx.toLong * s)
+        assert(len === math.min(w.toLong, n - start))
+      }
+      val (_, _, lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen === n, s"doc $id tail uncovered")
+      assert(cs.init.forall(_._4 == w.toLong), s"doc $id short mid window")
+    }
+  }
+
   test("packing never starts a doc past the sequence budget; seq ids dense per shard") {
     val rows = byName("pack_sequences").run(spark, sf0001)
       .select("doc_id", "shard", "n_tokens", "seq_id")
