@@ -318,6 +318,50 @@ object VocabQueries {
           col("cm").as("mass"), col("n_tokens"),
           (col("cm").cast("double") / col("n_tokens")).as("coverage"))
         .orderBy("lang", "k")
+    },
+
+    // Negative-sampling noise table — the unigram^(3/4) distribution
+    // word2vec/NCE training draws negatives from, materialized per
+    // language as integer draw quotas under a fixed budget (the same
+    // exact-integer discipline as mix_temperature: weights quantize
+    // to 1e-6 units right after the one libm pow — flip odds
+    // ~1e-10/row — the normalizer is their exact sum, quotas are
+    // exact floor divisions). Top-N per language only: the head
+    // carries almost all of the 3/4-tempered mass, and production
+    // samplers store exactly this truncated table plus a tail
+    // bucket. Scale: token counts partial-aggregate map-side; the
+    // per-lang window runs over dictionary-sized rows; output is
+    // |langs| x N rows.
+    Q("noise_table", {
+      val (n, budget) = (10, 1000)
+      s"""WITH tc AS (SELECT lang, tok, COUNT(*) AS c FROM
+         |    (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |    GROUP BY 1, 2),
+         |r AS (SELECT lang, tok, c, row_number() OVER (
+         |        PARTITION BY lang ORDER BY c DESC, tok) AS rnk FROM tc),
+         |topn AS (SELECT lang, tok, c, rnk,
+         |    CAST(floor(pow(CAST(c AS DOUBLE), 0.75) * 1e6 + 0.5) AS BIGINT) AS w_u
+         |  FROM r WHERE rnk <= $n),
+         |z AS (SELECT lang, CAST(SUM(w_u) AS BIGINT) AS z FROM topn GROUP BY lang)
+         |SELECT topn.lang AS lang, rnk, tok AS item, c, w_u,
+         |  CAST(($budget * w_u) // z AS BIGINT) AS quota
+         |FROM topn JOIN z ON topn.lang = z.lang
+         |ORDER BY lang, rnk""".stripMargin
+    }) { (s, dir) =>
+      val (n, budget) = (10, 1000)
+      val tc = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val topn = tc.withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))))
+        .filter(col("rnk") <= n)
+        .withColumn("w_u",
+          floor(pow(col("c").cast("double"), 0.75) * 1e6 + 0.5).cast("long"))
+      val z = topn.groupBy("lang").agg(sum("w_u").as("z"))
+      topn.join(broadcast(z), "lang")
+        .select(col("lang"), col("rnk"), col("tok").as("item"), col("c"),
+          col("w_u"), expr(s"CAST(($budget * w_u) DIV z AS BIGINT)").as("quota"))
+        .orderBy("lang", "rnk")
     }
   )
 
