@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    // first arg is the sf dir ONLY if it looks like one — so
-    // `runMain graft.Explain some_query` does what it reads as
+    // first arg is the sf dir ONLY if it actually is a directory — so
+    // `runMain graft.Explain some_query` does what it reads as, and a
+    // bare relative dir like `testdata` is still recognized
     val (sfDir, rest) = args.headOption match {
-      case Some(d) if d.contains("/") => (d, args.drop(1).toSeq)
+      case Some(d) if new java.io.File(d).isDirectory => (d, args.drop(1).toSeq)
       case _ => ("/root/testdata/sf0.001", args.toSeq)
     }
     val names = if (rest.nonEmpty) rest

@@ -67,6 +67,20 @@ object ScaleSmoke {
       val sig = Dedup.minhashFromText(docs, "doc_id", "text", 12)
       Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", 6, 2), "doc_id").count()
     }
+    // the replicated corpus IS the degenerate-band case (every copy of
+    // a doc collides in every band): capped pair expansion must stay
+    // bounded however large the hot buckets get, and the audit reports
+    // exactly the buckets that overflowed instead of silently OOMing
+    time("band_pairs_capped_64") {
+      val sig = Dedup.minhashFromText(docs, "doc_id", "text", 12)
+      val bands = Dedup.bandKeys(sig, "doc_id", 6, 2)
+      val overflowed = Dedup.bucketOverflowAudit(
+        bands, Seq(col("band")), col("doc_id"), 64).count()
+      val pairs = Dedup.bucketPairsCapped(
+        bands, Seq(col("band")), col("doc_id"), 64).count()
+      println(s"[smoke]   capped-band overflowed buckets: $overflowed")
+      pairs
+    }
     time("connected_components") {
       val sig = Dedup.minhashFromText(docs, "doc_id", "text", 12)
       val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", 6, 2), "doc_id")

@@ -29,6 +29,12 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
         case org.apache.spark.sql.types.TimestampNTZType =>
+          // The NTZ->TimestampType cast reads the wall-clock fields in
+          // the SESSION time zone; the stored micros only survive
+          // unchanged under UTC. Every entry point pins UTC already —
+          // enforce it here too so a future entry point that forgets
+          // the conf cannot silently shift every events timestamp.
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
           raw.withColumn("ts", col("ts").cast(
             org.apache.spark.sql.types.TimestampType))
         case _ => raw

@@ -35,6 +35,19 @@ case class CentroidAssign(child: Expression, centroids: Array[Array[Double]])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "centroid_assign"
 
+  // Array params compare by reference under the synthesized case-class
+  // equals, which would defeat Catalyst canonicalization — compare
+  // centroid contents instead (mirrors PqLut).
+  override def equals(other: Any): Boolean = other match {
+    case CentroidAssign(c, cen) =>
+      c == child && java.util.Arrays.deepEquals(
+        cen.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   override protected def nullSafeEval(input: Any): Any =
     assign(input.asInstanceOf[ArrayData])
 

@@ -37,6 +37,19 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_lut"
 
+  // Array params compare by reference under the synthesized case-class
+  // equals, which would defeat Catalyst canonicalization (semantically
+  // identical LUTs never dedup) — compare codebook contents instead.
+  override def equals(other: Any): Boolean = other match {
+    case PqLut(c, cb) =>
+      c == child && java.util.Arrays.deepEquals(
+        cb.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
+
   override protected def nullSafeEval(input: Any): Any =
     lut(input.asInstanceOf[ArrayData])
 
@@ -45,15 +58,20 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
     val k = codebooks(0).length
     val sub = codebooks(0)(0).length
     val out = new Array[Double](m * k)
+    val n = arr.numElements()
     var mi = 0
     while (mi < m) {
       val off = mi * sub
+      // Clamp to the embedding's actual length (mirrors CentroidAssign):
+      // a short embedding contributes zero terms past its end instead of
+      // throwing ArrayIndexOutOfBounds from inside codegen'd code.
+      val lim = { val r = n - off; if (r < sub) (if (r < 0) 0 else r) else sub }
       var c = 0
       while (c < k) {
         val cen = codebooks(mi)(c)
         var s = 0.0
         var i = 0
-        while (i < sub) { s += arr.getFloat(off + i).toDouble * cen(i); i += 1 }
+        while (i < lim) { s += arr.getFloat(off + i).toDouble * cen(i); i += 1 }
         out(mi * k + c) = java.math.BigDecimal.valueOf(s)
           .setScale(6, RoundingMode.HALF_UP).doubleValue()
         c += 1

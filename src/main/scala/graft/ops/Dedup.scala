@@ -111,13 +111,46 @@ object Dedup {
     * quadratic expansion stays local. Output: struct columns `a`, `b`.
     */
   def bucketPairs(df: DataFrame, bucketCols: Seq[Column], payload: Column): DataFrame =
-    df.groupBy(bucketCols: _*)
-      .agg(sort_array(collect_set(payload)).as("xs"))
-      .filter(size(col("xs")) > 1)
+    bucketPairsCapped(df, bucketCols, payload, Int.MaxValue)
+
+  /** [[bucketPairs]] with a hot-bucket cap: a bucket larger than
+    * `maxBucket` contributes pairs only among its `maxBucket` smallest
+    * payloads (sort order, so the kept prefix is deterministic) instead
+    * of its full quadratic expansion. Blocking DESIGN bounds bucket
+    * sizes in every shipped pipeline, but a degenerate band — e.g. a
+    * corpus of identical documents — would otherwise concentrate
+    * O(n²) structs in ONE task; the cap turns that into a bounded task
+    * at the cost of possibly missing pairs WITHIN the overflowing
+    * bucket (near-dup sets that large are caught by their other bands,
+    * and truncation is observable via [[bucketOverflowAudit]]).
+    * Default cap = unbounded, so existing callers are byte-identical.
+    */
+  def bucketPairsCapped(df: DataFrame, bucketCols: Seq[Column], payload: Column,
+                        maxBucket: Int): DataFrame = {
+    val grouped = df.groupBy(bucketCols: _*)
+      .agg(sort_array(collect_set(payload)).as("xs0"))
+      .filter(size(col("xs0")) > 1)
+    val capped =
+      if (maxBucket == Int.MaxValue) grouped.withColumn("xs", col("xs0"))
+      else grouped.withColumn("xs", slice(col("xs0"), 1, maxBucket))
+    capped
       .select(explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + 2, size(col("xs"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** Overflow audit for [[bucketPairsCapped]]: the buckets whose
+    * distinct-payload count exceeds `maxBucket`, with their sizes —
+    * run alongside a capped pipeline so truncation is REPORTED, never
+    * silent. Aggregate-only (no pair expansion), so it is safe to run
+    * even on the degenerate input that motivated the cap.
+    */
+  def bucketOverflowAudit(df: DataFrame, bucketCols: Seq[Column], payload: Column,
+                          maxBucket: Int): DataFrame =
+    df.groupBy(bucketCols: _*)
+      .agg(countDistinct(payload).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** Candidate duplicate pairs: ids sharing at least one band key. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame =

@@ -77,14 +77,27 @@ object AggQueries {
         .orderBy("o_orderstatus")
     },
 
-    // HLL sketch — Spark's HLL++ and DuckDB's approx differ by design,
-    // so no value oracle; driver records the rows-only check. The exact
-    // twin agg_stats pins correctness of the same quantity.
-    Q.noOracle("approx_distinct") { (s, dir) =>
+    // HLL sketch with a TOLERANCE oracle: the raw HLL++ estimate is
+    // engine-specific (DuckDB's approx differs by design), so the
+    // estimate itself can't be value-compared — instead the query
+    // OUTPUTS the error-bound contract: the exact count plus a boolean
+    // asserting the estimate landed within 3x the configured rsd
+    // (0.05), and the oracle expects exact + TRUE. 3 sigma on the
+    // HLL++ standard error — a deterministic pass for these
+    // cardinalities, and a genuine cross-engine check of the sketch
+    // (a broken HLL would flip the boolean and fail the hash).
+    Q("approx_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= lit(3 * 0.05) * col("exact_parts")).as("within_3rsd"))
         .orderBy("l_returnflag")
     },
 

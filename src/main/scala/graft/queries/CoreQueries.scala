@@ -22,13 +22,28 @@ object CoreQueries {
 
   private def mask(w: String) = "*" * w.length
 
+  /** Escape a ban word for literal matching inside a DuckDB (RE2)
+    * regex, mirroring the Spark side's `Pattern.quote`: every regex
+    * metachar gets a backslash (DuckDB single-quoted strings pass
+    * backslashes through to the regex engine untouched), and embedded
+    * single quotes are doubled for the SQL literal. Without this a
+    * future word like "c++" would silently diverge the ORACLE (the
+    * engine side already quotes) rather than the engine.
+    */
+  private[graft] def reQuote(w: String): String =
+    w.flatMap {
+      case '\'' => "''"
+      case c if "\\.^$|?*+()[]{}-".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    }
+
   /** Nested DuckDB regexp_replace equivalent of the sequential censor
     * fold (innermost = first word, matching foldLeft order). 'gi' =
     * global + case-insensitive, mirroring Java's `(?i)` + replaceAll.
     */
-  private def duckCensor(expr: String): String =
-    banWords.foldLeft(expr) { (e, w) =>
-      s"regexp_replace($e, '$w', '${mask(w)}', 'gi')"
+  private[graft] def duckCensor(expr: String, words: Seq[String] = banWords): String =
+    words.foldLeft(expr) { (e, w) =>
+      s"regexp_replace($e, '${reQuote(w)}', '${mask(w)}', 'gi')"
     }
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")

@@ -93,22 +93,40 @@ object ExtraQueries {
     },
 
     // Mergeable KLL-style quantile sketch — the SCALE twin of the
-    // exact `percentiles` query (which needs a full per-group sort).
-    // Sketch internals are engine-specific (like HLL/approx_distinct),
-    // so the gate records the rows-only check; QuantileSketchSpec pins
-    // the rank-error bound against the exact sort, and the exact query
-    // remains the value oracle for the same quantity.
-    Q.noOracle("approx_percentiles") { (s, dir) =>
+    // exact `percentiles` query (which needs a full per-group sort) —
+    // with a TOLERANCE oracle: the sketch values are engine-specific,
+    // so the query OUTPUTS the rank-error contract instead. For each
+    // estimate it re-ranks the value against the group (share of
+    // values strictly below it, same rule as QuantileSketchSpec) and
+    // asserts |rank - p| <= 3% (the k=256 bound the spec proves); the
+    // oracle expects TRUE across the board. The re-rank is one extra
+    // aggregate over a broadcast of the |groups|-row estimate table —
+    // census-sized, scale-safe; the exact `percentiles` query remains
+    // the value oracle for the quantity itself.
+    Q("approx_percentiles",
+      """SELECT l_returnflag,
+        |  TRUE AS within_eps_p25, TRUE AS within_eps_p50, TRUE AS within_eps_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       import graft.functions.QuantileSketchAgg
-      Tables.parallelize(Tables.load(s, dir, "lineitem")
-          .select("l_returnflag", "l_extendedprice"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+      val est = Tables.parallelize(li)
         .groupBy("l_returnflag")
         .agg(QuantileSketchAgg(col("l_extendedprice"), 256,
           Seq(0.25, 0.50, 0.75)).as("qs"))
-        .select(col("l_returnflag"),
+        .select(col("l_returnflag").as("rf"),
           element_at(col("qs"), 1).as("p25_est"),
           element_at(col("qs"), 2).as("p50_est"),
           element_at(col("qs"), 3).as("p75_est"))
+      val eps = 0.03
+      def within(p: Double, estCol: String) =
+        (abs(avg((col("l_extendedprice") < col(estCol)).cast("int")) - p)
+          <= eps)
+      li.join(broadcast(est), col("l_returnflag") === col("rf"))
+        .groupBy("l_returnflag")
+        .agg(within(0.25, "p25_est").as("within_eps_p25"),
+          within(0.50, "p50_est").as("within_eps_p50"),
+          within(0.75, "p75_est").as("within_eps_p75"))
         .orderBy("l_returnflag")
     },
 

@@ -751,9 +751,27 @@ object TextQueries {
 
     // full multimodal pipeline: typed Dataset[MediaFile] ->
     // mapPartitions feature extraction (the mapInPandas analog).
-    // No SQL oracle — the partition-batched path is not SQL; the
-    // metadata math is pinned by multimodal_meta and MultimodalSpec.
-    Q.noOracle("multimodal_features") { (s, dir) =>
+    // The partition-batched path is not SQL, but the STUB decode is
+    // deterministic on md5(content) and content is the utf-8 text
+    // bytes — so the oracle RE-DERIVES the decode rule from DuckDB's
+    // own md5(): width = 64 + value of hex digits 1-3 (byte0<<4 |
+    // byte1>>4), height = 64 + digits 5-7, video frames = 1 +
+    // (digits 9-12) % 240. A full value/hash check of the whole
+    // mapPartitions path, not just a rows count.
+    Q("multimodal_features", {
+      def hv(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+      def hex3(i: Int) = s"(${hv(i)} * 256 + ${hv(i + 1)} * 16 + ${hv(i + 2)})"
+      def hex4(i: Int) =
+        s"(${hv(i)} * 4096 + ${hv(i + 1)} * 256 + ${hv(i + 2)} * 16 + ${hv(i + 3)})"
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  CAST(64 + ${hex3(1)} AS INTEGER) AS width,
+         |  CAST(64 + ${hex3(5)} AS INTEGER) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + ${hex4(9)} % 240 ELSE 1 END AS INTEGER) AS n_frames
+         |FROM documents ORDER BY media_id""".stripMargin
+    }) { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF().orderBy("media_id")
     },

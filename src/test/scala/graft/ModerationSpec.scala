@@ -95,6 +95,20 @@ class ModerationSpec extends SparkSpec {
     }
   }
 
+  test("oracle duckCensor quotes regex metachars to match the literal engine") {
+    // The engine side Pattern.quotes every ban word (test above); the
+    // DuckDB oracle SQL must match literally too, or a metachar word
+    // would silently diverge the ORACLE rather than the engine.
+    val sql = graft.queries.CoreQueries.duckCensor("text", Seq("C++", "a.b", "it's"))
+    assert(sql.contains("'C\\+\\+'"), sql)   // + escaped for RE2
+    assert(sql.contains("'a\\.b'"), sql)     // dot literal, not any-char
+    assert(sql.contains("'it''s'"), sql)     // SQL quote doubled
+    // plain alphanumeric words pass through unescaped (byte-identical
+    // oracle SQL for the shipped banWords vocabulary)
+    assert(graft.queries.CoreQueries.duckCensor("t", Seq("spark"))
+      === "regexp_replace(t, 'spark', '*****', 'gi')")
+  }
+
   test("Cyrillic/Latin homoglyphs do not cross-match (ASCII (?i) semantics)") {
     val out = Seq(Message("a", "1С", "b")).toDF() // Cyrillic С
       .select(Moderation.censorFold($"text", Seq("1C")).as("t")) // Latin C

@@ -38,6 +38,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)) || true) // 3 may collide by chance on some band
   }
 
+  test("hot-bucket cap bounds a poisoned bucket and the audit reports it") {
+    // degenerate band: 50 payloads in ONE bucket (a corpus of identical
+    // documents collides every copy in every band) + one healthy pair
+    val rows = (1L to 50L).map(("hot", _)) ++ Seq(("ok", 1L), ("ok", 2L))
+    val df = rows.toDF("band", "id")
+    // uncapped: full quadratic expansion of the hot bucket
+    val full = Dedup.bucketPairs(df, Seq($"band"), $"id").count()
+    assert(full === 50L * 49 / 2 + 1)
+    // capped at 8: hot bucket contributes C(8,2) pairs among its 8
+    // SMALLEST ids (deterministic prefix), healthy bucket untouched
+    val capped = Dedup.bucketPairsCapped(df, Seq($"band"), $"id", 8)
+      .as[(Long, Long)].collect()
+    assert(capped.length === 8 * 7 / 2 + 1)
+    assert(capped.filter(_ != ((1L, 2L))).forall { case (a, b) => a < b && b <= 8 })
+    // audit: exactly the hot bucket, with its true size
+    val audit = Dedup.bucketOverflowAudit(df, Seq($"band"), $"id", 8)
+      .as[(String, Long)].collect()
+    assert(audit.toSeq === Seq(("hot", 50L)))
+    // a cap nothing exceeds truncates nothing and audits nothing
+    assert(Dedup.bucketPairsCapped(df, Seq($"band"), $"id", 50).count() === full)
+    assert(Dedup.bucketOverflowAudit(df, Seq($"band"), $"id", 50).count() === 0)
+  }
+
   test("simhash: equal token sets equal, disjoint sets differ") {
     val docs = Seq((1L, "x y z"), (2L, "z y x x"), (3L, "p q r")).toDF("doc_id", "text")
     val out = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
