@@ -103,6 +103,30 @@ object ModerationStream {
       .start().awaitTermination()
   }
 
+  /** T4 LIVENESS: moderation with a LIVE blocked-pairs dimension —
+    * the dimension table directory is re-read at the top of EVERY
+    * micro-batch, so an upsert landing between batches applies to all
+    * later messages while earlier output stands. This is the
+    * reference's GlobalKTable contract ("table state at processing
+    * time", KafkaStreamApp.java:103-109) at micro-batch granularity:
+    * the reference re-probes its store per RECORD; a micro-batch is
+    * the Spark unit of processing time, so within one batch the
+    * dimension is a consistent snapshot — the documented (and for a
+    * consistent batch output, desirable) delta. A plain stream-static
+    * join would NOT give this: Spark resolves the static side's file
+    * listing once at query start, so dimension growth needs the
+    * foreachBatch re-read.
+    */
+  def withLiveDimension(messages: DataFrame, blockedDir: String,
+                        banWords: Seq[String], checkpointDir: String)(
+                        sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    messages.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val blocked = batch.sparkSession.read.parquet(blockedDir)
+        sink(Moderation.pipeline(batch, blocked, banWords), id)
+      }
+      .option("checkpointLocation", checkpointDir)
+
   /** One micro-batch of the exactly-once file sink: each batch
     * overwrites its OWN batchId-keyed subdirectory, so a redelivered
     * batch (checkpoint recovery replays the last uncommitted batch)

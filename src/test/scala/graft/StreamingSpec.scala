@@ -722,6 +722,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4 liveness: dimension pair added between micro-batches blocks only later messages") {
+    implicit val ctx = spark.sqlContext
+    val dimDir = Files.createTempDirectory("graft_dim").toString
+    val ckpt = Files.createTempDirectory("graft_dim_ckpt").toString
+    // processing-time dimension state v1: only u2->r2 is blocked
+    Seq("r2:u2").toDF("bk").write.mode("overwrite").parquet(dimDir)
+    val out = collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[Message]
+    val q = ModerationStream.withLiveDimension(
+        mem.toDF(), dimDir, Seq("java"), ckpt) { (batch, id) =>
+      out.synchronized {
+        out ++= batch.select("sender").as[String].collect().map(id -> _)
+      }
+    }.start()
+    try {
+      mem.addData(Message("u1", "hi", "r1"), Message("u2", "hi", "r2"),
+        Message("u3", "Java rocks", "r3"))
+      q.processAllAvailable()
+      // batch 0: u2 blocked, u3 passes (and is censored)
+      assert(out.synchronized(out.toSet) === Set(0L -> "u1", 0L -> "u3"))
+      // the dimension gains u3->r3 BETWEEN batches (GlobalKTable upsert)
+      Seq("r2:u2", "r3:u3").toDF("bk").write.mode("overwrite").parquet(dimDir)
+      mem.addData(Message("u1", "again", "r1"), Message("u3", "again", "r3"))
+      q.processAllAvailable()
+      val all = out.synchronized(out.toSeq)
+      // batch 1: u3 now blocked — but batch 0's u3 output STANDS
+      // (table state at processing time, not retroactive)
+      assert(all.filter(_._1 == 1L).map(_._2) === Seq("u1"))
+      assert(all.toSet === Set(0L -> "u1", 0L -> "u3", 1L -> "u1"))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink writes each record exactly once") {
     implicit val ctx = spark.sqlContext
     val outDir = Files.createTempDirectory("graft_sink").toString
