@@ -376,8 +376,52 @@ object VocabQueries {
     * lineage discipline so `rounds` interpreted folds never nest in
     * one plan.
     */
+  /** Driver-round counter for [[bpeTrainRounds]] — observable by
+    * VocabSpec's listener test, which pins that batching actually cut
+    * the sequential argmax round-trips (not just the job count).
+    */
+  private[graft] val bpeArgmaxRounds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** The multi-merge selection rule: from the pair list sorted by
+    * (count desc, pa, pb), accept the maximal CONTIGUOUS prefix of
+    * mutually symbol-disjoint pairs (the merged symbol counts as used
+    * too — "ab" may collide with an existing symbol), capped at
+    * `want`, then truncate to pairs whose count is STRICTLY above the
+    * first excluded pair's count (`fenceCount`). Why this is exactly
+    * sequential greedy: disjoint merges cannot change each other's
+    * counts, and every pair a merge CREATES has count <= its parent
+    * pair's old count <= fenceCount < every accepted count — so at
+    * each sequential step the next accepted pair is still the
+    * (count, pa, pb) argmax. Falls back to the top-1 pair when
+    * truncation empties the batch (plain greedy always progresses).
+    */
+  private[graft] def bpeSelectBatch(top: Seq[(String, String, Long)], want: Int,
+      hasMore: Boolean): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    var accepted = Vector.empty[(String, String, Long)]
+    var stopped = -1 // index of the first conflicting pair, if any
+    var i = 0
+    while (stopped < 0 && i < top.length && accepted.length < want) {
+      val (a, b, _) = top(i)
+      if (used(a) || used(b) || used(a + b)) stopped = i
+      else { accepted :+= top(i); used ++= Seq(a, b, a + b) }
+      i += 1
+    }
+    val fenceCount: Option[Long] =
+      if (stopped >= 0) Some(top(stopped)._3)
+      else if (i < top.length) Some(top(i)._3) // cut by `want`
+      else if (hasMore) Some(top.last._3) // list truncated upstream: be safe
+      else None // the corpus has no pairs beyond `top`
+    val fenced = fenceCount match {
+      case Some(fc) => accepted.takeWhile(_._3 > fc)
+      case None => accepted
+    }
+    if (fenced.isEmpty) accepted.take(1) else fenced
+  }
+
   private[graft] def bpeTrainRounds(s: org.apache.spark.sql.SparkSession, dir: String,
       rounds: Int): Seq[(String, String, Long, org.apache.spark.sql.DataFrame)] = {
+    bpeArgmaxRounds.set(0)
     var words = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
@@ -385,8 +429,16 @@ object VocabQueries {
       .select(col("w"),
         filter(split(col("w"), ""), c => c =!= lit("")).as("syms"), col("cnt"))
       .localCheckpoint(true)
-    (1 to rounds).flatMap { _ =>
-      val best = words.filter(size(col("syms")) > 1)
+    val out = Seq.newBuilder[(String, String, Long, org.apache.spark.sql.DataFrame)]
+    var done = 0
+    var exhausted = false
+    while (done < rounds && !exhausted) {
+      val want = rounds - done
+      // ONE aggregation serves up to `want` merges (+1 row = the fence
+      // that proves the batch safe) — this is what cuts the sequential
+      // driver round-trips from `rounds` to ~log-ish few
+      bpeArgmaxRounds.incrementAndGet()
+      val top = words.filter(size(col("syms")) > 1)
         .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> " +
             "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
@@ -394,17 +446,26 @@ object VocabQueries {
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("pa"), col("pb"))
-        .limit(1).collect()
-      if (best.isEmpty) None
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, n) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        words = words
-          .select(col("w"), bpeMergeFold(col("syms"), a, b).as("syms"),
-            col("cnt"))
-          .localCheckpoint(true)
-        Some((a, b, n, words))
+        val batch = bpeSelectBatch(top, want, hasMore = top.length == want + 1)
+        // apply the whole batch with ONE checkpoint at its end: the
+        // intermediate per-merge states callers read vocab stats off
+        // stay lazy (<= batch-size nested folds over the dictionary-
+        // sized table — cheap to recompute), while the round-over-
+        // round lineage discipline (see connectedComponents) holds at
+        // batch granularity
+        for (((a, b, n), j) <- batch.zipWithIndex) {
+          words = words.select(col("w"),
+            bpeMergeFold(col("syms"), a, b).as("syms"), col("cnt"))
+          if (j == batch.length - 1) words = words.localCheckpoint(true)
+          out += ((a, b, n, words))
+        }
+        done += batch.length
       }
     }
+    out.result()
   }
 }

@@ -154,6 +154,83 @@ object AnnIndex {
       .start()
   }
 
+  // ---- rebuild by version ----------------------------------------
+  //
+  // The batch/streaming mix guards above REFUSE a corrupt layout; this
+  // is the documented recovery they point at. Layout:
+  //
+  //   <root>/CURRENT      one line: the active version's dir name
+  //   <root>/v1/, v2/ ... immutable once published
+  //
+  // A rebuild writes a NEW version directory (batch build or a fresh
+  // FileStreamSink — never touching the live one), then [[publish]]
+  // flips the pointer with an atomic rename. Probes resolve the
+  // pointer once at plan time, so an in-flight probe keeps reading its
+  // immutable snapshot while new probes see the new version — no
+  // moment at which a reader can observe half-swapped state, and no
+  // path by which batch and streaming files can land in one directory.
+
+  private val Pointer = "CURRENT"
+
+  /** The published version name, e.g. "v2". Throws (rather than
+    * guessing a directory) when nothing has been published.
+    */
+  def currentVersion(spark: SparkSession, root: String): String = {
+    val p = new Path(root, Pointer)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"no $Pointer pointer under $root — publish a version first")
+    val in = fs.open(p)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    require(v.nonEmpty && !v.contains("/"), s"malformed $Pointer content: '$v'")
+    v
+  }
+
+  def versionPath(root: String, version: String): String = s"$root/$version"
+
+  /** Atomically point `root` at `version`. Validates the target FIRST
+    * (non-empty, and its commit log — if any — covers every data
+    * file), so a bad directory can never become current; then writes
+    * the pointer to a temp file and renames with OVERWRITE — atomic on
+    * HDFS and on the local fs, so readers see either the old pointer
+    * or the new one, never a partial write.
+    */
+  def publish(spark: SparkSession, root: String, version: String): Unit = {
+    val dir = versionPath(root, version)
+    if (dataFiles(spark, dir).isEmpty)
+      throw new IllegalStateException(
+        s"refusing to publish empty index version $dir")
+    assertLogCoversDir(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val tmp = new Path(root, s".$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((version + "\n").getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, conf)
+    fc.rename(tmp, new Path(root, Pointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Build a new index version under `root` and publish it. */
+  def buildVersion(emb: DataFrame, root: String, version: String): Codebooks = {
+    val cb = build(emb, versionPath(root, version))
+    publish(emb.sparkSession, root, version)
+    cb
+  }
+
+  /** Probe whatever version `root` currently points at. The pointer is
+    * resolved HERE (plan time); the returned frame keeps reading that
+    * immutable version even if a newer one is published mid-flight.
+    */
+  def probeCurrent(spark: SparkSession, root: String, emb: DataFrame,
+                   cb: Codebooks, maxQueryId: Long = 20, topK: Int = 5): DataFrame =
+    probe(spark, versionPath(root, currentVersion(spark, root)), emb,
+      cb, maxQueryId, topK)
+
   /** Probe the stored index for the queries `vec_id < maxQueryId` of
     * `emb` (the inline query's convention), returning its exact
     * output shape: (q_id, rnk, n_id, cos_sim), top-`topK` per query.

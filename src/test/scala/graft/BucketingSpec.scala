@@ -104,4 +104,41 @@ class BucketingSpec extends SparkSpec {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(got === want, "stored-index probe diverges from the inline query")
   }
+
+  test("versioned index: atomic pointer swap under an in-flight probe, no mixed state") {
+    import graft.sources.AnnIndex
+    val root = Files.createTempDirectory("graft_annver").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // no pointer yet: probeCurrent must refuse, not guess a directory
+    val e0 = intercept[IllegalStateException](
+      AnnIndex.probeCurrent(spark, root, emb, null))
+    assert(e0.getMessage.contains("CURRENT"))
+    // publishing an empty/absent version must refuse (a bad dir can
+    // never become current)
+    val cb = AnnIndex.buildVersion(emb, root, "v1")
+    intercept[IllegalStateException](AnnIndex.publish(spark, root, "v9"))
+    assert(AnnIndex.currentVersion(spark, root) === "v1")
+    // an in-flight probe resolves the pointer at PLAN time ...
+    val inFlight = AnnIndex.probeCurrent(spark, root, emb, cb)
+    // ... so a rebuild+publish of v2 (here: half the corpus, so
+    // results provably differ) does not disturb it
+    AnnIndex.buildVersion(emb.filter(col("vec_id") % 2 === 0), root, "v2")
+    assert(AnnIndex.currentVersion(spark, root) === "v2")
+    val v1Rows = inFlight.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val v1Again = AnnIndex.probe(spark, AnnIndex.versionPath(root, "v1"),
+      emb, cb).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(v1Rows === v1Again, "in-flight probe saw the swap")
+    // new probes resolve the new version: every neighbor is even
+    val v2 = AnnIndex.probeCurrent(spark, root, emb, cb)
+      .collect().map(_.getLong(2))
+    assert(v2.nonEmpty && v2.forall(_ % 2 == 0),
+      s"post-swap probe leaked v1 vectors: ${v2.filter(_ % 2 != 0).take(3).mkString(",")}")
+    // the recovery path the mix-refusal error message points at:
+    // streaming into a NEW version of a batch-rooted index is legal
+    // (fresh dir), while streaming into the live v1 still refuses
+    intercept[IllegalStateException] {
+      AnnIndex.appendStream(emb.limit(1), AnnIndex.versionPath(root, "v1"),
+        Files.createTempDirectory("graft_annver_ckpt").toString, cb)
+    }
+  }
 }

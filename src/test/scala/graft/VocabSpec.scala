@@ -89,6 +89,53 @@ class VocabSpec extends SparkSpec {
       "per-doc BPE token total != bpe_merges final corpus_symbols")
   }
 
+  test("batched BPE: fewer driver argmax rounds and fewer jobs than one-merge-per-round") {
+    import graft.queries.VocabQueries
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rounds = VocabQueries.bpeTrainRounds(spark, sf0001, VocabQueries.BpeRounds)
+      Thread.sleep(2000) // listener bus is async; let job-start events drain
+      assert(rounds.length === VocabQueries.BpeRounds, "merge count changed")
+      // sequential greedy needs BpeRounds argmax round-trips; batching
+      // must need strictly fewer (each one serves multiple merges)
+      val argmax = VocabQueries.bpeArgmaxRounds.get()
+      assert(argmax < VocabQueries.BpeRounds, s"no batching happened: $argmax rounds")
+      // job budget: the old shape ran ~2 jobs per merge (argmax +
+      // checkpoint) + init; batched keeps per-merge checkpoints but
+      // shares argmax jobs, so the total must undercut 2*rounds + 1
+      assert(jobs.get() < 2 * VocabQueries.BpeRounds + 1,
+        s"job count ${jobs.get()} not reduced")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bpeSelectBatch: disjoint prefix, count fence, merged-symbol collisions") {
+    import graft.queries.VocabQueries.bpeSelectBatch
+    // plain disjoint prefix, fenced by the (want+1)-th count
+    assert(bpeSelectBatch(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 7L)),
+      want = 2, hasMore = true) === Seq(("a", "b", 9L)))
+    // strict fence: second pair ties the fence count -> dropped
+    assert(bpeSelectBatch(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "a", 7L)),
+      want = 3, hasMore = false) === Seq(("a", "b", 9L)))
+    // conflict stops the prefix (no skipping past it)
+    assert(bpeSelectBatch(Seq(("a", "b", 9L), ("b", "c", 8L), ("d", "e", 7L)),
+      want = 3, hasMore = false) === Seq(("a", "b", 9L)))
+    // merged symbol may collide with an existing symbol
+    assert(bpeSelectBatch(Seq(("a", "b", 9L), ("ab", "c", 5L)),
+      want = 3, hasMore = false) === Seq(("a", "b", 9L)))
+    // fully disjoint complete list: everything accepted, no fence
+    assert(bpeSelectBatch(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 3L)),
+      want = 3, hasMore = false)
+      === Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 3L)))
+    // top-1 fallback when the fence empties the batch
+    assert(bpeSelectBatch(Seq(("a", "b", 7L), ("c", "d", 7L), ("e", "f", 7L)),
+      want = 2, hasMore = true) === Seq(("a", "b", 7L)))
+  }
+
   test("bpeMergeFold equals an independent reference merger on randomized inputs") {
     import spark.implicits._
     // classic two-pointer greedy with explicit skip-after-merge — an
