@@ -119,4 +119,225 @@ object Multimodal {
         col("source"))
       .as[MediaFile]
   }
+
+  // ---- real container headers (first step off the decode stub) ----
+  //
+  // Instead of md5-derived fake dimensions, these build REAL format
+  // containers — PNG (+APNG acTL for video), baseline JPEG, PCM WAV —
+  // around the synthetic payload, and the decoder genuinely PARSES the
+  // binary headers back (chunk walk + CRC for PNG, marker scan for
+  // JPEG SOF, RIFF chunk walk for WAV). Only the pixel/sample payload
+  // is synthetic; every header byte is to spec (PNG 1.2 / APNG, JFIF,
+  // RIFF/WAVE), so `file`-style sniffers and header-level readers see
+  // valid media. A real codec would slot in where the payload chunk is
+  // decoded, with no change to the parsing or the Spark plumbing.
+
+  /** JVM twin of [[graft.functions.PortableHash.h32]]: first 8 md5 hex
+    * chars as an unsigned 32-bit value — identical to the Spark column
+    * and the DuckDB oracle fragment, so header fields derived here are
+    * SQL-recomputable.
+    */
+  private[graft] def h32jvm(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+  private def rdBe32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def rdBe16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def rdLe32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def rdLe16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One PNG chunk: length + type + data + CRC32(type||data) — the
+    * real PNG CRC, so a spec-conforming chunk walker verifies clean.
+    */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** PNG 1.2 container; `frames` Some(n) adds an APNG acTL chunk
+    * (8-byte data: num_frames, num_plays=0) making it an animated PNG.
+    * Layout: sig, IHDR(13), [acTL(8)], IDAT(payload), IEND —
+    * overhead 57 bytes, +20 with acTL.
+    */
+  def buildPng(w: Int, h: Int, frames: Option[Int], payload: Array[Byte]): Array[Byte] = {
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, 0, 0, 0, 0) // bit depth 8, grayscale, default codecs
+    PngSig ++ pngChunk("IHDR", ihdr) ++
+      frames.map(n => pngChunk("acTL", be32(n) ++ be32(0)))
+        .getOrElse(Array.empty[Byte]) ++
+      pngChunk("IDAT", payload) ++ pngChunk("IEND", Array.empty)
+  }
+
+  /** Max bytes per JPEG COM segment (16-bit length includes itself). */
+  private val JpegComMax = 60000
+
+  /** Baseline JFIF JPEG: SOI, APP0(JFIF), SOF0 (1 component, which is
+    * where height/width live), payload as COM segment(s), EOI.
+    * Overhead: 35 + 4 per COM segment.
+    */
+  def buildJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+      "JFIF\u0000".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](1, 1, 0x11, 0) // 1 grayscale component, 1x1 sampling
+    val coms = payload.grouped(JpegComMax).flatMap(seg =>
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ be16(seg.length + 2) ++ seg).toArray
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++
+      coms ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** Canonical 44-byte-header PCM WAV: mono, 8-bit, 8 kHz — so
+    * blockAlign=1 and the data chunk's byte length IS the sample-frame
+    * count.
+    */
+  def buildWav(payload: Array[Byte]): Array[Byte] = {
+    val fmt = "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(36 + payload.length) ++
+      "WAVE".getBytes(StandardCharsets.US_ASCII) ++ fmt ++
+      "data".getBytes(StandardCharsets.US_ASCII) ++ le32(payload.length) ++
+      payload
+  }
+
+  /** Parsed header fields. `container` is what the BYTES say (png/
+    * apng/jpeg/wav), independent of the envelope `kind` column.
+    */
+  case class MediaHeader(container: String, width: Int, height: Int, nFrames: Int)
+
+  /** Parse real container headers: PNG chunk walk (CRC-checked, acTL
+    * aware), JPEG marker scan to SOF, RIFF/WAVE chunk walk. Throws on
+    * unrecognized or corrupt bytes — a decode stage must fail loudly,
+    * not emit plausible zeros.
+    */
+  def parseHeader(bytes: Array[Byte]): MediaHeader = {
+    if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) {
+      var off = 8
+      var w = -1; var h = -1; var frames = 1; var animated = false
+      while (off + 12 <= bytes.length) {
+        val len = rdBe32(bytes, off).toInt
+        val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off + 4, 4 + len)
+        if (crc.getValue != rdBe32(bytes, off + 8 + len))
+          throw new IllegalArgumentException(s"PNG chunk $typ fails CRC")
+        typ match {
+          case "IHDR" => w = rdBe32(bytes, off + 8).toInt
+                         h = rdBe32(bytes, off + 12).toInt
+          case "acTL" => animated = true
+                         frames = rdBe32(bytes, off + 8).toInt
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      if (w < 0) throw new IllegalArgumentException("PNG without IHDR")
+      MediaHeader(if (animated) "apng" else "png", w, h, frames)
+    } else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff
+        && (bytes(1) & 0xff) == 0xd8) {
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xff) != 0xff)
+          throw new IllegalArgumentException(
+            f"JPEG marker expected at $off, got 0x${bytes(off) & 0xff}%02x")
+        val marker = bytes(off + 1) & 0xff
+        // SOF0..SOF15 carry the frame header; C4/C8/CC are not SOFs
+        if (marker >= 0xc0 && marker <= 0xcf
+            && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return MediaHeader("jpeg",
+            rdBe16(bytes, off + 7), rdBe16(bytes, off + 5), 1)
+        }
+        off += 2 + rdBe16(bytes, off + 2)
+      }
+      throw new IllegalArgumentException("JPEG without SOF marker")
+    } else if (bytes.length >= 12
+        && new String(bytes, 0, 4, StandardCharsets.US_ASCII) == "RIFF"
+        && new String(bytes, 8, 4, StandardCharsets.US_ASCII) == "WAVE") {
+      var off = 12
+      var blockAlign = -1; var dataLen = -1L
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+        val len = rdLe32(bytes, off + 4)
+        if (id == "fmt ") blockAlign = rdLe16(bytes, off + 20)
+        if (id == "data") dataLen = len
+        off += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+      }
+      if (blockAlign <= 0 || dataLen < 0)
+        throw new IllegalArgumentException("WAVE without fmt/data chunks")
+      MediaHeader("wav", 0, 0, (dataLen / blockAlign).toInt)
+    } else throw new IllegalArgumentException(
+      s"unrecognized container (${bytes.take(4).map(b => f"$b%02x").mkString(" ")} ...)")
+  }
+
+  /** Media table with REAL containers: images alternate PNG/JPEG by
+    * doc parity, audio is PCM WAV, video is APNG. Dimensions/frames
+    * are the h32 rules the metadata queries already use — embedded
+    * into the binary headers here, parsed back out by
+    * [[decodeContainers]], recomputed from first principles by the
+    * DuckDB oracle: a single mis-encoded or mis-parsed byte diverges
+    * the hash check.
+    */
+  def mediaContainers(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val w = (64 + h32jvm(text) % 960).toInt
+        val h = (64 + h32jvm("1|" + text) % 960).toInt
+        (id % 3) match {
+          case 0 =>
+            val bytes = if (id % 2 == 0) buildPng(w, h, None, payload)
+                        else buildJpeg(w, h, payload)
+            MediaFile(id, "image", bytes, source)
+          case 1 => MediaFile(id, "audio", buildWav(payload), source)
+          case _ =>
+            val frames = (1 + h32jvm("2|" + text) % 240).toInt
+            MediaFile(id, "video", buildPng(w, h, Some(frames), payload), source)
+        }
+      }
+  }
+
+  case class DecodedMedia(
+      media_id: Long, kind: String, container: String,
+      n_bytes: Long, width: Int, height: Int, n_frames: Int)
+
+  /** Partition-batched header decode over real containers — the same
+    * mapPartitions shape as [[extractFeatures]], but every field comes
+    * from PARSING the binary header, not from hashing the payload.
+    */
+  def decodeContainers(media: Dataset[MediaFile]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hd = parseHeader(m.content)
+        DecodedMedia(m.media_id, m.kind, hd.container,
+          m.content.length.toLong, hd.width, hd.height, hd.nFrames)
+      }
+    }
+  }
 }

@@ -776,6 +776,36 @@ object TextQueries {
       Multimodal.extractFeatures(media).toDF().orderBy("media_id")
     },
 
+    // REAL container headers: build spec-conforming PNG/JPEG/WAV/APNG
+    // containers around the payload, then PARSE the binary headers
+    // back (PNG chunk walk + CRC, JPEG SOF marker scan, RIFF walk).
+    // The oracle recomputes every field from first principles — the
+    // h32 dimension rules, per-format header overhead for n_bytes,
+    // WAV sample frames = payload bytes (mono 8-bit) — so the check
+    // covers the full build->parse round trip byte-exactly.
+    Q("multimodal_decode",
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CASE WHEN doc_id % 3 = 1 THEN 'wav' WHEN doc_id % 3 = 2 THEN 'apng'
+         |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
+         |            WHEN doc_id % 3 = 2 THEN 77 + strlen(text)
+         |            WHEN doc_id % 2 = 0 THEN 57 + strlen(text)
+         |            ELSE 35 + 4 * CAST(ceil(strlen(text) / 60000.0) AS BIGINT) + strlen(text)
+         |       END AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+         |            ELSE 64 + ${duckH32("text")} % 960 END AS INTEGER) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+         |            ELSE 64 + ${duckH32(1, "text")} % 960 END AS INTEGER) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+         |            WHEN doc_id % 3 = 1 THEN strlen(text)
+         |            ELSE 1 + ${duckH32(2, "text")} % 240 END AS INTEGER) AS n_frames
+         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeContainers(
+          Multimodal.mediaContainers(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
     // Frame-sample PLANNING — the step between video metadata and the
     // decoder: for each video, the evenly-strided frame indices to
     // decode (at most 8 per video), emitted as (media_id, frame_idx)

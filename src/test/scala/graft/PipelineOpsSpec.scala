@@ -150,6 +150,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(f => sparkMd5(f.media_id) == f.content_md5))
   }
 
+  test("container headers: build->parse round trip for png/apng/jpeg/wav") {
+    import graft.ops.Multimodal._
+    val payload = "hello media".getBytes("UTF-8")
+    // PNG still: dims parsed from IHDR, 1 frame, exact overhead
+    val png = buildPng(64, 1023, None, payload)
+    assert(parseHeader(png) === MediaHeader("png", 64, 1023, 1))
+    assert(png.length === 57 + payload.length)
+    // APNG: acTL frame count parsed, +20 bytes for the chunk
+    val apng = buildPng(4096, 64, Some(240), payload)
+    assert(parseHeader(apng) === MediaHeader("apng", 4096, 64, 240))
+    assert(apng.length === 77 + payload.length)
+    // JPEG: height/width live in SOF0 (height FIRST in the wire order)
+    val jpg = buildJpeg(800, 600, payload)
+    assert(parseHeader(jpg) === MediaHeader("jpeg", 800, 600, 1))
+    assert(jpg.length === 39 + payload.length)
+    // WAV: mono 8-bit, so sample frames == payload bytes; 44B header
+    val wav = buildWav(payload)
+    assert(parseHeader(wav) === MediaHeader("wav", 0, 0, payload.length))
+    assert(wav.length === 44 + payload.length)
+    // empty payloads parse too (tombstone-ish documents)
+    assert(parseHeader(buildWav(Array.empty)).nFrames === 0)
+    assert(parseHeader(buildPng(64, 64, None, Array.empty)).width === 64)
+  }
+
+  test("container headers: JPEG payloads split across COM segments past 60000 bytes") {
+    import graft.ops.Multimodal._
+    val big = Array.fill[Byte](150001)('x'.toByte)
+    val jpg = buildJpeg(12, 34, big)
+    assert(parseHeader(jpg) === MediaHeader("jpeg", 12, 34, 1))
+    // 3 segments (60000 + 60000 + 30001), 4 bytes framing each
+    assert(jpg.length === 35 + 4 * 3 + big.length)
+  }
+
+  test("container headers: corrupt or unknown bytes fail loudly, not with zeros") {
+    import graft.ops.Multimodal._
+    val png = buildPng(100, 100, None, "abc".getBytes)
+    png(20) = (png(20) ^ 0x01).toByte // flip a bit inside IHDR data
+    val e = intercept[IllegalArgumentException](parseHeader(png))
+    assert(e.getMessage.contains("CRC"))
+    intercept[IllegalArgumentException](
+      parseHeader("not a container at all".getBytes))
+    // a JPEG missing its SOF is an error, not a (0, 0) image
+    intercept[IllegalArgumentException](
+      parseHeader(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
+  }
+
   test("multimodal: resize plan fits maxSide preserving aspect, never upscales") {
     val docs = Tables.load(spark, sf0001, "documents")
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
