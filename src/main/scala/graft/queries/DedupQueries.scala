@@ -818,6 +818,103 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
+    // ASYMMETRIC containment — the one-sided near-dup measure Jaccard
+    // misses: a short document wholly contained in a long one scores
+    // inter/|short| ~ 1.0 while its Jaccard stays low. This is the
+    // quote/boilerplate/subset-page detector real corpus curation runs
+    // NEXT TO symmetric dedup. Same blocking and same single-pipeline
+    // shape as dedup_ngram_jaccard (sizes ride inside the bucket
+    // structs; in-bucket pair expansion; no self-join), different
+    // final algebra: both directed containments, kept when EITHER
+    // direction clears the threshold.
+    Q("dedup_containment",
+      s"""$shingleCtes,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         |meta AS (SELECT doc_id, lang, n_chars // 50 AS bk FROM documents),
+         |ds AS (SELECT dsh.doc_id, shingle, lang, bk FROM dsh JOIN meta ON dsh.doc_id = meta.doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.lang = b.lang
+         |        AND a.bk = b.bk AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2,
+         |  round(inter * 1.0 / x.n, 6) AS cont_1_in_2,
+         |  round(inter * 1.0 / y.n, 6) AS cont_2_in_1
+         |FROM p JOIN sz x ON p.d1 = x.doc_id JOIN sz y ON p.d2 = y.doc_id
+         |WHERE inter * 1.0 / x.n >= 0.6 OR inter * 1.0 / y.n >= 0.6
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val dsh = Dedup.distinctShingles(docs, "doc_id", "text")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val meta = docs.select(col("doc_id"), col("lang"), expr("n_chars div 50").as("bk"))
+      dsh.join(broadcast(meta), "doc_id")
+        .groupBy("shingle", "lang", "bk")
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(
+          col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+          col("p.a.n").as("na"), col("p.b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+          round(col("inter") * lit(1.0) / col("na"), 6).as("cont_1_in_2"),
+          round(col("inter") * lit(1.0) / col("nb"), 6).as("cont_2_in_1"))
+        .filter(col("cont_1_in_2") >= 0.6 || col("cont_2_in_1") >= 0.6)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+
+    // Split-leakage audit — the DECONTAMINATION closure of dedup +
+    // train_split: a near-dup cluster whose members land in different
+    // splits leaks training text into eval. Clusters come from the
+    // same banded pipeline as dedup_clusters; the split is a PURE
+    // FUNCTION of doc_id (train_split's h32 rule), so the audit needs
+    // NO join against the corpus — label the pair-graph nodes
+    // directly and aggregate per cluster. Output: only the leaking
+    // clusters, with per-split member counts. At 100 TB the frame
+    // entering the audit is the pair graph (banding-bounded), never
+    // the corpus.
+    Q("split_leakage_audit",
+      s"""${minhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |spl AS (SELECT doc_id, cluster_id,
+         |    CASE WHEN ${duckH32("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${duckH32("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM lbl)
+         |SELECT cluster_id, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+         |  COUNT(CASE WHEN split = 'val' THEN 1 END) AS n_val,
+         |  COUNT(CASE WHEN split = 'test' THEN 1 END) AS n_test
+         |FROM spl GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val bucket = h32(col("id").cast("string")) % 100
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id"), col("cluster_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "val", 1)).as("n_val"),
+          count(when(col("split") === "test", 1)).as("n_test"),
+          countDistinct(col("split")).as("nspl"))
+        .filter(col("nspl") > 1)
+        .drop("nspl")
+        .orderBy("cluster_id")
+    },
+
     // embedding near-dup: IVF-centroid blocks, cosine >= 0.2 in-block.
     // Blocking on a DATA column (round 2 used `label`) leaves block
     // sizes at the mercy of the corpus — a skewed or low-cardinality

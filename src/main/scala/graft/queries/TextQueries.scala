@@ -691,6 +691,60 @@ object TextQueries {
         .orderBy("lang", "source")
     },
 
+    // Two-sample Kolmogorov-Smirnov drift audit between every source
+    // pair over the document token-length distribution — the "did
+    // this crawl's length profile shift" check a corpus refresh runs
+    // before mixing. Shape: ONE scan reduces the corpus to a
+    // (source, length) census; everything after — the source-pair
+    // cross, the per-pair union support, the ECDF cumsum window, the
+    // max-gap aggregate — runs on census-sized frames (|sources| x
+    // |distinct lengths|), so at 100 TB the cost is the scan, full
+    // stop. The window partitions by PAIR (not single-partition), and
+    // the KS max is taken over the union support, where ECDF step
+    // functions attain their extrema. Oracle recomputes F via
+    // correlated counts — slower but independently, provably the same
+    // statistic.
+    Q("ks_drift",
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS x FROM documents),
+        |tot AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+        |p AS (SELECT a.source AS s1, b.source AS s2, a.n AS n_1, b.n AS n_2
+        |      FROM tot a JOIN tot b ON a.source < b.source),
+        |u AS (SELECT DISTINCT s1, s2, n_1, n_2, x FROM p
+        |      JOIN (SELECT DISTINCT source, x FROM t) d ON d.source IN (s1, s2))
+        |SELECT s1 AS source_1, s2 AS source_2, n_1, n_2,
+        |  round(MAX(abs(
+        |    (SELECT COUNT(*) FROM t WHERE t.source = u.s1 AND t.x <= u.x) * 1.0 / n_1 -
+        |    (SELECT COUNT(*) FROM t WHERE t.source = u.s2 AND t.x <= u.x) * 1.0 / n_2)), 6) AS ks_stat
+        |FROM u GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("x"))
+      val c = t.groupBy("source", "x").agg(count(lit(1)).as("cnt"))
+      val tot = t.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = tot.select(col("source").as("s1"), col("n").as("n_1"))
+        .join(tot.select(col("source").as("s2"), col("n").as("n_2")),
+          col("s1") < col("s2"))
+      // union support with per-source count deltas: two equi-joins +
+      // union, then one cumsum window per pair — no as-of lookup
+      val d1 = pairs.join(c, col("source") === col("s1"))
+        .select(col("s1"), col("s2"), col("n_1"), col("n_2"), col("x"),
+          col("cnt").as("d1"), lit(0L).as("d2"))
+      val d2 = pairs.join(c, col("source") === col("s2"))
+        .select(col("s1"), col("s2"), col("n_1"), col("n_2"), col("x"),
+          lit(0L).as("d1"), col("cnt").as("d2"))
+      val w = Window.partitionBy("s1", "s2").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d1.unionAll(d2)
+        .groupBy("s1", "s2", "n_1", "n_2", "x")
+        .agg(sum(col("d1")).as("d1"), sum(col("d2")).as("d2"))
+        .withColumn("gap", abs(
+          sum(col("d1")).over(w) * lit(1.0) / col("n_1")
+            - sum(col("d2")).over(w) * lit(1.0) / col("n_2")))
+        .groupBy(col("s1").as("source_1"), col("s2").as("source_2"),
+          col("n_1"), col("n_2"))
+        .agg(round(max(col("gap")), 6).as("ks_stat"))
+        .orderBy("source_1", "source_2")
+    },
+
     // quality-filter pipeline: per-doc keep/drop decision with
     // per-reason flags (the C4-style audit trail — a production
     // pipeline keeps WHY a doc was dropped, not just the survivors).

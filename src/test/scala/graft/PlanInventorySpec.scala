@@ -45,7 +45,8 @@ class PlanInventorySpec extends SparkSpec {
     "dsir_select", "mix_temperature", // one-row totals cross-joined back
     "hard_negatives", // label-inequality join; broadcast side is the <20-vector query set
     "vocab_topk_mass", // |Ks|-row literal k table cross-joined onto the |langs|-row totals
-    "decayed_engagement") // one-row max-ts cross-joined back
+    "decayed_engagement", // one-row max-ts cross-joined back
+    "ks_drift") // source-pair cross (a.source < b.source) over the |sources|-row census
 
   test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
     val offenders = SparkEntry.allQueries.map { q =>
