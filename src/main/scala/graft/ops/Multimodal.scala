@@ -241,6 +241,11 @@ object Multimodal {
       var w = -1; var h = -1; var frames = 1; var animated = false
       while (off + 12 <= bytes.length) {
         val len = rdBe32(bytes, off).toInt
+        // a corrupted length field must be a loud truncation error,
+        // not an out-of-bounds read from inside the CRC check
+        if (len < 0 || off + 12L + len > bytes.length)
+          throw new IllegalArgumentException(
+            s"PNG chunk at $off claims $len data bytes past end of file")
         val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
         val crc = new java.util.zip.CRC32
         crc.update(bytes, off + 4, 4 + len)
@@ -268,6 +273,8 @@ object Multimodal {
         // SOF0..SOF15 carry the frame header; C4/C8/CC are not SOFs
         if (marker >= 0xc0 && marker <= 0xcf
             && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (off + 9 > bytes.length)
+            throw new IllegalArgumentException("JPEG SOF segment truncated")
           return MediaHeader("jpeg",
             rdBe16(bytes, off + 7), rdBe16(bytes, off + 5), 1)
         }
@@ -282,6 +289,9 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
         val len = rdLe32(bytes, off + 4)
+        if (len < 0 || off + 8 + len > bytes.length)
+          throw new IllegalArgumentException(
+            s"RIFF chunk '$id' at $off claims $len bytes past end of file")
         if (id == "fmt ") blockAlign = rdLe16(bytes, off + 20)
         if (id == "data") dataLen = len
         off += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.Multimodal._
+
+/** Property-based checks of the container builders/parser — pure-JVM,
+  * no Spark jobs per sample: every (dims, frames, payload) the
+  * builders can produce must parse back exactly, with the documented
+  * length formulas, for all four formats.
+  */
+object ContainerProps extends Properties("containers") {
+
+  // PNG/JPEG dimension fields are 4/2-byte; the engine's h32 rules
+  // stay far below both, so generate past the engine's range
+  private val genDim: Gen[Int] = Gen.chooseNum(1, 65535)
+  private val genFrames: Gen[Int] = Gen.chooseNum(1, 1 << 24)
+  private val genPayload: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+
+  property("png round trip + length formula") =
+    forAll(genDim, genDim, genPayload) { (w, h, p) =>
+      val bytes = buildPng(w, h, None, p)
+      parseHeader(bytes) == MediaHeader("png", w, h, 1) &&
+        bytes.length == 57 + p.length
+    }
+
+  property("apng round trip carries the acTL frame count") =
+    forAll(genDim, genDim, genFrames, genPayload) { (w, h, f, p) =>
+      val bytes = buildPng(w, h, Some(f), p)
+      parseHeader(bytes) == MediaHeader("apng", w, h, f) &&
+        bytes.length == 77 + p.length
+    }
+
+  property("jpeg round trip + segmented length formula") =
+    forAll(genDim, genDim, genPayload) { (w, h, p) =>
+      val bytes = buildJpeg(w, h, p)
+      val segs = (p.length + 59999) / 60000
+      parseHeader(bytes) == MediaHeader("jpeg", w, h, 1) &&
+        bytes.length == 35 + 4 * segs + p.length
+    }
+
+  property("wav round trip: frames == payload bytes at mono 8-bit") =
+    forAll(genPayload) { p =>
+      val bytes = buildWav(p)
+      parseHeader(bytes) == MediaHeader("wav", 0, 0, p.length) &&
+        bytes.length == 44 + p.length
+    }
+
+  property("a flipped byte anywhere in a PNG header region is detected") =
+    forAll(genDim, genDim, Gen.chooseNum(8, 32)) { (w, h, idx) =>
+      // positions 8..32 sit inside the IHDR chunk (length/type/data/crc)
+      val bytes = buildPng(w, h, None, "payload".getBytes)
+      bytes(idx) = (bytes(idx) ^ 0x40).toByte
+      try {
+        // a corrupted length/type field may still walk, but the CRC
+        // (or the chunk walk itself) must refuse — never a silent
+        // wrong-dimension success
+        val hd = parseHeader(bytes)
+        hd == MediaHeader("png", w, h, 1)
+      } catch { case _: IllegalArgumentException => true }
+    }
+}
