@@ -290,6 +290,44 @@ object SelectionQueries {
         .filter(col("rnk") <= HardNegK)
         .select("q_id", "rnk", "n_id", "n_label", "cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // Curriculum ordering — the deterministic global training order:
+    // easy->hard by difficulty bucket (token-count bands), shuffled
+    // WITHIN each bucket by portable hash so batches are i.i.d.
+    // within a difficulty band. The oracle is the naive global
+    // row_number over (bucket, hash, doc_id); the ENGINE computes the
+    // identical positions scalably as bucket-offset + within-bucket
+    // rank: per-bucket counts cumsum to offsets (a census-sized
+    // window), ranks come from a window partitioned BY BUCKET (hash
+    // exchange, no global single-partition sort), and the final
+    // position is offset + rank. At 100 TB the global-sort
+    // formulation is the bottleneck; this one's widest exchange is
+    // the per-bucket rank.
+    Q("curriculum_order", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id,
+         |    least(len(string_split(text, ' ')) // 20, 7) AS bucket,
+         |    $h AS hsh FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY bucket, hsh, doc_id) AS BIGINT) AS pos,
+         |  doc_id, bucket
+         |FROM d ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          least(floor(size(split(col("text"), " ")) / 20).cast("long"),
+            lit(7L)).as("bucket"),
+          h32(col("doc_id").cast("string")).as("hsh"))
+      val offsets = d.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("offset",
+          coalesce(sum(col("bn")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      val wb = Window.partitionBy("bucket").orderBy(col("hsh"), col("doc_id"))
+      d.withColumn("rnk", row_number().over(wb))
+        .join(broadcast(offsets), "bucket")
+        .select((col("offset") + col("rnk")).as("pos"), col("doc_id"), col("bucket"))
+        .orderBy("pos")
     }
   )
 }

@@ -31,7 +31,8 @@ class PlanInventorySpec extends SparkSpec {
     "bpe_merges",         // per-round argmax: one row per merge round
     "dsir_select",        // corpus totals (tt, rr): one row, broadcast back
     "mix_temperature",    // weight normalizer Z: one row, broadcast back
-    "decayed_engagement") // global max event time: one row, broadcast back
+    "decayed_engagement", // global max event time: one row, broadcast back
+    "curriculum_order") // bucket-offset cumsum over the |buckets|-row census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <

@@ -773,6 +773,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KS drift gate: identical batch scores 0, shifted batch is flagged") {
+    import graft.streaming.StreamDrift
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val ref = StreamDrift.referenceEcdf(docs)
+    // the reference tested against itself is exactly zero drift
+    assert(StreamDrift.batchAudit(docs, 0L, ref, 0.15)._3 === 0.0)
+    // a length-truncated batch (short docs only) must drift and flag
+    val short = docs.filter(size(split($"text", " ")) < 25)
+    val (_, n, ks, flagged) = StreamDrift.batchAudit(short, 1L, ref, 0.15)
+    assert(n > 0 && ks > 0.15 && flagged, s"n=$n ks=$ks")
+    // end-to-end streaming: batch 0 = in-distribution sample, batch 1
+    // = shifted; audits arrive per micro-batch through the gate
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamDrift.gate(
+        mem.toDF().toDF("doc_id", "text"), ref, 0.15, ckpt) { a =>
+      audits.synchronized { audits += a }
+    }.start()
+    try {
+      val all = docs.as[(Long, String)].collect()
+      mem.addData(all.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val shortRows = short.as[(Long, String)].collect()
+      mem.addData(shortRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = audits.synchronized(audits.sortBy(_._1).toList)
+    assert(got.length === 2)
+    assert(got(0)._3 === 0.0 && !got(0)._4, s"full corpus drifted: ${got(0)}")
+    assert(got(1)._3 === ks && got(1)._4, s"shifted batch not flagged: ${got(1)}")
+  }
+
   test("streaming funnel emits ordered-stage transitions; pre-signup views don't count") {
     import graft.streaming.StreamFunnel
     import graft.streaming.StreamFunnel.FunnelEvent
