@@ -185,6 +185,59 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(
 
     // brute-force exact top-k (the correctness baseline for ANN)
+    // Margin-based bitext/pair mining (Artetxe & Schwenk 2019, the
+    // LASER/CCMatrix shape): for each query vector on side A, the
+    // best candidate on side B scored by the RATIO margin — cos of
+    // the pair over the mean cos of the query's k nearest B-side
+    // neighbors — so a match only survives when it PEAKS above its
+    // neighborhood (a flat neighborhood means "everything is equally
+    // similar", i.e. no alignment). Sides here are the label parity
+    // (stand-in for two languages). Discipline: cosines quantize to
+    // integer micro-units before the k-NN mean (AVG over doubles is
+    // summation-order-dependent; an integer sum is exact in both
+    // engines), and the margin divides the exact integers. Same
+    // broadcast-queries/stream-corpus shape as ann_bruteforce.
+    Q("bitext_mine", {
+      val k = 4
+      s"""WITH a AS (SELECT * FROM embeddings WHERE label % 2 = 0 AND vec_id < 40),
+         |b AS (SELECT * FROM embeddings WHERE label % 2 = 1),
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    round(${duckDot("a", "b")} /
+         |      (sqrt(${duckDot("a", "a")}) * sqrt(${duckDot("b", "b")})), 6) AS cos_sim
+         |  FROM a JOIN b ON true),
+         |r AS (SELECT q_id, n_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk,
+         |    CAST(floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS cu FROM p),
+         |d AS (SELECT q_id, SUM(CASE WHEN rnk <= $k THEN cu END) AS denom_u
+         |      FROM r GROUP BY q_id)
+         |SELECT r.q_id AS q_id, n_id, cos_sim,
+         |  round(cu * $k.0 / denom_u, 6) AS margin
+         |FROM r JOIN d ON r.q_id = d.q_id
+         |WHERE rnk = 1 AND round(cu * $k.0 / denom_u, 6) >= 1.01
+         |ORDER BY r.q_id""".stripMargin
+    }) { (s, dir) =>
+      val k = 4
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("label") % 2 === 0 && col("vec_id") < 40)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val n = e.filter(col("label") % 2 === 1)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+      val wAll = Window.partitionBy(col("q_id"))
+      n.crossJoin(broadcast(q))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cu", floor(col("cos_sim") * 1e6 + 0.5).cast("long"))
+        .withColumn("denom_u", sum(when(col("rnk") <= k, col("cu"))).over(wAll))
+        .filter(col("rnk") === 1)
+        .withColumn("margin", round(col("cu") * lit(k.toDouble) / col("denom_u"), 6))
+        .filter(col("margin") >= 1.01)
+        .select("q_id", "n_id", "cos_sim", "margin")
+        .orderBy("q_id")
+    },
+
     Q("ann_bruteforce",
       s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
          |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,

@@ -47,7 +47,8 @@ class PlanInventorySpec extends SparkSpec {
     "hard_negatives", // label-inequality join; broadcast side is the <20-vector query set
     "vocab_topk_mass", // |Ks|-row literal k table cross-joined onto the |langs|-row totals
     "decayed_engagement", // one-row max-ts cross-joined back
-    "ks_drift") // source-pair cross (a.source < b.source) over the |sources|-row census
+    "ks_drift", // source-pair cross (a.source < b.source) over the |sources|-row census
+    "bitext_mine") // broadcast of the <40-vector query side, like ann_bruteforce
 
   test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
     val offenders = SparkEntry.allQueries.map { q =>
