@@ -1155,6 +1155,237 @@ object TextQueries {
         .select(col("k_bucket"), col("n"), col("su"),
           (col("su") / col("n") / lit(1000000.0)).as("avg_score"))
         .orderBy("k_bucket")
+    },
+
+    // GOPHER-STYLE RULE FILTER (Rae et al. '21 §A1.1 adapted to the
+    // fixture's stats) — the auditable counterpart to quality_score's
+    // single scalar: each rule is its own boolean column so curation
+    // can report WHICH rule rejected a document, and `keep` is their
+    // conjunction. Rules: word count in [20,90], mean word length
+    // >= 4.0, >= 2 stopword hits, most-frequent-token fraction
+    // <= 0.125 (the intra-doc repetition guard). Entirely scan-side
+    // column math — zero shuffle before the output sort; at 100 TB
+    // this is one fused projection over the corpus, and the per-rule
+    // flags aggregate into a rejection census for free.
+    Q("gopher_rules",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a, length(text) AS nch FROM documents),
+        |f AS (SELECT doc_id, len(a) AS n_words,
+        |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
+        |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
+        |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf
+        |  FROM d)
+        |SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, stop_hits,
+        |  round(topf, 6) AS top_tok_frac,
+        |  n_words BETWEEN 20 AND 90 AS r_len,
+        |  mwl >= 4.0 AS r_word_len,
+        |  stop_hits >= 2 AS r_stop,
+        |  topf <= 0.125 AS r_rep,
+        |  (n_words BETWEEN 20 AND 90) AND mwl >= 4.0 AND stop_hits >= 2
+        |    AND topf <= 0.125 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val a = split(col("text"), " ")
+      val f = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), size(a).as("n_words"),
+          ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
+          (size(filter(a, t => t === "the")) +
+            size(filter(a, t => t === "a"))).as("stop_hits"),
+          // per-row mode without a per-doc shuffle: max over distinct
+          // tokens of their in-array count (O(types x tokens) per row,
+          // types are vocabulary-bounded)
+          (array_max(transform(array_distinct(a),
+            w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"))
+      f.select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 6).as("mean_word_len"), col("stop_hits"),
+          round(col("topf"), 6).as("top_tok_frac"),
+          col("n_words").between(20, 90).as("r_len"),
+          (col("mwl") >= 4.0).as("r_word_len"),
+          (col("stop_hits") >= 2).as("r_stop"),
+          (col("topf") <= 0.125).as("r_rep"),
+          (col("n_words").between(20, 90) && col("mwl") >= 4.0 &&
+            col("stop_hits") >= 2 && col("topf") <= 0.125).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // PII SCAN + REDACTION — the privacy pass every release pipeline
+    // runs: regex-detect emails / phone numbers / IPv4s, count them,
+    // and mask each class with a typed placeholder. The fixture text
+    // is digit-free word soup, so the query first INJECTS
+    // deterministic PII derived from doc_id into 2/3 of the documents
+    // (the other 1/3 stay clean — the negative case); both engines
+    // build the identical enriched string, so detection counts and
+    // the md5 of the redacted text pin the scan AND the replacement
+    // byte-exactly. Patterns use the RE2/Java-regex common subset (no
+    // backrefs/lookaround). Scan-side projection, zero shuffle; at
+    // 100 TB redaction cost is one regex pass fused into the scan.
+    Q("pii_redact", {
+      val email = "[a-z0-9._]+@[a-z.]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+      s"""WITH e AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text
+         |       ELSE text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |            '@mail.example phone 555-' ||
+         |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' ||
+         |            CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |            CAST((doc_id * 7) % 256 AS VARCHAR) END AS t
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |    len(regexp_extract_all(t, '$email')) AS n_email,
+         |    len(regexp_extract_all(t, '$phone')) AS n_phone,
+         |    len(regexp_extract_all(t, '$ip')) AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g'),
+         |      '$ip', '<IP>', 'g') AS red
+         |  FROM e)
+         |SELECT doc_id, n_email, n_phone, n_ip,
+         |  n_email + n_phone + n_ip > 0 AS has_pii,
+         |  md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val email = "[a-z0-9._]+@[a-z.]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+      val enriched = when(col("doc_id") % 3 === 0, col("text")).otherwise(
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example phone 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string")))
+      val r = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), enriched.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).as("n_email"),
+          regexp_count(col("t"), lit(phone)).as("n_phone"),
+          regexp_count(col("t"), lit(ip)).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("red"))
+      r.select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          (col("n_email") + col("n_phone") + col("n_ip") > 0).as("has_pii"),
+          md5(col("red")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // SEQUENCE-PACKING EFFICIENCY AUDIT — the QA census over
+    // pack_sequences' greedy bins: per shard, how many sequences were
+    // cut, how full they are (sum-then-divide, so the fill average is
+    // summation-order-independent), and how many bins a straddling
+    // document pushed past the 2048 budget. Window cumsum stays
+    // hash-partitioned by shard exactly as in pack_sequences; the
+    // audit itself reduces 2 levels to 8 census rows.
+    Q("pack_efficiency", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, $h % 8 AS shard,
+         |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |sq AS (SELECT shard, (cum - n_tokens) // 2048 AS seq_id,
+         |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok
+         |  FROM c GROUP BY 1, 2)
+         |SELECT shard, COUNT(*) AS n_seqs, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(MIN(tok) AS BIGINT) AS min_tokens,
+         |  CAST(MAX(tok) AS BIGINT) AS max_tokens,
+         |  round(CAST(SUM(tok) AS DOUBLE) / COUNT(*) / 2048.0, 6) AS avg_fill,
+         |  CAST(SUM(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+         |FROM sq GROUP BY shard ORDER BY shard""".stripMargin
+    }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (h32(col("doc_id").cast("string")) % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sq = d.withColumn("cum", sum(col("n_tokens")).over(w))
+        .groupBy(col("shard"),
+          floor((col("cum") - col("n_tokens")) / 2048).as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
+      sq.groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+          min(col("tok")).as("min_tokens"), max(col("tok")).as("max_tokens"),
+          round(sum(col("tok")).cast("double") / count(lit(1)) / lit(2048.0), 6)
+            .as("avg_fill"),
+          sum(when(col("tok") > 2048, 1).otherwise(0)).as("n_overflow"))
+        .orderBy("shard")
+    },
+
+    // TRIGRAM STUPID-BACKOFF SCORER (Brants et al., EMNLP '07) — the
+    // count-based LM quality signal one order above bigram_logprob,
+    // WITH the backoff path genuinely exercised: counts are trained
+    // on the even-doc_id half of the corpus, so odd documents contain
+    // unseen trigrams and fall back trigram -> bigram -> add-one
+    // unigram with the standard 0.4 backoff factor. All lower-order
+    // counts are marginals of ONE trigram count table (the standard
+    // count-infra trick: derive, don't re-scan), so the corpus is
+    // tokenized exactly once and the count tables are
+    // vocabulary-bounded — at 100 TB they broadcast while the per-doc
+    // trigram stream joins map-side. Per-term logs are rounded to 6
+    // decimals and summed as DECIMAL(20,6): bit-identical across
+    // engines and summation orders.
+    Q("trigram_backoff",
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-2], a[2:len(a)-1], a[3:len(a)])) AS p FROM arr),
+        |tri AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM tg),
+        |dtc AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS dc FROM tri GROUP BY 1, 2, 3, 4),
+        |t3 AS (SELECT w1, w2, w3, CAST(SUM(dc) AS BIGINT) AS c3 FROM dtc WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        |cx2 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS cc2 FROM t3 GROUP BY 1, 2),
+        |b2 AS (SELECT w2, w3, CAST(SUM(c3) AS BIGINT) AS c2 FROM t3 GROUP BY 1, 2),
+        |cx1 AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cc1 FROM b2 GROUP BY 1),
+        |u1 AS (SELECT w3, CAST(SUM(c2) AS BIGINT) AS c1 FROM b2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM u1)
+        |SELECT dtc.doc_id AS doc_id, CAST(SUM(dc) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN c3 IS NULL THEN dc ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(dc * CAST(round(CASE
+        |    WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / cc2)
+        |    WHEN c2 IS NOT NULL THEN ln(0.4 * c2 / cc1)
+        |    ELSE ln(0.16 * (COALESCE(c1, 0) + 1) / (n + v)) END, 6) AS DECIMAL(20,6))) AS DOUBLE) AS logprob
+        |FROM dtc LEFT JOIN t3 USING (w1, w2, w3) LEFT JOIN cx2 USING (w1, w2)
+        |  LEFT JOIN b2 USING (w2, w3) LEFT JOIN cx1 USING (w2) LEFT JOIN u1 USING (w3)
+        |  CROSS JOIN tot
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val arr = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val n = size(col("a"))
+      val tri = arr
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("a"), lit(1), n - 2),
+          slice(col("a"), lit(2), n - 2),
+          slice(col("a"), lit(3), n - 2))).as("p"))
+        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"),
+          col("p.2").as("w3"))
+      val dtc = tri.groupBy("doc_id", "w1", "w2", "w3")
+        .agg(count(lit(1)).as("dc"))
+      // train-half counts + all lower orders derive from dtc: one
+      // tokenize, one explode, then vocabulary-bounded aggregates
+      val t3 = dtc.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2", "w3").agg(sum(col("dc")).as("c3"))
+      val cx2 = t3.groupBy("w1", "w2").agg(sum(col("c3")).as("cc2"))
+      val b2 = t3.groupBy("w2", "w3").agg(sum(col("c3")).as("c2"))
+      val cx1 = b2.groupBy("w2").agg(sum(col("c2")).as("cc1"))
+      val u1 = b2.groupBy("w3").agg(sum(col("c2")).as("c1"))
+      val tot = u1.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+      val term = round(
+        when(col("c3").isNotNull, log(col("c3").cast("double") / col("cc2")))
+          .when(col("c2").isNotNull, log(lit(0.4) * col("c2") / col("cc1")))
+          .otherwise(log(lit(0.16) * (coalesce(col("c1"), lit(0)) + 1) /
+            (col("n") + col("v")))), 6)
+        .cast(DecimalType(20, 6))
+      dtc.join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(cx2), Seq("w1", "w2"), "left")
+        .join(broadcast(b2), Seq("w2", "w3"), "left")
+        .join(broadcast(cx1), Seq("w2"), "left")
+        .join(broadcast(u1), Seq("w3"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("dc")).as("n_trigrams"),
+          sum(when(col("c3").isNull, col("dc")).otherwise(lit(0)))
+            .as("n_backoff"),
+          sum(col("dc") * term).cast("double").as("logprob"))
+        .orderBy("doc_id")
     }
   )
 

@@ -32,7 +32,8 @@ class PlanInventorySpec extends SparkSpec {
     "dsir_select",        // corpus totals (tt, rr): one row, broadcast back
     "mix_temperature",    // weight normalizer Z: one row, broadcast back
     "decayed_engagement", // global max event time: one row, broadcast back
-    "curriculum_order") // bucket-offset cumsum over the |buckets|-row census
+    "curriculum_order",   // bucket-offset cumsum over the |buckets|-row census
+    "trigram_backoff")    // train totals (N, V): one row, broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -48,7 +49,8 @@ class PlanInventorySpec extends SparkSpec {
     "vocab_topk_mass", // |Ks|-row literal k table cross-joined onto the |langs|-row totals
     "decayed_engagement", // one-row max-ts cross-joined back
     "ks_drift", // source-pair cross (a.source < b.source) over the |sources|-row census
-    "bitext_mine") // broadcast of the <40-vector query side, like ann_bruteforce
+    "bitext_mine", // broadcast of the <40-vector query side, like ann_bruteforce
+    "trigram_backoff") // one-row (N, V) totals cross-joined back
 
   test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
     val offenders = SparkEntry.allQueries.map { q =>
