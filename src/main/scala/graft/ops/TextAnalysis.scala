@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star
@@ -59,5 +60,32 @@ object TextAnalysis {
     val stops = langScore(text, stopwords)
     round(least(lit(1.0), n * lit(1.0) / 100.0)
       * (lit(1.0) - stops * lit(1.0) / n), 6)
+  }
+
+  /** Content-defined chunking (LBFS/FastCDC boundary rule at token
+    * granularity): a chunk ends AFTER any token whose portable hash
+    * ≡ 0 (mod `modBase`), so boundaries depend only on local content
+    * and re-synchronize after insertions — the property positional
+    * chunking lacks. Input needs (doc_id, text); returns one row per
+    * (doc_id, chunk_idx) with the chunk's token count and md5. The
+    * boundary cumsum window is PARTITIONED by doc (per-doc streaming
+    * state at scale, never a global cumsum); chunk text re-assembles
+    * order-exactly via the rank-sorted struct fold.
+    */
+  def cdcChunks(docs: DataFrame, modBase: Int = 8): DataFrame = {
+    import graft.functions.PortableHash.h32
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"),
+        when(h32(col("tok")) % modBase === 0, 1L).otherwise(0L).as("bdry"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos.withColumn("chunk_idx", coalesce(sum(col("bdry")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_md5"))
   }
 }

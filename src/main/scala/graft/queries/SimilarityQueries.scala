@@ -896,6 +896,132 @@ object SimilarityQueries {
         .select(col("cl"), col("n"), col("sil_u"),
           (col("sil_u") / col("n") / lit(1000000.0)).as("avg_sil"))
         .orderBy("cl")
+    },
+
+    // MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    // SIGIR '98) — the diversity pass between ANN retrieval and
+    // downstream use: greedily pick k results maximizing
+    // λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so near-duplicate
+    // hits don't crowd the result list. Greedy selection is
+    // inherently sequential, but k is a small constant (3 here), so
+    // the recurrence UNROLLS into k dataflow argmax steps — no driver
+    // loop, identical plans at any corpus size. All scores are exact
+    // integers (cosines round to 6 dp then scale to 1e-6 units;
+    // λ=0.7 becomes score = 7·rel_u − 3·sim_u), so every argmax is
+    // engine- and order-deterministic with the (score DESC, id) tie
+    // rule. Scale shape: the QxN retrieval streams the corpus against
+    // broadcast queries (ann_bruteforce's shape); everything after
+    // operates on the |queries|×CandK shortlist, which is
+    // MATERIALIZED (localCheckpoint — the production analog is the
+    // retrieval output table) so the k unrolled steps reuse it
+    // instead of re-scanning the corpus per step.
+    Q("mmr_rerank", {
+      val ck = MmrCandK
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+         |n AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id >= 5),
+         |rel AS (SELECT q_id, c_id,
+         |    CAST(floor(round(${duckDot("q", "n")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("n", "n")})), 6) * 1e6 + 0.5) AS BIGINT) AS rel_u
+         |  FROM q JOIN n ON true),
+         |cand AS (SELECT q_id, c_id, rel_u, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rel_u DESC, c_id) AS rnk FROM rel
+         |  QUALIFY rnk <= $ck),
+         |ps AS (SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id,
+         |    CAST(floor(round(${duckDot("ea", "eb")} /
+         |      (sqrt(${duckDot("ea", "ea")}) * sqrt(${duckDot("eb", "eb")})), 6) * 1e6 + 0.5) AS BIGINT) AS sim_u
+         |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.c_id <> y.c_id
+         |  JOIN embeddings ea ON ea.vec_id = x.c_id
+         |  JOIN embeddings eb ON eb.vec_id = y.c_id),
+         |s1 AS (SELECT q_id, c_id AS s1_id, rel_u AS r1 FROM cand WHERE rnk = 1),
+         |t2 AS (SELECT c.q_id, c.c_id, 7 * c.rel_u - 3 * ps.sim_u AS sc
+         |  FROM cand c JOIN s1 USING (q_id)
+         |  JOIN ps ON ps.q_id = c.q_id AND ps.a_id = c.c_id AND ps.b_id = s1_id
+         |  WHERE c.c_id <> s1_id),
+         |s2 AS (SELECT q_id, c_id AS s2_id, sc AS sc2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, c_id) AS rn
+         |  FROM t2) WHERE rn = 1),
+         |t3 AS (SELECT c.q_id, c.c_id,
+         |    7 * c.rel_u - 3 * GREATEST(p1.sim_u, p2.sim_u) AS sc
+         |  FROM cand c JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+         |  JOIN ps p1 ON p1.q_id = c.q_id AND p1.a_id = c.c_id AND p1.b_id = s1_id
+         |  JOIN ps p2 ON p2.q_id = c.q_id AND p2.a_id = c.c_id AND p2.b_id = s2_id
+         |  WHERE c.c_id <> s1_id AND c.c_id <> s2_id),
+         |s3 AS (SELECT q_id, c_id AS s3_id, sc AS sc3 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, c_id) AS rn
+         |  FROM t3) WHERE rn = 1)
+         |SELECT q_id, mmr_rank, vec_id, score_u FROM (
+         |  SELECT q_id, 1 AS mmr_rank, s1_id AS vec_id, CAST(7 * r1 AS BIGINT) AS score_u FROM s1
+         |  UNION ALL SELECT q_id, 2, s2_id, CAST(sc2 AS BIGINT) FROM s2
+         |  UNION ALL SELECT q_id, 3, s3_id, CAST(sc3 AS BIGINT) FROM s3)
+         |ORDER BY q_id, mmr_rank""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val n = e.filter(col("vec_id") >= 5)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      def u(c: org.apache.spark.sql.Column) =
+        floor(round(c, 6) * 1e6 + 0.5).cast("long")
+      val wRel = Window.partitionBy(col("q_id"))
+        .orderBy(col("rel_u").desc, col("c_id"))
+      // retrieval: corpus streams against broadcast queries; the
+      // shortlist (|q| x CandK rows, with embeddings) materializes so
+      // the unrolled steps below never touch the corpus again
+      val cand = n.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"), col("ce"),
+          u(Similarity.cosine(col("qe"), col("ce"))).as("rel_u"))
+        .withColumn("rnk", row_number().over(wRel))
+        .filter(col("rnk") <= MmrCandK)
+        .localCheckpoint(true)
+      val ps = cand.select(col("q_id"), col("c_id").as("a_id"), col("ce").as("ea"))
+        .join(cand.select(col("q_id"), col("c_id").as("b_id"), col("ce").as("eb")),
+          Seq("q_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("q_id"), col("a_id"), col("b_id"),
+          u(Similarity.cosine(col("ea"), col("eb"))).as("sim_u"))
+      val s1 = cand.filter(col("rnk") === 1)
+        .select(col("q_id"), col("c_id").as("s1_id"), col("rel_u").as("r1"))
+      def argmax(t: org.apache.spark.sql.DataFrame) =
+        t.withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sc").desc, col("c_id"))))
+          .filter(col("rn") === 1)
+      // pair-sim lookup tables renamed per use site so every join key
+      // resolves unambiguously (the same ps feeds both steps)
+      val p1 = ps.select(col("q_id").as("pq1"), col("a_id").as("a1"),
+        col("b_id").as("b1"), col("sim_u").as("sim1"))
+      val p2 = ps.select(col("q_id").as("pq2"), col("a_id").as("a2"),
+        col("b_id").as("b2"), col("sim_u").as("sim2"))
+      val t2 = cand.join(s1, Seq("q_id")).filter(col("c_id") =!= col("s1_id"))
+        .join(p1, col("q_id") === col("pq1") && col("a1") === col("c_id") &&
+          col("b1") === col("s1_id"))
+        .select(col("q_id"), col("c_id"),
+          (lit(7) * col("rel_u") - lit(3) * col("sim1")).as("sc"))
+      val s2 = argmax(t2).select(col("q_id"), col("c_id").as("s2_id"),
+        col("sc").as("sc2"))
+      val t3 = cand.join(s1, Seq("q_id")).join(s2, Seq("q_id"))
+        .filter(col("c_id") =!= col("s1_id") && col("c_id") =!= col("s2_id"))
+        .join(p1, col("q_id") === col("pq1") && col("a1") === col("c_id") &&
+          col("b1") === col("s1_id"))
+        .join(p2, col("q_id") === col("pq2") && col("a2") === col("c_id") &&
+          col("b2") === col("s2_id"))
+        .select(col("q_id"), col("c_id"),
+          (lit(7) * col("rel_u") - lit(3) * greatest(col("sim1"), col("sim2")))
+            .as("sc"))
+      val s3 = argmax(t3).select(col("q_id"), col("c_id").as("s3_id"),
+        col("sc").as("sc3"))
+      s1.select(col("q_id"), lit(1).as("mmr_rank"), col("s1_id").as("vec_id"),
+          (lit(7) * col("r1")).cast("long").as("score_u"))
+        .union(s2.select(col("q_id"), lit(2).as("mmr_rank"),
+          col("s2_id").as("vec_id"), col("sc2").cast("long").as("score_u")))
+        .union(s3.select(col("q_id"), lit(3).as("mmr_rank"),
+          col("s3_id").as("vec_id"), col("sc3").cast("long").as("score_u")))
+        .orderBy("q_id", "mmr_rank")
     }
   )
+
+  /** mmr_rerank shortlist size (candidates per query before the
+    * greedy diversity selection).
+    */
+  val MmrCandK = 8
 }

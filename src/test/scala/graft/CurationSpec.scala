@@ -99,4 +99,149 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) % 2 == 1 && r.getLong(2) > 0),
       "no held-out doc ever backed off — backoff path untested")
   }
+
+  test("NormalizeText: NFC composes, identity on already-normal, no-copy fast path") {
+    import graft.functions.NormalizeText
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val out = Seq("cafe\u0301", "caf\u00e9", "plain ascii", "nai\u0308ve")
+      .toDF("t").select(NormalizeText.nfc(col("t")).as("n"))
+      .as[String].collect()
+    assert(out(0) === "caf\u00e9")          // decomposed -> composed
+    assert(out(1) === "caf\u00e9")          // already composed: unchanged
+    assert(out(2) === "plain ascii")
+    assert(out(3) === "na\u00efve")
+    // the fast path returns the INPUT OBJECT for already-normal text
+    val s = UTF8String.fromString("already normal")
+    assert(NormalizeText.normalize(s, java.text.Normalizer.Form.NFC) eq s)
+    // null propagates (nullIntolerant)
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(NormalizeText.nfc(col("t"))).collect()
+    assert(nulls(0).isNullAt(0))
+    // equal inputs after normalization dedup to one hash key
+    val dedup = Seq("cafe\u0301", "caf\u00e9").toDF("t")
+      .select(md5(NormalizeText.nfc(col("t"))).as("h"))
+      .distinct().count()
+    assert(dedup === 1)
+  }
+
+  test("unicode_normalize query: decomposed docs change, precomposed are identity") {
+    val rows = run("unicode_normalize").collect()
+    rows.foreach { r =>
+      val (id, raw, nfc, changed) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))
+      if (id % 2 == 0) {
+        // two combining marks collapse: exactly 2 codepoints shorter
+        assert(changed && raw - nfc == 2, s"doc $id: $raw -> $nfc")
+      } else assert(!changed && raw == nfc, s"doc $id changed unexpectedly")
+    }
+  }
+
+  test("token_entropy: bounds hold and repetition lowers entropy") {
+    import spark.implicits._
+    val rows = run("token_entropy", sf001).collect()
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (h, nh) = (r.getDouble(3), r.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($k)]")
+      assert(nh >= 0.0 && nh <= 1.0 + 1e-9)
+      assert(n >= k)
+    }
+    // a uniform doc maxes normalized entropy; a skewed doc scores lower
+    // (pin on a hand fixture via the same formula path end to end)
+    val docs = Seq((2L, "a b c d e f g h"), (4L, "a a a a a a b c"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("curation_entropy_fixture")
+    // recompute with the op-level shape: counts -> H = ln n - sum(c ln c)/n
+    val uc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("n"),
+        sum(col("count") * log(col("count").cast("double"))).as("clnc"))
+      .select(col("doc_id"),
+        (log(col("n").cast("double")) - col("clnc") / col("n")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uc(2L) - math.log(8.0)) < 1e-9) // uniform: H = ln 8
+    assert(uc(4L) < uc(2L))                          // skew lowers H
+  }
+
+  test("CDC chunks re-synchronize after a prefix insertion") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    // find real boundary tokens (h32 % 8 == 0) from a candidate pool so
+    // the fixture tracks the actual hash, not an assumed one
+    val pool = (1 to 200).map(i => s"tok$i")
+    val flags = pool.toDF("tok")
+      .select(col("tok"),
+        (graft.functions.PortableHash.h32(col("tok")) % 8 === 0).as("b"))
+      .as[(String, Boolean)].collect()
+    val bdry = flags.filter(_._2).map(_._1)
+    val plain = flags.filterNot(_._2).map(_._1)
+    assert(bdry.length >= 2 && plain.length >= 8, "fixture pool too small")
+    val body = Seq(plain(0), plain(1), bdry(0), plain(2), plain(3), bdry(1),
+      plain(4), plain(5))
+    val shifted = Seq(plain(6), plain(7)) ++ body // two tokens inserted at front
+    val docs = Seq((1L, body.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs)
+      .select("doc_id", "chunk_idx", "chunk_md5")
+      .as[(Long, Long, String)].collect()
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val d2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    // doc 1 chunks: [p0 p1 B0] [p2 p3 B1] [p4 p5]; doc 2's first chunk
+    // absorbs the insertion, every later chunk hash re-syncs exactly
+    assert(d1.length === 3 && d2.length === 3)
+    assert(d1(0) !== d2(0), "insertion must change the first chunk")
+    assert(d1(1) === d2(1) && d1(2) === d2(2),
+      "chunks after the first boundary must re-synchronize")
+    // cross-check: positional chunking (fixed width 3) would NOT re-sync
+    val fixedWidth1 = body.grouped(3).map(_.mkString(" ")).toSeq
+    val fixedWidth2 = shifted.grouped(3).map(_.mkString(" ")).toSeq
+    assert(fixedWidth1.tail !== fixedWidth2.tail.take(fixedWidth1.length - 1))
+  }
+
+  test("mmr_rerank matches an independent greedy reimplementation and diversifies") {
+    import spark.implicits._
+    // independent driver-side greedy MMR from the raw embeddings,
+    // replicating the query's exact arithmetic (sequential double dot,
+    // HALF_UP 6-dp round, 1e-6 integer units, 7*rel - 3*maxsim)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap.view.mapValues(_.toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def u(x: Double): Long = {
+      val r = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r * 1e6 + 0.5).toLong
+    }
+    def cosU(a: Long, b: Long): Long =
+      u(dot(emb(a), emb(b)) / (math.sqrt(dot(emb(a), emb(a))) * math.sqrt(dot(emb(b), emb(b)))))
+    val qs = emb.keys.filter(_ < 5).toSeq.sorted
+    val cs = emb.keys.filter(_ >= 5).toSeq.sorted
+    val expected = qs.flatMap { q =>
+      val rel = cs.map(c => c -> cosU(q, c)).toMap
+      val cand = cs.sortBy(c => (-rel(c), c)).take(8)
+      var sel = List(cand.minBy(c => (-rel(c), c)))
+      (1 to 2).foreach { _ =>
+        val rem = cand.filterNot(sel.contains)
+        sel = sel :+ rem.minBy(c => (-(7 * rel(c) - 3 * sel.map(s => cosU(c, s)).max), c))
+      }
+      sel.zipWithIndex.map { case (c, i) => (q, i + 1, c) }
+    }.toSet
+    val got = run("mmr_rerank").select("q_id", "mmr_rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === expected, "query disagrees with the reference greedy")
+    // the point of MMR: the selection must DIVERGE from pure relevance
+    // for at least one query (it does for all five on this fixture)
+    val pureRel = qs.flatMap { q =>
+      val rel = cs.map(c => c -> cosU(q, c)).toMap
+      cs.sortBy(c => (-rel(c), c)).take(3).zipWithIndex
+        .map { case (c, i) => (q, i + 1, c) }
+    }.toSet
+    assert(got !== pureRel, "MMR never diverged from relevance ranking")
+  }
 }

@@ -51,6 +51,10 @@ class PlanInventorySpec extends SparkSpec {
     "ks_drift", // source-pair cross (a.source < b.source) over the |sources|-row census
     "bitext_mine", // broadcast of the <40-vector query side, like ann_bruteforce
     "trigram_backoff") // one-row (N, V) totals cross-joined back
+  // (mmr_rerank's retrieval BNLJ — broadcast query side, like
+  // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
+  // final plan the inventory sees starts from the materialized
+  // shortlist and contains no BNLJ.)
 
   test("no query plans a cartesian product; single-partition exchanges and BNLJs stay allowlisted") {
     val offenders = SparkEntry.allQueries.map { q =>
