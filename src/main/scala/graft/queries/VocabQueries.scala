@@ -362,8 +362,142 @@ object VocabQueries {
         .select(col("lang"), col("rnk"), col("tok").as("item"), col("c"),
           col("w_u"), expr(s"CAST(($budget * w_u) DIV z AS BIGINT)").as("quota"))
         .orderBy("lang", "rnk")
+    },
+
+    // PMI COLLOCATIONS (Church & Hanks '90) — the association-strength
+    // census behind phrase/merge candidate lists: for adjacent token
+    // pairs with count >= MinColl, PMI = ln((c12/Nb)/((c1/N)(c2/N))),
+    // computed as ONE division of exact integer products (c12·N² /
+    // (Nb·c1·c2) stays far under 2^53, so the double is exact) and one
+    // rounded ln — engine-deterministic without any decimal plumbing.
+    // Count tables are vocabulary-bounded; the corpus tokenizes once
+    // and only (token, count) pairs shuffle. Top-20 by (pmi, pair)
+    // total order via sort+limit (TakeOrdered — bounded heap, never a
+    // single-partition global sort).
+    Q("pmi_collocations", {
+      val (minC, k) = (MinColl, CollTopK)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM u),
+         |arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |bg AS (SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p FROM arr),
+         |bc AS (SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |       FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bc)
+         |SELECT w1, w2, c12,
+         |  round(ln(CAST(c12 * n * n AS DOUBLE) / CAST(nb * u1.c * u2.c AS DOUBLE)), 6) AS pmi
+         |FROM bc JOIN u u1 ON u1.tok = w1 JOIN u u2 ON u2.tok = w2
+         |CROSS JOIN n CROSS JOIN nb
+         |WHERE c12 >= $minC
+         |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.parallelize(Tables.load(s, dir, "documents")
+        .select("doc_id", "text"))
+      val u = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = u.agg(sum(col("c")).as("n"))
+      val a = docs.select(split(col("text"), " ").as("a"))
+      val bigrams = zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))
+      val bc = a.select(explode(bigrams).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val nb = bc.agg(sum(col("c12")).as("nb"))
+      val u1 = u.select(col("tok").as("w1"), col("c").as("c1"))
+      val u2 = u.select(col("tok").as("w2"), col("c").as("c2"))
+      bc.filter(col("c12") >= MinColl)
+        .join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") * col("n") * col("n")).cast("double") /
+            (col("nb") * col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(CollTopK)
+    },
+
+    // NAIVE BAYES TEXT CLASSIFIER (the add-one-smoothed multinomial NB
+    // every curation stack trains as its first quality/domain/language
+    // gate) — trained and scored ENTIRELY in the dataflow, no driver
+    // loop: token counts from the even-doc_id half are the model
+    // (class priors + smoothed per-class token log-likelihoods), odd
+    // docs are genuinely held out. Per-class scores sum n·ln((c+1)/
+    // (tot+V)) in DECIMAL(20,6) (order-independent), argmax breaks
+    // ties by class name. Scale shape: the model tables are
+    // vocabulary-bounded and BROADCAST; the corpus tokenizes once and
+    // the widest flow is |doc-token types| × |classes| rows into a
+    // per-(doc, class) aggregate — the standard distributed NB score.
+    Q("lang_id_nb",
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, lang, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2, 3),
+        |tr AS (SELECT lang, tok, CAST(SUM(n) AS BIGINT) AS c FROM dt
+        |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cls AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tr GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        |pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+        |        WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ndoc AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndocs FROM pri),
+        |sc AS (SELECT dt.doc_id, dt.lang AS true_lang, cls.lang AS cand, dt.n,
+        |    COALESCE(tr.c, 0) AS c, cls.tot, voc.v
+        |  FROM dt CROSS JOIN cls CROSS JOIN voc
+        |  LEFT JOIN tr ON tr.lang = cls.lang AND tr.tok = dt.tok),
+        |ll AS (SELECT doc_id, true_lang, cand,
+        |    SUM(n * CAST(round(ln((c + 1.0) / (tot + v)), 6) AS DECIMAL(20,6))) AS lsum
+        |  FROM sc GROUP BY 1, 2, 3),
+        |fin AS (SELECT ll.doc_id, true_lang, cand,
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / ndocs), 6) AS DECIMAL(20,6)) + lsum AS logpost
+        |  FROM ll JOIN pri ON pri.lang = ll.cand CROSS JOIN ndoc),
+        |best AS (SELECT doc_id, true_lang, cand, logpost, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY logpost DESC, cand) AS rn FROM fin)
+        |SELECT doc_id, true_lang, cand AS pred_lang,
+        |  CAST(logpost AS DOUBLE) AS logpost, cand = true_lang AS is_match
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dt = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text"))
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
+      // the model: train-half counts, materialized once (the persisted
+      // NB artifact) — every lower table derives without a re-scan
+      val tr = dt.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("cand"), col("tok"))
+        .agg(sum(col("n")).as("c"))
+        .localCheckpoint(true)
+      val cls = tr.groupBy("cand").agg(sum(col("c")).as("tot"))
+      val voc = tr.agg(countDistinct(col("tok")).as("v"))
+      val pri = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("cand")).agg(count(lit(1)).as("nd"))
+      val ndoc = pri.agg(sum(col("nd")).as("ndocs"))
+      val term = round(log((col("c") + 1.0) / (col("tot") + col("v"))), 6)
+        .cast(DecimalType(20, 6))
+      val ll = dt
+        .crossJoin(broadcast(cls)).crossJoin(broadcast(voc))
+        .join(broadcast(tr), Seq("cand", "tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy(col("doc_id"), col("lang").as("true_lang"), col("cand"))
+        .agg(sum(col("n") * term).as("lsum"))
+      val prior = round(log(col("nd").cast("double") / col("ndocs")), 6)
+        .cast(DecimalType(20, 6))
+      val fin = ll.join(broadcast(pri), "cand").crossJoin(broadcast(ndoc))
+        .select(col("doc_id"), col("true_lang"), col("cand"),
+          (prior + col("lsum")).as("logpost"))
+      fin.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("logpost").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"),
+          col("logpost").cast("double").as("logpost"),
+          (col("cand") === col("true_lang")).as("is_match"))
+        .orderBy("doc_id")
     }
   )
+
+  /** pmi_collocations: minimum pair count (rare-pair PMI is noise)
+    * and reported list size.
+    */
+  val MinColl = 5
+  val CollTopK = 20
 
   /** The bpe_merges training loop, shared with bpe_encode: `rounds`
     * greedy merges over the word-type table. Returns, per completed

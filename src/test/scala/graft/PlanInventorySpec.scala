@@ -33,7 +33,9 @@ class PlanInventorySpec extends SparkSpec {
     "mix_temperature",    // weight normalizer Z: one row, broadcast back
     "decayed_engagement", // global max event time: one row, broadcast back
     "curriculum_order",   // bucket-offset cumsum over the |buckets|-row census
-    "trigram_backoff")    // train totals (N, V): one row, broadcast back
+    "trigram_backoff",    // train totals (N, V): one row, broadcast back
+    "pmi_collocations",   // corpus totals (N, Nb): one row each, broadcast back
+    "lang_id_nb")         // vocab size V + train doc total: one row each
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -50,7 +52,9 @@ class PlanInventorySpec extends SparkSpec {
     "decayed_engagement", // one-row max-ts cross-joined back
     "ks_drift", // source-pair cross (a.source < b.source) over the |sources|-row census
     "bitext_mine", // broadcast of the <40-vector query side, like ann_bruteforce
-    "trigram_backoff") // one-row (N, V) totals cross-joined back
+    "trigram_backoff", // one-row (N, V) totals cross-joined back
+    "pmi_collocations", // one-row (N, Nb) totals cross-joined back
+    "lang_id_nb") // |classes|-row model grid + one-row V/ndocs cross-joined
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized

@@ -185,4 +185,72 @@ class VocabSpec extends SparkSpec {
       assert(v2 <= v1 + 1, s"round $k vocab jumped $v1 -> $v2")
     }
   }
+
+  test("pmi_collocations matches an independent driver-side recount at sf0.001") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("text").as[String].collect().map(_.split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val big = docs.flatMap(a => a.zip(a.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nb = big.values.sum
+    def pmi(w1: String, w2: String, c12: Long): Double = {
+      val x = (c12 * n * n).toDouble / (nb * uni(w1) * uni(w2)).toDouble
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = big.toSeq.collect {
+      case ((w1, w2), c12) if c12 >= graft.queries.VocabQueries.MinColl =>
+        (w1, w2, c12, pmi(w1, w2, c12))
+    }.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+      .take(graft.queries.VocabQueries.CollTopK)
+    val got = run("pmi_collocations", sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expected, "top-k PMI list disagrees with the recount")
+    // sanity: PMI is the association signal — the list must contain
+    // positive associations (pairs over-represented vs independence)
+    assert(got.exists(_._4 > 0.0))
+  }
+
+  test("lang_id_nb matches an independent NB reimplementation at sf0.001") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    val train = docs.filter(_._1 % 2 == 0)
+    // model: per-class token counts, totals, vocab, priors
+    val tr = train.flatMap { case (_, l, t) => t.split(" ").map(l -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = tr.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = tr.keys.map(_._2).toSet.size.toLong
+    val pri = train.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ndocs = train.length.toLong
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val classes = tot.keys.toSeq.sorted
+    val expected = docs.map { case (id, trueLang, text) =>
+      val counts = text.split(" ").groupBy(identity).view.mapValues(_.size).toMap
+      val scored = classes.map { cl =>
+        val lsum = counts.map { case (tok, cNum) =>
+          r6(math.log((tr.getOrElse((cl, tok), 0L) + 1.0) / (tot(cl) + v))) * cNum
+        }.sum
+        cl -> (r6(math.log(pri(cl).toDouble / ndocs)) + lsum)
+      }
+      val (pred, lp) = scored.maxBy { case (cl, s) => (s, ScoredRev(cl)) }
+      (id, trueLang, pred, lp.toDouble, pred == trueLang)
+    }.sortBy(_._1).toSeq
+    val got = run("lang_id_nb", sf0001)
+      .as[(Long, String, String, Double, Boolean)].collect().toSeq
+    assert(got === expected, "NB predictions disagree with the reimplementation")
+    // held-out docs exist on both sides of the split and get scored
+    assert(got.exists(_._1 % 2 == 1) && got.exists(_._1 % 2 == 0))
+  }
+
+  /** Reverse-ordering wrapper so maxBy's (score asc, name desc) tuple
+    * ordering implements "max score, ties to the SMALLEST class name"
+    * — the query's (logpost DESC, cand ASC) row_number rule.
+    */
+  private case class ScoredRev(s: String)
+  private implicit val scoredRevOrd: Ordering[ScoredRev] =
+    Ordering.by[ScoredRev, String](_.s).reverse
 }
