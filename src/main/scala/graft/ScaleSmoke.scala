@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Manual scale probe (not part of the driver gate): replicates the
   * sf0.1 fixtures `mult`x with remapped ids and runs the heaviest
@@ -219,6 +219,40 @@ object ScaleSmoke {
         .withColumn("prev_type", lag(col("next_type"), 1).over(byUser))
         .filter(col("prev_type").isNotNull)
         .groupBy("prev_type", "next_type").count().count()
+    }
+    // content-defined chunking + chunk-hash dedup census (cdc_dedup
+    // core): replicated docs are the worst case — EVERY chunk has mult
+    // copies, so the census's per-hash groups grow mult-x. Cost must
+    // stay linear: only (md5, count) pairs shuffle, chunk bodies
+    // reduce map-side, and the per-doc boundary window is
+    // hash-partitioned by doc_id.
+    time("cdc_chunk_dedup_census") {
+      TextAnalysis.cdcChunks(docs.select("doc_id", "text"))
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_copies"), max(col("n_tokens")).as("t"))
+        .filter(col("n_copies") > 1)
+        .count()
+    }
+    // NB train + score (lang_id_nb core): the model tables stay
+    // vocabulary-bounded however large the corpus (replicas multiply
+    // counts, not vocab), so train cost is one corpus aggregate and
+    // score cost is linear in |doc-token types| x |classes|
+    time("nb_train_score") {
+      val dt = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
+      val tr = dt.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("cand"), col("tok"))
+        .agg(sum(col("n")).as("c")).localCheckpoint(true)
+      val cls = tr.groupBy("cand").agg(sum(col("c")).as("tot"))
+      val voc = tr.agg(countDistinct(col("tok")).as("v"))
+      val term = round(log((col("c") + 1.0) / (col("tot") + col("v"))), 6)
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))
+      dt.crossJoin(broadcast(cls)).crossJoin(broadcast(voc))
+        .join(broadcast(tr), Seq("cand", "tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy("doc_id", "cand").agg(sum(col("n") * term).as("lsum"))
+        .count()
     }
     spark.stop()
   }
