@@ -975,8 +975,8 @@ object SimilarityQueries {
         .filter(col("rnk") <= MmrCandK)
         .localCheckpoint(true)
       val ps = cand.select(col("q_id"), col("c_id").as("a_id"), col("ce").as("ea"))
-        .join(cand.select(col("q_id"), col("c_id").as("b_id"), col("ce").as("eb")),
-          Seq("q_id"))
+        .join(broadcast(cand.select(col("q_id"), col("c_id").as("b_id"),
+          col("ce").as("eb"))), Seq("q_id"))
         .filter(col("a_id") =!= col("b_id"))
         .select(col("q_id"), col("a_id"), col("b_id"),
           u(Similarity.cosine(col("ea"), col("eb"))).as("sim_u"))
@@ -992,18 +992,18 @@ object SimilarityQueries {
         col("b_id").as("b1"), col("sim_u").as("sim1"))
       val p2 = ps.select(col("q_id").as("pq2"), col("a_id").as("a2"),
         col("b_id").as("b2"), col("sim_u").as("sim2"))
-      val t2 = cand.join(s1, Seq("q_id")).filter(col("c_id") =!= col("s1_id"))
-        .join(p1, col("q_id") === col("pq1") && col("a1") === col("c_id") &&
+      val t2 = cand.join(broadcast(s1), Seq("q_id")).filter(col("c_id") =!= col("s1_id"))
+        .join(broadcast(p1), col("q_id") === col("pq1") && col("a1") === col("c_id") &&
           col("b1") === col("s1_id"))
         .select(col("q_id"), col("c_id"),
           (lit(7) * col("rel_u") - lit(3) * col("sim1")).as("sc"))
       val s2 = argmax(t2).select(col("q_id"), col("c_id").as("s2_id"),
         col("sc").as("sc2"))
-      val t3 = cand.join(s1, Seq("q_id")).join(s2, Seq("q_id"))
+      val t3 = cand.join(broadcast(s1), Seq("q_id")).join(broadcast(s2), Seq("q_id"))
         .filter(col("c_id") =!= col("s1_id") && col("c_id") =!= col("s2_id"))
-        .join(p1, col("q_id") === col("pq1") && col("a1") === col("c_id") &&
+        .join(broadcast(p1), col("q_id") === col("pq1") && col("a1") === col("c_id") &&
           col("b1") === col("s1_id"))
-        .join(p2, col("q_id") === col("pq2") && col("a2") === col("c_id") &&
+        .join(broadcast(p2), col("q_id") === col("pq2") && col("a2") === col("c_id") &&
           col("b2") === col("s2_id"))
         .select(col("q_id"), col("c_id"),
           (lit(7) * col("rel_u") - lit(3) * greatest(col("sim1"), col("sim2")))
