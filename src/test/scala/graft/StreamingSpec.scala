@@ -1121,6 +1121,49 @@ class StreamingSpec extends SparkSpec {
       assert(got === expect)
     } finally q.stop()
   }
+
+  test("streaming NB classifier: stateless scores match the batch query bit-exactly") {
+    // the production split of lang_id_nb: the model trains once in
+    // batch (vocabulary-bounded count maps in 1e-6 integer units),
+    // then every ARRIVING document classifies row-locally — no state,
+    // no watermark, no shuffle, integer-exact streaming==batch parity
+    import graft.streaming.StreamClassify
+    implicit val ctx = spark.sqlContext
+    val model = StreamClassify.trainNb(
+      Tables.load(spark, sf001, "documents")
+        .filter(col("doc_id") % 2 === 0).select("lang", "text"))
+    assert(model.classes === model.classes.sorted)
+    assert(model.termU.values.map(_.size).sum <= 1000, "model not vocabulary-bounded")
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "lang", "text").as[Doc].collect().take(60)
+    val batchTwin = StreamClassify.classified(docs.toSeq.toDF(), model)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // the fold scorer must agree with the oracled batch query on
+    // prediction AND integer-unit log-posterior (independent plans)
+    val oracle = SparkEntry.queries("lang_id_nb")(spark, sf001)
+      .select(col("doc_id"), col("pred_lang"),
+        round(col("logpost") * 1e6, 0).cast("long").as("lp"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    batchTwin.foreach { case (id, _, pred, lp) =>
+      oracle.get(id).foreach { case (p2, lp2) =>
+        assert(pred === p2 && lp === lp2,
+          s"fold scorer disagrees with lang_id_nb on doc $id")
+      }
+    }
+    val mem = MemoryStream[Doc]
+    val out = StreamClassify.classified(mem.toDF(), model)
+    val q = out.writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(23)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("nb_stream")
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      assert(got === batchTwin, "streaming classifications diverged from batch")
+    } finally q.stop()
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
