@@ -236,4 +236,46 @@ object Dedup {
           when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Asymmetric shingle containment (the quote/boilerplate/subset
+    * detector symmetric Jaccard misses): for every same-lang pair
+    * sharing informative shingles, both directed containments
+    * inter/|smaller side|, kept when either clears `threshold`.
+    *
+    * Deliberately NOT length-bucket blocked — equal-length blocking
+    * would exclude exactly the short-in-long pairs this measures. The
+    * scale guard is the shingle document-frequency cap (`maxDf`, the
+    * dup_spans pattern): ubiquitous boilerplate shingles are not
+    * containment evidence and would be the hot-key quadratic. The
+    * measure is defined over the CAPPED shingle space — numerator and
+    * denominator count the same shingles.
+    *
+    * Input needs (doc_id, lang, text); output (doc_id_1, doc_id_2,
+    * cont_1_in_2, cont_2_in_1) with doc_id_1 < doc_id_2.
+    */
+  def containmentPairs(
+      docs: DataFrame, maxDf: Int, threshold: Double = 0.6): DataFrame = {
+    val dshRaw = distinctShingles(docs, "doc_id", "text")
+    val df = dshRaw.groupBy("shingle").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxDf)
+    val kept = dshRaw.join(df.select("shingle"), "shingle")
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val meta = docs.select(col("doc_id"), col("lang"))
+    kept.join(broadcast(meta), "doc_id").join(sz, "doc_id")
+      .groupBy("shingle", "lang")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      // sort_array orders structs by doc_id, so p.a.doc_id < p.b.doc_id
+      .groupBy(
+        col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+        round(col("inter") * lit(1.0) / col("na"), 6).as("cont_1_in_2"),
+        round(col("inter") * lit(1.0) / col("nb"), 6).as("cont_2_in_1"))
+      .filter(col("cont_1_in_2") >= threshold || col("cont_2_in_1") >= threshold)
+  }
 }

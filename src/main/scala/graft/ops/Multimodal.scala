@@ -251,11 +251,20 @@ object Multimodal {
         crc.update(bytes, off + 4, 4 + len)
         if (crc.getValue != rdBe32(bytes, off + 8 + len))
           throw new IllegalArgumentException(s"PNG chunk $typ fails CRC")
+        // field reads are offsets INTO the chunk data: a too-short
+        // (even CRC-valid) chunk must fail loudly, not read the CRC
+        // or the next chunk as a dimension
         typ match {
-          case "IHDR" => w = rdBe32(bytes, off + 8).toInt
-                         h = rdBe32(bytes, off + 12).toInt
-          case "acTL" => animated = true
-                         frames = rdBe32(bytes, off + 8).toInt
+          case "IHDR" =>
+            if (len < 13) throw new IllegalArgumentException(
+              s"PNG IHDR needs 13 data bytes, chunk has $len")
+            w = rdBe32(bytes, off + 8).toInt
+            h = rdBe32(bytes, off + 12).toInt
+          case "acTL" =>
+            if (len < 8) throw new IllegalArgumentException(
+              s"PNG acTL needs 8 data bytes, chunk has $len")
+            animated = true
+            frames = rdBe32(bytes, off + 8).toInt
           case _ => ()
         }
         off += 12 + len
@@ -278,7 +287,12 @@ object Multimodal {
           return MediaHeader("jpeg",
             rdBe16(bytes, off + 7), rdBe16(bytes, off + 5), 1)
         }
-        off += 2 + rdBe16(bytes, off + 2)
+        val segLen = rdBe16(bytes, off + 2)
+        // a segment length below 2 (the length field includes itself)
+        // cannot advance the scan — corrupt, not an infinite loop
+        if (segLen < 2) throw new IllegalArgumentException(
+          f"JPEG segment at $off has impossible length $segLen")
+        off += 2 + segLen
       }
       throw new IllegalArgumentException("JPEG without SOF marker")
     } else if (bytes.length >= 12
@@ -292,7 +306,13 @@ object Multimodal {
         if (len < 0 || off + 8 + len > bytes.length)
           throw new IllegalArgumentException(
             s"RIFF chunk '$id' at $off claims $len bytes past end of file")
-        if (id == "fmt ") blockAlign = rdLe16(bytes, off + 20)
+        if (id == "fmt ") {
+          // blockAlign sits at data offset 12..13 — a shorter fmt
+          // chunk passed the length guard but lacks the field
+          if (len < 14) throw new IllegalArgumentException(
+            s"WAVE fmt chunk needs 14 data bytes, has $len")
+          blockAlign = rdLe16(bytes, off + 20)
+        }
         if (id == "data") dataLen = len
         off += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
       }

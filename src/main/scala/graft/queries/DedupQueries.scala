@@ -17,6 +17,13 @@ object DedupQueries {
   val B = 6
   val R = 2
 
+  /** dedup_containment: drop shingles appearing in more than this
+    * many documents before pairing — corpus-wide boilerplate shingles
+    * are not containment evidence and would be the hot-key quadratic
+    * (the dup_spans MaxFpDocFreq pattern).
+    */
+  val MaxContDf = 50
+
   /** Embedding near-dup blocking: 8 IVF coarse centroids over the
     * 64-dim vectors (see `dedup_embedding` for why blocks must not
     * come from a data column).
@@ -822,46 +829,40 @@ object DedupQueries {
     // misses: a short document wholly contained in a long one scores
     // inter/|short| ~ 1.0 while its Jaccard stays low. This is the
     // quote/boilerplate/subset-page detector real corpus curation runs
-    // NEXT TO symmetric dedup. Same blocking and same single-pipeline
-    // shape as dedup_ngram_jaccard (sizes ride inside the bucket
-    // structs; in-bucket pair expansion; no self-join), different
-    // final algebra: both directed containments, kept when EITHER
-    // direction clears the threshold.
+    // NEXT TO symmetric dedup. Same single-pipeline shape as
+    // dedup_ngram_jaccard (sizes ride inside the bucket structs;
+    // in-bucket pair expansion; no self-join), but deliberately NOT
+    // its length-bucket blocking — equal-length blocking would
+    // exclude exactly the short-in-long pairs this query exists to
+    // find. The scale guard is instead a shingle document-frequency
+    // cap (<= MaxContDf, the dup_spans pattern): corpus-wide
+    // boilerplate shingles are not containment evidence AND would be
+    // the hot-key quadratic, so the measure is defined over the
+    // informative-shingle space — BOTH the intersections and the
+    // per-doc sizes count only shingles with df <= MaxContDf, keeping
+    // numerator and denominator in the same space.
     Q("dedup_containment",
       s"""$shingleCtes,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
-         |meta AS (SELECT doc_id, lang, n_chars // 50 AS bk FROM documents),
-         |ds AS (SELECT dsh.doc_id, shingle, lang, bk FROM dsh JOIN meta ON dsh.doc_id = meta.doc_id),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |df AS (SELECT shingle, COUNT(*) AS f FROM dsh GROUP BY 1),
+         |kept AS (SELECT doc_id, dsh.shingle FROM dsh JOIN df ON dsh.shingle = df.shingle
+         |         WHERE f <= $MaxContDf),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         |meta AS (SELECT doc_id, lang FROM documents),
+         |ds AS (SELECT kept.doc_id, shingle, lang, n
+         |       FROM kept JOIN meta ON kept.doc_id = meta.doc_id
+         |       JOIN sz ON kept.doc_id = sz.doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS na, b.n AS nb,
+         |        COUNT(*) AS inter
          |      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.lang = b.lang
-         |        AND a.bk = b.bk AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2)
-         |SELECT p.d1 AS doc_id_1, p.d2 AS doc_id_2,
-         |  round(inter * 1.0 / x.n, 6) AS cont_1_in_2,
-         |  round(inter * 1.0 / y.n, 6) AS cont_2_in_1
-         |FROM p JOIN sz x ON p.d1 = x.doc_id JOIN sz y ON p.d2 = y.doc_id
-         |WHERE inter * 1.0 / x.n >= 0.6 OR inter * 1.0 / y.n >= 0.6
+         |        AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+         |  round(inter * 1.0 / na, 6) AS cont_1_in_2,
+         |  round(inter * 1.0 / nb, 6) AS cont_2_in_1
+         |FROM p
+         |WHERE inter * 1.0 / na >= 0.6 OR inter * 1.0 / nb >= 0.6
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val dsh = Dedup.distinctShingles(docs, "doc_id", "text")
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val meta = docs.select(col("doc_id"), col("lang"), expr("n_chars div 50").as("bk"))
-      dsh.join(broadcast(meta), "doc_id")
-        .groupBy("shingle", "lang", "bk")
-        .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("xs"))
-        .filter(size(col("xs")) > 1)
-        .select(explode(flatten(transform(col("xs"), (x, i) =>
-          transform(slice(col("xs"), i + 2, size(col("xs"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy(
-          col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
-          col("p.a.n").as("na"), col("p.b.n").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
-          round(col("inter") * lit(1.0) / col("na"), 6).as("cont_1_in_2"),
-          round(col("inter") * lit(1.0) / col("nb"), 6).as("cont_2_in_1"))
-        .filter(col("cont_1_in_2") >= 0.6 || col("cont_2_in_1") >= 0.6)
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), MaxContDf)
         .orderBy("doc_id_1", "doc_id_2")
     },
 

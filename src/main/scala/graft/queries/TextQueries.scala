@@ -329,29 +329,11 @@ object TextQueries {
     // fix removed); within a shard, seq_id = floor(tokens-before/
     // budget). At cluster scale shards map 1:1 to writer tasks and the
     // window is per-task streaming state.
-    Q("pack_sequences", {
-      val h = duckH32("CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (SELECT doc_id, $h % 8 AS shard,
-         |    len(string_split(text, ' ')) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, shard, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d)
-         |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
-         |FROM c ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          (h32(col("doc_id").cast("string")) % 8).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / 2048).as("seq_id"))
-        .orderBy("doc_id")
+    Q("pack_sequences",
+      s"""$packCtes
+         |SELECT doc_id, shard, n_tokens, seq_id
+         |FROM bins ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextQueries.packBins(s, dir).orderBy("doc_id")
     },
 
     // Document CHUNKING — split long documents into fixed-budget token
@@ -1275,33 +1257,19 @@ object TextQueries {
     // document pushed past the 2048 budget. Window cumsum stays
     // hash-partitioned by shard exactly as in pack_sequences; the
     // audit itself reduces 2 levels to 8 census rows.
-    Q("pack_efficiency", {
-      val h = duckH32("CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (SELECT doc_id, $h % 8 AS shard,
-         |    len(string_split(text, ' ')) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, shard, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d),
-         |sq AS (SELECT shard, (cum - n_tokens) // 2048 AS seq_id,
+    Q("pack_efficiency",
+      s"""$packCtes,
+         |sq AS (SELECT shard, seq_id,
          |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok
-         |  FROM c GROUP BY 1, 2)
+         |  FROM bins GROUP BY 1, 2)
          |SELECT shard, COUNT(*) AS n_seqs, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
          |  CAST(MIN(tok) AS BIGINT) AS min_tokens,
          |  CAST(MAX(tok) AS BIGINT) AS max_tokens,
          |  round(CAST(SUM(tok) AS DOUBLE) / COUNT(*) / 2048.0, 6) AS avg_fill,
          |  CAST(SUM(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
-         |FROM sq GROUP BY shard ORDER BY shard""".stripMargin
-    }) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          (h32(col("doc_id").cast("string")) % 8).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sq = d.withColumn("cum", sum(col("n_tokens")).over(w))
-        .groupBy(col("shard"),
-          floor((col("cum") - col("n_tokens")) / 2048).as("seq_id"))
+         |FROM sq GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val sq = TextQueries.packBins(s, dir)
+        .groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
       sq.groupBy("shard")
         .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
@@ -1350,11 +1318,14 @@ object TextQueries {
           .select("doc_id", "text"))
         .select(col("doc_id"), split(col("text"), " ").as("a"))
       val n = size(col("a"))
+      // clamp: a doc with < 3 tokens has NO trigrams (empty slices),
+      // where a bare n-2 length would be negative and throw
+      val tlen = greatest(n - 2, lit(0))
       val tri = arr
         .select(col("doc_id"), explode(arrays_zip(
-          slice(col("a"), lit(1), n - 2),
-          slice(col("a"), lit(2), n - 2),
-          slice(col("a"), lit(3), n - 2))).as("p"))
+          slice(col("a"), lit(1), tlen),
+          slice(col("a"), lit(2), tlen),
+          slice(col("a"), lit(3), tlen))).as("p"))
         .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"),
           col("p.2").as("w3"))
       val dtc = tri.groupBy("doc_id", "w1", "w2", "w3")
@@ -1479,20 +1450,10 @@ object TextQueries {
     // never a global cumsum); chunk text re-assembles order-exactly
     // via the rank-sorted struct fold. Downstream exact dedup keys on
     // chunk_md5 — see cdc_dedup.
-    Q("cdc_chunks", {
-      val h = duckH32("a[i]")
-      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-         |pos AS (SELECT doc_id, unnest(generate_series(1, len(a))) AS i, a FROM arr),
-         |tk AS (SELECT doc_id, i, a[i] AS tok,
-         |    CASE WHEN $h % 8 = 0 THEN 1 ELSE 0 END AS bdry FROM pos),
-         |ck AS (SELECT doc_id, i, tok,
-         |    CAST(COALESCE(SUM(bdry) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
-         |  FROM tk)
-         |SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
-         |  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
-         |FROM ck GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin
-    }) { (s, dir) =>
+    Q("cdc_chunks",
+      s"""$cdcCtes
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_md5
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
       TextQueries.cdcChunks(s, dir).orderBy("doc_id", "chunk_idx")
     },
 
@@ -1503,26 +1464,14 @@ object TextQueries {
     // across docs collapse to one chunk hash no matter where they sit
     // in the text). Only (hash, count) pairs shuffle — chunk bodies
     // reduce to md5 at the map side.
-    Q("cdc_dedup", {
-      val h = duckH32("a[i]")
-      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-         |pos AS (SELECT doc_id, unnest(generate_series(1, len(a))) AS i, a FROM arr),
-         |tk AS (SELECT doc_id, i, a[i] AS tok,
-         |    CASE WHEN $h % 8 = 0 THEN 1 ELSE 0 END AS bdry FROM pos),
-         |ck AS (SELECT doc_id, i, tok,
-         |    CAST(COALESCE(SUM(bdry) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
-         |  FROM tk),
-         |chunks AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
-         |    md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
-         |  FROM ck GROUP BY 1, 2)
+    Q("cdc_dedup",
+      s"""$cdcCtes
          |SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(MAX(n_tokens) AS BIGINT) AS chunk_tokens,
          |  CAST((COUNT(*) - 1) * MAX(n_tokens) AS BIGINT) AS dup_token_mass
          |FROM chunks GROUP BY chunk_md5 HAVING COUNT(*) > 1
-         |ORDER BY dup_token_mass DESC, chunk_md5""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY dup_token_mass DESC, chunk_md5""".stripMargin) { (s, dir) =>
       TextQueries.cdcChunks(s, dir)
         .groupBy("chunk_md5")
         .agg(count(lit(1)).as("n_copies"),
@@ -1541,6 +1490,63 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, dir: String) =
     TextAnalysis.cdcChunks(Tables.parallelize(
       Tables.load(s, dir, "documents").select("doc_id", "text")))
+
+  /** ONE oracle-side definition of the CDC chunk derivation (mirrors
+    * [[TextAnalysis.cdcChunks]]): boundary after any token whose
+    * portable hash ≡ 0 (mod 8), per-doc boundary cumsum, order-exact
+    * chunk re-assembly. `chunks` is (doc_id, chunk_idx, n_tokens,
+    * chunk_md5) — both cdc queries build on it, so the boundary rule
+    * cannot drift between their oracles.
+    */
+  private[queries] val cdcCtes: String = {
+    val h = duckH32("a[i]")
+    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |pos AS (SELECT doc_id, unnest(generate_series(1, len(a))) AS i, a FROM arr),
+       |tk AS (SELECT doc_id, i, a[i] AS tok,
+       |    CASE WHEN $h % 8 = 0 THEN 1 ELSE 0 END AS bdry FROM pos),
+       |ck AS (SELECT doc_id, i, tok,
+       |    CAST(COALESCE(SUM(bdry) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+       |  FROM tk),
+       |chunks AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+       |  FROM ck GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** ONE oracle-side definition of the greedy packing derivation
+    * (mirrors [[packBins]]): hash shard, per-shard doc_id-ordered
+    * cumsum, 2048-token bins. `bins` is (doc_id, shard, n_tokens,
+    * seq_id) — pack_sequences and pack_efficiency both build on it,
+    * so the binning rule cannot drift between packer and audit.
+    */
+  private[queries] val packCtes: String = {
+    val h = duckH32("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, $h % 8 AS shard,
+       |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |bins AS (SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+       |  FROM c)""".stripMargin
+  }
+
+  /** Engine-side twin of [[packCtes]]: (doc_id, shard, n_tokens,
+    * seq_id) for every document.
+    */
+  private[queries] def packBins(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (h32(col("doc_id").cast("string")) % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 2048).as("seq_id"))
+  }
 
   /** source_cap quota — binds at every fixture scale (25 docs/source
     * at sf0.01) so the gate actually exercises the cut.

@@ -100,6 +100,21 @@ class CurationSpec extends SparkSpec {
       "no held-out doc ever backed off — backoff path untested")
   }
 
+  test("trigram slices clamp to zero length on sub-3-token docs (no negative slice)") {
+    import spark.implicits._
+    // the exact slice shape trigram_backoff uses: a bare n-2 length
+    // would throw 'length must be >= 0' on 1- and 2-token documents
+    val a = split(col("text"), " ")
+    val n = size(a)
+    val tlen = greatest(n - 2, lit(0))
+    val out = Seq("one", "two words", "three word doc")
+      .toDF("text")
+      .select(arrays_zip(slice(a, lit(1), tlen), slice(a, lit(2), tlen),
+        slice(a, lit(3), tlen)).as("z"))
+      .select(size(col("z"))).as[Int].collect()
+    assert(out.toSeq === Seq(0, 0, 1))
+  }
+
   test("NormalizeText: NFC composes, identity on already-normal, no-copy fast path") {
     import graft.functions.NormalizeText
     import org.apache.spark.unsafe.types.UTF8String
@@ -199,6 +214,36 @@ class CurationSpec extends SparkSpec {
     val fixedWidth1 = body.grouped(3).map(_.mkString(" ")).toSeq
     val fixedWidth2 = shifted.grouped(3).map(_.mkString(" ")).toSeq
     assert(fixedWidth1.tail !== fixedWidth2.tail.take(fixedWidth1.length - 1))
+  }
+
+  test("containment finds a short doc inside a much longer one (no length blocking)") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // doc 1 (8 tokens) is verbatim inside doc 2 (48 tokens): lengths
+    // land ~5 of the old 50-char buckets apart, so any equal-length
+    // blocking would have missed the pair this op exists to find
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = ("prefix one two three four five six seven eight nine ten " +
+      short +
+      " suffix eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty twentyone twentytwo " +
+      "twentythree twentyfour twentyfive twentysix twentyseven")
+    val docs = Seq(
+      (1L, "en", short), (2L, "en", long),
+      (3L, "de", short),        // same text, different lang: blocked out
+      (4L, "en", "unrelated words entirely distinct tokens here now ok"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Dedup.containmentPairs(docs, maxDf = 50)
+      .as[(Long, Long, Double, Double)].collect()
+    val pair = rows.find(r => r._1 == 1L && r._2 == 2L)
+    assert(pair.isDefined, s"short-in-long pair missed; got ${rows.toSeq}")
+    assert(pair.get._3 === 1.0, "every shingle of the short doc is in the long doc")
+    assert(pair.get._4 < 0.6, "the long doc is NOT contained in the short one")
+    assert(!rows.exists(r => Set(r._1, r._2) == Set(1L, 3L)),
+      "cross-lang pair must be blocked")
+    assert(!rows.exists(r => Set(r._1, r._2) == Set(1L, 4L)))
+    // a df cap of 1 kills every shared shingle (each appears in 2 docs)
+    assert(Dedup.containmentPairs(docs, maxDf = 1).count() === 0)
   }
 
   test("mmr_rerank matches an independent greedy reimplementation and diversifies") {

@@ -196,6 +196,39 @@ class PipelineOpsSpec extends SparkSpec {
       parseHeader(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
   }
 
+  test("container headers: too-short chunks fail loudly, never read past the field") {
+    import graft.ops.Multimodal._
+    import java.io.ByteArrayOutputStream
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    // PNG: a CRC-VALID IHDR chunk with len=0 — the length guard passes,
+    // so the 13-byte field requirement must catch it (w/h would
+    // otherwise be read from the CRC and the next chunk)
+    val png = new ByteArrayOutputStream
+    png.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.write(be32(0))
+    png.write("IHDR".getBytes)
+    val crc = new java.util.zip.CRC32
+    crc.update("IHDR".getBytes)
+    png.write(be32(crc.getValue.toInt))
+    val e1 = intercept[IllegalArgumentException](parseHeader(png.toByteArray))
+    assert(e1.getMessage.contains("IHDR"), e1.getMessage)
+    // WAV: a zero-length 'fmt ' chunk ending the file — blockAlign
+    // sits at data offset 12, so the field requirement must fire
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val wav = new ByteArrayOutputStream
+    wav.write("RIFF".getBytes); wav.write(le32(12)); wav.write("WAVE".getBytes)
+    wav.write("fmt ".getBytes); wav.write(le32(0))
+    val e2 = intercept[IllegalArgumentException](parseHeader(wav.toByteArray))
+    assert(e2.getMessage.contains("fmt"), e2.getMessage)
+    // JPEG: a segment whose length field is < 2 cannot advance the
+    // scan — must be a loud error, not an infinite loop
+    val jpg = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00).map(_.toByte)
+    val e3 = intercept[IllegalArgumentException](parseHeader(jpg))
+    assert(e3.getMessage.contains("length"), e3.getMessage)
+  }
+
   test("multimodal: resize plan fits maxSide preserving aspect, never upscales") {
     val docs = Tables.load(spark, sf0001, "documents")
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
