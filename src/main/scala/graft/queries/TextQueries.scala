@@ -16,6 +16,14 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a")
 
+  /** bm25_score: fixed query terms (one corpus-absent — 'quux' — so
+    * the df=0 idf path runs on every row) and the standard Okapi
+    * constants.
+    */
+  val Bm25Query = Seq("spark", "join", "table", "quux")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
   def all: Seq[Q] = Seq(
 
     // language-ID heuristic: marker-token scores + deterministic argmax
@@ -649,6 +657,66 @@ object TextQueries {
         .select(col("doc_id"), col("rnk"), col("tok").as("term"),
           col("tf"), col("df"), tfidf.as("tfidf"))
         .orderBy("doc_id", "rnk")
+    },
+
+    // BM25 SCORING (Robertson et al., the Lucene/Okapi form with the
+    // +1 idf floor) — the lexical retrieval scorer beside tf-idf's
+    // census: every document scored against a fixed query, with the
+    // k1 saturation and b length normalization tf-idf lacks. All
+    // corpus statistics (N, total length for avgdl, one df per term)
+    // reduce to ONE census row that broadcasts, so scoring is pure
+    // scan-side math — the per-term contributions add in literal
+    // WRITTEN order on both engines, making the double sum
+    // deterministic without decimal plumbing. 'quux' never occurs:
+    // its df=0 idf path and tf=0 zero contribution are exercised on
+    // every row.
+    Q("bm25_score", {
+      val (k1, b) = (Bm25K1, Bm25B)
+      val dfs = Bm25Query.map(t =>
+        s"SUM(CASE WHEN len(list_filter(string_split(text, ' '), t -> t = '$t')) > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n  |    ")
+      val terms = Bm25Query.map(t =>
+        s"""(ln((CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+           |     * (tf_$t * ($k1 + 1.0))
+           |     / (tf_$t + $k1 * (1.0 - $b + $b * dl / (CAST(tot_dl AS DOUBLE) / n_docs))))""".stripMargin).mkString(" +\n  ")
+      val tfs = Bm25Query.map(t =>
+        s"len(list_filter(string_split(text, ' '), t -> t = '$t')) AS tf_$t").mkString(",\n  |    ")
+      s"""WITH stats AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_dl,
+         |    $dfs
+         |  FROM documents),
+         |d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfs
+         |  FROM documents)
+         |SELECT doc_id, dl, ${Bm25Query.map(t => s"tf_$t").mkString(", ")},
+         |  round($terms, 6) AS bm25
+         |FROM d CROSS JOIN stats ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val a = split(col("text"), " ")
+      def tf(t: String) = size(filter(a, x => x === t))
+      val statCols = Seq(count(lit(1)).as("n_docs"),
+        sum(size(a)).as("tot_dl")) ++
+        Bm25Query.map(t => sum(when(tf(t) > 0, 1).otherwise(0)).as(s"df_$t"))
+      val stats = Tables.load(s, dir, "documents")
+        .agg(statCols.head, statCols.tail: _*)
+      val d = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        .select(Seq(col("doc_id"), size(a).as("dl")) ++
+          Bm25Query.map(t => tf(t).as(s"tf_$t")): _*)
+      val avgdl = col("tot_dl").cast("double") / col("n_docs")
+      // per-term contributions combined in the SAME written order as
+      // the oracle — the double sum is order-deterministic
+      val score = Bm25Query.map { t =>
+        val idf = log((col("n_docs").cast("double") - col(s"df_$t") + 0.5) /
+          (col(s"df_$t") + 0.5) + 1.0)
+        idf * (col(s"tf_$t") * (Bm25K1 + 1.0)) /
+          (col(s"tf_$t") +
+            lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+      }.reduce(_ + _)
+      d.crossJoin(broadcast(stats))
+        .select(Seq(col("doc_id"), col("dl")) ++
+          Bm25Query.map(t => col(s"tf_$t")) ++
+          Seq(round(score, 6).as("bm25")): _*)
+        .orderBy("doc_id")
     },
 
     // corpus dataset-card: per (lang, source) stratum — doc count,

@@ -246,6 +246,37 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.containmentPairs(docs, maxDf = 1).count() === 0)
   }
 
+  test("bm25_score matches an independent reimplementation at sf0.001") {
+    import graft.queries.TextQueries
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val q = TextQueries.Bm25Query
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / n
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val expected = docs.map { case (id, toks) =>
+      val dl = toks.length
+      val score = q.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        idf * (tf * (TextQueries.Bm25K1 + 1.0)) /
+          (tf + TextQueries.Bm25K1 *
+            ((1.0 - TextQueries.Bm25B) + TextQueries.Bm25B * dl / avgdl))
+      }.sum
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = run("bm25_score").select("doc_id", "bm25")
+      .as[(Long, Double)].collect()
+    assert(got.length === docs.length)
+    got.foreach { case (id, s) =>
+      assert(s === expected(id), s"doc $id: $s vs ${expected(id)}")
+    }
+    // ranking sanity: some doc with a query term outranks the zero floor
+    assert(got.exists(_._2 > 0.0))
+  }
+
   test("mmr_rerank matches an independent greedy reimplementation and diversifies") {
     import spark.implicits._
     // independent driver-side greedy MMR from the raw embeddings,

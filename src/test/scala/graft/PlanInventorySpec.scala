@@ -35,7 +35,8 @@ class PlanInventorySpec extends SparkSpec {
     "curriculum_order",   // bucket-offset cumsum over the |buckets|-row census
     "trigram_backoff",    // train totals (N, V): one row, broadcast back
     "pmi_collocations",   // corpus totals (N, Nb): one row each, broadcast back
-    "lang_id_nb")         // vocab size V + train doc total: one row each
+    "lang_id_nb",         // vocab size V + train doc total: one row each
+    "bm25_score")         // one census row (N, tot_dl, per-term dfs), broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -54,7 +55,8 @@ class PlanInventorySpec extends SparkSpec {
     "bitext_mine", // broadcast of the <40-vector query side, like ann_bruteforce
     "trigram_backoff", // one-row (N, V) totals cross-joined back
     "pmi_collocations", // one-row (N, Nb) totals cross-joined back
-    "lang_id_nb") // |classes|-row model grid + one-row V/ndocs cross-joined
+    "lang_id_nb", // |classes|-row model grid + one-row V/ndocs cross-joined
+    "bm25_score") // one-row stats census cross-joined back
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
