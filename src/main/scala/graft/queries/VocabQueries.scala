@@ -417,6 +417,73 @@ object VocabQueries {
         .limit(CollTopK)
     },
 
+    // TEXTRANK KEYWORDS (Mihalcea & Tarau, EMNLP '04) — graph-based
+    // keyword extraction: tokens are nodes, adjacent co-occurrence
+    // (>= MinCooc times, self-loops dropped) makes an undirected
+    // edge, and 3 damped power-iteration rounds rank centrality (the
+    // unweighted TextRank variant). EXACTLY the pagerank_dups
+    // recurrence on a different graph: per-round ranks quantize to
+    // DECIMAL(18,9) so the result is aggregation-order-independent on
+    // both engines. The graph is VOCABULARY-bounded — corpus size
+    // only affects the one tokenize+count pass; iterations run on
+    // |vocab| rows. Top-k by (rank, token) via sort+limit.
+    Q("textrank_keywords", {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT r.tok,
+           |  CAST(round(CAST(r.r AS DOUBLE) / d.degree, 9) AS DECIMAL(18,9)) AS c
+           |  FROM r${k - 1} r JOIN deg d USING (tok)),
+           |r$k AS (SELECT e.b AS tok,
+           |  CAST(round(0.15 + 0.85 * CAST(SUM(c.c) AS DOUBLE), 9) AS DECIMAL(18,9)) AS r
+           |  FROM edges e JOIN c$k c ON e.a = c.tok GROUP BY e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+         |bg AS (SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p FROM arr),
+         |pc AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg WHERE p[1] <> p[2]),
+         |und AS (SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b, COUNT(*) AS c
+         |        FROM pc GROUP BY 1, 2 HAVING COUNT(*) >= $MinCooc),
+         |edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT a AS tok, COUNT(*) AS degree FROM edges GROUP BY a),
+         |r0 AS (SELECT tok, CAST(1.0 AS DECIMAL(18,9)) AS r FROM deg),
+         |$iterCtes
+         |SELECT r3.tok AS token, CAST(r3.r AS DOUBLE) AS textrank, deg.degree
+         |FROM r3 JOIN deg USING (tok)
+         |ORDER BY textrank DESC, token LIMIT $TextRankTopK""".stripMargin
+    }) { (s, dir) =>
+      val arr = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("text"))
+        .select(split(col("text"), " ").as("a"))
+      val n = size(col("a"))
+      val pairs = zip_with(
+        slice(col("a"), lit(1), n - 1), slice(col("a"), lit(2), n - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))
+      val und = arr.select(explode(pairs).as("p"))
+        .filter(col("p.w1") =!= col("p.w2"))
+        .select(least(col("p.w1"), col("p.w2")).as("a"),
+          greatest(col("p.w1"), col("p.w2")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= MinCooc)
+      val edges = und.select(col("a"), col("b"))
+        .unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      val deg = edges.groupBy(col("a").as("tok"))
+        .agg(count(lit(1)).as("degree"))
+      var r = deg.select(col("tok"),
+        lit(1.0).cast(DecimalType(18, 9)).as("r"))
+      for (_ <- 1 to 3) {
+        val c = r.join(deg, "tok").select(col("tok"),
+          round(col("r").cast("double") / col("degree"), 9)
+            .cast(DecimalType(18, 9)).as("c"))
+        r = edges.join(c, edges("a") === c("tok"))
+          .groupBy(edges("b").as("tok"))
+          .agg(round(lit(0.15) + lit(0.85) * sum(col("c")).cast("double"), 9)
+            .cast(DecimalType(18, 9)).as("r"))
+      }
+      r.join(deg, "tok")
+        .select(col("tok").as("token"), col("r").cast("double").as("textrank"),
+          col("degree"))
+        .orderBy(col("textrank").desc, col("token"))
+        .limit(TextRankTopK)
+    },
+
     // NAIVE BAYES TEXT CLASSIFIER (the add-one-smoothed multinomial NB
     // every curation stack trains as its first quality/domain/language
     // gate) — trained and scored ENTIRELY in the dataflow, no driver
@@ -498,6 +565,12 @@ object VocabQueries {
     */
   val MinColl = 5
   val CollTopK = 20
+
+  /** textrank_keywords: minimum adjacent co-occurrence for a graph
+    * edge, and reported keyword count.
+    */
+  val MinCooc = 3
+  val TextRankTopK = 15
 
   /** The bpe_merges training loop, shared with bpe_encode: `rounds`
     * greedy merges over the word-type table. Returns, per completed

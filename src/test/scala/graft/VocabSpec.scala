@@ -212,6 +212,37 @@ class VocabSpec extends SparkSpec {
     assert(got.exists(_._4 > 0.0))
   }
 
+  test("textrank_keywords matches an independent power-iteration recount at sf0.001") {
+    import spark.implicits._
+    import graft.queries.VocabQueries.{MinCooc, TextRankTopK}
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("text").as[String].collect().map(_.split(" ").toSeq)
+    val und = docs.flatMap(a => a.zip(a.tail))
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => if (x < y) (x, y) else (y, x) }
+      .groupBy(identity).view.mapValues(_.size)
+      // keys out as a Seq BEFORE filtering: a Map.collect returning
+      // pairs would rebuild a Map and collapse edges sharing a source
+      .toSeq.collect { case (e, c) if c >= MinCooc => e }
+    val edges = und ++ und.map(_.swap)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    var r: Map[String, BigDecimal] = deg.keys.map(_ -> BigDecimal(1.0)).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = r.map { case (t, v) => t -> r9(v.toDouble / deg(t)) }
+      r = edges.groupBy(_._2).view.mapValues { es =>
+        r9(0.15 + 0.85 * es.map(e => contrib(e._1)).sum.toDouble)
+      }.toMap
+    }
+    val expected = r.toSeq.map { case (t, v) => (t, v.toDouble, deg(t)) }
+      .sortBy { case (t, v, _) => (-v, t) }.take(TextRankTopK)
+    val got = run("textrank_keywords", sf0001)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got === expected, "textrank disagrees with the recount")
+    // centrality sanity: ranks differ (the graph is not degree-regular)
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("lang_id_nb matches an independent NB reimplementation at sf0.001") {
     import spark.implicits._
     val docs = Tables.load(spark, sf0001, "documents")
