@@ -1432,6 +1432,78 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T5-STYLE SPAN CORRUPTION (Raffel et al., JMLR '20 §3.1.4) — the
+    // denoising-pretraining data prep step: mask ~15% of tokens in
+    // short contiguous spans, replace each span with a sentinel in
+    // the input, and emit (sentinel, original tokens) as the target.
+    // Spans are DETERMINISTIC and non-overlapping by construction:
+    // tokens partition into 20-token blocks, and each block masks the
+    // 3 positions starting at h32(doc_id#block) % 18 (3/20 = 15%
+    // density; a short tail block masks only what exists). Every
+    // decision is a pure function of (doc_id, position), so both
+    // engines build byte-identical input/target strings — md5-pinned
+    // — and re-running on any cluster reproduces the same corruption
+    // (the property that makes the step resumable at 100 TB). Pure
+    // per-row array math on the scan; zero shuffle.
+    Q("span_corruption", {
+      val h = duckH32("CAST(doc_id AS VARCHAR) || '#' || CAST((i - 1) // 20 AS VARCHAR)")
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |m AS (SELECT doc_id, a, list_transform(generate_series(1, len(a)),
+         |    i -> (i - 1) % 20 - $h % 18) AS rel FROM arr),
+         |parts AS (SELECT doc_id, len(a) AS n_tokens,
+         |    array_to_string(list_filter(list_transform(generate_series(1, len(a)),
+         |      i -> CASE WHEN rel[i] = 0 THEN '<extra_' || CAST((i - 1) // 20 AS VARCHAR) || '>'
+         |                WHEN rel[i] > 0 AND rel[i] <= 2 THEN NULL
+         |                ELSE a[i] END), x -> x IS NOT NULL), ' ') AS input_text,
+         |    array_to_string(list_filter(list_transform(generate_series(1, len(a)),
+         |      i -> CASE WHEN rel[i] = 0 THEN '<extra_' || CAST((i - 1) // 20 AS VARCHAR) || '> ' || a[i]
+         |                WHEN rel[i] > 0 AND rel[i] <= 2 THEN a[i]
+         |                ELSE NULL END), x -> x IS NOT NULL), ' ') AS target_text,
+         |    len(list_filter(list_transform(generate_series(1, len(a)),
+         |      i -> rel[i] >= 0 AND rel[i] <= 2), x -> x)) AS n_masked,
+         |    len(list_filter(list_transform(generate_series(1, len(a)),
+         |      i -> rel[i] = 0), x -> x)) AS n_spans
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_masked, n_spans,
+         |  md5(COALESCE(input_text, '')) AS input_md5,
+         |  md5(COALESCE(target_text, '')) AS target_md5
+         |FROM parts ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val a = col("a")
+      // rel = in-block offset minus the block's span start: 0 = span
+      // head (sentinel), 1..2 = span body (dropped from input), else
+      // untouched — ONE shared derivation drives all four outputs
+      def blockOf(i0: org.apache.spark.sql.Column) = floor(i0 / 20)
+      def rel(i0: org.apache.spark.sql.Column) =
+        (i0 % 20) - h32(concat(col("doc_id").cast("string"), lit("#"),
+          blockOf(i0).cast("long").cast("string"))) % 18
+      def sentinel(i0: org.apache.spark.sql.Column) =
+        concat(lit("<extra_"), blockOf(i0).cast("long").cast("string"), lit(">"))
+      val withRel = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), a, transform(a, (_, i0) => rel(i0)).as("rel"))
+      val n = size(a)
+      withRel.select(col("doc_id"), n.as("n_tokens"),
+          array_join(filter(transform(a, (t, i0) =>
+            when(element_at(col("rel"), i0 + 1) === 0, sentinel(i0))
+              .otherwise(when(element_at(col("rel"), i0 + 1) > 0 &&
+                element_at(col("rel"), i0 + 1) <= 2, lit(null)).otherwise(t))),
+            x => x.isNotNull), " ").as("input_text"),
+          array_join(filter(transform(a, (t, i0) =>
+            when(element_at(col("rel"), i0 + 1) === 0,
+              concat(sentinel(i0), lit(" "), t))
+              .otherwise(when(element_at(col("rel"), i0 + 1) > 0 &&
+                element_at(col("rel"), i0 + 1) <= 2, t).otherwise(lit(null)))),
+            x => x.isNotNull), " ").as("target_text"),
+          size(filter(col("rel"), r => r >= 0 && r <= 2)).as("n_masked"),
+          size(filter(col("rel"), r => r === 0)).as("n_spans"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+          md5(col("input_text")).as("input_md5"),
+          md5(col("target_text")).as("target_md5"))
+        .orderBy("doc_id")
+    },
+
     // UNICODE NFC NORMALIZATION — the canonicalization pass that must
     // run before ANY hash-keyed dedup: composed ("é") and decomposed
     // ("e" + U+0301) forms of the same visible string hash apart, so

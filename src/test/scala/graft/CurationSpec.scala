@@ -246,6 +246,61 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.containmentPairs(docs, maxDf = 1).count() === 0)
   }
 
+  test("span_corruption: independent rebuild matches and masking is reconstructable") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // portable h32 per (doc, block) pulled through the SAME expression
+    // the query uses (the hash is the only non-trivial shared piece)
+    val keys = docs.flatMap { case (id, t) =>
+      (0 until (t.split(" ").length + 19) / 20).map(b => (id, b))
+    }
+    val hs = keys.toSeq.toDF("doc_id", "b")
+      .select(col("doc_id"), col("b"),
+        graft.functions.PortableHash.h32(
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("b").cast("long").cast("string"))).as("h"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, b, h) => (id, b) -> (h % 18).toInt }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      val rel = toks.indices.map(i0 => (i0 % 20) - hs((id, i0 / 20)))
+      val input = toks.indices.flatMap { i =>
+        if (rel(i) == 0) Some(s"<extra_${i / 20}>")
+        else if (rel(i) > 0 && rel(i) <= 2) None
+        else Some(toks(i))
+      }.mkString(" ")
+      val target = toks.indices.flatMap { i =>
+        if (rel(i) == 0) Some(s"<extra_${i / 20}> ${toks(i)}")
+        else if (rel(i) > 0 && rel(i) <= 2) Some(toks(i))
+        else None
+      }.mkString(" ")
+      // RECONSTRUCTION: splicing each sentinel's target span back into
+      // the input recovers the original document exactly
+      val spans = toks.indices.collect { case i if rel(i) == 0 =>
+        s"<extra_${i / 20}>" ->
+          toks.slice(i, (i + 3).min(((i / 20) + 1) * 20).min(toks.length))
+            .mkString(" ")
+      }.toMap
+      val rebuilt = input.split(" ").flatMap { w =>
+        if (w.startsWith("<extra_")) spans(w).split(" ") else Array(w)
+      }.mkString(" ")
+      assert(rebuilt === t, s"doc $id does not reconstruct")
+      (id, md5hex(input), md5hex(target))
+    }.sortBy(_._1)
+    val got = run("span_corruption")
+      .select("doc_id", "input_md5", "target_md5")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq === expected.toSeq, "corruption differs from the rebuild")
+    // density sanity: ~15% masked corpus-wide
+    val stats = run("span_corruption").agg(sum("n_masked"), sum("n_tokens")).head()
+    val frac = stats.getLong(0).toDouble / stats.getLong(1)
+    assert(frac > 0.08 && frac < 0.22, s"mask density $frac out of range")
+  }
+
   test("bm25_score matches an independent reimplementation at sf0.001") {
     import graft.queries.TextQueries
     import spark.implicits._
