@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Streaming deduplication — the streaming twin of the batch dedup
   * family (`graft.ops.Dedup`): keep the first arrival per key, with
@@ -27,4 +28,41 @@ object StreamDedup {
       keys: Seq[String]): DataFrame =
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** One micro-batch of INCREMENTAL sub-document (CDC chunk) dedup —
+    * the cdc_dedup twin of the signature-store loop: arriving
+    * documents chunk content-defined ([[graft.ops.TextAnalysis
+    * .cdcChunks]]), and a chunk OCCURRENCE is a duplicate iff an
+    * occurrence with smaller (doc_id, chunk_idx) exists in the
+    * persisted chunk store or earlier in this batch. Returns
+    * (chunks-to-append, per-doc stats): the caller appends the WHOLE
+    * batch's chunks to the store (first occurrences included — later
+    * batches dedup against them) and consumes
+    * (doc_id, n_chunks, n_dup_chunks, dup_token_mass).
+    *
+    * Feeding id-ascending batches reproduces the batch first-
+    * occurrence rule exactly (pinned in StreamingSpec). At scale the
+    * store is partitioned by a chunk_md5 prefix, so the probe is a
+    * hash join on 16-byte keys — chunk bodies never shuffle, exactly
+    * as in the batch census.
+    */
+  def cdcBatch(
+      batch: org.apache.spark.sql.DataFrame,
+      store: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = graft.ops.TextAnalysis.cdcChunks(batch)
+    val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    val marked = chunks
+      .join(store.select(col("chunk_md5")).distinct()
+        .withColumn("in_store", lit(true)), Seq("chunk_md5"), "left")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dup", coalesce(col("in_store"), lit(false)) || col("rn") > 1)
+    val stats = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L)))
+          .as("dup_token_mass"))
+    (chunks.select("doc_id", "chunk_idx", "n_tokens", "chunk_md5"), stats)
+  }
 }

@@ -629,6 +629,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental CDC chunk dedup equals the batch first-occurrence rule under id-ordered batches") {
+    // the cdc_dedup twin of the signature-store loop: chunks append to
+    // a store per batch, and an occurrence is dup iff a smaller
+    // (doc_id, chunk_idx) occurrence exists in the store or batch —
+    // id-ascending batching must reproduce the global rule exactly
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.expressions.Window
+    import scala.collection.mutable
+    implicit val ctx = spark.sqlContext
+    val all = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").as[Doc].collect().sortBy(_.doc_id)
+    var store = Seq.empty[(Long, Long, Long, String)]
+      .toDF("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+    val got = mutable.Map.empty[Long, (Long, Long, Long)]
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (chunks, stats) = StreamDedup.cdcBatch(
+          batch.select("doc_id", "text"), store)
+        stats.as[(Long, Long, Long, Long)].collect().foreach { r =>
+          got(r._1) = (r._2, r._3, r._4)
+        }
+        store = store.union(chunks).localCheckpoint(true)
+      }.start()
+    try {
+      val slices = all.grouped((all.length + 2) / 3).toSeq
+      slices.foreach { s => mem.addData(s.toIndexedSeq); q.processAllAvailable() }
+      // batch twin: global first-occurrence rule over the whole corpus
+      val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+      val expect = graft.ops.TextAnalysis.cdcChunks(
+          all.toSeq.toDF().select("doc_id", "text"))
+        .withColumn("dup", row_number().over(w) > 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L))).as("m"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got.toMap === expect,
+        "incremental chunk-dup stats diverged from the batch rule")
+      // fixture sanity: dups exist and so do clean docs
+      assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+    } finally q.stop()
+  }
+
   test("incremental dedup store grows across micro-batches (foreachBatch append path)") {
     // the SCALE.md signature-store loop: each micro-batch probes the
     // store, novel docs are emitted AND their band keys appended, so a
