@@ -1604,6 +1604,38 @@ object TextQueries {
     // across docs collapse to one chunk hash no matter where they sit
     // in the text). Only (hash, count) pairs shuffle — chunk bodies
     // reduce to md5 at the map side.
+    // CDC CHUNK NOVELTY — the per-document view of cdc_dedup's census
+    // (and the sub-document analog of ngram_novelty): an occurrence is
+    // DUPLICATE iff a smaller (doc_id, chunk_idx) occurrence of the
+    // same chunk hash exists anywhere in the corpus — the global
+    // first-occurrence rule, which StreamDedup.cdcBatch reproduces
+    // incrementally (StreamingSpec pins stream==this-query parity).
+    // The rank window partitions by chunk_md5 (16-byte keys, bodies
+    // reduced map-side); per-doc rollup is the only other exchange.
+    Q("cdc_novelty",
+      s"""$cdcCtes,
+         |rk AS (SELECT doc_id, chunk_idx, n_tokens, row_number() OVER (
+         |    PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn FROM chunks)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_token_mass,
+         |  round(1.0 - SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) * 1.0
+         |    / SUM(n_tokens), 6) AS novel_frac
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+      TextQueries.cdcChunks(s, dir)
+        .withColumn("dup", row_number().over(w) > 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L)))
+            .as("dup_token_mass"),
+          round(lit(1.0) - sum(when(col("dup"), col("n_tokens"))
+            .otherwise(lit(0L))) * lit(1.0) / sum(col("n_tokens")), 6)
+            .as("novel_frac"))
+        .orderBy("doc_id")
+    },
+
     Q("cdc_dedup",
       s"""$cdcCtes
          |SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,

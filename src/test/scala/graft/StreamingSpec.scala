@@ -635,7 +635,6 @@ class StreamingSpec extends SparkSpec {
     // (doc_id, chunk_idx) occurrence exists in the store or batch —
     // id-ascending batching must reproduce the global rule exactly
     import graft.streaming.StreamDedup
-    import org.apache.spark.sql.expressions.Window
     import scala.collection.mutable
     implicit val ctx = spark.sqlContext
     val all = Tables.load(spark, sf0001, "documents")
@@ -656,15 +655,10 @@ class StreamingSpec extends SparkSpec {
     try {
       val slices = all.grouped((all.length + 2) / 3).toSeq
       slices.foreach { s => mem.addData(s.toIndexedSeq); q.processAllAvailable() }
-      // batch twin: global first-occurrence rule over the whole corpus
-      val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
-      val expect = graft.ops.TextAnalysis.cdcChunks(
-          all.toSeq.toDF().select("doc_id", "text"))
-        .withColumn("dup", row_number().over(w) > 1)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("dup"), 1L).otherwise(0L)).as("d"),
-          sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L))).as("m"))
+      // batch twin: the ORACLED cdc_novelty query (global
+      // first-occurrence rule over the whole corpus)
+      val expect = SparkEntry.queries("cdc_novelty")(spark, sf0001)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_token_mass")
         .as[(Long, Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
       assert(got.toMap === expect,
