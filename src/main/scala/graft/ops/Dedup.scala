@@ -273,9 +273,14 @@ object Dedup {
         col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
+      // threshold on the RAW ratio (matching the SQL oracle's WHERE);
+      // rounding is cosmetic output formatting, and filtering on the
+      // rounded value would admit ratios in [threshold - 5e-7,
+      // threshold) that the oracle rejects
+      .filter(col("inter") * lit(1.0) / col("na") >= threshold ||
+        col("inter") * lit(1.0) / col("nb") >= threshold)
       .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
         round(col("inter") * lit(1.0) / col("na"), 6).as("cont_1_in_2"),
         round(col("inter") * lit(1.0) / col("nb"), 6).as("cont_2_in_1"))
-      .filter(col("cont_1_in_2") >= threshold || col("cont_2_in_1") >= threshold)
   }
 }

@@ -72,6 +72,21 @@ object TextAnalysis {
     * state at scale, never a global cumsum); chunk text re-assembles
     * order-exactly via the rank-sorted struct fold.
     */
+  /** Per-document duplicate-chunk rollup over [[cdcChunks]] output
+    * carrying a boolean `dup` column: (doc_id, n_chunks,
+    * n_dup_chunks, dup_token_mass, token_mass). ONE definition of the
+    * stats algebra serves the batch cdc_novelty query and the
+    * streaming [[graft.streaming.StreamDedup.cdcBatch]] loop — their
+    * advertised parity is structural, not coincidental.
+    */
+  def chunkDupStats(marked: DataFrame): DataFrame =
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L)))
+          .as("dup_token_mass"),
+        sum(col("n_tokens")).as("token_mass"))
+
   def cdcChunks(docs: DataFrame, modBase: Int = 8): DataFrame = {
     import graft.functions.PortableHash.h32
     val pos = docs

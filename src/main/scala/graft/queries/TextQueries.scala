@@ -1363,7 +1363,8 @@ object TextQueries {
     // engines and summation orders.
     Q("trigram_backoff",
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |tg AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-2], a[2:len(a)-1], a[3:len(a)])) AS p FROM arr),
+        |tg AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-2], a[2:len(a)-1], a[3:len(a)])) AS p
+        |       FROM arr WHERE len(a) >= 3),
         |tri AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM tg),
         |dtc AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS dc FROM tri GROUP BY 1, 2, 3, 4),
         |t3 AS (SELECT w1, w2, w3, CAST(SUM(dc) AS BIGINT) AS c3 FROM dtc WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
@@ -1446,10 +1447,12 @@ object TextQueries {
     // (the property that makes the step resumable at 100 TB). Pure
     // per-row array math on the scan; zero shuffle.
     Q("span_corruption", {
-      val h = duckH32("CAST(doc_id AS VARCHAR) || '#' || CAST((i - 1) // 20 AS VARCHAR)")
+      val h = duckH32("CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")
       s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |bh AS (SELECT doc_id, a, list_transform(generate_series(0, (len(a) - 1) // 20),
+         |    b -> $h % 18) AS bh FROM arr),
          |m AS (SELECT doc_id, a, list_transform(generate_series(1, len(a)),
-         |    i -> (i - 1) % 20 - $h % 18) AS rel FROM arr),
+         |    i -> (i - 1) % 20 - bh[(i - 1) // 20 + 1]) AS rel FROM bh),
          |parts AS (SELECT doc_id, len(a) AS n_tokens,
          |    array_to_string(list_filter(list_transform(generate_series(1, len(a)),
          |      i -> CASE WHEN rel[i] = 0 THEN '<extra_' || CAST((i - 1) // 20 AS VARCHAR) || '>'
@@ -1472,16 +1475,24 @@ object TextQueries {
       val a = col("a")
       // rel = in-block offset minus the block's span start: 0 = span
       // head (sentinel), 1..2 = span body (dropped from input), else
-      // untouched — ONE shared derivation drives all four outputs
+      // untouched — ONE shared derivation drives all four outputs.
+      // The hash depends only on (doc_id, block), so it computes ONCE
+      // per block into bh (ceil(n/20) md5s per row, not n — md5 count
+      // is the scan's dominant cost, same reasoning as MinHash's
+      // one-md5-per-shingle rework).
       def blockOf(i0: org.apache.spark.sql.Column) = floor(i0 / 20)
+      val bh = transform(
+        sequence(lit(0L), floor((size(a) - 1) / 20).cast("long")),
+        b => h32(concat(col("doc_id").cast("string"), lit("#"),
+          b.cast("string"))) % 18)
       def rel(i0: org.apache.spark.sql.Column) =
-        (i0 % 20) - h32(concat(col("doc_id").cast("string"), lit("#"),
-          blockOf(i0).cast("long").cast("string"))) % 18
+        (i0 % 20) - element_at(col("bh"), (blockOf(i0) + 1).cast("int"))
       def sentinel(i0: org.apache.spark.sql.Column) =
         concat(lit("<extra_"), blockOf(i0).cast("long").cast("string"), lit(">"))
       val withRel = Tables.parallelize(Tables.load(s, dir, "documents")
           .select("doc_id", "text"))
         .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), a, bh.as("bh"))
         .select(col("doc_id"), a, transform(a, (_, i0) => rel(i0)).as("rel"))
       val n = size(a)
       withRel.select(col("doc_id"), n.as("n_tokens"),
@@ -1623,15 +1634,11 @@ object TextQueries {
          |    / SUM(n_tokens), 6) AS novel_frac
          |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
-      TextQueries.cdcChunks(s, dir)
-        .withColumn("dup", row_number().over(w) > 1)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
-          sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L)))
-            .as("dup_token_mass"),
-          round(lit(1.0) - sum(when(col("dup"), col("n_tokens"))
-            .otherwise(lit(0L))) * lit(1.0) / sum(col("n_tokens")), 6)
+      TextAnalysis.chunkDupStats(TextQueries.cdcChunks(s, dir)
+          .withColumn("dup", row_number().over(w) > 1))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_token_mass"),
+          round(lit(1.0) - col("dup_token_mass") * lit(1.0) / col("token_mass"), 6)
             .as("novel_frac"))
         .orderBy("doc_id")
     },

@@ -35,16 +35,17 @@ object StreamDedup {
     * .cdcChunks]]), and a chunk OCCURRENCE is a duplicate iff an
     * occurrence with smaller (doc_id, chunk_idx) exists in the
     * persisted chunk store or earlier in this batch. Returns
-    * (chunks-to-append, per-doc stats): the caller appends the WHOLE
-    * batch's chunks to the store (first occurrences included — later
-    * batches dedup against them) and consumes
+    * (chunks-to-append, per-doc stats): the append frame holds ONLY
+    * the batch's first occurrences — duplicates are already
+    * represented, so the store stays bounded by DISTINCT chunk count
+    * however duplicate-heavy the stream — and stats is
     * (doc_id, n_chunks, n_dup_chunks, dup_token_mass).
     *
-    * Feeding id-ascending batches reproduces the batch first-
-    * occurrence rule exactly (pinned in StreamingSpec). At scale the
-    * store is partitioned by a chunk_md5 prefix, so the probe is a
-    * hash join on 16-byte keys — chunk bodies never shuffle, exactly
-    * as in the batch census.
+    * Feeding id-ascending batches reproduces the batch
+    * first-occurrence rule (the oracled cdc_novelty query) exactly —
+    * pinned in StreamingSpec. At scale the store is partitioned by a
+    * chunk_md5 prefix, so the probe is a hash join on 16-byte keys —
+    * chunk bodies never shuffle, exactly as in the batch census.
     */
   def cdcBatch(
       batch: org.apache.spark.sql.DataFrame,
@@ -58,11 +59,10 @@ object StreamDedup {
         .withColumn("in_store", lit(true)), Seq("chunk_md5"), "left")
       .withColumn("rn", row_number().over(w))
       .withColumn("dup", coalesce(col("in_store"), lit(false)) || col("rn") > 1)
-    val stats = marked.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
-        sum(when(col("dup"), col("n_tokens")).otherwise(lit(0L)))
-          .as("dup_token_mass"))
-    (chunks.select("doc_id", "chunk_idx", "n_tokens", "chunk_md5"), stats)
+    val stats = graft.ops.TextAnalysis.chunkDupStats(marked)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_token_mass")
+    val toAppend = marked.filter(!col("dup"))
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+    (toAppend, stats)
   }
 }
