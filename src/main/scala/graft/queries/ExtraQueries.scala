@@ -234,6 +234,40 @@ object ExtraQueries {
         .orderBy("w_start")
     },
 
+    // Windowed KLL quantiles — the quantile twin of cms_windowed: one
+    // mergeable sketch per hour window (the streaming latency-
+    // percentile dashboard), shared implementation with the
+    // watermarked streaming path (WindowedAggs.windowedQuantiles;
+    // StreamingSpec pins streaming==batch estimate parity in the
+    // exact sub-k regime). Sketch internals differ per engine, so
+    // like approx_percentiles the gate carries the TOLERANCE contract:
+    // each estimate re-ranks against its own window and must sit
+    // within eps = 3% + 3/n of its target rank (3% is the proven
+    // k=256 bound; 3/n covers small-window rank granularity and the
+    // fixture's duplicate values) — the oracle expects TRUE across
+    // every window. The re-rank joins events to the broadcast
+    // 720-row estimate table: census-sized, scale-safe.
+    Q("kll_windowed",
+      """SELECT date_trunc('hour', ts) AS w_start, COUNT(*) AS n_events,
+        |  TRUE AS within_eps_p25, TRUE AS within_eps_p50, TRUE AS within_eps_p75
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select("ts", "value")
+      val est = graft.streaming.WindowedAggs.windowedQuantiles(
+        ev, "value", 256, Seq(0.25, 0.50, 0.75))
+      val withHour = ev.select(date_trunc("hour", col("ts")).as("w_start"),
+        col("value"))
+      def within(p: Double, estCol: String) =
+        abs(avg((col("value") < col(estCol)).cast("int")) - p) <=
+          lit(0.03) + lit(3.0) / count(lit(1))
+      withHour.join(broadcast(est), "w_start")
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_events"),
+          within(0.25, "p25_est").as("within_eps_p25"),
+          within(0.50, "p50_est").as("within_eps_p50"),
+          within(0.75, "p75_est").as("within_eps_p75"))
+        .orderBy("w_start")
+    },
+
     // Two-stage salted aggregation (heavy-hitter mitigation): stage 1
     // spreads each key over 16 salt buckets, stage 2 merges partials —
     // a hot key occupies 16 reducers instead of serializing one.

@@ -85,6 +85,29 @@ object WindowedAggs {
       }: _*)
   }
 
+  /** Watermarked per-window KLL quantile estimates — the quantile twin
+    * of [[windowedCms]] (same shape: one mergeable sketch per window,
+    * state bounded by open windows, late data folded until the
+    * watermark seals). Below k items per window the sketch is EXACT
+    * and merge-order-independent, so streaming==batch estimate parity
+    * is bit-exact in that regime (pinned in StreamingSpec); above it
+    * the rank-error bound takes over (QuantileSketchSpec).
+    */
+  def windowedQuantiles(events: DataFrame, valueCol: String, k: Int,
+                        probs: Seq[Double],
+                        window_ : String = "1 hour",
+                        watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.QuantileSketchAgg
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(QuantileSketchAgg(col(valueCol), k, probs).as("qs"))
+      .select(col("w.start").as("w_start") +: probs.zipWithIndex.map {
+        case (p, i) =>
+          element_at(col("qs"), i + 1).as(s"p${(p * 100).round}_est")
+      }: _*)
+  }
+
   // ---- custom keyed state ----
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

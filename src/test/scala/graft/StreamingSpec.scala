@@ -509,6 +509,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed KLL quantiles: streaming estimates equal the batch twin (exact sub-k regime)") {
+    // the quantile sibling of the CMS window test: sketches merge
+    // through the state store across micro-batches (including an
+    // in-watermark late arrival); below k=256 items per window the
+    // sketch stores every value, so the sealed-window estimates must
+    // equal the batch twin BIT-EXACTLY, and equal the true lower
+    // quantiles of the window
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val probs = Seq(0.25, 0.50, 0.75)
+    val stream = WindowedAggs.windowedQuantiles(mem.toDF(), "value", 256, probs)
+    val q = stream.writeStream.format("memory").queryName("kll_win")
+      .outputMode("append").start()
+    val events = (1 to 9).map(i =>
+      Ev(i.toLong, ts(f"2024-01-01 10:${i * 5}%02d:00"), i.toLong, "click",
+        ((i * 37) % 10).toDouble)) // distinct, deliberately unsorted values
+    try {
+      mem.addData(events.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(6): _*) // still inside the 10:00 window
+      q.processAllAvailable()
+      mem.addData(Ev(99, ts("2024-01-01 11:30:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("kll_win")
+        .select(col("w_start").cast("string"), col("p25_est"), col("p50_est"),
+          col("p75_est"))
+        .as[(String, Double, Double, Double)].collect().sorted
+      val batch = WindowedAggs.windowedQuantiles(
+        events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "value", 256, probs)
+        .select(col("w_start").cast("string"), col("p25_est"), col("p50_est"),
+          col("p75_est"))
+        .as[(String, Double, Double, Double)].collect().sorted
+      assert(got === batch, "streaming quantiles diverged from batch twin")
+      // exact regime: lower quantile = sorted value at floor(p*(n-1))
+      val vals = events.map(_.value).sorted
+      def lq(p: Double) = vals((p * (vals.length - 1)).toInt)
+      assert(got === Array(("2024-01-01 10:00:00", lq(0.25), lq(0.5), lq(0.75))))
+    } finally q.stop()
+  }
+
   test("streaming DSIR scorer: stateless per-row scores match batch bit-exactly across micro-batches") {
     // the production split of dsir_select: λ trains once in batch
     // (lamTable — B integer micro-units), then every ARRIVING document
