@@ -56,6 +56,9 @@ object StreamClassify {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ndocs = pri.values.sum
     val classes = tot.keys.toSeq.sorted
+    // fail loudly here rather than as an opaque scoreCols.last crash
+    // in classified() — an empty training frame is a caller bug
+    require(classes.nonEmpty, "NB training set is empty: no (lang, text) rows")
     NbModel(
       classes,
       classes.map(cl => cl -> u6(math.log(pri(cl).toDouble / ndocs))).toMap,

@@ -46,6 +46,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(next.map(_.toSeq).toSeq === init.map(_.toSeq).toSeq)
   }
 
+  test("round-7 curation ops on empty frames: empty results, loud NB train") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val emptyLangDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(Dedup.containmentPairs(emptyLangDocs, maxDf = 50).count() === 0)
+    assert(TextAnalysis.cdcChunks(emptyDocs).count() === 0)
+    val (app, stats) = graft.streaming.StreamDedup.cdcBatch(
+      emptyDocs, Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "chunk_idx", "n_tokens", "chunk_md5"))
+    assert(app.count() === 0 && stats.count() === 0)
+    // empty windowed-quantile input: zero windows, not a crash
+    val emptyEv = Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "value")
+    assert(graft.streaming.WindowedAggs.windowedQuantiles(
+      emptyEv, "value", 64, Seq(0.5)).count() === 0)
+    // an empty NB training set must fail LOUDLY at train time, not as
+    // an opaque crash when the first document is scored
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamClassify.trainNb(
+        emptyLangDocs.select("lang", "text")))
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("TopKAgg over an empty group set returns no rows (not a crash)") {
     val out = emptyDocs
       .groupBy("doc_id")
