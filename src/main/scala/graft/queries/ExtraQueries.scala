@@ -13,6 +13,18 @@ import graft.functions.PortableHash.{duckH32, h32}
   */
 object ExtraQueries {
 
+  /** TIE-SAFE two-sided rank check for the sketch tolerance gates
+    * (approx_percentiles, kll_windowed): the estimate's rank interval
+    * [frac(< est), frac(<= est)] must overlap [p - eps, p + eps].
+    * The one-sided |frac(< est) - p| form fails spuriously when a
+    * mass of values ties AT the (correct) estimate — frac(<) drops to
+    * the tie group's floor; the interval form is the standard fix.
+    */
+  private def rankWithin(value: org.apache.spark.sql.Column, p: Double,
+      estCol: String, eps: org.apache.spark.sql.Column) =
+    (avg((value < col(estCol)).cast("int")) <= lit(p) + eps) &&
+      (avg((value <= col(estCol)).cast("int")) >= lit(p) - eps)
+
   def all: Seq[Q] = Seq(
 
     // Generator / UDTF surface: tokenize via explode, then aggregate —
@@ -118,15 +130,15 @@ object ExtraQueries {
           element_at(col("qs"), 1).as("p25_est"),
           element_at(col("qs"), 2).as("p50_est"),
           element_at(col("qs"), 3).as("p75_est"))
-      val eps = 0.03
-      def within(p: Double, estCol: String) =
-        (abs(avg((col("l_extendedprice") < col(estCol)).cast("int")) - p)
-          <= eps)
       li.join(broadcast(est), col("l_returnflag") === col("rf"))
         .groupBy("l_returnflag")
-        .agg(within(0.25, "p25_est").as("within_eps_p25"),
-          within(0.50, "p50_est").as("within_eps_p50"),
-          within(0.75, "p75_est").as("within_eps_p75"))
+        .agg(
+          rankWithin(col("l_extendedprice"), 0.25, "p25_est", lit(0.03))
+            .as("within_eps_p25"),
+          rankWithin(col("l_extendedprice"), 0.50, "p50_est", lit(0.03))
+            .as("within_eps_p50"),
+          rankWithin(col("l_extendedprice"), 0.75, "p75_est", lit(0.03))
+            .as("within_eps_p75"))
         .orderBy("l_returnflag")
     },
 
@@ -256,15 +268,13 @@ object ExtraQueries {
         ev, "value", 256, Seq(0.25, 0.50, 0.75))
       val withHour = ev.select(date_trunc("hour", col("ts")).as("w_start"),
         col("value"))
-      def within(p: Double, estCol: String) =
-        abs(avg((col("value") < col(estCol)).cast("int")) - p) <=
-          lit(0.03) + lit(3.0) / count(lit(1))
+      def eps = lit(0.03) + lit(3.0) / count(lit(1))
       withHour.join(broadcast(est), "w_start")
         .groupBy("w_start")
         .agg(count(lit(1)).as("n_events"),
-          within(0.25, "p25_est").as("within_eps_p25"),
-          within(0.50, "p50_est").as("within_eps_p50"),
-          within(0.75, "p75_est").as("within_eps_p75"))
+          rankWithin(col("value"), 0.25, "p25_est", eps).as("within_eps_p25"),
+          rankWithin(col("value"), 0.50, "p50_est", eps).as("within_eps_p50"),
+          rankWithin(col("value"), 0.75, "p75_est", eps).as("within_eps_p75"))
         .orderBy("w_start")
     },
 

@@ -98,6 +98,10 @@ object WindowedAggs {
                         window_ : String = "1 hour",
                         watermark: String = "10 minutes"): DataFrame = {
     import graft.functions.QuantileSketchAgg
+    // output columns are named by integer percent — two probs in the
+    // same percent would silently emit ambiguous duplicate columns
+    require(probs.map(p => (p * 100).round).distinct.size == probs.size,
+      s"probs $probs collide on integer-percent column names")
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"))
