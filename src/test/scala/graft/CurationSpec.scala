@@ -332,6 +332,60 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._2 > 0.0))
   }
 
+  test("CDC chunks partition every document: reassembly and boundary structure") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    // 200 random docs over a 60-word vocabulary (seeded — the corpus
+    // is reproducible), one Spark pass for the whole property
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val docs = (1L to 200L).map { id =>
+      val n = 1 + rnd.nextInt(60)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val boundary = vocab.toDF("tok")
+      .select(col("tok"),
+        (graft.functions.PortableHash.h32(col("tok")) % 8 === 0).as("b"))
+      .as[(String, Boolean)].collect().toMap
+    // need chunk TEXT, not just md5 — re-derive strings per (doc, idx)
+    // through the same grouping the op uses, then md5-match the op
+    val chunks = TextAnalysis.cdcChunks(df)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      // independent chunker: split AFTER each boundary token
+      val expected = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      toks.foreach { t =>
+        expected.last += t
+        if (boundary(t)) expected += scala.collection.mutable.ArrayBuffer.empty[String]
+      }
+      if (expected.last.isEmpty && expected.length > 1) expected.remove(expected.length - 1)
+      val got = chunks(id)
+      // partition: chunk token counts sum to the doc, indexes are 0..k-1
+      assert(got.map(_._3).sum === toks.length.toLong, s"doc $id token sum")
+      assert(got.map(_._2).toSeq === got.indices.map(_.toLong), s"doc $id indexes")
+      // content: md5 of each independent chunk matches the op's
+      assert(got.length === expected.length, s"doc $id chunk count")
+      got.zip(expected).foreach { case ((_, _, n, h), exp) =>
+        assert(n === exp.length.toLong && h === md5hex(exp.mkString(" ")),
+          s"doc $id chunk content")
+      }
+      // structure: every chunk but the last ends AT a boundary token,
+      // and no boundary token sits mid-chunk
+      expected.dropRight(1).foreach { c =>
+        assert(boundary(c.last), s"doc $id non-terminal chunk without boundary end")
+        assert(c.dropRight(1).forall(!boundary(_)), s"doc $id boundary mid-chunk")
+      }
+    }
+  }
+
   test("mmr_rerank matches an independent greedy reimplementation and diversifies") {
     import spark.implicits._
     // independent driver-side greedy MMR from the raw embeddings,
