@@ -278,6 +278,35 @@ object ExtraQueries {
         .orderBy("w_start")
     },
 
+    // Windowed HLL distinct — the third member of the windowed sketch
+    // trio (cms_windowed counts, kll_windowed quantiles, this one
+    // cardinalities): per-hour approximate distinct users through the
+    // SAME implementation as the watermarked streaming path
+    // (WindowedAggs.windowedDistinct; StreamingSpec pins EXACT
+    // streaming==batch estimate parity — HLL's register-max merge is
+    // arrival-order-invariant by algebra). Gate contract as in
+    // approx_distinct — exact count + an error-bound boolean, TRUE
+    // across all 720 windows — but the windows are TINY (4-30 users),
+    // where HLL++'s dense registers carry O(1) ABSOLUTE error that
+    // dwarfs 3·rsd·n: the bound is 3·rsd·n + 4 (measured max |err| on
+    // the fixture is 3; the relative term takes over as windows grow).
+    Q("hll_windowed",
+      """SELECT date_trunc('hour', ts) AS w_start,
+        |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select("ts", "user_id")
+      val est = graft.streaming.WindowedAggs.windowedDistinct(
+        ev, "user_id", 0.05)
+      ev.select(date_trunc("hour", col("ts")).as("w_start"), col("user_id"))
+        .groupBy("w_start")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(broadcast(est), "w_start")
+        .select(col("w_start"), col("exact_users"),
+          (abs(col("approx_keys") - col("exact_users"))
+            <= lit(3 * 0.05) * col("exact_users") + 4).as("within_bound"))
+        .orderBy("w_start")
+    },
+
     // Two-stage salted aggregation (heavy-hitter mitigation): stage 1
     // spreads each key over 16 salt buckets, stage 2 merges partials —
     // a hot key occupies 16 reducers instead of serializing one.

@@ -112,6 +112,22 @@ object WindowedAggs {
       }: _*)
   }
 
+  /** Watermarked per-window approximate distinct (HLL++) — completes
+    * the windowed sketch trio beside [[windowedCms]] and
+    * [[windowedQuantiles]]. HLL merge is register-wise MAX —
+    * commutative, associative, idempotent — so micro-batch arrival
+    * order CANNOT change a sealed window's estimate: streaming==batch
+    * parity is exact by algebra, not merely within the error bound
+    * (pinned in StreamingSpec).
+    */
+  def windowedDistinct(events: DataFrame, keyCol: String, rsd: Double,
+                       window_ : String = "1 hour",
+                       watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("approx_keys"))
+      .select(col("w.start").as("w_start"), col("approx_keys"))
+
   // ---- custom keyed state ----
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

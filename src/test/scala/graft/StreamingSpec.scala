@@ -551,6 +551,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed HLL distinct: arrival order cannot change the sealed estimate") {
+    // register-wise MAX merge is commutative/associative/idempotent,
+    // so however the micro-batches slice the window — including an
+    // in-watermark late arrival and a duplicate user — the sealed
+    // estimate must EQUAL the batch twin's, not just sit near it
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stream = WindowedAggs.windowedDistinct(mem.toDF(), "user_id", 0.05)
+    val q = stream.writeStream.format("memory").queryName("hll_win")
+      .outputMode("append").start()
+    val events = (1 to 12).map(i =>
+      Ev(i.toLong, ts(f"2024-01-01 10:${(i * 4) % 60}%02d:00"), (i % 9).toLong,
+        "click", 1.0)) // 9 distinct users, duplicates included
+    try {
+      mem.addData(events.take(7): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(7): _*)
+      q.processAllAvailable()
+      mem.addData(Ev(99, ts("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hll_win")
+        .select(col("w_start").cast("string"), col("approx_keys"))
+        .as[(String, Long)].collect().sorted
+      val batch = WindowedAggs.windowedDistinct(
+        events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", 0.05)
+        .select(col("w_start").cast("string"), col("approx_keys"))
+        .as[(String, Long)].collect().sorted
+      assert(got === batch, "streaming HLL diverged from batch twin")
+      assert(got.length === 1 && math.abs(got(0)._2 - 9L) <= 4,
+        s"estimate ${got.headOption} far from the true 9 distinct users")
+    } finally q.stop()
+  }
+
   test("streaming DSIR scorer: stateless per-row scores match batch bit-exactly across micro-batches") {
     // the production split of dsir_select: λ trains once in batch
     // (lamTable — B integer micro-units), then every ARRIVING document
