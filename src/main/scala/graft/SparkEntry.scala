@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries.all ++ AggQueries.all ++ TimeQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       ExtraQueries.all ++ TpchQueries.all ++ BehaviorQueries.all ++
-      VocabQueries.all ++ SequenceQueries.all ++ SelectionQueries.all
+      VocabQueries.all ++ SequenceQueries.all ++ SelectionQueries.all ++
+      EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

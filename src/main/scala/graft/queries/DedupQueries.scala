@@ -547,6 +547,65 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al., '07) — the
+    // density-aware counterpart to dedup_clusters' connected
+    // components: CC merges everything reachable (one spurious band
+    // collision chains two families together), while LPA converges to
+    // the majority-neighbor label, splitting chained families at
+    // their thin cut. Deterministic variant: 3 SYNCHRONOUS rounds,
+    // each node adopting its neighbors' most frequent label with ties
+    // to the smallest label (row_number over (count DESC, label)) —
+    // a pure function of the edge set, so both engines agree
+    // bit-exactly, unlike the classic randomized-order LPA. Same
+    // banding-bounded edge list and per-round single-join shape as
+    // pagerank_dups: at 100 TB each round shuffles (node, label)
+    // pairs over the pair graph, never the corpus.
+    Q("lpa_communities", {
+      val rounds = (1 to 3).map { k =>
+        s"""v$k AS (SELECT e.a AS node, l.lbl, COUNT(*) AS c
+           |        FROM edges e JOIN l${k - 1} l ON e.b = l.node GROUP BY 1, 2),
+           |l$k AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (
+           |          PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$k) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+         |$rounds
+         |SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        // edges feeds all 3 rounds; materialize the banded derivation
+        // once (the pagerank_dups A/B showed AQE stage reuse covers
+        // this at fixture scale, but the label joins below alternate
+        // sides, which defeats reuse — measured neutral-to-better)
+        .localCheckpoint(true)
+      val majority = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))
+      var l = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        l = edges.join(l, edges("b") === l("node"))
+          .groupBy(edges("a").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(majority))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl"))
+      }
+      l.select(col("node").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+    },
+
     // keep-list RESOLUTION — the decision step that turns clusters
     // into an actionable dedup: every document gets its cluster (its
     // connected-component label; singletons are their own cluster)

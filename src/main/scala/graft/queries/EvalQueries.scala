@@ -1,0 +1,520 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.PortableHash.{duckH32, h32}
+
+/** Pipeline-evaluation + table-maintenance operators — the audit layer
+  * a production curation run wraps around the scoring/dedup passes:
+  * a properly smoothed LM (interpolated Kneser-Ney), classifier
+  * calibration and PR sweeps for the heuristic quality scorers, class-
+  * conditional embedding drift, and size-based compaction planning for
+  * the output file layout.
+  *
+  * Reference grounding: the reference's transform stage is a per-record
+  * value rewrite gated on dimension state
+  * (`/root/reference/src/main/java/ru/kafka/KafkaStreamApp.java:103-126`);
+  * these queries are the batch QA counterparts a team runs before
+  * trusting such a pipeline's output at corpus scale.
+  *
+  * Determinism contract (same as the rest of the suite): every double
+  * that crosses an ORDER-OF-SUMMATION boundary is pre-rounded to 6 dp
+  * and summed as DECIMAL, so Spark's partition-order-dependent sums and
+  * DuckDB's sequential sums are bit-identical.
+  */
+object EvalQueries {
+
+  // ---- shared per-doc quality features -------------------------------
+  //
+  // quality_pr_curve and score_calibration both need (score, label)
+  // per document, where score is EXACTLY quality_logit's integer-unit
+  // sigmoid and label is EXACTLY gopher_rules' `keep` conjunction.
+  // They are defined once here (both the Spark exprs and the DuckDB
+  // CTE) so the two queries cannot drift from each other; the
+  // duplication with quality_logit/gopher_rules themselves is pinned
+  // by EvalSpec's cross-query consistency test.
+
+  /** DuckDB CTE `sl(doc_id, score_u, label)` over `documents`. */
+  private val duckScoreLabel: String =
+    """f AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_toks,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types,
+      |    len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS n_stop,
+      |    length(text) AS n_ch FROM documents),
+      |z AS (SELECT doc_id, n_toks, n_stop, n_ch,
+      |    -1.0 + 2.0 * least(1.0, n_toks / 100.0)
+      |         + 1.5 * (CAST(n_types AS DOUBLE) / n_toks)
+      |         - 2.0 * (CAST(n_stop AS DOUBLE) / n_toks)
+      |         + 0.3 * (CAST(n_ch - n_toks + 1 AS DOUBLE) / n_toks) AS z
+      |  FROM f WHERE n_toks > 0),
+      |g AS (SELECT doc_id, string_split(text, ' ') AS a, length(text) AS nch FROM documents),
+      |gl AS (SELECT doc_id,
+      |    len(a) BETWEEN 20 AND 90
+      |      AND (nch - (len(a) - 1)) * 1.0 / len(a) >= 4.0
+      |      AND len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) >= 2
+      |      AND list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) <= 0.125
+      |    AS label FROM g WHERE len(a) > 0),
+      |sl AS (SELECT z.doc_id,
+      |    CAST(floor(1e6 / (1.0 + exp(-z)) + 0.5) AS BIGINT) AS score_u,
+      |    CASE WHEN gl.label THEN 1 ELSE 0 END AS label
+      |  FROM z JOIN gl ON z.doc_id = gl.doc_id)""".stripMargin
+
+  /** Spark side of [[duckScoreLabel]]: one fused scan-side projection
+    * producing (doc_id, score_u, label) — zero shuffle; at 100 TB this
+    * is a single pass over the corpus with everything in whole-stage
+    * codegen (array higher-order functions, no UDFs).
+    */
+  private def scoreLabel(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val a = split(col("text"), " ")
+    val f = Tables.parallelize(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"),
+        size(a).as("n_toks"),
+        size(array_distinct(a)).as("n_types"),
+        size(filter(a, t => t === "the" || t === "a")).as("n_stop"),
+        length(col("text")).as("n_ch"),
+        ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
+        (array_max(transform(array_distinct(a),
+          w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"))
+      .filter(col("n_toks") > 0)
+    val z = lit(-1.0) +
+      lit(2.0) * least(lit(1.0), col("n_toks") / 100.0) +
+      lit(1.5) * (col("n_types").cast("double") / col("n_toks")) -
+      lit(2.0) * (col("n_stop").cast("double") / col("n_toks")) +
+      lit(0.3) * ((col("n_ch") - col("n_toks") + 1).cast("double") / col("n_toks"))
+    f.select(col("doc_id"),
+      floor(lit(1e6) / (lit(1.0) + exp(-z)) + 0.5).cast("long").as("score_u"),
+      when(col("n_toks").between(20, 90) && col("mwl") >= 4.0 &&
+        col("n_stop") >= 2 && col("topf") <= 0.125, 1).otherwise(0)
+        .as("label"))
+  }
+
+  val Dim = 64 // embeddings fixture dimension (SimilarityQueries.Dim)
+
+  def all: Seq[Q] = Seq(
+
+    // INTERPOLATED KNESER-NEY BIGRAM LM (Kneser & Ney, ICASSP '95;
+    // Chen & Goodman '98 eq. 4.2) — the properly-smoothed step up
+    // from bigram_logprob's MLE and trigram_backoff's stupid backoff:
+    // absolute discounting D=0.75 with the discounted mass
+    // redistributed over the CONTINUATION distribution
+    // Pcont(w2) = N1+(.w2) / N1+(..), which is what makes KN the
+    // default smoothing for count-based LMs. Counts train on the
+    // even-doc_id half so odd documents genuinely exercise the
+    // unseen-bigram and unseen-history paths; Pcont is add-one
+    // smoothed over the continuation vocabulary so unseen w2 stays
+    // finite. All count tables are marginals of ONE per-doc bigram
+    // count (tokenize once, derive the rest) and are
+    // vocabulary-bounded — at 100 TB they broadcast while the per-doc
+    // bigram stream joins map-side, exactly the trigram_backoff
+    // layout. Per-term logs round to 6 dp and sum as DECIMAL(20,6):
+    // bit-identical across engines and summation orders.
+    Q("kneser_ney_bigram",
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+        |       FROM arr WHERE len(a) >= 2),
+        |bi AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS dc FROM bi GROUP BY 1, 2, 3),
+        |b AS (SELECT w1, w2, CAST(SUM(dc) AS BIGINT) AS cb FROM dbc WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |fw AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu, COUNT(*) AS n1fw FROM b GROUP BY 1),
+        |bw AS (SELECT w2, COUNT(*) AS n1bw FROM b GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nbt, COUNT(DISTINCT w2) AS vc FROM b)
+        |SELECT dbc.doc_id AS doc_id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN cb IS NULL THEN dc ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  CAST(SUM(dc * CAST(round(ln(CASE
+        |    WHEN cu IS NOT NULL THEN
+        |      (CASE WHEN cb IS NOT NULL AND cb > 0.75 THEN (cb - 0.75) / cu ELSE 0.0 END)
+        |      + 0.75 * n1fw / cu * ((COALESCE(n1bw, 0) + 1.0) / (nbt + vc))
+        |    ELSE (COALESCE(n1bw, 0) + 1.0) / (nbt + vc) END), 6) AS DECIMAL(20,6))) AS DOUBLE) AS logprob
+        |FROM dbc LEFT JOIN b USING (w1, w2) LEFT JOIN fw USING (w1)
+        |  LEFT JOIN bw USING (w2) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val arr = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val n = size(col("a"))
+      val blen = greatest(n - 1, lit(0)) // <2 tokens -> no bigrams
+      val bi = arr
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("a"), lit(1), blen),
+          slice(col("a"), lit(2), blen))).as("p"))
+        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      val dbc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+      // trained counts artifact: materialized once (same measured
+      // rationale as trigram_backoff's t3 — each broadcast side would
+      // otherwise re-derive the corpus scan + explode + count)
+      val b = dbc.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2").agg(sum(col("dc")).as("cb"))
+        .localCheckpoint(true)
+      val fw = b.groupBy("w1")
+        .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1fw"))
+      val bw = b.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+      val tot = b.agg(count(lit(1)).as("nbt"),
+        countDistinct(col("w2")).as("vc"))
+      val pcont = (coalesce(col("n1bw"), lit(0)) + 1.0) /
+        (col("nbt") + col("vc"))
+      val p = when(col("cu").isNotNull,
+          when(col("cb").isNotNull && col("cb") > 0.75,
+            (col("cb") - 0.75) / col("cu")).otherwise(lit(0.0)) +
+            lit(0.75) * col("n1fw") / col("cu") * pcont)
+        .otherwise(pcont)
+      val term = round(log(p), 6).cast(DecimalType(20, 6))
+      dbc.join(broadcast(b), Seq("w1", "w2"), "left")
+        .join(broadcast(fw), Seq("w1"), "left")
+        .join(broadcast(bw), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("dc")).as("n_bigrams"),
+          sum(when(col("cb").isNull, col("dc")).otherwise(lit(0)))
+            .as("n_unseen"),
+          sum(col("dc") * term).cast("double").as("logprob"))
+        .orderBy("doc_id")
+    },
+
+    // PRECISION/RECALL THRESHOLD SWEEP — the operating-point curve for
+    // the quality_logit scorer against the gopher_rules keep-label:
+    // before a team picks the score cutoff for a 100 TB filter run,
+    // this is the table they read. One scan computes (score, label)
+    // per doc, a broadcast 9-row threshold dim fans each doc into its
+    // 9 (threshold, prediction) cells, and one aggregation yields the
+    // full confusion census per threshold — corpus is read ONCE for
+    // all operating points, never once per threshold. P/R/F1 are
+    // ratios of exact integer counts: deterministic doubles.
+    Q("quality_pr_curve",
+      s"""WITH $duckScoreLabel,
+         |th AS (SELECT unnest(generate_series(1, 9)) AS k),
+         |cell AS (SELECT k, CASE WHEN score_u >= k * 100000 THEN 1 ELSE 0 END AS pred, label
+         |         FROM sl CROSS JOIN th),
+         |cm AS (SELECT k, CAST(SUM(pred * label) AS BIGINT) AS tp,
+         |         CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+         |         CAST(SUM((1 - pred) * label) AS BIGINT) AS fn,
+         |         CAST(SUM((1 - pred) * (1 - label)) AS BIGINT) AS tn
+         |       FROM cell GROUP BY k)
+         |SELECT k AS threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_,
+         |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+         |FROM cm ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val sl = scoreLabel(s, dir)
+      val th = s.range(1, 10).select(col("id").cast("int").as("k"))
+      sl.crossJoin(broadcast(th))
+        .select(col("k"),
+          when(col("score_u") >= col("k") * 100000, 1).otherwise(0)
+            .as("pred"),
+          col("label"))
+        .groupBy("k")
+        .agg(sum(col("pred") * col("label")).as("tp"),
+          sum(col("pred") * (lit(1) - col("label"))).as("fp"),
+          sum((lit(1) - col("pred")) * col("label")).as("fn"),
+          sum((lit(1) - col("pred")) * (lit(1) - col("label"))).as("tn"))
+        .select(col("k").as("threshold"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("precision_"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("recall_"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            round(lit(2.0) * col("tp") /
+              (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+        .orderBy("threshold")
+    },
+
+    // CALIBRATION BINS (reliability diagram + ECE inputs; Guo et al.,
+    // ICML '17) — does quality_logit's sigmoid MEAN what it says?
+    // Bins reuse quality_logit's own integer bucketing (score_u //
+    // 100000), so this table extends that query's census with the
+    // empirical keep-rate per bin and the |confidence - accuracy| gap
+    // whose n-weighted sum is ECE. Integer sums only; the two
+    // division-derived doubles are deterministic. One scan + one
+    // 11-row aggregate: census-sized output at any corpus scale.
+    Q("score_calibration",
+      s"""WITH $duckScoreLabel
+         |SELECT score_u // 100000 AS bin, COUNT(*) AS n,
+         |  CAST(SUM(score_u) AS BIGINT) AS su,
+         |  CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  round(SUM(score_u) / COUNT(*) / 1000000.0, 6) AS avg_conf,
+         |  round(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+         |  round(abs(SUM(score_u) / COUNT(*) / 1000000.0
+         |            - CAST(SUM(label) AS DOUBLE) / COUNT(*)), 6) AS gap
+         |FROM sl GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      scoreLabel(s, dir)
+        .groupBy(expr("score_u div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("score_u").as("su"),
+          sum("label").as("n_pos"))
+        .select(col("bin"), col("n"), col("su"), col("n_pos"),
+          round(col("su") / col("n") / lit(1000000.0), 6).as("avg_conf"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round(abs(col("su") / col("n") / lit(1000000.0) -
+            col("n_pos").cast("double") / col("n")), 6).as("gap"))
+        .orderBy("bin")
+    },
+
+    // CLASS-CONDITIONAL EMBEDDING DRIFT — ks_drift's vector-space
+    // counterpart: per-label embedding centroid vs the global
+    // centroid, reported as cosine similarity and L2 shift. The
+    // training-mix monitor for embedding spaces: a label whose
+    // centroid swings away from the corpus centroid signals a
+    // distribution change in that slice. Centroids use the suite's
+    // decimal-exact mean recipe (components pre-rounded to 6 dp,
+    // summed as DECIMAL(20,10) — order-independent); the global
+    // centroid derives from the per-label sums, so the corpus is
+    // scanned ONCE. Cross-dim reductions (dot, norms, shift) pre-round
+    // each of the 64 terms and sum as DECIMAL. Everything after the
+    // one per-(label, dim) aggregation is label-count-sized.
+    Q("embedding_drift",
+      s"""WITH ev AS (SELECT vec_id, label, i, round(CAST(embedding[i] AS DOUBLE), 6) AS v
+         |    FROM (SELECT vec_id, label, embedding,
+         |          unnest(generate_series(1, $Dim)) AS i FROM embeddings)),
+         |lm AS (SELECT label, i, SUM(CAST(v AS DECIMAL(20,10))) AS sv, COUNT(*) AS n
+         |       FROM ev GROUP BY 1, 2),
+         |lc AS (SELECT label, i, CAST(sv AS DOUBLE) / n AS ml, n FROM lm),
+         |gc AS (SELECT i, CAST(SUM(sv) AS DOUBLE) / SUM(n) AS mg FROM lm GROUP BY i),
+         |terms AS (SELECT label, n,
+         |    CAST(round(ml * mg, 6) AS DECIMAL(20,6)) AS t_dot,
+         |    CAST(round(ml * ml, 6) AS DECIMAL(20,6)) AS t_nl,
+         |    CAST(round(mg * mg, 6) AS DECIMAL(20,6)) AS t_ng,
+         |    CAST(round((ml - mg) * (ml - mg), 6) AS DECIMAL(20,6)) AS t_sh
+         |  FROM lc JOIN gc USING (i))
+         |SELECT label, CAST(MIN(n) AS BIGINT) AS n_vecs,
+         |  round(CAST(SUM(t_dot) AS DOUBLE) /
+         |    (sqrt(CAST(SUM(t_nl) AS DOUBLE)) * sqrt(CAST(SUM(t_ng) AS DOUBLE))), 6) AS cos_to_global,
+         |  round(sqrt(CAST(SUM(t_sh) AS DOUBLE)), 6) AS l2_shift
+         |FROM terms GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "e")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+          round(col("e").cast("double"), 6).as("v"))
+      val lm = ev.groupBy("label", "i")
+        .agg(sum(col("v").cast(DecimalType(20, 10))).as("sv"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true) // one scan feeds both centroid tables
+      val lc = lm.select(col("label"), col("i"),
+        (col("sv").cast("double") / col("n")).as("ml"), col("n"))
+      val gc = lm.groupBy("i")
+        .agg((sum(col("sv")).cast("double") / sum(col("n"))).as("mg"))
+      lc.join(broadcast(gc), Seq("i"))
+        .select(col("label"), col("n"),
+          round(col("ml") * col("mg"), 6).cast(DecimalType(20, 6)).as("t_dot"),
+          round(col("ml") * col("ml"), 6).cast(DecimalType(20, 6)).as("t_nl"),
+          round(col("mg") * col("mg"), 6).cast(DecimalType(20, 6)).as("t_ng"),
+          round((col("ml") - col("mg")) * (col("ml") - col("mg")), 6)
+            .cast(DecimalType(20, 6)).as("t_sh"))
+        .groupBy("label")
+        .agg(min(col("n")).as("n_vecs"),
+          round(sum(col("t_dot")).cast("double") /
+            (sqrt(sum(col("t_nl")).cast("double")) *
+              sqrt(sum(col("t_ng")).cast("double"))), 6).as("cos_to_global"),
+          round(sqrt(sum(col("t_sh")).cast("double")), 6).as("l2_shift"))
+        .orderBy("label")
+    },
+
+    // COMPACTION PLAN — the lakehouse table-maintenance pass
+    // (Iceberg/Delta `rewrite_data_files` semantics): given the
+    // current file manifest (here: 64 synthetic files = docs hashed
+    // by h32(doc_id) % 64, file size = sum of member text bytes),
+    // assign files in layout order to sequential target-sized output
+    // bins — a file starts a new bin exactly when the running total
+    // has reached the target. The manifest is metadata-sized (file
+    // count, not data size: millions of rows at 100 TB, not
+    // billions), so the single unpartitioned cumulative-sum window is
+    // the CORRECT plan here — the data itself is never read, only the
+    // per-file size census (one shuffle-light aggregate).
+    Q("compaction_plan", {
+      val h = duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH fm AS (SELECT $h % 64 AS file_id,
+         |    CAST(SUM(length(text)) AS BIGINT) AS bytes FROM documents GROUP BY 1),
+         |cum AS (SELECT file_id, bytes,
+         |    SUM(bytes) OVER (ORDER BY file_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM fm)
+         |SELECT CAST((cs - bytes) // 16384 AS BIGINT) AS bin, COUNT(*) AS n_files,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(MIN(file_id) AS BIGINT) AS first_file,
+         |  CAST(MAX(file_id) AS BIGINT) AS last_file
+         |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin
+    }) { (s, dir) =>
+      val fm = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .groupBy((h32(col("doc_id").cast("string")) % 64).as("file_id"))
+        .agg(sum(length(col("text"))).as("bytes"))
+      val cum = fm.withColumn("cs",
+        sum(col("bytes")).over(Window.orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.groupBy(expr("(cs - bytes) div 16384").as("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+          min(col("file_id")).as("first_file"),
+          max(col("file_id")).as("last_file"))
+        .orderBy("bin")
+    },
+
+    // KEY-SKEW AUDIT — the census a team reads BEFORE picking a
+    // shuffle key at 100 TB: per-key event counts summarized as Gini
+    // coefficient + head concentration (top-1 / top-10 share). A
+    // Gini near 1 or a fat top-10 share is the signal that the key
+    // needs salting (ops/Skew.scala) or an AQE skew join. Gini uses
+    // the rank formulation 2·Σi·cᵢ/(n·Σc) − (n+1)/n over counts
+    // ranked ascending (ties broken by key — fully deterministic).
+    // The ranking windows run on the KEY CENSUS (one row per user),
+    // orders of magnitude smaller than the event stream; integer
+    // rank·count products sum exactly, and the three output doubles
+    // are single fixed-order expressions over those integers.
+    Q("key_skew_gini",
+      """WITH kc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM kc),
+        |hd AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS j FROM kc),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS total,
+        |        CAST(SUM(i * c) AS BIGINT) AS ic FROM rk),
+        |h AS (SELECT CAST(SUM(CASE WHEN j = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(SUM(CASE WHEN j <= 10 THEN c ELSE 0 END) AS BIGINT) AS c10 FROM hd)
+        |SELECT n AS n_keys, total,
+        |  round(CAST(c1 AS DOUBLE) / total, 6) AS top1_share,
+        |  round(CAST(c10 AS DOUBLE) / total, 6) AS top10_share,
+        |  round(2.0 * ic / n / total - (n + 1.0) / n, 6) AS gini
+        |FROM t CROSS JOIN h""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kc = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val rk = kc.withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("user_id"))))
+      val hd = kc.withColumn("j",
+        row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
+      val t = rk.agg(count(lit(1)).as("n"), sum("c").as("total"),
+        sum(col("i") * col("c")).as("ic"))
+      val h = hd.agg(
+        sum(when(col("j") === 1, col("c")).otherwise(0)).as("c1"),
+        sum(when(col("j") <= 10, col("c")).otherwise(0)).as("c10"))
+      t.crossJoin(broadcast(h))
+        .select(col("n").as("n_keys"), col("total"),
+          round(col("c1").cast("double") / col("total"), 6).as("top1_share"),
+          round(col("c10").cast("double") / col("total"), 6).as("top10_share"),
+          round(lit(2.0) * col("ic") / col("n") / col("total") -
+            (col("n") + 1.0) / col("n"), 6).as("gini"))
+    },
+
+    // BLOOM-FILTER FPR AUDIT — the sizing check for the membership
+    // screens this suite runs at scale (decontamination's shingle
+    // probe, dedup_incremental's store hit-test): build a bloom
+    // filter (m=131072 bits, k=3 portable h32 hashes) over the
+    // even-doc 3-token shingle set (~10k keys — the vocabulary is too
+    // small to exercise a filter; shingles are the REAL key
+    // population those screens use), probe it with the genuinely
+    // held-out shingles (odd-doc shingles anti-joined against the
+    // train set — thousands of true negatives exist because rare
+    // shingles are rare, the same fact decontamination relies on),
+    // and compare the EMPIRICAL false-positive rate to the textbook
+    // (1 − e^(−kn/m))^k. Both engines materialize the same bit set —
+    // the filter is the DISTINCT position set, bounded by m, so it
+    // broadcasts — and a probe is positive iff all k of its
+    // positions hit. The power is written as x·x·x (no libm pow);
+    // exp() matches cross-engine as everywhere else in the suite.
+    Q("bloom_fpr_audit", {
+      def pos(seed: Int, e: String) = s"${duckH32(seed, e)} % 131072"
+      // shingle CTE mirrors DedupQueries.shingleCtes (same derivation)
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
+         |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS w FROM arr),
+         |train AS (SELECT DISTINCT w FROM sh WHERE doc_id % 2 = 0),
+         |probe AS (SELECT DISTINCT w FROM sh WHERE doc_id % 2 = 1
+         |          AND w NOT IN (SELECT w FROM train)),
+         |bits AS (SELECT DISTINCT p FROM (
+         |    SELECT ${pos(0, "w")} AS p FROM train
+         |    UNION ALL SELECT ${pos(1, "w")} FROM train
+         |    UNION ALL SELECT ${pos(2, "w")} FROM train)),
+         |pp AS (SELECT w, ${pos(0, "w")} AS p FROM probe
+         |       UNION ALL SELECT w, ${pos(1, "w")} FROM probe
+         |       UNION ALL SELECT w, ${pos(2, "w")} FROM probe),
+         |hits AS (SELECT pp.w, COUNT(*) AS nh FROM pp JOIN bits USING (p) GROUP BY 1),
+         |c AS (SELECT (SELECT COUNT(*) FROM train) AS n_train,
+         |        (SELECT COUNT(*) FROM bits) AS n_bits,
+         |        (SELECT COUNT(*) FROM probe) AS n_probe,
+         |        (SELECT COUNT(*) FROM hits WHERE nh = 3) AS n_fp)
+         |SELECT n_train, n_bits, n_probe, n_fp,
+         |  CASE WHEN n_probe > 0
+         |    THEN round(CAST(n_fp AS DOUBLE) / n_probe, 6) END AS fpr_emp,
+         |  round((1.0 - exp(-3.0 * n_train / 131072.0))
+         |      * (1.0 - exp(-3.0 * n_train / 131072.0))
+         |      * (1.0 - exp(-3.0 * n_train / 131072.0)), 6) AS fpr_theory
+         |FROM c""".stripMargin
+    }) { (s, dir) =>
+      val M = 131072
+      def sp(seed: Int) = h32(seed, col("w")) % M
+      val tk = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"), col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.ops.Dedup.shingles(col("text"))).as("w"))
+      // the corpus is shingled ONCE: the (half, shingle) distinct set
+      // is materialized and every downstream branch (train bits x3,
+      // probe positions x3, the anti join, four count censuses) reads
+      // the checkpoint instead of re-deriving the scan+explode —
+      // at 100 TB the explode is the data-sized stage and must not
+      // run once per branch (sf0.1 timings are load-noise-bound
+      // either way; the suite bench tracks the net effect)
+      val sh = tk.select((col("doc_id") % 2).as("half"), col("w")).distinct()
+        .localCheckpoint(true)
+      val train = sh.filter(col("half") === 0).select("w")
+      val probe = sh.filter(col("half") === 1).select("w")
+        .join(train, Seq("w"), "left_anti")
+        .localCheckpoint(true) // three position branches re-read it
+      val bits = train.select(sp(0).as("p"))
+        .unionAll(train.select(sp(1).as("p")))
+        .unionAll(train.select(sp(2).as("p"))).distinct()
+      val pp = probe.select(col("w"), sp(0).as("p"))
+        .unionAll(probe.select(col("w"), sp(1).as("p")))
+        .unionAll(probe.select(col("w"), sp(2).as("p")))
+      val hits = pp.join(broadcast(bits), Seq("p"))
+        .groupBy("w").agg(count(lit(1)).as("nh"))
+      val cT = train.agg(count(lit(1)).as("n_train"))
+      val cB = bits.agg(count(lit(1)).as("n_bits"))
+      val cP = probe.agg(count(lit(1)).as("n_probe"))
+      val cF = hits.filter(col("nh") === 3).agg(count(lit(1)).as("n_fp"))
+      cT.crossJoin(broadcast(cB)).crossJoin(broadcast(cP))
+        .crossJoin(broadcast(cF))
+        .select(col("n_train"), col("n_bits"), col("n_probe"), col("n_fp"),
+          when(col("n_probe") > 0,
+            round(col("n_fp").cast("double") / col("n_probe"), 6))
+            .as("fpr_emp"),
+          {
+            val q = lit(1.0) - exp(lit(-3.0) * col("n_train") / lit(131072.0))
+            round(q * q * q, 6).as("fpr_theory")
+          })
+    },
+
+    // K-FOLD BALANCE AUDIT — cross-validation fold assignment as a
+    // pure function of doc_id (h32, the train_split rule) with the
+    // per-stratum balance census a team checks before trusting CV
+    // numbers: per (lang, fold) count, the uniform expectation, and
+    // the chi-square contribution (n − e)²/e whose sum is the
+    // balance statistic. One scan + one strata-sized aggregate; the
+    // per-language totals broadcast back onto the census.
+    Q("kfold_balance", {
+      val f = duckH32("'fold|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (SELECT lang, $f % 5 AS fold FROM documents),
+         |c AS (SELECT lang, fold, COUNT(*) AS n FROM a GROUP BY 1, 2),
+         |lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT c.lang AS lang, CAST(fold AS BIGINT) AS fold, n,
+         |  round(tot / 5.0, 6) AS expected,
+         |  round((n - tot / 5.0) * (n - tot / 5.0) / (tot / 5.0), 6) AS chi2
+         |FROM c JOIN lt ON c.lang = lt.lang
+         |ORDER BY lang, fold""".stripMargin
+    }) { (s, dir) =>
+      val a = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "lang"))
+        .select(col("lang"),
+          (h32(concat(lit("fold|"), col("doc_id").cast("string"))) % 5)
+            .as("fold"))
+      val c = a.groupBy("lang", "fold").agg(count(lit(1)).as("n"))
+      val lt = c.groupBy("lang").agg(sum("n").as("tot"))
+      c.join(broadcast(lt), Seq("lang"))
+        .select(col("lang"), col("fold"), col("n"),
+          round(col("tot") / 5.0, 6).as("expected"),
+          round((col("n") - col("tot") / 5.0) * (col("n") - col("tot") / 5.0) /
+            (col("tot") / 5.0), 6).as("chi2"))
+        .orderBy("lang", "fold")
+    }
+  )
+}

