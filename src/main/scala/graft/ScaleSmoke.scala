@@ -254,6 +254,66 @@ object ScaleSmoke {
         .groupBy("doc_id", "cand").agg(sum(col("n") * term).as("lsum"))
         .count()
     }
+    // Kneser-Ney shape (kneser_ney_bigram): the per-doc bigram
+    // aggregation is the data-sized stage; the count tables stay
+    // vocabulary-bounded under replication (copies add counts, not
+    // types), so the broadcast sides must NOT grow with mult
+    time("kn_bigram_train_score") {
+      val arr = Tables.parallelizeByRange(docs, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val blen = greatest(size(col("a")) - 1, lit(0))
+      val bi = arr.select(col("doc_id"), explode(arrays_zip(
+          slice(col("a"), lit(1), blen), slice(col("a"), lit(2), blen))).as("p"))
+        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      val dbc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+      val b = dbc.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2").agg(sum("dc").as("cb")).localCheckpoint(true)
+      val fw = b.groupBy("w1").agg(sum("cb").as("cu"), count(lit(1)).as("n1fw"))
+      val bw = b.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+      println(s"[smoke]   kn bigram types (must not scale with mult): ${b.count()}")
+      dbc.join(broadcast(b), Seq("w1", "w2"), "left")
+        .join(broadcast(fw), Seq("w1"), "left")
+        .join(broadcast(bw), Seq("w2"), "left")
+        .groupBy("doc_id").agg(sum("dc").as("nb")).count()
+    }
+    // Bloom audit shape (bloom_fpr_audit): the bit set is bounded by
+    // m regardless of corpus size — the broadcast stays constant
+    // while the shingle scan scales linearly
+    time("bloom_bits_probe") {
+      import graft.functions.PortableHash
+      def lap[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[smoke]   bloom lap $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      // the replicated checkpoint can land in ONE partition — spread
+      // before the explode exactly as the production query does
+      // (Tables.parallelizeByRange): without it the scan stage runs
+      // serially and the probe mismeasures the operator (32 s -> ~4 s)
+      val sh = lap("shingle+distinct") {
+        Tables.parallelizeByRange(docs, col("doc_id"))
+          .select((col("doc_id") % 2).as("half"),
+            explode(Dedup.shingles(col("text"))).as("w"))
+          .distinct().localCheckpoint(true)
+      }
+      val train = sh.filter(col("half") === 0).select("w")
+      val probe = sh.filter(col("half") === 1).select("w")
+        .join(train, Seq("w"), "left_anti")
+      val bits = lap("bits") {
+        (0 to 2).map(j =>
+            train.select((PortableHash.h32(j, col("w")) % 131072).as("p")))
+          .reduce(_ unionAll _).distinct().localCheckpoint(true)
+      }
+      println(s"[smoke]   bloom bits set (bounded by m): ${bits.count()}")
+      val pp = (0 to 2).map(j => probe.select(col("w"),
+          (PortableHash.h32(j, col("w")) % 131072).as("p")))
+        .reduce(_ unionAll _)
+      lap("probe-join") {
+        pp.join(broadcast(bits), Seq("p"))
+          .groupBy("w").agg(count(lit(1)).as("nh"))
+          .filter(col("nh") === 3).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -62,15 +62,18 @@ object EvalQueries {
       |    CASE WHEN gl.label THEN 1 ELSE 0 END AS label
       |  FROM z JOIN gl ON z.doc_id = gl.doc_id)""".stripMargin
 
-  /** Spark side of [[duckScoreLabel]]: one fused scan-side projection
-    * producing (doc_id, score_u, label) — zero shuffle; at 100 TB this
-    * is a single pass over the corpus with everything in whole-stage
-    * codegen (array higher-order functions, no UDFs).
+  /** Spark side of [[duckScoreLabel]] over ANY (doc_id, text) frame —
+    * batch or streaming (the expressions are stateless row-local, so
+    * [[graft.streaming.StreamCalibration]] reuses this verbatim and
+    * parity with the batch queries holds by construction): one fused
+    * scan-side projection producing (doc_id, score_u, label) — zero
+    * shuffle; at 100 TB this is a single pass over the corpus with
+    * everything in whole-stage codegen (array higher-order functions,
+    * no UDFs).
     */
-  private def scoreLabel(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def scoreLabelOf(docs: org.apache.spark.sql.DataFrame) = {
     val a = split(col("text"), " ")
-    val f = Tables.parallelize(
-        Tables.load(s, dir, "documents").select("doc_id", "text"))
+    val f = docs
       .select(col("doc_id"),
         size(a).as("n_toks"),
         size(array_distinct(a)).as("n_types"),
@@ -91,6 +94,27 @@ object EvalQueries {
         col("n_stop") >= 2 && col("topf") <= 0.125, 1).otherwise(0)
         .as("label"))
   }
+
+  private def scoreLabel(s: org.apache.spark.sql.SparkSession, dir: String) =
+    scoreLabelOf(Tables.parallelize(
+      Tables.load(s, dir, "documents").select("doc_id", "text")))
+
+  /** The calibration-bin aggregation shared by the batch query and its
+    * streaming twin: quality_logit's integer bucketing with exact
+    * integer sums, then the two derived doubles. On an unbounded
+    * stream this is a standard streaming aggregation (11 bins of
+    * state); the snapshot after any prefix equals the batch query on
+    * that prefix — pinned in StreamingSpec.
+    */
+  private[graft] def calibrationBins(sl: org.apache.spark.sql.DataFrame) =
+    sl.groupBy(expr("score_u div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("score_u").as("su"),
+        sum("label").as("n_pos"))
+      .select(col("bin"), col("n"), col("su"), col("n_pos"),
+        round(col("su") / col("n") / lit(1000000.0), 6).as("avg_conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("su") / col("n") / lit(1000000.0) -
+          col("n_pos").cast("double") / col("n")), 6).as("gap"))
 
   val Dim = 64 // embeddings fixture dimension (SimilarityQueries.Dim)
 
@@ -242,16 +266,7 @@ object EvalQueries {
          |  round(abs(SUM(score_u) / COUNT(*) / 1000000.0
          |            - CAST(SUM(label) AS DOUBLE) / COUNT(*)), 6) AS gap
          |FROM sl GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
-      scoreLabel(s, dir)
-        .groupBy(expr("score_u div 100000").as("bin"))
-        .agg(count(lit(1)).as("n"), sum("score_u").as("su"),
-          sum("label").as("n_pos"))
-        .select(col("bin"), col("n"), col("su"), col("n_pos"),
-          round(col("su") / col("n") / lit(1000000.0), 6).as("avg_conf"),
-          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
-          round(abs(col("su") / col("n") / lit(1000000.0) -
-            col("n_pos").cast("double") / col("n")), 6).as("gap"))
-        .orderBy("bin")
+      calibrationBins(scoreLabel(s, dir)).orderBy("bin")
     },
 
     // CLASS-CONDITIONAL EMBEDDING DRIFT — ks_drift's vector-space

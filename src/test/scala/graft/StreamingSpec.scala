@@ -1280,6 +1280,45 @@ class StreamingSpec extends SparkSpec {
       assert(got === batchTwin, "streaming classifications diverged from batch")
     } finally q.stop()
   }
+
+  test("streaming calibration census snapshot equals the batch query on every prefix") {
+    import graft.streaming.StreamCalibration
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").as[Doc].collect()
+    val arrival = new scala.util.Random(7).shuffle(docs.toSeq)
+    val mem = MemoryStream[Doc]
+    val q = StreamCalibration.bins(mem.toDF())
+      .writeStream.format("memory").queryName("cal_stream")
+      .outputMode("complete").start()
+    try {
+      var seen = Seq.empty[Doc]
+      arrival.grouped(arrival.size / 3 + 1).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        // batch twin over exactly the docs that have arrived so far —
+        // the census must match at EVERY prefix, not just the end
+        val expect = graft.queries.EvalQueries.calibrationBins(
+            graft.queries.EvalQueries.scoreLabelOf(
+              seen.toDF().select("doc_id", "text")))
+          .as[(Long, Long, Long, Long, Double, Double, Double)]
+          .collect().sortBy(_._1)
+        val got = spark.table("cal_stream")
+          .as[(Long, Long, Long, Long, Double, Double, Double)]
+          .collect().sortBy(_._1)
+        assert(got === expect, s"snapshot diverged after ${seen.size} docs")
+      }
+      // and the full-stream snapshot equals the REGISTERED query (an
+      // independent code path reading the table directly)
+      val fin = spark.table("cal_stream")
+        .as[(Long, Long, Long, Long, Double, Double, Double)]
+        .collect().sortBy(_._1)
+      val reg = SparkEntry.queries("score_calibration")(spark, sf0001)
+        .as[(Long, Long, Long, Long, Double, Double, Double)]
+        .collect().sortBy(_._1)
+      assert(fin === reg, "final snapshot diverged from score_calibration")
+    } finally q.stop()
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
