@@ -499,6 +499,53 @@ object EvalQueries {
           })
     },
 
+    // JOIN-CARDINALITY AUDIT — predict a join's output size from the
+    // two key-count censuses BEFORE running it: |A ⋈ B on k| =
+    // Σ_k c_A(k)·c_B(k). Over full censuses the formula is exact, so
+    // the audit verifies itself against the actual join count — the
+    // planning discipline that catches a key-explosion join (the
+    // 100 TB incident class: a "join on id" where id is 30% one hot
+    // value) for the cost of two aggregates instead of the blown
+    // shuffle. Output also carries the per-side profile a planner
+    // reads: row counts, distinct keys, max multiplicity. Kept on
+    // orders ⋈ lineitem (the suite's canonical fact join); censuses
+    // are key-bounded, the product term joins census-to-census.
+    Q("join_cardinality_audit",
+      """WITH co AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |cl AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |pred AS (SELECT CAST(SUM(co.c * cl.c) AS BIGINT) AS predicted_rows
+        |         FROM co JOIN cl USING (k)),
+        |prof AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM co) AS n_left,
+        |           (SELECT CAST(SUM(c) AS BIGINT) FROM cl) AS n_right,
+        |           (SELECT COUNT(*) FROM co) AS ndv_left,
+        |           (SELECT COUNT(*) FROM cl) AS ndv_right,
+        |           (SELECT CAST(MAX(c) AS BIGINT) FROM co) AS max_mult_left,
+        |           (SELECT CAST(MAX(c) AS BIGINT) FROM cl) AS max_mult_right),
+        |act AS (SELECT COUNT(*) AS actual_rows
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT n_left, n_right, ndv_left, ndv_right, max_mult_left,
+        |  max_mult_right, predicted_rows, actual_rows
+        |FROM prof CROSS JOIN pred CROSS JOIN act""".stripMargin) { (s, dir) =>
+      val co = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c"))
+      val cl = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c"))
+      val pred = co.join(cl.withColumnRenamed("c", "c2"), Seq("k"))
+        .agg(sum(col("c") * col("c2")).as("predicted_rows"))
+      val profL = co.agg(sum("c").as("n_left"), count(lit(1)).as("ndv_left"),
+        max("c").as("max_mult_left"))
+      val profR = cl.agg(sum("c").as("n_right"), count(lit(1)).as("ndv_right"),
+        max("c").as("max_mult_right"))
+      val act = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      profL.crossJoin(broadcast(profR)).crossJoin(broadcast(pred))
+        .crossJoin(broadcast(act))
+        .select("n_left", "n_right", "ndv_left", "ndv_right",
+          "max_mult_left", "max_mult_right", "predicted_rows", "actual_rows")
+    },
+
     // K-FOLD BALANCE AUDIT — cross-validation fold assignment as a
     // pure function of doc_id (h32, the train_split rule) with the
     // per-stratum balance census a team checks before trusting CV

@@ -365,6 +365,100 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // IVF OPERATING-POINT CURVE — the tuning table behind ann_ivf's
+    // fixed Nprobe=2: recall@5 against the exact (brute-force) top-5
+    // at EVERY probe count 1..K, from ONE pass. The trick: a
+    // neighbor reached through list `cl` is visible at probe count
+    // np iff the query ranks `cl` within its top np centroids (crn
+    // <= np), so the all-pairs cosine computes ONCE, each pair
+    // carries its crn, and a broadcast 4-row nprobe dim fans the
+    // ranking — the corpus is NOT rescanned per operating point
+    // (the quality_pr_curve pattern applied to retrieval). At
+    // nprobe=K the candidate set is the full corpus, so recall@5 is
+    // exactly 1.0 — asserted in KMeansSpec as the curve's anchor.
+    // Scale: the query set is broadcast-bounded (20 vectors); the
+    // corpus streams once; everything after the per-(q, np) top-5
+    // window is a 4-row census.
+    Q("ann_probe_recall_curve", {
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      def duckArr(c: Array[Double]) =
+        c.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * (${duckArr(cen)})[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign = (0 until Centroids - 1).map { c =>
+        val rest = (c + 1 until Centroids).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      val structs = (0 until Centroids)
+        .map(c => s"struct_pack(c := $c, s := d_$c)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding, $ds,
+         |    CASE $assign ELSE ${Centroids - 1} END AS cl
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id, embedding, unnest([$structs]) AS cs
+         |       FROM e WHERE vec_id < 20),
+         |qp AS (SELECT vec_id AS q_id, cs.c AS cl,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs.s DESC, cs.c) AS crn
+         |       FROM qs),
+         |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, n.cl AS cl,
+         |    round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(q.qe[i] AS DOUBLE) * n.embedding[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(q.qe[i] AS DOUBLE) * q.qe[i]))) *
+         |       sqrt(${duckDot("n", "n")})), 6) AS cos_sim
+         |  FROM (SELECT vec_id, embedding AS qe FROM e WHERE vec_id < 20) q
+         |  JOIN e n ON n.vec_id <> q.vec_id),
+         |pg AS (SELECT p.q_id, p.n_id, cos_sim, crn, row_number() OVER (
+         |        PARTITION BY p.q_id ORDER BY cos_sim DESC, n_id) AS gt_rnk
+         |       FROM p JOIN qp ON p.q_id = qp.q_id AND p.cl = qp.cl),
+         |npd AS (SELECT unnest(generate_series(1, $Centroids)) AS nprobe),
+         |a AS (SELECT nprobe, q_id, gt_rnk, row_number() OVER (
+         |        PARTITION BY q_id, nprobe ORDER BY cos_sim DESC, n_id) AS a_rnk
+         |      FROM pg CROSS JOIN npd WHERE crn <= nprobe)
+         |SELECT nprobe, COUNT(DISTINCT q_id) AS n_queries,
+         |  CAST(SUM(CASE WHEN gt_rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  round(CAST(SUM(CASE WHEN gt_rnk <= 5 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    (COUNT(DISTINCT q_id) * 5), 6) AS recall_at_5
+         |FROM a WHERE a_rnk <= 5 GROUP BY nprobe ORDER BY nprobe""".stripMargin
+    }) { (s, dir) =>
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      val sims = Similarity.centroidSims(col("embedding"), coefs)
+      val e = Tables.load(s, dir, "embeddings").select(
+        Seq(col("vec_id"), col("embedding"),
+          Similarity.ivfAssign(sims).as("cl")) ++
+          sims.zipWithIndex.map { case (c, i) => c.as(s"s_$i") }: _*)
+      val qranks = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"),
+          explode(array((0 until Centroids).map(c =>
+            struct(lit(c).as("c"), col(s"s_$c").as("s"))): _*)).as("cs"))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cs.s").desc, col("cs.c"))))
+        .select(col("q_id"), col("cs.c").as("cl"), col("crn"))
+      val q20 = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("cl"))
+      val pairs = n.join(broadcast(q20), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), col("cl"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .join(broadcast(qranks), Seq("q_id", "cl"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      val npd = s.range(1, Centroids + 1).select(col("id").cast("int").as("nprobe"))
+      val wnp = Window.partitionBy("q_id", "nprobe")
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      pairs.withColumn("gt_rnk", row_number().over(wq))
+        .crossJoin(broadcast(npd)).filter(col("crn") <= col("nprobe"))
+        .withColumn("a_rnk", row_number().over(wnp))
+        .filter(col("a_rnk") <= 5)
+        .groupBy("nprobe")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          sum(when(col("gt_rnk") <= 5, 1).otherwise(0)).as("hits"))
+        .select(col("nprobe"), col("n_queries"), col("hits"),
+          round(col("hits").cast("double") / (col("n_queries") * 5), 6)
+            .as("recall_at_5"))
+        .orderBy("nprobe")
+    },
+
     // Trained IVF coarse quantizer: two Lloyd (k-means) iterations from
     // the deterministic md5 init — the training step the fixed-centroid
     // ann_ivf skips. Oracled by unrolling BOTH iterations in SQL:

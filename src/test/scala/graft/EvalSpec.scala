@@ -198,6 +198,31 @@ class EvalSpec extends SparkSpec {
     } finally kf.unpersist()
   }
 
+  // ---- ann_probe_recall_curve ----
+
+  test("probe-recall curve: monotone in nprobe and exactly 1.0 at full probe") {
+    val curve = run("ann_probe_recall_curve").orderBy("nprobe").collect()
+    assert(curve.length === 4)
+    val recalls = curve.map(_.getAs[Double]("recall_at_5"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+    // probing every list IS the brute-force search — the curve must
+    // anchor at exactly 1.0 (integer-count identity, no tolerance)
+    assert(recalls.last === 1.0, s"full-probe recall ${recalls.last} != 1.0")
+    assert(curve.forall(r => r.getAs[Long]("hits") <=
+      5L * r.getAs[Long]("n_queries")))
+  }
+
+  // ---- join_cardinality_audit ----
+
+  test("join audit: census prediction equals the executed join exactly") {
+    val a = run("join_cardinality_audit").first()
+    assert(a.getAs[Long]("predicted_rows") === a.getAs[Long]("actual_rows"),
+      "Σ c_A(k)·c_B(k) disagrees with the executed join")
+    assert(a.getAs[Long]("ndv_left") <= a.getAs[Long]("n_left"))
+    assert(a.getAs[Long]("ndv_right") <= a.getAs[Long]("n_right"))
+  }
+
   // ---- compaction_plan ----
 
   test("compaction plan: bins are contiguous, size-conserving, and target-bounded") {

@@ -40,7 +40,8 @@ class PlanInventorySpec extends SparkSpec {
     "kneser_ney_bigram",  // train totals (Nbt, Vc): one row, broadcast back
     "compaction_plan",    // cumsum window over the manifest-sized file census
     "key_skew_gini",      // rank windows over the KEY census (one row per key)
-    "bloom_fpr_audit")    // four one-row censuses cross-joined into the answer
+    "bloom_fpr_audit",    // four one-row censuses cross-joined into the answer
+    "join_cardinality_audit") // four one-row profile/count aggregates
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -64,7 +65,9 @@ class PlanInventorySpec extends SparkSpec {
     "kneser_ney_bigram", // one-row (Nbt, Vc) totals cross-joined back
     "quality_pr_curve", // 9-row threshold dim cross-joined onto the scan
     "key_skew_gini", // one-row head census cross-joined onto the totals row
-    "bloom_fpr_audit") // one-row count censuses cross-joined together
+    "bloom_fpr_audit", // one-row count censuses cross-joined together
+    "ann_probe_recall_curve", // broadcast query side + 4-row nprobe dim, like ann_bruteforce
+    "join_cardinality_audit") // one-row profile rows cross-joined together
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
