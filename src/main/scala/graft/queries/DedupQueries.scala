@@ -220,6 +220,114 @@ object DedupQueries {
         .orderBy("doc_id_1", "doc_id_2")
     },
 
+    // FELLEGI-SUNTER FIELD WEIGHTS (Fellegi & Sunter, JASA '69) — the
+    // entity-resolution layer over the dedup machinery: how much
+    // EVIDENCE does agreement on each metadata field carry? Labels
+    // come from the pipeline itself (candidate pairs with exact
+    // shingle-Jaccard >= 0.7 are "matches", the rest of the banded
+    // candidates "non-matches"); per field the m-probability
+    // P(agree|match) and u-probability P(agree|non-match) are
+    // Laplace-smoothed ratios of exact integer counts, and the
+    // log-likelihood weight ln(m/u) is what a linkage rule sums per
+    // field before thresholding. Fields: lang equality, source
+    // equality, length-within-5%. Same banding-bounded pair frame
+    // and shuffle-hash verify as minhash_calibration (one shingling
+    // pass feeds signatures AND exact sets); the field fan-out is a
+    // 3-per-pair explode and the output a 3-row census — nothing
+    // beyond the candidate decoration moves at 100 TB.
+    Q("er_field_weights",
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |hset AS (SELECT DISTINCT doc_id, hm FROM hs),
+         |hsz AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY doc_id),
+         |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |      FROM hset x JOIN hset y ON x.hm = y.hm AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |fl AS (SELECT
+         |    COALESCE(i.inter, 0) * 1.0 / (x.n + y.n - COALESCE(i.inter, 0)) >= 0.7 AS is_match,
+         |    a.lang = b.lang AS f_lang, a.source = b.source AS f_source,
+         |    abs(a.n_chars - b.n_chars) * 20 <= greatest(a.n_chars, b.n_chars) AS f_len
+         |  FROM pairs p LEFT JOIN i ON p.d1 = i.d1 AND p.d2 = i.d2
+         |    JOIN hsz x ON p.d1 = x.doc_id JOIN hsz y ON p.d2 = y.doc_id
+         |    JOIN documents a ON p.d1 = a.doc_id JOIN documents b ON p.d2 = b.doc_id),
+         |u AS (SELECT 'lang' AS field, is_match, f_lang AS agree FROM fl
+         |      UNION ALL SELECT 'len5pct', is_match, f_len FROM fl
+         |      UNION ALL SELECT 'source', is_match, f_source FROM fl),
+         |c AS (SELECT field,
+         |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmatch,
+         |    CAST(SUM(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) AS BIGINT) AS agree_match,
+         |    CAST(SUM(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) AS BIGINT) AS agree_nonmatch
+         |  FROM u GROUP BY field)
+         |SELECT field, n_match, n_nonmatch, agree_match, agree_nonmatch,
+         |  round((agree_match + 1.0) / (n_match + 2), 6) AS m_prob,
+         |  round((agree_nonmatch + 1.0) / (n_nonmatch + 2), 6) AS u_prob,
+         |  round(ln(((agree_match + 1.0) / (n_match + 2)) /
+         |           ((agree_nonmatch + 1.0) / (n_nonmatch + 2))), 6) AS weight
+         |FROM c ORDER BY field""".stripMargin) { (s, dir) =>
+      import graft.functions.PortableHash
+      val docs = Tables.load(s, dir, "documents")
+      val dsh = Dedup.distinctShingles(docs.select("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
+      val mins = PortableHash.minhashPerms(K).zipWithIndex.map {
+        case ((a, b), i) => min(PortableHash.permute(col("hm"), a, b)).as(s"m$i")
+      }
+      // one aggregation builds signatures + exact sets (the
+      // minhash_calibration recipe), then a 1:1 doc-key join attaches
+      // the metadata fields — per-doc, so nothing corpus-sized is
+      // broadcast for the pair decoration
+      val feat = dsh.groupBy("doc_id")
+        .agg(mins.head, (mins.tail :+
+          sort_array(collect_set(col("hm"))).as("toks")): _*)
+        .withColumn("n", size(col("toks")))
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), Seq("doc_id"))
+        .localCheckpoint(false)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(feat.select(col("doc_id") +:
+          (0 until K).map(i => col(s"m$i")): _*), "doc_id", B, R), "doc_id")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val j = inter * lit(1.0) / (col("a.n") + col("b.n") - inter)
+      val fl = pairs.hint("shuffle_hash")
+        .join(feat.as("a"), col("id_a") === col("a.doc_id"))
+        .hint("shuffle_hash")
+        .join(feat.as("b"), col("id_b") === col("b.doc_id"))
+        .select((j >= 0.7).as("is_match"),
+          (col("a.lang") === col("b.lang")).as("f_lang"),
+          (col("a.source") === col("b.source")).as("f_source"),
+          (abs(col("a.n_chars") - col("b.n_chars")) * 20 <=
+            greatest(col("a.n_chars"), col("b.n_chars"))).as("f_len"))
+      fl.select(explode(array(
+          struct(lit("lang").as("field"), col("f_lang").as("agree"),
+            col("is_match")),
+          struct(lit("len5pct").as("field"), col("f_len").as("agree"),
+            col("is_match")),
+          struct(lit("source").as("field"), col("f_source").as("agree"),
+            col("is_match")))).as("x"))
+        .select(col("x.field").as("field"), col("x.agree").as("agree"),
+          col("x.is_match").as("is_match"))
+        .groupBy("field")
+        .agg(sum(when(col("is_match"), 1).otherwise(0)).as("n_match"),
+          sum(when(!col("is_match"), 1).otherwise(0)).as("n_nonmatch"),
+          sum(when(col("is_match") && col("agree"), 1).otherwise(0))
+            .as("agree_match"),
+          sum(when(!col("is_match") && col("agree"), 1).otherwise(0))
+            .as("agree_nonmatch"))
+        .select(col("field"), col("n_match"), col("n_nonmatch"),
+          col("agree_match"), col("agree_nonmatch"),
+          round((col("agree_match") + 1.0) / (col("n_match") + 2), 6)
+            .as("m_prob"),
+          round((col("agree_nonmatch") + 1.0) / (col("n_nonmatch") + 2), 6)
+            .as("u_prob"),
+          round(log(((col("agree_match") + 1.0) / (col("n_match") + 2)) /
+            ((col("agree_nonmatch") + 1.0) / (col("n_nonmatch") + 2))), 6)
+            .as("weight"))
+        .orderBy("field")
+    },
+
     // LSH band-occupancy audit — the OTHER half of minhash tuning
     // (minhash_calibration checks estimator accuracy; this checks the
     // cost side): per band index, how many buckets exist, how many

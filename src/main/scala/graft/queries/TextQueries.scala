@@ -910,6 +910,48 @@ object TextQueries {
         .toDF().orderBy("media_id")
     },
 
+    // AUDIO FRAME ENERGY — the first real signal-processing pass over
+    // the audio modality: the WAV containers multimodal_decode builds
+    // store the payload as mono 8-bit PCM (data chunk == the utf-8
+    // text bytes, `Multimodal.mediaContainers`), so per-frame energy
+    // over those samples is REAL feature extraction, not a stub: 200-
+    // sample frames, per-frame mean-square amplitude around the
+    // unsigned-PCM midpoint (v-128), plus RMS — the voice-activity /
+    // silence-trim primitive an audio curation pipeline runs first.
+    // The fixture payload is ASCII, so byte == codepoint and both
+    // engines read samples as ord/ascii of 1-char substrings; energy
+    // sums are exact integers (deterministic), RMS is one
+    // int-derived double. Scan-side explode + one (media, frame)
+    // aggregation with map-side partials — the tokenize_explode
+    // shape; at 100 TB frames aggregate where the bytes live and
+    // only (media_id, frame, ints) move.
+    Q("audio_frame_energy",
+      """WITH au AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT media_id, (i - 1) // 200 AS frame,
+        |         ord(substr(text, CAST(i AS INTEGER), 1)) - 128 AS v
+        |       FROM au, unnest(generate_series(1, strlen(text))) AS t(i))
+        |SELECT media_id, CAST(frame AS BIGINT) AS frame,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy_sq,
+        |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+        |FROM sm GROUP BY 1, 2 ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      val au = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id").as("media_id"), col("text")),
+        col("media_id"))
+      au.select(col("media_id"),
+          explode(sequence(lit(1), length(col("text")))).as("i"),
+          col("text"))
+        .select(col("media_id"), expr("(i - 1) div 200").as("frame"),
+          (ascii(col("text").substr(col("i"), lit(1))) - 128).as("v"))
+        .groupBy("media_id", "frame")
+        .agg(count(lit(1)).as("n_samples"), sum(col("v") * col("v")).as("energy_sq"))
+        .select(col("media_id"), col("frame"), col("n_samples"), col("energy_sq"),
+          round(sqrt(col("energy_sq").cast("double") / col("n_samples")), 6)
+            .as("rms"))
+        .orderBy("media_id", "frame")
+    },
+
     // Frame-sample PLANNING — the step between video metadata and the
     // decoder: for each video, the evenly-strided frame indices to
     // decode (at most 8 per video), emitted as (media_id, frame_idx)

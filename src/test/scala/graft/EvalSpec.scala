@@ -223,6 +223,24 @@ class EvalSpec extends SparkSpec {
     assert(a.getAs[Long]("ndv_right") <= a.getAs[Long]("n_right"))
   }
 
+  // ---- er_field_weights ----
+
+  test("ER weights: every field sees the same pair population; weight sign tracks m vs u") {
+    val w = run("er_field_weights").cache()
+    try {
+      assert(w.count() === 3)
+      val pops = w.select((col("n_match") + col("n_nonmatch")).as("t"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(pops.size === 1, s"fields disagree on the pair population: $pops")
+      assert(w.filter(col("agree_match") > col("n_match")).count() === 0L)
+      assert(w.filter(col("agree_nonmatch") > col("n_nonmatch")).count() === 0L)
+      // ln(m/u) must be positive exactly when m > u
+      val bad = w.filter((col("m_prob") > col("u_prob") && col("weight") <= 0) ||
+        (col("m_prob") < col("u_prob") && col("weight") >= 0)).count()
+      assert(bad === 0L, "weight sign inconsistent with m/u")
+    } finally w.unpersist()
+  }
+
   // ---- compaction_plan ----
 
   test("compaction plan: bins are contiguous, size-conserving, and target-bounded") {

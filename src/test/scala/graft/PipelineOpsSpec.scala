@@ -425,4 +425,30 @@ class EmbeddingBlockSpec extends SparkSpec {
       assert(mx <= n / 4, s"$dir: largest block $mx of $n exceeds 25%")
     }
   }
+
+  test("audio frame energy: frames tile the payload and match a JVM recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("audio_frame_energy")(spark, sf0001).cache()
+    try {
+      // frames partition every audio payload byte-exactly
+      val perMedia = out.groupBy("media_id").agg(sum("n_samples").as("n"))
+      val expect = Tables.load(spark, sf0001, "documents")
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), length(col("text")).as("n"))
+      assert(perMedia.except(expect).count() === 0L &&
+        expect.except(perMedia).count() === 0L,
+        "frame sample counts do not tile the payloads")
+      // spot-check one media's first frame against plain JVM math over
+      // the same bytes (independent of any SQL engine)
+      val doc = Tables.load(spark, sf0001, "documents")
+        .filter(col("doc_id") % 3 === 1).orderBy("doc_id")
+        .select("doc_id", "text").first()
+      val bytes = doc.getString(1).getBytes("UTF-8").take(200)
+      val e = bytes.map(b => { val v = (b & 0xff) - 128; v.toLong * v }).sum
+      val got = out.filter(col("media_id") === doc.getLong(0) &&
+        col("frame") === 0).first()
+      assert(got.getAs[Long]("energy_sq") === e)
+      assert(got.getAs[Long]("n_samples") === bytes.length.toLong)
+    } finally out.unpersist()
+  }
 }
