@@ -546,6 +546,84 @@ object EvalQueries {
           "max_mult_left", "max_mult_right", "predicted_rows", "actual_rows")
     },
 
+    // CROSS-SOURCE QUANTILE NORMALIZATION — the mixing prerequisite
+    // when per-source metrics aren't comparable (one crawl's "long
+    // document" is another's median): replace each doc's raw length
+    // with the GLOBAL length at the same within-source quantile.
+    // Two scale-correct pieces: (1) within-source percent-rank is a
+    // source-partitioned window (unique tie-break via doc_id);
+    // (2) the global decile grid comes from the VALUE CENSUS — one
+    // row per distinct length, hundreds of rows — via cumulative
+    // counts, NOT from a corpus-wide sort: the value at 0-based rank
+    // i is the census row whose cumulative range covers i, so exact
+    // order statistics cost one census cumsum at any corpus size
+    // (the StreamDrift ECDF trick). Interpolation uses the exact
+    // `percentiles` two-sided formula on integer values: every
+    // double derives from integers in one fixed expression order.
+    Q("quantile_normalize",
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+        |         ELSE CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+        |              / (COUNT(*) OVER (PARTITION BY source) - 1) END AS p FROM d),
+        |vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM d GROUP BY 1),
+        |cm AS (SELECT v, c, SUM(c) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+        |gq AS (SELECT k, k / 10.0 * (n - 1) AS pos
+        |       FROM (SELECT unnest(generate_series(0, 10)) AS k) CROSS JOIN nn),
+        |g AS (SELECT k, pos,
+        |    MIN(CASE WHEN cum - 1 >= CAST(floor(pos) AS BIGINT) THEN v END) AS vlo,
+        |    MIN(CASE WHEN cum - 1 >= CAST(ceil(pos) AS BIGINT) THEN v END) AS vhi
+        |  FROM gq CROSS JOIN cm GROUP BY k, pos),
+        |q AS (SELECT k, CASE WHEN floor(pos) = ceil(pos) THEN CAST(vlo AS DOUBLE)
+        |        ELSE (ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi END AS qv FROM g),
+        |grid AS (SELECT a.k AS k, a.qv AS lo, b.qv AS hi
+        |         FROM q a JOIN q b ON b.k = a.k + 1 WHERE a.k <= 9)
+        |SELECT doc_id, source, n_chars, round(p, 6) AS p_src,
+        |  round(CASE WHEN p >= 1.0 THEN hi
+        |        ELSE lo + (p * 10 - floor(p * 10)) * (hi - lo) END, 6) AS norm_len
+        |FROM r JOIN grid ON least(CAST(floor(p * 10) AS BIGINT), 9) = grid.k
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+      val ws = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val wsAll = Window.partitionBy("source")
+      val r = d.withColumn("p",
+        when(count(lit(1)).over(wsAll) === 1, lit(0.0))
+          .otherwise((row_number().over(ws) - 1).cast("double") /
+            (count(lit(1)).over(wsAll) - 1)))
+      val vc = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+      val cm = vc.withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nn = vc.agg(sum("c").as("n"))
+      val gq = s.range(0, 11).select(col("id").as("k"))
+        .crossJoin(broadcast(nn))
+        .select(col("k"), (col("k") / 10.0 * (col("n") - 1)).as("pos"))
+      val g = gq.crossJoin(broadcast(cm))
+        .groupBy("k", "pos")
+        .agg(min(when(col("cum") - 1 >= floor(col("pos")).cast("long"), col("v")))
+            .as("vlo"),
+          min(when(col("cum") - 1 >= ceil(col("pos")).cast("long"), col("v")))
+            .as("vhi"))
+      val q = g.select(col("k"),
+        when(floor(col("pos")) === ceil(col("pos")), col("vlo").cast("double"))
+          .otherwise((ceil(col("pos")) - col("pos")) * col("vlo") +
+            (col("pos") - floor(col("pos"))) * col("vhi")).as("qv"))
+      val grid = q.as("a").join(q.as("b"), col("b.k") === col("a.k") + 1)
+        .filter(col("a.k") <= 9)
+        .select(col("a.k").as("k"), col("a.qv").as("lo"), col("b.qv").as("hi"))
+      r.join(broadcast(grid),
+          least(floor(col("p") * 10).cast("long"), lit(9L)) === col("k"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("p"), 6).as("p_src"),
+          round(when(col("p") >= 1.0, col("hi"))
+            .otherwise(col("lo") + (col("p") * 10 - floor(col("p") * 10)) *
+              (col("hi") - col("lo"))), 6).as("norm_len"))
+        .orderBy("doc_id")
+    },
+
     // K-FOLD BALANCE AUDIT — cross-validation fold assignment as a
     // pure function of doc_id (h32, the train_split rule) with the
     // per-stratum balance census a team checks before trusting CV

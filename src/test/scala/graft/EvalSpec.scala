@@ -223,6 +223,35 @@ class EvalSpec extends SparkSpec {
     assert(a.getAs[Long]("ndv_right") <= a.getAs[Long]("n_right"))
   }
 
+  // ---- quantile_normalize ----
+
+  test("quantile normalization: monotone per source, bounded by the global extremes") {
+    val qn = run("quantile_normalize").cache()
+    try {
+      val docs = Tables.load(spark, sf0001, "documents")
+      val (lo, hi) = {
+        val r = docs.agg(min("n_chars"), max("n_chars")).first()
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      assert(qn.filter(col("norm_len") < lo - 1e-6 ||
+        col("norm_len") > hi + 1e-6).count() === 0L,
+        "normalized value escaped the global range")
+      // within a source, a higher quantile may never map lower
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("p_src", "doc_id")
+      val inversions = qn
+        .withColumn("prev", lag("norm_len", 1).over(w))
+        .filter(col("prev").isNotNull && col("norm_len") < col("prev") - 1e-6)
+        .count()
+      assert(inversions === 0L, s"$inversions monotonicity inversions")
+      // the top-ranked doc of every multi-doc source maps to the
+      // global max (p=1 -> q_10)
+      val tops = qn.filter(col("p_src") === 1.0)
+        .filter(col("norm_len") =!= hi).count()
+      assert(tops === 0L, "a p=1 doc did not map to the global max")
+    } finally qn.unpersist()
+  }
+
   // ---- er_field_weights ----
 
   test("ER weights: every field sees the same pair population; weight sign tracks m vs u") {

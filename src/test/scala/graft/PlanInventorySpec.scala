@@ -41,7 +41,8 @@ class PlanInventorySpec extends SparkSpec {
     "compaction_plan",    // cumsum window over the manifest-sized file census
     "key_skew_gini",      // rank windows over the KEY census (one row per key)
     "bloom_fpr_audit",    // four one-row censuses cross-joined into the answer
-    "join_cardinality_audit") // four one-row profile/count aggregates
+    "join_cardinality_audit", // four one-row profile/count aggregates
+    "quantile_normalize") // cumsum window over the VALUE census (distinct lengths)
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -67,7 +68,8 @@ class PlanInventorySpec extends SparkSpec {
     "key_skew_gini", // one-row head census cross-joined onto the totals row
     "bloom_fpr_audit", // one-row count censuses cross-joined together
     "ann_probe_recall_curve", // broadcast query side + 4-row nprobe dim, like ann_bruteforce
-    "join_cardinality_audit") // one-row profile rows cross-joined together
+    "join_cardinality_audit", // one-row profile rows cross-joined together
+    "quantile_normalize") // 11-row grid dim x value census cross-joins
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
