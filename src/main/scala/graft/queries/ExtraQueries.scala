@@ -307,6 +307,62 @@ object ExtraQueries {
         .orderBy("w_start")
     },
 
+    // MERGEABLE HLL SOURCE-OVERLAP ESTIMATE — the sketch algebra that
+    // makes cross-corpus overlap auditing cheap at 100 TB: build ONE
+    // DataSketches HLL per source over its distinct shingle set
+    // (|sources| tiny sketches, one corpus pass), then estimate every
+    // pairwise overlap by inclusion-exclusion est(A) + est(B) −
+    // est(A ∪ B) where the union is a SKETCH MERGE (hll_union) — no
+    // re-scan per pair, unlike source_overlap's exact banded join.
+    // Tolerance-oracle contract (the approx_distinct pattern): the
+    // query outputs the exact counts plus a boolean asserting the
+    // I-E estimate landed within 0.25·(|A|+|B|) + 8 of the exact
+    // overlap (3σ on the three-sketch difference is ≈0.21·(|A|+|B|)
+    // at lgK=12; +8 absorbs small-count promotion effects), and the
+    // oracle expects exact + TRUE everywhere.
+    Q("hll_overlap_est",
+      """WITH arr AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+        |sh0 AS (SELECT source, unnest(list_transform(generate_series(1, len(a)-2),
+        |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS w FROM arr),
+        |sh AS (SELECT DISTINCT source, w FROM sh0),
+        |cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ov AS (SELECT x.source AS sa, y.source AS sb, COUNT(*) AS ovl
+        |       FROM sh x JOIN sh y ON x.w = y.w AND x.source < y.source
+        |       GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n AS exact_a, b.n AS exact_b,
+        |  COALESCE(ovl, 0) AS exact_overlap, TRUE AS within_bound
+        |FROM cnt a JOIN cnt b ON a.source < b.source
+        |LEFT JOIN ov ON a.source = ov.sa AND b.source = ov.sb
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val sh = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "text"), col("doc_id"))
+        .select(col("source"),
+          explode(graft.ops.Dedup.shingles(col("text"))).as("w"))
+        .distinct()
+        .localCheckpoint(true) // feeds sketches AND the exact-overlap join
+      val sk = sh.groupBy("source")
+        .agg(hll_sketch_agg(col("w"), 12).as("sk"), count(lit(1)).as("n"))
+      val ov = sh.as("x")
+        .join(sh.as("y"),
+          col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("ovl"))
+      val estA = hll_sketch_estimate(col("a.sk"))
+      val estB = hll_sketch_estimate(col("b.sk"))
+      val estU = hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .join(ov, col("a.source") === col("sa") && col("b.source") === col("sb"),
+          "left")
+        .na.fill(0, Seq("ovl"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.n").as("exact_a"), col("b.n").as("exact_b"),
+          col("ovl").as("exact_overlap"),
+          (abs((estA + estB - estU) - col("ovl")) <=
+            lit(0.25) * (col("a.n") + col("b.n")) + 8).as("within_bound"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Two-stage salted aggregation (heavy-hitter mitigation): stage 1
     // spreads each key over 16 salt buckets, stage 2 merges partials —
     // a hot key occupies 16 reducers instead of serializing one.

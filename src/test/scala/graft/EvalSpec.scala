@@ -252,6 +252,22 @@ class EvalSpec extends SparkSpec {
     } finally qn.unpersist()
   }
 
+  // ---- hll_overlap_est ----
+
+  test("HLL overlap: covers every source pair; overlap bounded by the smaller side") {
+    val ov = run("hll_overlap_est").cache()
+    try {
+      val nSrc = Tables.load(spark, sf0001, "documents")
+        .select("source").distinct().count()
+      assert(ov.count() === nSrc * (nSrc - 1) / 2,
+        "pair census incomplete — a zero-overlap pair was dropped")
+      assert(ov.filter(col("exact_overlap") >
+        least(col("exact_a"), col("exact_b"))).count() === 0L)
+      assert(ov.filter(!col("within_bound")).count() === 0L,
+        "inclusion-exclusion estimate escaped its error bound")
+    } finally ov.unpersist()
+  }
+
   // ---- er_field_weights ----
 
   test("ER weights: every field sees the same pair population; weight sign tracks m vs u") {

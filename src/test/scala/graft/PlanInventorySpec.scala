@@ -69,7 +69,8 @@ class PlanInventorySpec extends SparkSpec {
     "bloom_fpr_audit", // one-row count censuses cross-joined together
     "ann_probe_recall_curve", // broadcast query side + 4-row nprobe dim, like ann_bruteforce
     "join_cardinality_audit", // one-row profile rows cross-joined together
-    "quantile_normalize") // 11-row grid dim x value census cross-joins
+    "quantile_normalize", // 11-row grid dim x value census cross-joins
+    "hll_overlap_est") // |sources|-row sketch census self-paired (a < b)
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
