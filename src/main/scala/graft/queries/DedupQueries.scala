@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.PortableHash.{duckH32, h32}
@@ -218,6 +219,107 @@ object DedupQueries {
             .as("jaccard"))
         .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
         .orderBy("doc_id_1", "doc_id_2")
+    },
+
+    // BANDING RECALL AUDIT — the missing half of minhash evaluation:
+    // minhash_calibration measures estimator ACCURACY on pairs the
+    // banding already surfaced; this measures what banding MISSES.
+    // Ground truth = exact shingle-Jaccard over the SHARED-SHINGLE
+    // pair frame (a pair with no shared shingle has j = 0, so the
+    // frame is complete for any threshold > 0; it is bounded by
+    // shingle document-frequency — the minhash_calibration exact
+    // side, and at true 100 TB the production variant adds a
+    // deterministic doc slice on top, trading audit coverage for
+    // cost). For every true pair (j >= 0.5) it checks membership in
+    // the banded candidates and reports measured recall NEXT TO the
+    // S-curve prediction avg(1 − (1 − j^r)^b) — the number the b/r
+    // choice was designed to (Leskovec et al., MMDS ch.3). Integer
+    // powers are explicit products (no libm pow); per-pair
+    // probabilities round to 6 dp and sum as DECIMAL.
+    Q("minhash_recall_audit", {
+      // (1 - j^2)^6 for b=6, r=2, as explicit products
+      val x = "(1.0 - j * j)"
+      val miss = Seq.fill(B)(x).mkString(" * ")
+      s"""WITH sl AS (SELECT doc_id, text FROM documents),
+         |arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM sl),
+         |ssh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
+         |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle FROM arr),
+         |dsh2 AS (SELECT DISTINCT doc_id, shingle FROM ssh),
+         |hs2 AS (SELECT doc_id, ${duckH32("shingle")} % ${graft.functions.PortableHash.MersennePrime31} AS hm FROM dsh2),
+         |hset AS (SELECT DISTINCT doc_id, hm FROM hs2),
+         |hsz AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY 1),
+         |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |      FROM hset x JOIN hset y ON x.hm = y.hm AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |tp AS (SELECT d1, d2, inter * 1.0 / (a.n + b.n - inter) AS j
+         |       FROM i JOIN hsz a ON d1 = a.doc_id JOIN hsz b ON d2 = b.doc_id
+         |       WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.5),
+         |mh2 AS (SELECT doc_id, ${
+        graft.functions.PortableHash.minhashPerms(K).zipWithIndex.map {
+          case ((a, b), idx) =>
+            s"min(${graft.functions.PortableHash.duckPermute("hm", a, b)}) AS m$idx"
+        }.mkString(", ")} FROM hs2 GROUP BY doc_id),
+         |bands2 AS (SELECT doc_id, band FROM (SELECT doc_id, unnest([${
+        (0 until B).map { band =>
+          s"'$band,' || " + (0 until R).map(j => s"CAST(m${band * R + j} AS VARCHAR)")
+            .mkString(" || ',' || ")
+        }.mkString(", ")}]) AS band FROM mh2)),
+         |cp AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |       FROM bands2 x JOIN bands2 y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |lab AS (SELECT tp.d1, tp.d2, j, cp.d1 IS NOT NULL AS caught
+         |        FROM tp LEFT JOIN cp ON tp.d1 = cp.d1 AND tp.d2 = cp.d2)
+         |SELECT (SELECT COUNT(*) FROM sl) AS n_docs,
+         |  COUNT(*) AS n_true_pairs,
+         |  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |  round(CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall,
+         |  round(CAST(SUM(CAST(round(1.0 - $miss, 6) AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS predicted_recall
+         |FROM lab""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.PortableHash
+      val sl = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val hs2 = Dedup.distinctShingles(sl, "doc_id", "text")
+        .select(col("doc_id"),
+          (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
+        .localCheckpoint(true) // feeds exact sets AND signatures
+      val hsz = hs2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val tp = hs2.as("x")
+        .join(hs2.as("y"),
+          col("x.hm") === col("y.hm") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(hsz.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "na"), Seq("d1"))
+        .join(hsz.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "nb"), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+            .as("j"))
+        .filter(col("j") >= 0.5)
+      val mins = PortableHash.minhashPerms(K).zipWithIndex.map {
+        case ((a, b), idx) =>
+          min(PortableHash.permute(col("hm"), a, b)).as(s"m$idx")
+      }
+      val sig = hs2.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val cp = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R),
+          "doc_id")
+        .select(col("id_a").as("d1"), col("id_b").as("d2"),
+          lit(true).as("caught"))
+      val missC = {
+        val x = lit(1.0) - col("j") * col("j")
+        (1 until B).foldLeft(x)((acc, _) => acc * x)
+      }
+      val nSlice = sl.agg(count(lit(1)).as("n_docs"))
+      tp.join(cp, Seq("d1", "d2"), "left")
+        .na.fill(false, Seq("caught"))
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(when(col("caught"), 1).otherwise(0)).as("n_caught"),
+          round(sum(when(col("caught"), 1).otherwise(0)).cast("double") /
+            count(lit(1)), 6).as("recall"),
+          round(sum(round(lit(1.0) - missC, 6).cast(DecimalType(20, 6)))
+            .cast("double") / count(lit(1)), 6).as("predicted_recall"))
+        .crossJoin(broadcast(nSlice))
+        .select("n_docs", "n_true_pairs", "n_caught", "recall",
+          "predicted_recall")
     },
 
     // FELLEGI-SUNTER FIELD WEIGHTS (Fellegi & Sunter, JASA '69) — the

@@ -252,6 +252,25 @@ class EvalSpec extends SparkSpec {
     } finally qn.unpersist()
   }
 
+  // ---- minhash_recall_audit ----
+
+  test("banding recall: audit is non-vacuous and tracks the S-curve prediction") {
+    val a = run("minhash_recall_audit").first()
+    val nTrue = a.getAs[Long]("n_true_pairs")
+    assert(nTrue > 0L, "no true pairs at fixture scale — audit is vacuous")
+    assert(a.getAs[Long]("n_caught") <= nTrue)
+    val (rec, pred) = (a.getAs[Double]("recall"),
+      a.getAs[Double]("predicted_recall"))
+    assert(rec >= 0.0 && rec <= 1.0 && pred >= 0.0 && pred <= 1.0)
+    // at j >= 0.5 with b=6, r=2 the S-curve predicts >= 1-(1-0.25)^6
+    // ≈ 0.822 per pair; measured recall may only beat the prediction
+    // by sampling luck, not undershoot it by more than the binomial
+    // noise of n_true_pairs draws (3 sigma)
+    val slack = 3.0 * math.sqrt(pred * (1 - pred) / nTrue)
+    assert(rec >= pred - slack,
+      s"measured recall $rec undershoots prediction $pred beyond noise")
+  }
+
   // ---- hll_overlap_est ----
 
   test("HLL overlap: covers every source pair; overlap bounded by the smaller side") {

@@ -42,7 +42,8 @@ class PlanInventorySpec extends SparkSpec {
     "key_skew_gini",      // rank windows over the KEY census (one row per key)
     "bloom_fpr_audit",    // four one-row censuses cross-joined into the answer
     "join_cardinality_audit", // four one-row profile/count aggregates
-    "quantile_normalize") // cumsum window over the VALUE census (distinct lengths)
+    "quantile_normalize", // cumsum window over the VALUE census (distinct lengths)
+    "minhash_recall_audit") // one-row recall census rollup
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -70,7 +71,8 @@ class PlanInventorySpec extends SparkSpec {
     "ann_probe_recall_curve", // broadcast query side + 4-row nprobe dim, like ann_bruteforce
     "join_cardinality_audit", // one-row profile rows cross-joined together
     "quantile_normalize", // 11-row grid dim x value census cross-joins
-    "hll_overlap_est") // |sources|-row sketch census self-paired (a < b)
+    "hll_overlap_est", // |sources|-row sketch census self-paired (a < b)
+    "minhash_recall_audit") // one-row doc-count census cross-joined back
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
