@@ -118,6 +118,66 @@ object EvalQueries {
 
   val Dim = 64 // embeddings fixture dimension (SimilarityQueries.Dim)
 
+  // ---- census-derived exact order statistics --------------------------
+  //
+  // Shared by quantile_normalize and winsorize_stats: exact global
+  // quantiles of an integer metric WITHOUT a corpus-wide sort — the
+  // value at 0-based rank i is the value-census row whose cumulative
+  // range covers i (one census cumsum, the StreamDrift ECDF trick),
+  // interpolated with the exact `percentiles` two-sided formula.
+
+  /** DuckDB CTEs `vc, cm, nn, gq, g, q` with `q(k, qv)` = the exact
+    * quantile at position ps(k) of `documents.n_chars`. Callers
+    * append their tail after a trailing comma.
+    */
+  private def duckCensusQuantiles(ps: Seq[Double]): String = {
+    val ks = ps.zipWithIndex
+      .map { case (p, k) => s"($k, $p)" }.mkString(", ")
+    s"""vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+       |cm AS (SELECT v, c, SUM(c) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+       |gq AS (SELECT k, p * (n - 1) AS pos
+       |       FROM (SELECT * FROM (VALUES $ks) AS t(k, p)) CROSS JOIN nn),
+       |g AS (SELECT k, pos,
+       |    MIN(CASE WHEN cum - 1 >= CAST(floor(pos) AS BIGINT) THEN v END) AS vlo,
+       |    MIN(CASE WHEN cum - 1 >= CAST(ceil(pos) AS BIGINT) THEN v END) AS vhi
+       |  FROM gq CROSS JOIN cm GROUP BY k, pos),
+       |q AS (SELECT k, CASE WHEN floor(pos) = ceil(pos) THEN CAST(vlo AS DOUBLE)
+       |        ELSE (ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi END AS qv FROM g)"""
+      .stripMargin
+  }
+
+  /** Spark twin of [[duckCensusQuantiles]]: (k, qv) rows for the
+    * requested quantile positions over `d`'s `n_chars`. `d` must be
+    * the documents frame; the census and the grid are census-sized,
+    * so every join against the result broadcasts.
+    */
+  private def censusQuantiles(d: org.apache.spark.sql.DataFrame,
+                              ps: Seq[Double]) = {
+    import org.apache.spark.sql.expressions.Window
+    val s = d.sparkSession
+    val vc = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val cm = vc.withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nn = vc.agg(sum("c").as("n"))
+    import s.implicits._
+    val gq = ps.zipWithIndex.map { case (p, k) => (k, p) }
+      .toDF("k", "p")
+      .crossJoin(broadcast(nn))
+      .select(col("k"), (col("p") * (col("n") - 1)).as("pos"))
+    gq.crossJoin(broadcast(cm))
+      .groupBy("k", "pos")
+      .agg(min(when(col("cum") - 1 >= floor(col("pos")).cast("long"), col("v")))
+          .as("vlo"),
+        min(when(col("cum") - 1 >= ceil(col("pos")).cast("long"), col("v")))
+          .as("vhi"))
+      .select(col("k"),
+        when(floor(col("pos")) === ceil(col("pos")), col("vlo").cast("double"))
+          .otherwise((ceil(col("pos")) - col("pos")) * col("vlo") +
+            (col("pos") - floor(col("pos"))) * col("vhi")).as("qv"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // INTERPOLATED KNESER-NEY BIGRAM LM (Kneser & Ney, ICASSP '95;
@@ -561,30 +621,19 @@ object EvalQueries {
     // `percentiles` two-sided formula on integer values: every
     // double derives from integers in one fixed expression order.
     Q("quantile_normalize",
-      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
-        |r AS (SELECT doc_id, source, n_chars,
-        |    CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
-        |         ELSE CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
-        |              / (COUNT(*) OVER (PARTITION BY source) - 1) END AS p FROM d),
-        |vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM d GROUP BY 1),
-        |cm AS (SELECT v, c, SUM(c) OVER (ORDER BY v
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
-        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
-        |gq AS (SELECT k, k / 10.0 * (n - 1) AS pos
-        |       FROM (SELECT unnest(generate_series(0, 10)) AS k) CROSS JOIN nn),
-        |g AS (SELECT k, pos,
-        |    MIN(CASE WHEN cum - 1 >= CAST(floor(pos) AS BIGINT) THEN v END) AS vlo,
-        |    MIN(CASE WHEN cum - 1 >= CAST(ceil(pos) AS BIGINT) THEN v END) AS vhi
-        |  FROM gq CROSS JOIN cm GROUP BY k, pos),
-        |q AS (SELECT k, CASE WHEN floor(pos) = ceil(pos) THEN CAST(vlo AS DOUBLE)
-        |        ELSE (ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi END AS qv FROM g),
-        |grid AS (SELECT a.k AS k, a.qv AS lo, b.qv AS hi
-        |         FROM q a JOIN q b ON b.k = a.k + 1 WHERE a.k <= 9)
-        |SELECT doc_id, source, n_chars, round(p, 6) AS p_src,
-        |  round(CASE WHEN p >= 1.0 THEN hi
-        |        ELSE lo + (p * 10 - floor(p * 10)) * (hi - lo) END, 6) AS norm_len
-        |FROM r JOIN grid ON least(CAST(floor(p * 10) AS BIGINT), 9) = grid.k
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |    CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+         |         ELSE CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+         |              / (COUNT(*) OVER (PARTITION BY source) - 1) END AS p FROM d),
+         |${duckCensusQuantiles((0 to 10).map(_ / 10.0))},
+         |grid AS (SELECT a.k AS k, a.qv AS lo, b.qv AS hi
+         |         FROM q a JOIN q b ON b.k = a.k + 1 WHERE a.k <= 9)
+         |SELECT doc_id, source, n_chars, round(p, 6) AS p_src,
+         |  round(CASE WHEN p >= 1.0 THEN hi
+         |        ELSE lo + (p * 10 - floor(p * 10)) * (hi - lo) END, 6) AS norm_len
+         |FROM r JOIN grid ON least(CAST(floor(p * 10) AS BIGINT), 9) = grid.k
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.load(s, dir, "documents")
         .select("doc_id", "source", "n_chars")
@@ -594,23 +643,7 @@ object EvalQueries {
         when(count(lit(1)).over(wsAll) === 1, lit(0.0))
           .otherwise((row_number().over(ws) - 1).cast("double") /
             (count(lit(1)).over(wsAll) - 1)))
-      val vc = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
-      val cm = vc.withColumn("cum", sum(col("c")).over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val nn = vc.agg(sum("c").as("n"))
-      val gq = s.range(0, 11).select(col("id").as("k"))
-        .crossJoin(broadcast(nn))
-        .select(col("k"), (col("k") / 10.0 * (col("n") - 1)).as("pos"))
-      val g = gq.crossJoin(broadcast(cm))
-        .groupBy("k", "pos")
-        .agg(min(when(col("cum") - 1 >= floor(col("pos")).cast("long"), col("v")))
-            .as("vlo"),
-          min(when(col("cum") - 1 >= ceil(col("pos")).cast("long"), col("v")))
-            .as("vhi"))
-      val q = g.select(col("k"),
-        when(floor(col("pos")) === ceil(col("pos")), col("vlo").cast("double"))
-          .otherwise((ceil(col("pos")) - col("pos")) * col("vlo") +
-            (col("pos") - floor(col("pos"))) * col("vhi")).as("qv"))
+      val q = censusQuantiles(d, (0 to 10).map(_ / 10.0))
       val grid = q.as("a").join(q.as("b"), col("b.k") === col("a.k") + 1)
         .filter(col("a.k") <= 9)
         .select(col("a.k").as("k"), col("a.qv").as("lo"), col("b.qv").as("hi"))
@@ -622,6 +655,59 @@ object EvalQueries {
             .otherwise(col("lo") + (col("p") * 10 - floor(col("p") * 10)) *
               (col("hi") - col("lo"))), 6).as("norm_len"))
         .orderBy("doc_id")
+    },
+
+    // WINSORIZED ROBUST STATISTICS — the outlier-resistant per-source
+    // profile: clip the metric at the global exact p5/p95 (from the
+    // same census-derived order statistics as quantile_normalize —
+    // no corpus sort), then report per-source mean/sd BEFORE and
+    // AFTER winsorization plus the clip censuses. The spread between
+    // raw and winsorized mean is the outlier-mass signal a mixing
+    // policy reads. Determinism: raw moments are integer sums;
+    // clipped values and their squares round to 6 dp and sum as
+    // DECIMAL (order-independent); sd derives from those exact sums
+    // in one fixed expression.
+    Q("winsorize_stats",
+      s"""WITH ${duckCensusQuantiles(Seq(0.05, 0.95))},
+         |b AS (SELECT (SELECT qv FROM q WHERE k = 0) AS lo,
+         |             (SELECT qv FROM q WHERE k = 1) AS hi),
+         |w AS (SELECT source, n_chars,
+         |    CAST(round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6) AS DECIMAL(24,6)) AS wv,
+         |    CASE WHEN n_chars < lo THEN 1 ELSE 0 END AS cl,
+         |    CASE WHEN n_chars > hi THEN 1 ELSE 0 END AS ch
+         |  FROM documents CROSS JOIN b)
+         |SELECT source, COUNT(*) AS n,
+         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+         |  round(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS mean_wins,
+         |  round(sqrt(CAST(SUM(CAST(round(CAST(wv AS DOUBLE) * CAST(wv AS DOUBLE), 6) AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+         |        - (CAST(SUM(wv) AS DOUBLE) / COUNT(*)) * (CAST(SUM(wv) AS DOUBLE) / COUNT(*))), 6) AS sd_wins,
+         |  CAST(SUM(cl) AS BIGINT) AS n_clipped_low,
+         |  CAST(SUM(ch) AS BIGINT) AS n_clipped_high
+         |FROM w GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select("source", "n_chars")
+      val q = censusQuantiles(
+        Tables.load(s, dir, "documents").select("n_chars"), Seq(0.05, 0.95))
+      val b = q.groupBy()
+        .agg(max(when(col("k") === 0, col("qv"))).as("lo"),
+          max(when(col("k") === 1, col("qv"))).as("hi"))
+      val wv = round(least(greatest(col("n_chars").cast("double"), col("lo")),
+        col("hi")), 6).cast(DecimalType(24, 6))
+      val meanW = sum(col("wv")).cast("double") / count(lit(1))
+      d.crossJoin(broadcast(b))
+        .select(col("source"), col("n_chars"), wv.as("wv"),
+          when(col("n_chars") < col("lo"), 1).otherwise(0).as("cl"),
+          when(col("n_chars") > col("hi"), 1).otherwise(0).as("ch"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("mean_raw"),
+          round(meanW, 6).as("mean_wins"),
+          round(sqrt(sum(round(col("wv").cast("double") *
+              col("wv").cast("double"), 6).cast(DecimalType(24, 6)))
+            .cast("double") / count(lit(1)) - meanW * meanW), 6).as("sd_wins"),
+          sum(col("cl")).as("n_clipped_low"),
+          sum(col("ch")).as("n_clipped_high"))
+        .orderBy("source")
     },
 
     // K-FOLD BALANCE AUDIT — cross-validation fold assignment as a

@@ -252,6 +252,32 @@ class EvalSpec extends SparkSpec {
     } finally qn.unpersist()
   }
 
+  // ---- winsorize_stats ----
+
+  test("winsorize: clipped stats stay inside the clip bounds; censuses consistent") {
+    val w = run("winsorize_stats").cache()
+    try {
+      assert(w.filter(col("sd_wins") < 0).count() === 0L)
+      assert(w.filter(col("n_clipped_low") + col("n_clipped_high") >
+        col("n")).count() === 0L)
+      // winsorized means live in [p5, p95] by construction; recompute
+      // the bounds from the raw census to cross-check
+      val vals = Tables.load(spark, sf0001, "documents")
+        .select("n_chars").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      def q(p: Double): Double = {
+        val pos = p * (vals.length - 1)
+        val (lo, hi) = (vals(pos.floor.toInt), vals(pos.ceil.toInt))
+        if (pos.floor == pos.ceil) lo.toDouble
+        else (pos.ceil - pos) * lo + (pos - pos.floor) * hi
+      }
+      val (p5, p95) = (q(0.05), q(0.95))
+      assert(w.filter(col("mean_wins") < p5 - 1e-6 ||
+        col("mean_wins") > p95 + 1e-6).count() === 0L,
+        "a winsorized mean escaped the clip bounds")
+    } finally w.unpersist()
+  }
+
   // ---- minhash_recall_audit ----
 
   test("banding recall: audit is non-vacuous and tracks the S-curve prediction") {

@@ -43,7 +43,8 @@ class PlanInventorySpec extends SparkSpec {
     "bloom_fpr_audit",    // four one-row censuses cross-joined into the answer
     "join_cardinality_audit", // four one-row profile/count aggregates
     "quantile_normalize", // cumsum window over the VALUE census (distinct lengths)
-    "minhash_recall_audit") // one-row recall census rollup
+    "minhash_recall_audit", // one-row recall census rollup
+    "winsorize_stats")    // census cumsum + one-row clip-bounds rollup
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -72,7 +73,8 @@ class PlanInventorySpec extends SparkSpec {
     "join_cardinality_audit", // one-row profile rows cross-joined together
     "quantile_normalize", // 11-row grid dim x value census cross-joins
     "hll_overlap_est", // |sources|-row sketch census self-paired (a < b)
-    "minhash_recall_audit") // one-row doc-count census cross-joined back
+    "minhash_recall_audit", // one-row doc-count census cross-joined back
+    "winsorize_stats") // one-row clip-bounds row cross-joined onto the scan
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
