@@ -113,6 +113,50 @@ object DedupQueries {
       .withColumn("bucket", h32(col("doc_id").cast("string")) % 100)
   }
 
+  /** Deterministic 3-round synchronous label propagation over a
+    * symmetric edge list (a, b): majority over the neighbors' labels
+    * PLUS the node's own current label (the standard self-vote that
+    * damps the two-node oscillation synchronous LPA is infamous for
+    * — without it a pair swaps labels every round and never merges),
+    * ties to the smallest label. Shared by lpa_communities and
+    * graph_modularity so the propagation rule cannot drift between
+    * them. Returns (node, lbl) for every node with at least one edge.
+    */
+  private def lpaLabels(edges: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val majority = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("lbl"))
+    var l = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 3) {
+      l = edges.join(l, edges("b") === l("node"))
+        .select(edges("a").as("node"), col("lbl"))
+        .unionAll(l) // the self-vote
+        .groupBy("node", "lbl")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(majority))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    l
+  }
+
+  /** SQL twin of [[lpaLabels]]: CTEs l0..l3 over an `edges(a, b)` CTE
+    * (same generated rounds as lpa_communities' oracle).
+    */
+  private val lpaCtes: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""v$k AS (SELECT node, lbl, COUNT(*) AS c FROM (
+         |        SELECT e.a AS node, l.lbl FROM edges e JOIN l${k - 1} l ON e.b = l.node
+         |        UNION ALL SELECT node, lbl FROM l${k - 1}) GROUP BY 1, 2),
+         |l$k AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (
+         |          PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$k) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+       |$rounds""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // exact dedup: group on md5(text) (16-byte shuffle key, not the body)
@@ -320,6 +364,95 @@ object DedupQueries {
         .crossJoin(broadcast(nSlice))
         .select("n_docs", "n_true_pairs", "n_caught", "recall",
           "predicted_recall")
+    },
+
+    // DEDUP THRESHOLD SWEEP — the operating-point table for the
+    // Jaccard cutoff itself (the quality_pr_curve discipline applied
+    // to dedup policy): for each candidate threshold, how many pairs
+    // fire, how many documents the keep-longest rule would DROP, and
+    // how many bytes that saves. The drop rule is doc-level and
+    // deterministic: a doc drops at threshold t iff some pair >= t
+    // links it to a longer doc (ties to the lower doc_id) — each doc
+    // counted ONCE per threshold however many pairs implicate it.
+    // One exact-Jaccard pair frame (the recall-audit derivation)
+    // fans across a broadcast 5-row threshold dim; everything after
+    // the per-(threshold, doc) distinct is census-sized. On THIS
+    // fixture the curve is flat — the generator's near-dups are
+    // near-identical (all 25 true pairs sit at j >= 0.9) and
+    // unrelated docs share no trigram, so every threshold fires the
+    // same set; the monotone-non-increasing contract (EvalSpec) and
+    // the oracle still exercise the full machinery, and on a real
+    // corpus the same table is the cutoff-selection artifact.
+    Q("dedup_threshold_sweep",
+      s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |ssh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a)-2),
+         |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle FROM arr),
+         |dsh2 AS (SELECT DISTINCT doc_id, shingle FROM ssh),
+         |hs2 AS (SELECT doc_id, ${duckH32("shingle")} % ${graft.functions.PortableHash.MersennePrime31} AS hm FROM dsh2),
+         |hset AS (SELECT DISTINCT doc_id, hm FROM hs2),
+         |hsz AS (SELECT doc_id, COUNT(*) AS n FROM hset GROUP BY 1),
+         |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |      FROM hset x JOIN hset y ON x.hm = y.hm AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |jp AS (SELECT d1, d2, inter * 1.0 / (a.n + b.n - inter) AS j
+         |       FROM i JOIN hsz a ON d1 = a.doc_id JOIN hsz b ON d2 = b.doc_id),
+         |m AS (SELECT jp.d1, jp.d2, j, da.n_chars AS ca, db.n_chars AS cb
+         |      FROM jp JOIN documents da ON jp.d1 = da.doc_id
+         |               JOIN documents db ON jp.d2 = db.doc_id),
+         |th AS (SELECT CAST(unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS t),
+         |drops AS (SELECT DISTINCT t,
+         |    CASE WHEN ca < cb OR (ca = cb AND d2 < d1) THEN d1 ELSE d2 END AS doc_id,
+         |    CASE WHEN ca < cb OR (ca = cb AND d2 < d1) THEN ca ELSE cb END AS nch
+         |  FROM m CROSS JOIN th WHERE j >= t),
+         |pc AS (SELECT t, COUNT(*) AS n_pairs FROM m CROSS JOIN th
+         |       WHERE j >= t GROUP BY t)
+         |SELECT pc.t AS threshold, n_pairs,
+         |  COALESCE(dc.n_docs_dropped, 0) AS n_docs_dropped,
+         |  COALESCE(dc.bytes_saved, 0) AS bytes_saved
+         |FROM pc LEFT JOIN (SELECT t, COUNT(*) AS n_docs_dropped,
+         |    CAST(SUM(nch) AS BIGINT) AS bytes_saved FROM drops GROUP BY t) dc
+         |  ON pc.t = dc.t
+         |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      import graft.functions.PortableHash
+      val docs = Tables.load(s, dir, "documents")
+      val hs2 = Dedup.distinctShingles(docs.select("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
+      val hsz = hs2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val meta = docs.select("doc_id", "n_chars")
+      val m = hs2.as("x")
+        .join(hs2.as("y"),
+          col("x.hm") === col("y.hm") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(hsz.toDF("d1", "na"), Seq("d1"))
+        .join(hsz.toDF("d2", "nb"), Seq("d2"))
+        .join(meta.toDF("d1", "ca"), Seq("d1"))
+        .join(meta.toDF("d2", "cb"), Seq("d2"))
+        .select(col("d1"), col("d2"), col("ca"), col("cb"),
+          (col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+            .as("j"))
+        .localCheckpoint(true) // pair frame feeds both sweep branches
+      import s.implicits._
+      val th = Seq(0.1, 0.3, 0.5, 0.7, 0.9).toDF("t")
+      val fired = m.crossJoin(broadcast(th)).filter(col("j") >= col("t"))
+      val loser = col("ca") < col("cb") ||
+        (col("ca") === col("cb") && col("d2") < col("d1"))
+      val drops = fired
+        .select(col("t"),
+          when(loser, col("d1")).otherwise(col("d2")).as("doc_id"),
+          when(loser, col("ca")).otherwise(col("cb")).as("nch"))
+        .distinct()
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_docs_dropped"),
+          sum(col("nch")).as("bytes_saved"))
+      fired.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+        .join(drops, Seq("t"), "left")
+        .na.fill(0L, Seq("n_docs_dropped", "bytes_saved"))
+        .select(col("t").as("threshold"), col("n_pairs"),
+          col("n_docs_dropped"), col("bytes_saved"))
+        .orderBy("threshold")
     },
 
     // FELLEGI-SUNTER FIELD WEIGHTS (Fellegi & Sunter, JASA '69) — the
@@ -770,25 +903,16 @@ object DedupQueries {
     // banding-bounded edge list and per-round single-join shape as
     // pagerank_dups: at 100 TB each round shuffles (node, label)
     // pairs over the pair graph, never the corpus.
-    Q("lpa_communities", {
-      val rounds = (1 to 3).map { k =>
-        s"""v$k AS (SELECT e.a AS node, l.lbl, COUNT(*) AS c
-           |        FROM edges e JOIN l${k - 1} l ON e.b = l.node GROUP BY 1, 2),
-           |l$k AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (
-           |          PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$k) WHERE rn = 1)"""
-          .stripMargin
-      }.mkString(",\n")
+    Q("lpa_communities",
       s"""$minhashCte,
          |$bandsCte,
          |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
          |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
          |          UNION SELECT d2, d1 FROM pairs),
-         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
-         |$rounds
+         |$lpaCtes
          |SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+    ) { (s, dir) =>
       val sig = Dedup.minhashFromText(
         Tables.load(s, dir, "documents"), "doc_id", "text", K)
       val pairs = Dedup.candidatePairs(
@@ -800,20 +924,92 @@ object DedupQueries {
         // this at fixture scale, but the label joins below alternate
         // sides, which defeats reuse — measured neutral-to-better)
         .localCheckpoint(true)
-      val majority = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lbl"))
-      var l = edges.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 3) {
-        l = edges.join(l, edges("b") === l("node"))
-          .groupBy(edges("a").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(majority))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("lbl"))
-      }
-      l.select(col("node").as("doc_id"), col("lbl").as("community"))
+      lpaLabels(edges)
+        .select(col("node").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
+    },
+
+    // NEWMAN MODULARITY of both graph partitions (Newman & Girvan
+    // '04): Q = Σ_c [e_c/m − (d_c/2m)²] — the single number that
+    // says whether a partition cuts the near-dup graph at its thin
+    // edges (Q near 0: no better than random; higher: denser inside
+    // communities than chance). Scoring BOTH partitions from one
+    // edge derivation makes the CC-vs-LPA choice (and any future
+    // community algorithm) an empirical comparison instead of a
+    // taste call. All inputs are integer censuses (m, per-community
+    // edge and degree sums); per-community terms round to 6 dp and
+    // sum as DECIMAL. The frame never exceeds the pair graph.
+    Q("graph_modularity",
+      s"""${minhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |$lpaCtes,
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cc AS (SELECT a AS node, least(a, MIN(b)) AS com FROM reach GROUP BY a),
+         |asn AS (SELECT 'cc' AS method, node, com FROM cc
+         |        UNION ALL SELECT 'lpa', node, lbl FROM l3),
+         |me AS (SELECT COUNT(*) AS m FROM pairs),
+         |deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+         |intra AS (SELECT x.method, x.com, COUNT(*) AS ec
+         |          FROM pairs p JOIN asn x ON p.d1 = x.node
+         |            JOIN asn y ON p.d2 = y.node AND x.method = y.method
+         |              AND x.com = y.com
+         |          GROUP BY 1, 2),
+         |degc AS (SELECT method, com, CAST(SUM(d) AS BIGINT) AS dc
+         |         FROM asn JOIN deg USING (node) GROUP BY 1, 2),
+         |terms AS (SELECT method, degc.com,
+         |    CAST(round(CAST(COALESCE(ec, 0) AS DOUBLE) / m
+         |      - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)), 6)
+         |      AS DECIMAL(20,6)) AS t
+         |  FROM degc LEFT JOIN intra USING (method, com) CROSS JOIN me)
+         |SELECT method, COUNT(*) AS n_communities,
+         |  (SELECT m FROM me) AS n_edges,
+         |  round(CAST(SUM(t) AS DOUBLE), 6) AS modularity
+         |FROM terms GROUP BY method ORDER BY method""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+        .select(col("id_a").as("d1"), col("id_b").as("d2"))
+        .localCheckpoint(true) // feeds edges, both partitions, intra
+      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      val cc = Dedup.connectedComponents(
+          pairs.select(col("d1").as("id_a"), col("d2").as("id_b")),
+          "id_a", "id_b")
+        .select(col("id").as("node"), col("cluster_id").as("com"))
+      val lpa = lpaLabels(edges)
+        .select(col("node"), col("lbl").as("com"))
+      val asn = cc.select(lit("cc").as("method"), col("node"), col("com"))
+        .unionAll(lpa.select(lit("lpa").as("method"), col("node"), col("com")))
+        .localCheckpoint(true) // joined twice by intra + once by degc
+      val me = pairs.agg(count(lit(1)).as("m"))
+      val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      val intra = pairs
+        .join(asn.as("x"), col("d1") === col("x.node"))
+        .join(asn.as("y"), col("d2") === col("y.node") &&
+          col("x.method") === col("y.method") && col("x.com") === col("y.com"))
+        .groupBy(col("x.method").as("method"), col("x.com").as("com"))
+        .agg(count(lit(1)).as("ec"))
+      val degc = asn.join(deg, Seq("node"))
+        .groupBy("method", "com").agg(sum(col("d")).as("dc"))
+      val half = col("dc").cast("double") / (lit(2) * col("m"))
+      degc.join(intra, Seq("method", "com"), "left")
+        .na.fill(0L, Seq("ec"))
+        .crossJoin(broadcast(me))
+        .select(col("method"),
+          round(col("ec").cast("double") / col("m") - half * half, 6)
+            .cast(DecimalType(20, 6)).as("t"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum(col("t")).cast("double"), 6).as("modularity"))
+        .crossJoin(broadcast(me.select(col("m").as("n_edges"))))
+        .select("method", "n_communities", "n_edges", "modularity")
+        .orderBy("method")
     },
 
     // keep-list RESOLUTION — the decision step that turns clusters

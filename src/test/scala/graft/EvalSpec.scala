@@ -145,6 +145,23 @@ class EvalSpec extends SparkSpec {
     } finally { lpa.unpersist(); cc.unpersist() }
   }
 
+  // ---- graph_modularity ----
+
+  test("modularity: bounded, same edge census, and LPA refines CC") {
+    val m = run("graph_modularity").cache()
+    try {
+      assert(m.count() === 2)
+      assert(m.filter(col("modularity") < -0.5 || col("modularity") > 1.0)
+        .count() === 0L)
+      val edges = m.select("n_edges").distinct().count()
+      assert(edges === 1L, "methods scored different edge sets")
+      val byM = m.collect().map(r =>
+        r.getAs[String]("method") -> r.getAs[Long]("n_communities")).toMap
+      assert(byM("lpa") >= byM("cc"),
+        "LPA produced fewer communities than its own components")
+    } finally m.unpersist()
+  }
+
   // ---- key_skew_gini ----
 
   test("key skew: census is consistent and Gini is bounded") {
@@ -276,6 +293,22 @@ class EvalSpec extends SparkSpec {
         col("mean_wins") > p95 + 1e-6).count() === 0L,
         "a winsorized mean escaped the clip bounds")
     } finally w.unpersist()
+  }
+
+  // ---- dedup_threshold_sweep ----
+
+  test("dedup sweep: pairs, drops, and bytes are monotone non-increasing in threshold") {
+    val sw = run("dedup_threshold_sweep").orderBy("threshold").collect()
+    assert(sw.nonEmpty)
+    for (c <- Seq("n_pairs", "n_docs_dropped", "bytes_saved")) {
+      val vs = sw.map(_.getAs[Long](c))
+      assert(vs.zip(vs.tail).forall { case (a, b) => b <= a },
+        s"$c not monotone in threshold: ${vs.mkString(",")}")
+    }
+    // a dropped doc count can never exceed the fired pair count
+    sw.foreach { r =>
+      assert(r.getAs[Long]("n_docs_dropped") <= r.getAs[Long]("n_pairs"))
+    }
   }
 
   // ---- minhash_recall_audit ----

@@ -44,7 +44,8 @@ class PlanInventorySpec extends SparkSpec {
     "join_cardinality_audit", // four one-row profile/count aggregates
     "quantile_normalize", // cumsum window over the VALUE census (distinct lengths)
     "minhash_recall_audit", // one-row recall census rollup
-    "winsorize_stats")    // census cumsum + one-row clip-bounds rollup
+    "winsorize_stats",    // census cumsum + one-row clip-bounds rollup
+    "graph_modularity")   // one-row edge census (m) broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -74,7 +75,9 @@ class PlanInventorySpec extends SparkSpec {
     "quantile_normalize", // 11-row grid dim x value census cross-joins
     "hll_overlap_est", // |sources|-row sketch census self-paired (a < b)
     "minhash_recall_audit", // one-row doc-count census cross-joined back
-    "winsorize_stats") // one-row clip-bounds row cross-joined onto the scan
+    "winsorize_stats", // one-row clip-bounds row cross-joined onto the scan
+    "dedup_threshold_sweep", // 5-row threshold dim cross-joined onto the pair frame
+    "graph_modularity") // one-row edge census cross-joined back
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
