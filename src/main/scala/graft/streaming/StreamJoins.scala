@@ -34,6 +34,33 @@ object StreamJoins {
       "inner")
   }
 
+  /** LEFT OUTER interval join — [[intervalJoin]] with the unmatched
+    * left rows EMITTED (null-padded) once the watermark proves no
+    * match can still arrive. This is the streaming "did anything
+    * precede this error?" shape: inner joins silently drop the
+    * no-antecedent case, which is usually the interesting one. The
+    * null-padded row cannot be produced eagerly — a match may still
+    * be in flight — so Spark holds the left row in state and emits
+    * it only after the right watermark passes `leftTs`; that delayed
+    * emission (correct, not late) is pinned in StreamingSpec by
+    * advancing the watermark and watching the null row appear. Same
+    * bounded-state argument as the inner form: watermark + interval
+    * bound expire both sides.
+    */
+  def leftOuterIntervalJoin(left: DataFrame, right: DataFrame,
+                            key: String, leftTs: String, rightTs: String,
+                            lookbackMinutes: Int = 30,
+                            watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withColumnRenamed(key, s"${key}_r")
+      .withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      expr(s"""$key = ${key}_r AND
+              |$rightTs >= $leftTs - INTERVAL $lookbackMinutes MINUTES AND
+              |$rightTs <= $leftTs""".stripMargin),
+      "left_outer")
+  }
+
   /** Streaming twin of the batch `range_join_pairs` query: a FORWARD
     * interval SELF-join — pairs of same-key events with the right
     * side's timestamp in `[left.ts, left.ts + window]` and the left

@@ -377,6 +377,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null rows only after the watermark seals them") {
+    import graft.streaming.StreamJoins
+    implicit val ctx = spark.sqlContext
+    val errMem = MemoryStream[Ev]
+    val clickMem = MemoryStream[Ev]
+    val errors = errMem.toDF().select(col("event_id").as("err_id"),
+      col("ts").as("err_ts"), col("user_id"))
+    val clicks = clickMem.toDF().select(col("event_id").as("click_id"),
+      col("ts").as("click_ts"), col("user_id"))
+    val joined = StreamJoins.leftOuterIntervalJoin(
+      errors, clicks, "user_id", "err_ts", "click_ts", 30, "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_louter")
+      .outputMode("append").start()
+    try {
+      clickMem.addData(Ev(100, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      errMem.addData(
+        Ev(1, ts("2024-01-01 10:20:00"), 1, "error", 0.0), // match
+        Ev(2, ts("2024-01-01 10:20:00"), 2, "error", 0.0)) // no click ever
+      q.processAllAvailable()
+      // the matched row may emit now; the UNMATCHED row must NOT —
+      // a qualifying click could still arrive inside the watermark
+      val early = spark.table("ss_louter")
+        .filter(col("click_id").isNull).count()
+      assert(early === 0L, "null-padded row emitted before the watermark sealed it")
+      // advance both watermarks far past err_ts + delay: the no-match
+      // row is now provably matchless and must appear null-padded
+      clickMem.addData(Ev(999, ts("2024-01-01 13:00:00"), 9, "click", 1.0))
+      errMem.addData(Ev(998, ts("2024-01-01 13:00:00"), 9, "error", 0.0))
+      q.processAllAvailable()
+      // one more batch so the outer-join state eviction runs
+      clickMem.addData(Ev(997, ts("2024-01-01 13:30:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_louter")
+        .select(col("err_id"),
+          when(col("click_id").isNull, -1L).otherwise(col("click_id"))
+            .as("cid"))
+        .as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 100L)), "matched pair missing")
+      assert(rows.contains((2L, -1L)),
+        "sealed unmatched error never emitted null-padded")
+    } finally q.stop()
+  }
+
   test("stream-stream forward self-join matches batch range_join_pairs under random arrival") {
     import graft.streaming.StreamJoins
     implicit val ctx = spark.sqlContext
