@@ -153,8 +153,8 @@ object EvalQueries {
     * the documents frame; the census and the grid are census-sized,
     * so every join against the result broadcasts.
     */
-  private def censusQuantiles(d: org.apache.spark.sql.DataFrame,
-                              ps: Seq[Double]) = {
+  private[graft] def censusQuantiles(d: org.apache.spark.sql.DataFrame,
+                                     ps: Seq[Double]) = {
     import org.apache.spark.sql.expressions.Window
     val s = d.sparkSession
     val vc = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
