@@ -122,7 +122,7 @@ object DedupQueries {
     * graph_modularity so the propagation rule cannot drift between
     * them. Returns (node, lbl) for every node with at least one edge.
     */
-  private def lpaLabels(edges: org.apache.spark.sql.DataFrame) = {
+  private[graft] def lpaLabels(edges: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val majority = Window.partitionBy("node")
       .orderBy(col("c").desc, col("lbl"))

@@ -75,4 +75,31 @@ class EdgeCasesSpec extends SparkSpec {
         col("doc_id"), 3).as("t"))
     assert(out.count() === 0)
   }
+
+  test("scoreLabelOf handles empty frames and degenerate texts") {
+    import graft.queries.EvalQueries
+    assert(EvalQueries.scoreLabelOf(emptyDocs).count() === 0)
+    assert(EvalQueries.calibrationBins(
+      EvalQueries.scoreLabelOf(emptyDocs)).count() === 0)
+    // empty string still splits to one (empty) token; a one-word doc
+    // exercises every ratio's n=1 denominator — neither may throw or
+    // yield a null score
+    val weird = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
+    val out = EvalQueries.scoreLabelOf(weird).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("lpaLabels: empty graph is empty; a two-node component converges to the min label") {
+    import graft.queries.DedupQueries
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupQueries.lpaLabels(noEdges).count() === 0)
+    // the self-vote regression guard: synchronous LPA WITHOUT it
+    // oscillates on a pair forever and never merges the component
+    val pair = Seq((10L, 20L), (20L, 10L)).toDF("a", "b")
+    val got = DedupQueries.lpaLabels(pair)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 20L -> 10L),
+      s"pair did not converge to the min label: $got")
+  }
 }
