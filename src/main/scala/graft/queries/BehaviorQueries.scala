@@ -101,6 +101,59 @@ object BehaviorQueries {
 
   def all: Seq[Q] = Seq(
 
+    // RFM SEGMENTATION — the classic recency/frequency/monetary
+    // customer grid (direct-marketing lineage, standard in product
+    // analytics): per user the days since last event, the event
+    // count, and the decimal-exact value sum; each metric scored
+    // into quintiles by ntile(5) over a DETERMINISTIC total order
+    // (metric, then user_id — both engines put ntile's remainder
+    // rows in the leading buckets, so unique ordering makes the
+    // bucket assignment identical), then the segment census. The
+    // heavy reduction is the per-user aggregate (one shuffle over
+    // the event stream); the ntile windows run on the USER census —
+    // the key_skew_gini allowlist shape — and the output is at most
+    // 125 segment rows at any corpus size.
+    Q("rfm_segments",
+      """WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(CAST((SELECT gmax FROM g) AS DATE) - CAST(MAX(ts) AS DATE) AS BIGINT) AS r,
+        |    COUNT(*) AS f,
+        |    SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS m
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT r, f, m,
+        |    ntile(5) OVER (ORDER BY r, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY f DESC, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY m DESC, user_id) AS m_score FROM u)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+        |  round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS avg_recency_days,
+        |  CAST(SUM(f) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(m) AS DOUBLE), 6) AS monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.load(s, dir, "events").select("user_id", "ts", "value")
+      val g = ev.agg(max("ts").as("gmax"))
+      val u = ev.groupBy("user_id")
+        .agg(max("ts").as("umax"), count(lit(1)).as("f"),
+          sum(round(col("value"), 6).cast(DecimalType(18, 6))).as("m"))
+        .crossJoin(broadcast(g))
+        .select(col("user_id"),
+          datediff(to_date(col("gmax")), to_date(col("umax"))).as("r"),
+          col("f"), col("m"))
+      val sc = u.select(col("r"), col("f"), col("m"),
+        ntile(5).over(Window.orderBy(col("r"), col("user_id"))).as("r_score"),
+        ntile(5).over(Window.orderBy(col("f").desc, col("user_id")))
+          .as("f_score"),
+        ntile(5).over(Window.orderBy(col("m").desc, col("user_id")))
+          .as("m_score"))
+      sc.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("r")).cast("double") / count(lit(1)), 6)
+            .as("avg_recency_days"),
+          sum(col("f")).as("n_events"),
+          round(sum(col("m")).cast("double"), 6).as("monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
     // ordered conversion funnel signup -> view -> click -> purchase:
     // cascaded running-mins over ONE sort (stage k's earliest-valid
     // timestamp feeds stage k+1's qualification), then per-user flags,

@@ -929,6 +929,41 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // CLUSTER-SIZE HISTOGRAM — the "how big are my duplicate
+    // families" census (dup_degree profiles NODES, this profiles
+    // FAMILIES): component size -> family count over the CC
+    // partition, plus the member mass per size. The shape to watch
+    // across snapshots: a growing tail means boilerplate families
+    // are coalescing and the banding parameters (or a hot-bucket
+    // cap) need review. Two cascaded bounded aggregates over the
+    // component labels; nothing larger than the pair graph moves.
+    Q("cluster_size_histogram",
+      s"""${minhashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |cs AS (SELECT cluster_id, COUNT(*) AS sz FROM lbl GROUP BY 1)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
     // NEWMAN MODULARITY of both graph partitions (Newman & Girvan
     // '04): Q = Σ_c [e_c/m − (d_c/2m)²] — the single number that
     // says whether a partition cuts the near-dup graph at its thin

@@ -364,6 +364,28 @@ class EvalSpec extends SparkSpec {
     } finally w.unpersist()
   }
 
+  // ---- cluster_size_histogram / rfm_segments ----
+
+  test("cluster-size histogram partitions the clustered nodes exactly") {
+    val h = run("cluster_size_histogram")
+    val nodes = run("dedup_clusters").count()
+    val mass = h.agg(sum("n_docs")).first().getLong(0)
+    assert(mass === nodes, "histogram mass != clustered node count")
+    assert(h.filter(col("cluster_size") < 2).count() === 0L,
+      "a connected component of size < 2 is impossible")
+  }
+
+  test("RFM: segments partition the user base; scores stay in 1..5") {
+    val r = run("rfm_segments").cache()
+    try {
+      val users = Tables.load(spark, sf0001, "events")
+        .select("user_id").distinct().count()
+      assert(r.agg(sum("n_users")).first().getLong(0) === users)
+      for (c <- Seq("r_score", "f_score", "m_score"))
+        assert(r.filter(col(c) < 1 || col(c) > 5).count() === 0L, s"$c out of range")
+    } finally r.unpersist()
+  }
+
   // ---- compaction_plan ----
 
   test("compaction plan: bins are contiguous, size-conserving, and target-bounded") {
