@@ -966,6 +966,41 @@ class StreamingSpec extends SparkSpec {
     assert(got(1)._3 === ks && got(1)._4, s"shifted batch not flagged: ${got(1)}")
   }
 
+  test("streaming skew gate agrees with the batch Gini census and flags a hot key") {
+    import graft.streaming.StreamSkew
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.load(spark, sf0001, "events").select("event_id", "user_id")
+    // the full fixture through the audit must reproduce the oracled
+    // batch query's numbers exactly (same rank formulation)
+    val (_, nKeys, total, top10, gini, _) =
+      StreamSkew.batchAudit(ev, 0L, "user_id", 0.5)
+    val b = SparkEntry.queries("key_skew_gini")(spark, sf0001).first()
+    assert(nKeys === b.getAs[Long]("n_keys") && total === b.getAs[Long]("total"))
+    assert(math.abs(gini - b.getAs[Double]("gini")) < 1e-6)
+    // top10 vs the batch census (batch rounds to 6 dp)
+    assert(math.abs(top10 - b.getAs[Double]("top10_share")) < 1e-6)
+    // end-to-end: a balanced batch passes, a one-hot batch flags
+    val ckpt = Files.createTempDirectory("graft_skew_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double, Boolean)]
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamSkew.gate(
+        mem.toDF().toDF("event_id", "user_id"), "user_id", 0.5, ckpt) { a =>
+      audits.synchronized { audits += a }
+    }.start()
+    try {
+      mem.addData((1L to 40L).map(i => (i, i % 20)): _*) // balanced
+      q.processAllAvailable()
+      mem.addData(((41L to 140L).map(i => (i, 7L)) ++
+        (141L to 150L).map(i => (i, i))): _*) // one hot key
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = audits.synchronized(audits.sortBy(_._1).toList)
+    assert(got.length === 2)
+    assert(!got(0)._6, s"balanced batch flagged: ${got(0)}")
+    assert(got(1)._6 && got(1)._5 > 0.5, s"hot-key batch not flagged: ${got(1)}")
+  }
+
   test("streaming funnel emits ordered-stage transitions; pre-signup views don't count") {
     import graft.streaming.StreamFunnel
     import graft.streaming.StreamFunnel.FunnelEvent
