@@ -154,6 +154,59 @@ object BehaviorQueries {
         .orderBy("r_score", "f_score", "m_score")
     },
 
+    // EVENT-TYPE ASSOCIATION LIFT — market-basket analysis with the
+    // (user, day) pair as the basket (user-lifetime baskets saturate
+    // on a 30-day fixture — every user eventually does everything —
+    // while daily baskets leave real co-occurrence signal): for every
+    // unordered type pair, support counts and
+    // lift = P(a ∧ b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — the
+    // signal that two behaviors co-occur beyond chance. All inputs
+    // are exact integer censuses; lift is one fixed-order expression
+    // over them. The per-user distinct-type reduction is the only
+    // corpus-sized aggregation; the pair expansion happens on the
+    // |types|-bounded per-user SET (array combinations, map-side),
+    // and the final frame is a type-pair census (≤ C(|types|, 2)
+    // rows at any scale).
+    Q("event_type_lift",
+      """WITH ut AS (SELECT DISTINCT user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+        |      event_type FROM events),
+        |n AS (SELECT COUNT(DISTINCT basket) AS nu FROM ut),
+        |tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+        |pairs AS (SELECT a.basket, a.event_type AS ta, b.event_type AS tb
+        |          FROM ut a JOIN ut b ON a.basket = b.basket
+        |            AND a.event_type < b.event_type),
+        |pc AS (SELECT ta, tb, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, n_ab,
+        |  ca.c AS n_a, cb.c AS n_b,
+        |  nu AS n_baskets,
+        |  round(CAST(n_ab AS DOUBLE) / nu, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) * nu / (ca.c * cb.c), 6) AS lift
+        |FROM pc JOIN tc ca ON ta = ca.event_type
+        |        JOIN tc cb ON tb = cb.event_type CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      val ut = Tables.load(s, dir, "events")
+        .select(concat(col("user_id").cast("string"), lit("#"),
+          to_date(col("ts")).cast("string")).as("basket"),
+          col("event_type")).distinct()
+        .localCheckpoint(true) // feeds the pair frame and both censuses
+      val n = ut.agg(countDistinct(col("basket")).as("nu"))
+      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+      val pc = ut.as("a")
+        .join(ut.as("b"), col("a.basket") === col("b.basket") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pc.join(broadcast(tc.toDF("ta", "n_a")), Seq("ta"))
+        .join(broadcast(tc.toDF("tb", "n_b")), Seq("tb"))
+        .crossJoin(broadcast(n))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"), col("n_ab"),
+          col("n_a"), col("n_b"), col("nu").as("n_baskets"),
+          round(col("n_ab").cast("double") / col("nu"), 6).as("support"),
+          round(col("n_ab").cast("double") * col("nu") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy("type_a", "type_b")
+    },
+
     // ordered conversion funnel signup -> view -> click -> purchase:
     // cascaded running-mins over ONE sort (stage k's earliest-valid
     // timestamp feeds stage k+1's qualification), then per-user flags,

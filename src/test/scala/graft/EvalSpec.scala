@@ -386,6 +386,22 @@ class EvalSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  // ---- event_type_lift ----
+
+  test("lift: every unordered type pair present; support and counts consistent") {
+    val l = run("event_type_lift").cache()
+    try {
+      val types = Tables.load(spark, sf0001, "events")
+        .select("event_type").distinct().count()
+      assert(l.count() === types * (types - 1) / 2)
+      assert(l.filter(col("n_ab") > least(col("n_a"), col("n_b")))
+        .count() === 0L)
+      assert(l.filter(col("support") < 0 || col("support") > 1)
+        .count() === 0L)
+      assert(l.filter(col("lift") < 0).count() === 0L)
+    } finally l.unpersist()
+  }
+
   // ---- compaction_plan ----
 
   test("compaction plan: bins are contiguous, size-conserving, and target-bounded") {

@@ -46,7 +46,8 @@ class PlanInventorySpec extends SparkSpec {
     "minhash_recall_audit", // one-row recall census rollup
     "winsorize_stats",    // census cumsum + one-row clip-bounds rollup
     "graph_modularity",   // one-row edge census (m) broadcast back
-    "rfm_segments")       // ntile windows over the USER census
+    "rfm_segments",       // ntile windows over the USER census
+    "event_type_lift")    // basket total nu: one row, broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -79,7 +80,8 @@ class PlanInventorySpec extends SparkSpec {
     "winsorize_stats", // one-row clip-bounds row cross-joined onto the scan
     "dedup_threshold_sweep", // 5-row threshold dim cross-joined onto the pair frame
     "graph_modularity", // one-row edge census cross-joined back
-    "rfm_segments") // one-row global-max-ts census cross-joined back
+    "rfm_segments", // one-row global-max-ts census cross-joined back
+    "event_type_lift") // one-row basket total cross-joined back
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
