@@ -515,6 +515,53 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // TOKEN BURSTINESS (Church & Gale '95) — the corpus statistic
+    // separating content words from function words: function words
+    // spread evenly (per-doc counts near Poisson, variance-to-mean
+    // ratio ~1), content words BURST (high counts in few docs, VMR
+    // >> 1). Reported for the top-30 tokens by total count:
+    // document frequency, total count, burstiness tf/df (mean count
+    // per CONTAINING doc), and the zero-inclusive VMR
+    // (Σc²/N − μ²)/μ with μ = tf/N. Every statistic derives from
+    // three integer sums per token (Σ1, Σc, Σc² over containing
+    // docs) — vocabulary-bounded aggregates, one corpus scan, and
+    // the deterministic doubles the suite's determinism rules
+    // require. The top-30 window runs on the vocabulary census.
+    Q("token_burstiness",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, doc_id, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |s AS (SELECT w, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS tf,
+        |        CAST(SUM(c * c) AS BIGINT) AS s2 FROM c GROUP BY 1),
+        |r AS (SELECT w, df, tf, s2, row_number() OVER (
+        |        ORDER BY tf DESC, w) AS rnk FROM s)
+        |SELECT rnk, w AS token, df, tf,
+        |  round(CAST(tf AS DOUBLE) / df, 6) AS burstiness,
+        |  round((CAST(s2 AS DOUBLE) / nd
+        |    - (CAST(tf AS DOUBLE) / nd) * (CAST(tf AS DOUBLE) / nd))
+        |    / (CAST(tf AS DOUBLE) / nd), 6) AS vmr
+        |FROM r CROSS JOIN n WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val c = tk.groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val r = c.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+          sum(col("c") * col("c")).as("s2"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("tf").desc, col("w"))))
+        .filter(col("rnk") <= 30)
+      val mu = col("tf").cast("double") / col("nd")
+      r.crossJoin(broadcast(n))
+        .select(col("rnk"), col("w").as("token"), col("df"), col("tf"),
+          round(col("tf").cast("double") / col("df"), 6).as("burstiness"),
+          round((col("s2").cast("double") / col("nd") - mu * mu) / mu, 6)
+            .as("vmr"))
+        .orderBy("rnk")
+    },
+
     Q("freq_tokens",
       """WITH tc AS (SELECT lang, tok, COUNT(*) AS est FROM
         |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)

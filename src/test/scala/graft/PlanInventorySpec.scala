@@ -47,7 +47,8 @@ class PlanInventorySpec extends SparkSpec {
     "winsorize_stats",    // census cumsum + one-row clip-bounds rollup
     "graph_modularity",   // one-row edge census (m) broadcast back
     "rfm_segments",       // ntile windows over the USER census
-    "event_type_lift")    // basket total nu: one row, broadcast back
+    "event_type_lift",    // basket total nu: one row, broadcast back
+    "token_burstiness")   // top-30 window over the vocabulary census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -81,7 +82,8 @@ class PlanInventorySpec extends SparkSpec {
     "dedup_threshold_sweep", // 5-row threshold dim cross-joined onto the pair frame
     "graph_modularity", // one-row edge census cross-joined back
     "rfm_segments", // one-row global-max-ts census cross-joined back
-    "event_type_lift") // one-row basket total cross-joined back
+    "event_type_lift", // one-row basket total cross-joined back
+    "token_burstiness") // one-row doc-count census cross-joined back
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
