@@ -459,6 +459,118 @@ object SimilarityQueries {
         .orderBy("nprobe")
     },
 
+    // RECIPROCAL-RANK FUSION (Cormack et al., SIGIR '09) — the
+    // standard zero-tuning ensemble for heterogeneous retrievers:
+    // fuse the IVF shortlist and the LSH-bucket shortlist per query
+    // by score(n) = Σ_lists 1/(60 + rank_list(n)) and re-rank. RRF
+    // needs only RANKS, never comparable scores — which is exactly
+    // why it is the default when one arm is a dot-product search and
+    // the other a hash bucket. Both arms derive from ONE embedding
+    // scan (assignments + buckets computed together); ranks are
+    // integers, the fused score is a 1-2 term sum of exact rationals
+    // in fixed order, and ties break by n_id — deterministic across
+    // engines and partitionings. Candidate frames stay
+    // probed-list/bucket-bounded; the fusion join is shortlist-sized.
+    Q("rrf_fusion", {
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      def duckArr(c: Array[Double]) =
+        c.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val ds = coefs.zipWithIndex.map { case (cen, c) =>
+        s"round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(embeddings.embedding[i] AS DOUBLE) * (${duckArr(cen)})[i])), 6) AS d_$c"
+      }.mkString(",\n    ")
+      val assign = (0 until Centroids - 1).map { c =>
+        val rest = (c + 1 until Centroids).map(o => s"d_$c >= d_$o").mkString(" AND ")
+        s"WHEN $rest THEN $c"
+      }.mkString(" ")
+      val structs = (0 until Centroids)
+        .map(c => s"struct_pack(c := $c, s := d_$c)").mkString(", ")
+      val cosQN =
+        s"""round(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(q.qe[i] AS DOUBLE) * n.embedding[i])) /
+           |      (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> CAST(q.qe[i] AS DOUBLE) * q.qe[i]))) *
+           |       sqrt(${duckDot("n", "n")})), 6)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding, $ds,
+         |    CASE $assign ELSE ${Centroids - 1} END AS cl,
+         |    ${duckBucket("embeddings")} AS bucket
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id, embedding, unnest([$structs]) AS cs
+         |       FROM e WHERE vec_id < 20),
+         |qp AS (SELECT vec_id AS q_id, embedding AS qe, cs.c AS cl,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs.s DESC, cs.c) AS crn
+         |       FROM qs),
+         |pi AS (SELECT q.q_id, n.vec_id AS n_id, $cosQN AS cs
+         |       FROM (SELECT * FROM qp WHERE crn <= $Nprobe) q
+         |       JOIN e n ON n.cl = q.cl AND n.vec_id <> q.q_id),
+         |ri AS (SELECT q_id, n_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cs DESC, n_id) AS r FROM pi),
+         |ql AS (SELECT vec_id AS q_id, embedding AS qe, bucket
+         |       FROM e WHERE vec_id < 20),
+         |pl AS (SELECT q.q_id, n.vec_id AS n_id, $cosQN AS cs
+         |       FROM ql q JOIN e n ON n.bucket = q.bucket AND n.vec_id <> q.q_id),
+         |rl AS (SELECT q_id, n_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cs DESC, n_id) AS r FROM pl),
+         |f AS (SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+         |        COALESCE(a.n_id, b.n_id) AS n_id,
+         |        COALESCE(1.0 / (60 + a.r), 0) + COALESCE(1.0 / (60 + b.r), 0) AS score
+         |      FROM (SELECT * FROM ri WHERE r <= 10) a
+         |      FULL OUTER JOIN (SELECT * FROM rl WHERE r <= 10) b
+         |        ON a.q_id = b.q_id AND a.n_id = b.n_id),
+         |rr AS (SELECT q_id, n_id, score, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk FROM f)
+         |SELECT q_id, rnk, n_id, round(score, 6) AS rrf
+         |FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val coefs = Similarity.centroidCoefs(Centroids, Dim)
+      val planes = Similarity.planeCoefs(Planes, Dim)
+      val sims = Similarity.centroidSims(col("embedding"), coefs)
+      val e = Tables.load(s, dir, "embeddings").select(
+        Seq(col("vec_id"), col("embedding"),
+          Similarity.ivfAssign(sims).as("cl"),
+          Similarity.lshBucket(col("embedding"), planes).as("bucket")) ++
+          sims.zipWithIndex.map { case (c, i) => c.as(s"s_$i") }: _*)
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+          col("cl"), col("bucket"))
+      // IVF arm: probed-list candidates, ranked
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(array((0 until Centroids).map(c =>
+            struct(lit(c).as("c"), col(s"s_$c").as("s"))): _*)).as("cs"))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cs.s").desc, col("cs.c"))))
+        .filter(col("crn") <= Nprobe)
+        .select(col("q_id"), col("qe"), col("cs.c").as("cl"))
+      val wq = Window.partitionBy("q_id").orderBy(col("cs").desc, col("n_id"))
+      val ri = n.join(broadcast(probes), Seq("cl"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cs"))
+        .withColumn("r", row_number().over(wq))
+        .filter(col("r") <= 10).select("q_id", "n_id", "r")
+      // LSH arm: own-bucket candidates, ranked
+      val ql = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val rl = n.join(broadcast(ql), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cs"))
+        .withColumn("r", row_number().over(wq))
+        .filter(col("r") <= 10).select("q_id", "n_id", "r")
+      val f = ri.withColumnRenamed("r", "ra")
+        .join(rl.withColumnRenamed("r", "rb"), Seq("q_id", "n_id"),
+          "full_outer")
+        .select(col("q_id"), col("n_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))).as("score"))
+      f.withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("n_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"),
+          round(col("score"), 6).as("rrf"))
+        .orderBy("q_id", "rnk")
+    },
+
     // Trained IVF coarse quantizer: two Lloyd (k-means) iterations from
     // the deterministic md5 init — the training step the fixed-centroid
     // ann_ivf skips. Oracled by unrolling BOTH iterations in SQL:

@@ -330,6 +330,23 @@ class EvalSpec extends SparkSpec {
       s"measured recall $rec undershoots prediction $pred beyond noise")
   }
 
+  // ---- rrf_fusion ----
+
+  test("RRF: scores bounded by the two-arm maximum; ranks dense from 1") {
+    val f = run("rrf_fusion").cache()
+    try {
+      // max possible score = both arms rank-1 = 2/61; the output is
+      // rounded to 6 dp, which can round UP past the raw bound
+      assert(f.filter(col("rrf") > 2.0 / 61 + 5e-7).count() === 0L)
+      assert(f.filter(col("rrf") <= 0).count() === 0L)
+      import org.apache.spark.sql.expressions.Window
+      val dense = f.withColumn("expect",
+        row_number().over(Window.partitionBy("q_id").orderBy("rnk")))
+      assert(dense.filter(col("rnk") =!= col("expect")).count() === 0L,
+        "fused ranks are not dense from 1")
+    } finally f.unpersist()
+  }
+
   // ---- hll_overlap_est ----
 
   test("HLL overlap: covers every source pair; overlap bounded by the smaller side") {
