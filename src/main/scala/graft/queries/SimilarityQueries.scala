@@ -459,6 +459,43 @@ object SimilarityQueries {
         .orderBy("nprobe")
     },
 
+    // EMBEDDING NORM PROFILE — the audit behind the cosine-vs-dot
+    // decision: per label, the L2-norm distribution (decimal-exact
+    // mean, sd, min/max). A label whose norms drift from the global
+    // profile breaks dot-product ranking comparability and is the
+    // cue to re-normalize before indexing. Norms are per-row math
+    // (same index-ordered fold as every cosine here, rounded to
+    // 6 dp); moments sum as DECIMAL so the census is
+    // partition-order-independent. One scan, |labels| output rows.
+    Q("embedding_norm_stats",
+      s"""WITH n AS (SELECT label,
+         |    CAST(round(sqrt(list_sum(list_transform(generate_series(1, $Dim),
+         |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))), 6) AS DECIMAL(18,6)) AS nrm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  round(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+         |  round(sqrt(CAST(SUM(CAST(round(CAST(nrm AS DOUBLE) * CAST(nrm AS DOUBLE), 6) AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+         |    - (CAST(SUM(nrm) AS DOUBLE) / COUNT(*)) * (CAST(SUM(nrm) AS DOUBLE) / COUNT(*))), 6) AS sd_norm,
+         |  CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+         |  CAST(MAX(nrm) AS DOUBLE) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val nrm = round(Similarity.norm(col("embedding")), 6)
+        .cast(DecimalType(18, 6))
+      val meanN = sum(col("nrm")).cast("double") / count(lit(1))
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), nrm.as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(meanN, 6).as("mean_norm"),
+          round(sqrt(sum(round(col("nrm").cast("double") *
+              col("nrm").cast("double"), 6).cast(DecimalType(24, 6)))
+            .cast("double") / count(lit(1)) - meanN * meanN), 6).as("sd_norm"),
+          min(col("nrm")).cast("double").as("min_norm"),
+          max(col("nrm")).cast("double").as("max_norm"))
+        .orderBy("label")
+    },
+
     // RECIPROCAL-RANK FUSION (Cormack et al., SIGIR '09) — the
     // standard zero-tuning ensemble for heterogeneous retrievers:
     // fuse the IVF shortlist and the LSH-bucket shortlist per query
