@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Time-series monitoring over the `events` stream table — the ops
+  * layer a team points at a pipeline's throughput/value series once
+  * the pipeline itself is trusted: rolling-window anomaly scoring,
+  * seasonal (hour-of-day) decomposition, and exponentially-weighted
+  * smoothing.
+  *
+  * Reference grounding: the reference's processed topic is exactly such
+  * an event stream (`/root/reference/src/main/java/ru/kafka/
+  * KafkaStreamApp.java:25-33` consumes/produces record streams); these
+  * are the monitoring queries run beside such a topic's sink.
+  *
+  * Scale shape shared by all three: ONE corpus scan reduces the events
+  * table to an hourly (event_type, hour) census — partial aggregation
+  * is map-side, the exchange carries only census rows (~720 h × ~5
+  * types regardless of corpus size) — and every window/smoothing pass
+  * runs on the census. At 100 TB the scan dominates and parallelizes
+  * by input split; nothing downstream grows with the corpus.
+  *
+  * Determinism contract: all sums in DECIMAL with explicit widths so
+  * products stay inside precision 38 in BOTH engines (exact, order-
+  * free); every double is derived from exact decimals by the same
+  * written expression and rounded to 6 dp.
+  */
+object TimeSeriesQueries {
+
+  /** Shared hourly census, DuckDB side: `h(event_type, hour, n_events,
+    * v)` with v = exact DECIMAL(18,2) hourly value sum. */
+  private val duckHourly: String =
+    """h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Shared hourly census, Spark side (bit-identical to [[duckHourly]]
+    * by the Tables.load µs-truncation contract). */
+  private def hourly(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("v"))
+
+  // EWMA weights: dyadic 2^(K-1-k) for lag k — EXACTLY representable
+  // integers, so the truncated exponential smoothing is exact integer/
+  // decimal arithmetic in both engines (a float alpha^k ladder would
+  // accumulate engine-order-dependent rounding).
+  private val EwmaK = 12
+  private val ewmaWeights: Seq[Long] =
+    (0 until EwmaK).map(k => 1L << (EwmaK - 1 - k))
+
+  def all: Seq[Q] = Seq(
+
+    // 24-hour rolling z-score anomaly flag per event_type's hourly
+    // value sum. Rolling mean/std come from exact decimal (Σv, Σv²)
+    // window sums:  z = (n·v − Σv) / sqrt(n·Σv² − (Σv)²)  — numerator
+    // and radicand are exact decimals, the final divide/sqrt is the
+    // same double expression in both engines. Flags need a FULL
+    // 24-bucket window (no warmup flapping) and positive variance.
+    Q("rolling_anomaly",
+      s"""WITH $duckHourly,
+        |w AS (SELECT event_type, hour, n_events, v,
+        |    COUNT(*) OVER win AS n_w,
+        |    CAST(SUM(v) OVER win AS DECIMAL(18,2)) AS sv,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(37,4))) OVER win AS DECIMAL(20,4)) AS svv
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_type, hour, n_events, CAST(v AS DOUBLE) AS v,
+        |    CASE WHEN n_w >= 24
+        |          AND CAST(n_w AS DECIMAL(3,0)) * svv - CAST(sv * sv AS DECIMAL(37,4)) > 0
+        |      THEN round(CAST(CAST(n_w AS DECIMAL(3,0)) * v - sv AS DOUBLE)
+        |           / sqrt(CAST(CAST(n_w AS DECIMAL(3,0)) * svv - CAST(sv * sv AS DECIMAL(37,4)) AS DOUBLE)), 6)
+        |      END AS z
+        |  FROM w)
+        |SELECT event_type, hour, n_events, v, z,
+        |  CASE WHEN z IS NOT NULL AND abs(z) > 3.0 THEN TRUE ELSE FALSE END AS is_anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-23, 0)
+      val w = hourly(s, dir)
+        .withColumn("n_w", count(lit(1)).over(win))
+        .withColumn("sv", sum(col("v")).over(win).cast(DecimalType(18, 2)))
+        .withColumn("svv",
+          sum((col("v") * col("v")).cast(DecimalType(37, 4))).over(win)
+            .cast(DecimalType(20, 4)))
+      val nDec = col("n_w").cast(DecimalType(3, 0))
+      val radicand = nDec * col("svv") -
+        (col("sv") * col("sv")).cast(DecimalType(37, 4))
+      val z = when(col("n_w") >= 24 && radicand > 0,
+        round((nDec * col("v") - col("sv")).cast("double") /
+          sqrt(radicand.cast("double")), 6))
+      w.select(col("event_type"), col("hour"), col("n_events"),
+          col("v").cast("double").as("v"), z.as("z"),
+          when(z.isNotNull && abs(z) > 3.0, true).otherwise(false)
+            .as("is_anomaly"))
+        .orderBy("event_type", "hour")
+    },
+
+    // hour-of-day seasonal profile per event_type: per-bucket mean and
+    // the seasonal index (bucket mean / overall mean), both as one
+    // double expression over exact decimal census sums — the ratio is
+    // computed cross-multiplied (sv·Σn vs n·Σv) so no intermediate
+    // division ever leaves exact arithmetic.
+    Q("seasonal_decompose",
+      """WITH s AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, hod, n_events, sv,
+        |    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DECIMAL(10,0)) AS tc,
+        |    CAST(SUM(sv) OVER (PARTITION BY event_type) AS DECIMAL(18,2)) AS tsv
+        |  FROM s)
+        |SELECT event_type, hod, n_events,
+        |  CAST(sv AS DOUBLE) AS sum_value,
+        |  round(CAST(sv AS DOUBLE) / n_events, 6) AS avg_value,
+        |  CASE WHEN tsv > 0
+        |    THEN round(CAST(sv * tc AS DOUBLE) / CAST(CAST(n_events AS DECIMAL(10,0)) * tsv AS DOUBLE), 6)
+        |    END AS seasonal_index
+        |FROM t ORDER BY event_type, hod""".stripMargin) { (s, dir) =>
+      val census = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .cast(DecimalType(18, 2)).as("sv"))
+      val whole = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      census
+        .withColumn("tc", sum(col("n_events")).over(whole).cast(DecimalType(10, 0)))
+        .withColumn("tsv", sum(col("sv")).over(whole).cast(DecimalType(18, 2)))
+        .select(col("event_type"), col("hod"), col("n_events"),
+          col("sv").cast("double").as("sum_value"),
+          round(col("sv").cast("double") / col("n_events"), 6).as("avg_value"),
+          when(col("tsv") > 0,
+            round((col("sv") * col("tc")).cast("double") /
+              (col("n_events").cast(DecimalType(10, 0)) * col("tsv")).cast("double"), 6))
+            .as("seasonal_index"))
+        .orderBy("event_type", "hod")
+    },
+
+    // truncated EWMA over each event_type's hourly sums with DYADIC
+    // weights 2^(K-1-k), k = 0 (current) .. K-1: numerator and the
+    // available-weight denominator are exact (integer weight × decimal
+    // lag), warmup rows renormalize over the lags that exist, and the
+    // single final divide is the only double op. The unrolled-lag form
+    // is generated from ONE Scala weight list for both engines, so the
+    // two sides cannot drift.
+    {
+      val duckNum = ewmaWeights.zipWithIndex.map { case (w, k) =>
+        s"COALESCE(CAST(lag(v, $k) OVER win * $w AS DECIMAL(24,2)), CAST(0 AS DECIMAL(24,2)))"
+      }.mkString(" + ")
+      val duckDen = ewmaWeights.zipWithIndex.map { case (w, k) =>
+        s"CASE WHEN lag(v, $k) OVER win IS NOT NULL THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      Q("ewma_trend",
+        s"""WITH $duckHourly,
+          |w AS (SELECT event_type, hour, v,
+          |    CAST($duckNum AS DECIMAL(30,2)) AS num,
+          |    CAST($duckDen AS BIGINT) AS den
+          |  FROM h
+          |  WINDOW win AS (PARTITION BY event_type ORDER BY hour))
+          |SELECT event_type, hour, CAST(v AS DOUBLE) AS v,
+          |  round(CAST(num AS DOUBLE) / den, 6) AS ewma
+          |FROM w ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+        val win = Window.partitionBy("event_type").orderBy("hour")
+        val num = ewmaWeights.zipWithIndex.map { case (w, k) =>
+          coalesce((lag(col("v"), k).over(win) * lit(w)).cast(DecimalType(24, 2)),
+            lit(0).cast(DecimalType(24, 2)))
+        }.reduce(_ + _).cast(DecimalType(30, 2))
+        val den = ewmaWeights.zipWithIndex.map { case (w, k) =>
+          when(lag(col("v"), k).over(win).isNotNull, lit(w)).otherwise(lit(0L))
+        }.reduce(_ + _).cast("long")
+        hourly(s, dir)
+          .select(col("event_type"), col("hour"), col("v"),
+            num.as("num"), den.as("den"))
+          .select(col("event_type"), col("hour"),
+            col("v").cast("double").as("v"),
+            round(col("num").cast("double") / col("den"), 6).as("ewma"))
+          .orderBy("event_type", "hour")
+      }
+    }
+  )
+}
