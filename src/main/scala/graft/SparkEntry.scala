@@ -15,7 +15,8 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       ExtraQueries.all ++ TpchQueries.all ++ BehaviorQueries.all ++
       VocabQueries.all ++ SequenceQueries.all ++ SelectionQueries.all ++
-      EvalQueries.all ++ TimeSeriesQueries.all
+      EvalQueries.all ++ TimeSeriesQueries.all ++ GovernanceQueries.all ++
+      ProseQueries.all ++ LinAlgQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

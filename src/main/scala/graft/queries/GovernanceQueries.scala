@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Data-governance + warehouse-maintenance operators: re-identification
+  * risk (k-anonymity and the generalization sweep that fixes it),
+  * ANALYZE-style column statistics, Benford first-digit auditing,
+  * algebraic materialized-view maintenance, and a zone-map
+  * data-skipping effectiveness audit for the two physical layouts a
+  * table can ship in.
+  *
+  * Reference grounding: the reference's moderation pipeline exists to
+  * keep a data product publishable (`/root/reference/src/main/java/ru/
+  * kafka/KafkaStreamApp.java:103-126` drops/censors records);
+  * governance audits are the batch counterpart run before the corpus
+  * leaves the house.
+  *
+  * Scale: every query reduces the corpus in ONE scan to a census
+  * bounded by group structure (QI groups, digits, columns, files,
+  * months) — map-side partial aggregation, census-sized exchanges —
+  * and all cross-census combination is broadcast.
+  */
+object GovernanceQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // k-anonymity census over the quasi-identifier (nation, segment,
+    // acctbal-band-1000): how many equivalence classes exist at each
+    // size k. Rows in small-k groups are re-identifiable; the
+    // histogram IS the risk report (rows with k < threshold are a
+    // rollup of it). One exchange on the QI, then a census-sized
+    // re-group.
+    Q("k_anonymity",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band, COUNT(*) AS k
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT k AS group_size, COUNT(*) AS n_groups,
+        |  CAST(k * COUNT(*) AS BIGINT) AS n_rows
+        |FROM g GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("k").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .select(col("group_size"), col("n_groups"),
+          (col("group_size") * col("n_groups")).cast("long").as("n_rows"))
+        .orderBy("group_size")
+    },
+
+    // generalization-ladder sweep: the SAME QI at three acctbal band
+    // widths — pick the coarsest level whose min group size clears the
+    // k>=5 bar (wider bands generalize more, so min_k is monotone in
+    // width; GovernanceSpec pins the monotonicity). One scan fans out
+    // |widths|x via a literal-array explode before the aggregate.
+    Q("anonymize_sweep",
+      """WITH g AS (SELECT w.width, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / w.width) AS BIGINT) AS band, COUNT(*) AS k
+        |  FROM customer, (SELECT unnest([100, 1000, 10000]) AS width) w
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT width, COUNT(*) AS n_groups, MIN(k) AS min_k,
+        |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_lt5,
+        |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_lt5
+        |FROM g GROUP BY width ORDER BY width""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .withColumn("width", explode(array(lit(100), lit(1000), lit(10000))))
+        .groupBy(col("width"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / col("width")).cast("long").as("band"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy("width")
+        .agg(count(lit(1)).as("n_groups"), min(col("k")).as("min_k"),
+          sum(when(col("k") < 5, 1).otherwise(0)).cast("long").as("groups_lt5"),
+          sum(when(col("k") < 5, col("k")).otherwise(0)).cast("long").as("rows_lt5"))
+        .orderBy("width")
+    },
+
+    // ANALYZE-style per-column statistics census over lineitem — the
+    // numbers a cost-based optimizer (and join_cardinality_audit)
+    // feeds on: count / nulls / exact NDV / numeric min-max, one row
+    // per column. The engine computes ALL columns in one corpus pass
+    // (the multi-count_distinct Expand is the classic ANALYZE cost;
+    // at 100 TB production swaps exact NDV for HLL — the tolerance
+    // contract approx_distinct already demonstrates). min/max are
+    // NULL for non-numeric columns by design.
+    Q("table_stats", {
+      def one(c: String, numeric: Boolean) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+           |  ${if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |  ${if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS max_num
+           |FROM lineitem""".stripMargin
+      Seq(one("l_orderkey", true), one("l_partkey", true),
+        one("l_quantity", true), one("l_extendedprice", true),
+        one("l_returnflag", false), one("l_shipdate", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_orderkey" -> true, "l_partkey" -> true,
+        "l_quantity" -> true, "l_extendedprice" -> true,
+        "l_returnflag" -> false, "l_shipdate" -> false)
+      val aggs = cols.flatMap { case (c, numeric) =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          count_distinct(col(c)).as(s"ndv_$c")) ++
+          (if (numeric) Seq(min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"))
+          else Nil)
+      }
+      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stats = cols.map { case (c, numeric) =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+          col(s"ndv_$c").as("ndv"),
+          (if (numeric) col(s"min_$c") else lit(null).cast("double")).as("min_num"),
+          (if (numeric) col(s"max_$c") else lit(null).cast("double")).as("max_num"))
+      }
+      wide.select(explode(array(stats: _*)).as("s"))
+        .select(col("s.*")).orderBy("col_name")
+    },
+
+    // Benford first-digit audit of l_extendedprice: observed digit
+    // frequencies vs the Benford expectation, with per-digit chi-square
+    // terms. The digit is extracted in EXACT integer arithmetic
+    // (cents -> first char of the integer's decimal string — no
+    // float log10, whose libm rounding may differ by engine), and the
+    // expected probabilities are one Scala-computed literal table
+    // shared by both sides.
+    {
+      val benford = (1 to 9).map(d =>
+        d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val duckCase = benford.map { case (d, p) =>
+        s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+      Q("benford_audit",
+        s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM lineitem WHERE l_extendedprice > 0),
+          |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+          |    COUNT(*) AS n_obs FROM c GROUP BY 1),
+          |t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n_total,
+          |    CASE digit $duckCase END AS expected_p FROM d)
+          |SELECT digit, n_obs, expected_p,
+          |  round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_p,
+          |  round((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+          |      * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+          |      / (CAST(n_total AS DOUBLE) * expected_p), 6) AS chi2_term
+          |FROM t ORDER BY digit""".stripMargin) { (s, dir) =>
+        val expectedP = benford.foldLeft(lit(null).cast("double")) {
+          case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+        }
+        val d = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+        val whole = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val obsD = col("n_obs").cast("double")
+        val totD = col("n_total").cast("double")
+        d.withColumn("n_total", sum(col("n_obs")).over(whole))
+          .withColumn("expected_p", expectedP)
+          .select(col("digit"), col("n_obs"), col("expected_p"),
+            round(obsD / col("n_total"), 6).as("obs_p"),
+            round((obsD - totD * col("expected_p"))
+              * (obsD - totD * col("expected_p"))
+              / (totD * col("expected_p")), 6).as("chi2_term"))
+          .orderBy("digit")
+      }
+    },
+
+    // algebraic materialized-view maintenance: the corpus splits into
+    // base (even ship-days) and delta (odd), each reduces to PARTIAL
+    // aggregates (count, decimal sum), and the MV refresh is a merge
+    // of partials — no base re-scan. The oracle computes the rollup
+    // DIRECTLY from lineitem, so the gate proves merge(partials) ==
+    // recompute(whole): the mergeability contract incremental MV /
+    // streaming-upsert maintenance rests on. avg is derived from the
+    // merged sums (avg is NOT mergeable; sum/count are).
+    Q("mv_merge",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        // NTZ -> TimestampType under the session-UTC pin every entry
+        // point ships (see Tables.load), so the micros are unshifted
+        .withColumn("day_parity",
+          expr("(unix_micros(cast(l_shipdate as timestamp)) div 86400000000L) % 2"))
+      def partial(parity: Int) = li.filter(col("day_parity") === parity)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast(DecimalType(18, 2)).as("psq"))
+      partial(0).unionAll(partial(1))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pn")).cast("long").as("n"),
+          sum(col("psq")).cast(DecimalType(18, 2)).as("sq"))
+        .select(col("l_returnflag"), col("n"),
+          col("sq").cast("double").as("sum_qty"),
+          round(col("sq").cast("double") / col("n"), 6).as("avg_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // zone-map data-skipping audit: model the table's file layout two
+    // ways — natural (append order ≙ orderkey ranges) vs shipdate-
+    // clustered (weekly files) — compute per-file min/max shipdate
+    // zone maps (ONE scan per layout arm, census-sized output), and
+    // measure what fraction of files each month predicate must scan.
+    // The clustered layout prunes to ~1 file per month while natural
+    // files all straddle every month — the measured argument for
+    // zorder_layout/compaction_plan. File-month matching is a
+    // broadcast interval join of two censuses (never row-level).
+    Q("file_skipping_audit",
+      """WITH li AS (SELECT l_orderkey,
+        |    epoch_us(l_shipdate) // 86400000000 AS ship_day FROM lineitem),
+        |zn AS (SELECT 'natural' AS layout, l_orderkey // 1500 AS file_id,
+        |    MIN(ship_day) AS min_d, MAX(ship_day) AS max_d, COUNT(*) AS n_rows
+        |  FROM li GROUP BY 1, 2),
+        |zs AS (SELECT 'shipdate' AS layout, ship_day // 7 AS file_id,
+        |    MIN(ship_day) AS min_d, MAX(ship_day) AS max_d, COUNT(*) AS n_rows
+        |  FROM li GROUP BY 1, 2),
+        |z AS (SELECT * FROM zn UNION ALL SELECT * FROM zs),
+        |m AS (SELECT DISTINCT
+        |    epoch_us(date_trunc('month', l_shipdate)) // 86400000000 AS m_start,
+        |    epoch_us(date_trunc('month', l_shipdate) + INTERVAL 1 MONTH) // 86400000000 AS m_end
+        |  FROM lineitem),
+        |tot AS (SELECT layout, COUNT(*) AS files_total FROM z GROUP BY 1),
+        |hit AS (SELECT z.layout, m.m_start, COUNT(*) AS files_scanned,
+        |    CAST(SUM(z.n_rows) AS BIGINT) AS rows_scanned
+        |  FROM z JOIN m ON z.max_d >= m.m_start AND z.min_d < m.m_end
+        |  GROUP BY 1, 2)
+        |SELECT h.layout, h.m_start AS month_start_day, t.files_total,
+        |  h.files_scanned, h.rows_scanned,
+        |  round(CAST(h.files_scanned AS DOUBLE) / t.files_total, 6) AS frac_scanned
+        |FROM hit h JOIN tot t ON h.layout = t.layout
+        |ORDER BY h.layout, month_start_day""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000L")
+            .as("ship_day"))
+      def zones(layout: String, fileId: org.apache.spark.sql.Column) =
+        li.groupBy(lit(layout).as("layout"), fileId.as("file_id"))
+          .agg(min(col("ship_day")).as("min_d"), max(col("ship_day")).as("max_d"),
+            count(lit(1)).as("n_rows"))
+      val z = zones("natural", expr("l_orderkey div 1500"))
+        .unionAll(zones("shipdate", expr("ship_day div 7")))
+      val m = Tables.load(s, dir, "lineitem")
+        .select(date_trunc("month", col("l_shipdate")).as("ms"))
+        .distinct()
+        .select(expr("unix_micros(cast(ms as timestamp)) div 86400000000L")
+            .as("m_start"),
+          expr("unix_micros(cast(ms + INTERVAL 1 MONTH as timestamp)) div 86400000000L")
+            .as("m_end"))
+      val tot = z.groupBy("layout").agg(count(lit(1)).as("files_total"))
+      val hit = z.join(broadcast(m),
+          col("max_d") >= col("m_start") && col("min_d") < col("m_end"))
+        .groupBy("layout", "m_start")
+        .agg(count(lit(1)).as("files_scanned"),
+          sum(col("n_rows")).cast("long").as("rows_scanned"))
+      hit.join(broadcast(tot), "layout")
+        .select(col("layout"), col("m_start").as("month_start_day"),
+          col("files_total"), col("files_scanned"), col("rows_scanned"),
+          round(col("files_scanned").cast("double") / col("files_total"), 6)
+            .as("frac_scanned"))
+        .orderBy("layout", "month_start_day")
+    }
+  )
+}
