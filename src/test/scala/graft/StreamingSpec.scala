@@ -1397,6 +1397,50 @@ class StreamingSpec extends SparkSpec {
       assert(fin === reg, "final snapshot diverged from score_calibration")
     } finally q.stop()
   }
+
+  test("streaming EWMA matches the batch ewma_trend rows under random arrival") {
+    import graft.streaming.StreamEwma
+    import graft.streaming.StreamEwma.ValueEvent
+    implicit val ctx = spark.sqlContext
+    // real fixture events, cents exactly as the batch census quantizes
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id"), col("ts"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as long)").as("cents"))
+      .as[ValueEvent].collect().toSeq
+    val types = events.map(_.event_type).distinct.sorted
+    val rnd = new scala.util.Random(20260814L)
+    val mem = MemoryStream[ValueEvent]
+    // 800h delay > the 30-day span: random arrival never looks late
+    val q = StreamEwma.trend(mem.toDS(), "800 hours")
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(250).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // two sentinel rounds per type: round 1 advances the watermark
+      // past all real data; round 2 advances it past round 1 so the
+      // round-1 sentinels THEMSELVES seal and replay, closing each
+      // type's final real hour. The sentinel hours stay open (round 2
+      // is never sealed), so no sentinel row ever emits.
+      types.zipWithIndex.foreach { case (ty, i) =>
+        mem.addData(ValueEvent(ty, 900000L + i, ts("2024-03-15 12:00:00"), 0L))
+      }
+      q.processAllAvailable()
+      types.zipWithIndex.foreach { case (ty, i) =>
+        mem.addData(ValueEvent(ty, 910000L + i, ts("2024-06-01 12:00:00"), 0L))
+      }
+      q.processAllAvailable()
+      val got = spark.table("ewma_stream")
+        .as[(String, Timestamp, Double, Double)]
+        .collect().sortBy(r => (r._1, r._2.getTime))
+      val expect = SparkEntry.queries("ewma_trend")(spark, sf0001)
+        .as[(String, Timestamp, Double, Double)]
+        .collect().sortBy(r => (r._1, r._2.getTime))
+      assert(got === expect, "streaming EWMA diverged from batch ewma_trend")
+    } finally q.stop()
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
