@@ -32,6 +32,7 @@ import graft.Tables
 object LinAlgQueries {
 
   private val Dim = SimilarityQueries.Dim // 64
+  private val Iters = 10 // power-iteration rounds (census-sized each)
 
   /** Deterministic ±1 sign matrix for the JL projection, j*Dim+d flat:
     * parity of the PortableHash-style md5-derived 32-bit value. */
@@ -55,21 +56,25 @@ object LinAlgQueries {
 
   def all: Seq[Q] = Seq(
 
-    // top principal direction via 3 power iterations on the CENTERED
-    // second-moment matrix M = n·Σuuᵀ − (Σu)(Σu)ᵀ (all exact integer
-    // censuses — covariance without ever materializing means). Each
-    // iterate renormalizes to integer micro-units by its max-|w|
-    // component, so iterates are engine-exact; 3 iterations from the
-    // all-ones start are enough for a stable direction (LinAlgSpec
-    // checks cosine alignment against a driver-side eigensolve).
+    // top principal direction via `Iters` power iterations on the
+    // CENTERED second-moment matrix M = n·Σuuᵀ − (Σu)(Σu)ᵀ (all exact
+    // integer censuses — covariance without ever materializing means).
+    // Each iterate renormalizes to integer micro-units by its max-|w|
+    // component, so iterates are engine-exact; GovernanceSpec replays
+    // the identical integer algorithm in plain JVM loops and checks
+    // the Rayleigh quotient approaches the converged one.
     {
-      val iterSql = (1 to 3).map { t =>
+      // each iteration references its predecessor exactly ONCE (the
+      // max-|w| renormalizer is a whole-frame window over the 64-row
+      // iterate, not a second scalar branch), so the plan grows
+      // LINEARLY in Iters — a scalar-subquery form doubles the
+      // subtree per round and goes exponential
+      val iterSql = (1 to Iters).map { t =>
         val pv = if (t == 1) "v0" else s"v${t - 1}"
         s"""w$t AS (SELECT mm.i, CAST(SUM(mm.mv * CAST($pv.v AS DECIMAL(8,0))) AS DECIMAL(32,0)) AS w
            |  FROM mm JOIN $pv ON mm.j = $pv.i GROUP BY 1),
-           |x$t AS (SELECT MAX(abs(w)) AS mx FROM w$t),
-           |v$t AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
-           |  FROM w$t, x$t)""".stripMargin
+           |v$t AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(MAX(abs(w)) OVER () AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+           |  FROM w$t)""".stripMargin
       }.mkString(",\n")
       Q("pca_power_iteration",
         s"""WITH e AS (SELECT $duckU AS u FROM embeddings),
@@ -85,7 +90,7 @@ object LinAlgQueries {
           |  FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i CROSS JOIN n),
           |v0 AS (SELECT r.i AS i, CAST(1000000 AS BIGINT) AS v FROM range(1, ${Dim + 1}) r(i)),
           |$iterSql
-          |SELECT i - 1 AS dim_idx, v AS v_scaled FROM v3 ORDER BY dim_idx""".stripMargin) { (s, dir) =>
+          |SELECT i - 1 AS dim_idx, v AS v_scaled FROM v$Iters ORDER BY dim_idx""".stripMargin) { (s, dir) =>
         val e = Tables.load(s, dir, "embeddings").select(expr(sparkU).as("u"))
         // one corpus pass -> d² outer-product census (map-side partials)
         val pairs = e
@@ -102,6 +107,9 @@ object LinAlgQueries {
         val nRow = e.agg(count(lit(1)).cast(DecimalType(8, 0)).as("n"))
         val mi = means.select(col("i").as("mi_i"), col("s").as("mi_s"))
         val mj = means.select(col("i").as("mj_i"), col("s").as("mj_s"))
+        // materialize the census ONCE (the pagerank/CC per-round
+        // pattern): every iteration re-reads 4096 checkpointed rows
+        // instead of re-running the corpus pass
         val mm = pairs
           .join(broadcast(mi), col("i") === col("mi_i"))
           .join(broadcast(mj), col("j") === col("mj_i"))
@@ -109,22 +117,26 @@ object LinAlgQueries {
           .select(col("i"), col("j"),
             (col("n") * col("sp") - col("mi_s") * col("mj_s"))
               .cast(DecimalType(22, 0)).as("mv"))
+          .localCheckpoint(true)
         val spark = s
         import spark.implicits._
         var v: DataFrame = (0 until Dim).map(i => (i, 1000000L))
           .toDF("vi", "v")
+        // the renormalizer is a whole-frame window (single reference
+        // to w per round -> linear plan growth; see the oracle note).
         // NB: Spark's transform/posexplode indices are 0-based (DuckDB
         // lists are 1-based; its SQL subtracts 1 only at the end)
-        for (_ <- 1 to 3) {
+        val whole = org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        for (_ <- 1 to Iters) {
           val w = mm.join(broadcast(v), col("j") === col("vi"))
             .groupBy("i")
             .agg(sum(col("mv") * col("v").cast(DecimalType(8, 0)))
               .cast(DecimalType(32, 0)).as("w"))
-          val mx = w.agg(max(abs(col("w"))).as("mx"))
-          v = w.crossJoin(broadcast(mx))
-            .select(col("i").as("vi"),
-              floor(col("w").cast("double") / col("mx").cast("double")
-                * 1000000.0 + 0.5).cast("long").as("v"))
+          v = w.select(col("i").as("vi"),
+            floor(col("w").cast("double")
+              / max(abs(col("w"))).over(whole).cast("double")
+              * 1000000.0 + 0.5).cast("long").as("v"))
         }
         v.select(col("vi").as("dim_idx"), col("v").as("v_scaled"))
           .orderBy("dim_idx")

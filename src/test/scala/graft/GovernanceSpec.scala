@@ -1,0 +1,240 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-8 families (time-series monitoring,
+  * governance/maintenance, prose profiling, linear algebra). The
+  * DuckDB oracle gate owns value-level correctness; these pin the
+  * properties a hash compare can't express: detection on a
+  * constructed anomaly, sweep monotonicity, algebraic identities,
+  * cross-query consistency, and independent JVM recomputes.
+  */
+class GovernanceSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf0001) =
+    SparkEntry.queries(name)(spark, dir)
+
+  // ---- constructed fixture: 30 days of hourly events -------------
+  // type "flat" is constant 10.00 except ONE 1000.00 spike hour well
+  // past the 24h warmup; type "const" is constant throughout.
+  private lazy val anomalyDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gov_events").toString
+    val base = Timestamp.valueOf("2024-01-01 00:30:00").getTime
+    val spikeHour = 200
+    val rows = (0 until 720).flatMap { h =>
+      val t = new Timestamp(base + h * 3600000L)
+      Seq(
+        (h.toLong * 2, t, 1L, "flat",
+          if (h == spikeHour) 1000.0 else 10.0, null.asInstanceOf[String]),
+        (h.toLong * 2 + 1, t, 2L, "const", 10.0, null.asInstanceOf[String]))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("rolling_anomaly flags exactly the constructed spike hour") {
+    val rows = run("rolling_anomaly", anomalyDir).collect()
+    val flagged = rows.filter(_.getBoolean(5))
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val spikeTs = Timestamp.valueOf("2024-01-09 08:00:00") // hour 200
+    assert(flagged.toSeq === Seq(("flat", spikeTs)),
+      s"flagged ${flagged.toSeq}, want only the spike hour")
+    // constant series: z is 0/undefined everywhere, never anomalous
+    assert(rows.filter(_.getString(0) == "const").forall(!_.getBoolean(5)))
+    // warmup: no z before 24 buckets exist
+    rows.filter(r => r.getString(0) == "flat")
+      .sortBy(_.getTimestamp(1).getTime).take(23)
+      .foreach(r => assert(r.isNullAt(4), "z emitted during warmup"))
+  }
+
+  test("ewma_trend is the identity on a constant series") {
+    val rows = run("ewma_trend", anomalyDir)
+      .filter(col("event_type") === "const").collect()
+    assert(rows.length === 720)
+    assert(rows.forall(r => r.getDouble(3) === 10.0),
+      "EWMA of a constant series must equal the constant at every point")
+  }
+
+  test("seasonal_decompose: event-weighted mean seasonal index is 1") {
+    val rows = run("seasonal_decompose", sf001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (ty, rs) =>
+      val n = rs.map(_.getLong(2)).sum.toDouble
+      val wsum = rs.map(r => r.getLong(2) * r.getDouble(5)).sum
+      assert(math.abs(wsum / n - 1.0) < 1e-3,
+        s"$ty: weighted mean index ${wsum / n}")
+    }
+  }
+
+  test("k_anonymity rows reconcile with the customer table") {
+    val rows = run("k_anonymity", sf001).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val customers = Tables.load(spark, sf001, "customer").count()
+    assert(total === customers, "histogram rows must cover every customer")
+    rows.foreach(r =>
+      assert(r.getLong(0) * r.getLong(1) === r.getLong(2)))
+  }
+
+  test("anonymize_sweep: coarser bands are monotonically safer") {
+    val rows = run("anonymize_sweep", sf001).collect().sortBy(_.getInt(0))
+    val minK = rows.map(_.getLong(2))
+    val rowsLt5 = rows.map(_.getLong(4))
+    val nGroups = rows.map(_.getLong(1))
+    assert(minK.zip(minK.tail).forall { case (a, b) => a <= b },
+      s"min_k not monotone: ${minK.toSeq}")
+    assert(rowsLt5.zip(rowsLt5.tail).forall { case (a, b) => a >= b },
+      s"rows_lt5 not monotone: ${rowsLt5.toSeq}")
+    assert(nGroups.zip(nGroups.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("table_stats agrees with direct recomputes") {
+    val rows = run("table_stats", sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = Tables.load(spark, sf001, "lineitem")
+    val n = li.count()
+    assert(rows.values.forall(_.getLong(1) === n))
+    assert(rows("l_returnflag").getLong(3) ===
+      li.select("l_returnflag").distinct().count())
+    assert(rows("l_orderkey").getLong(3) ===
+      li.select("l_orderkey").distinct().count())
+    // numeric min <= max; non-numeric stats are null by design
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice").foreach { c =>
+      assert(rows(c).getDouble(4) <= rows(c).getDouble(5), c)
+    }
+    Seq("l_returnflag", "l_shipdate").foreach { c =>
+      assert(rows(c).isNullAt(4) && rows(c).isNullAt(5), c)
+    }
+  }
+
+  test("benford_audit: digits 1..9, probabilities sum to 1") {
+    val rows = run("benford_audit", sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4,
+      "expected_p must sum to ~1")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+      "obs_p must sum to ~1")
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+  }
+
+  test("mv_merge equals a direct full recompute") {
+    import org.apache.spark.sql.types.DecimalType
+    val got = run("mv_merge", sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val want = Tables.load(spark, sf001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)).as("sq"))
+      .select(col("l_returnflag"), col("n"),
+        col("sq").cast("double"),
+        round(col("sq").cast("double") / col("n"), 6))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === want.toSeq,
+      "merged partial aggregates diverge from the direct rollup")
+  }
+
+  test("file_skipping_audit: the clustered layout prunes, natural doesn't") {
+    val rows = run("file_skipping_audit", sf001).collect()
+    val byLayout = rows.groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.map(_.getDouble(5)).sum / rs.length
+      }
+    assert(byLayout("shipdate") < byLayout("natural") / 2,
+      s"clustered layout should scan far fewer files: $byLayout")
+    assert(rows.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0))
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
+  test("readability matches an independent JVM recompute for one source") {
+    val got = run("readability", sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.load(spark, sf001, "documents")
+      .filter(col("source") === "src0")
+      .select("text").collect().map(_.getString(0))
+    val words = docs.map(_.split(" ").length.toLong)
+    val syll = docs.map(_.split(" ")
+      .map(w => "[aeiouy]+".r.findAllIn(w).length.toLong).sum)
+    val r = got("src0")
+    assert(r.getLong(1) === docs.length.toLong)
+    assert(r.getLong(2) === words.sum)
+    assert(r.getLong(3) === syll.sum)
+    val flesch = BigDecimal(206.835 - 1.015 * (words.sum.toDouble / docs.length)
+      - 84.6 * (syll.sum.toDouble / words.sum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) === flesch)
+  }
+
+  test("ngram_diversity is consistent with readability's doc counts") {
+    val nd = run("ngram_diversity", sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val nDocs = run("readability", sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    nDocs.keys.foreach { src =>
+      // every doc has >= 3 tokens, so each contributes len-1 bigrams
+      // and len-2 trigrams: totals drop by exactly n_docs per order
+      val t1 = nd((src, 1)).getLong(2)
+      val t2 = nd((src, 2)).getLong(2)
+      val t3 = nd((src, 3)).getLong(2)
+      assert(t1 - t2 === nDocs(src), src)
+      assert(t2 - t3 === nDocs(src), src)
+      // diversity grows with n on natural text
+      val r1 = nd((src, 1)).getDouble(4)
+      val r3 = nd((src, 3)).getDouble(4)
+      assert(r1 < r3, s"$src: distinct-1 $r1 !< distinct-3 $r3")
+    }
+  }
+
+  test("pca_power_iteration matches an independent JVM recompute and points at the spectrum") {
+    val got = run("pca_power_iteration", sf0001).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    // independent recompute: same integer algorithm, plain JVM loops
+    val u = Tables.load(spark, sf0001, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val d = u.head.length
+    val n = u.length.toLong
+    val s = Array.tabulate(d)(i => u.map(_(i)).sum)
+    val m = Array.tabulate(d, d)((i, j) =>
+      (BigInt(n) * u.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+        - BigInt(s(i)) * BigInt(s(j))))
+    def iterate(v0: Array[Long], iters: Int): Array[Long] = {
+      var v = v0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val mx = w.map(_.abs).max
+        v = w.map(x => math.floor(
+          BigDecimal(x).toDouble / BigDecimal(mx).toDouble * 1e6 + 0.5).toLong)
+      }
+      v
+    }
+    val want = iterate(Array.fill(d)(1000000L), 10)
+    assert(got.toSeq === want.toSeq, "10-iteration integer replay diverged")
+    // and the direction is genuinely spectral: its Rayleigh quotient
+    // approaches the converged (30-iteration) one
+    val deep = iterate(Array.fill(d)(1000000L), 30)
+    def rayleigh(v: Array[Long]): Double = {
+      val num = (0 until d).map(i =>
+        BigInt(v(i)) * (0 until d).map(j => m(i)(j) * v(j)).sum).sum
+      val den = (0 until d).map(i => BigInt(v(i)) * BigInt(v(i))).sum
+      (BigDecimal(num) / BigDecimal(den)).toDouble
+    }
+    assert(rayleigh(got.toArray) > 0.9 * rayleigh(deep),
+      "the dataflow iteration should capture most of the top eigenvalue")
+  }
+
+  test("rp_project_audit: energy ratios concentrate around 1") {
+    val rows = run("rp_project_audit", sf0001).collect()
+    val nVecs = rows.map(_.getLong(1)).sum
+    assert(nVecs === Tables.load(spark, sf0001, "embeddings").count())
+    val mean = rows.map(r => r.getLong(1) * r.getDouble(2)).sum / nVecs
+    assert(mean > 0.5 && mean < 1.5, s"mean energy ratio $mean")
+    // bins are r_u div 100000 (0.1 steps): all mass within [0, 4x]
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 40))
+  }
+}
