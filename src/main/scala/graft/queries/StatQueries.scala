@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.PortableHash.duckH32
+
+/** Statistical inference over corpus/stream censuses — the hypothesis
+  * tests and robust estimators an analyst runs on the monitoring
+  * censuses the engine already produces: rank-sum shift detection
+  * (the nonparametric sibling of ks_drift), contingency independence,
+  * exact-lag autocorrelation, CUSUM changepoint location, Poisson-
+  * bootstrap confidence intervals (THE distributed bootstrap — per-row
+  * multiplicities are independent hash-derived Poisson(1) draws, so
+  * resampling fuses into one scan), and Theil–Sen robust trend.
+  *
+  * Scale shape: every query is one corpus scan down to a census
+  * (lengths, hourly sums, contingency cells, resample moments); all
+  * pair/rank machinery runs on the census, whose size is bounded by
+  * the time span or value grid, not the corpus. Determinism: the
+  * suite's standard contract — exact integer/decimal sums everywhere,
+  * one identically-written double expression at the end, 6 dp.
+  */
+object StatQueries {
+
+  /** DuckDB hourly cent census (all types): `(hour, c)` exact cents. */
+  private def duckCents(extra: String) =
+    s"""h AS (SELECT ${extra}date_trunc('hour', ts) AS hour,
+       |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c
+       |  FROM events GROUP BY ${if (extra.isEmpty) "1" else "1, 2"})""".stripMargin
+
+  private def sparkCents(s: org.apache.spark.sql.SparkSession, dir: String,
+                         extra: Seq[String]) =
+    Tables.load(s, dir, "events")
+      .groupBy((extra.map(col) :+ date_trunc("hour", col("ts")).as("hour")): _*)
+      .agg((sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+        * 100).cast("long").as("c"))
+
+  // Poisson(1) inverse-CDF thresholds, one Scala-computed literal
+  // table for both engines (w capped at 7; P(w>7) ~ 1e-5)
+  private val poissonCdf: IndexedSeq[Double] = {
+    val e1 = math.exp(-1.0)
+    (0 to 6).map { k =>
+      e1 * (0 to k).map { j =>
+        var f = 1.0; (1 to j).foreach(f *= _); 1.0 / f
+      }.sum
+    }
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Mann–Whitney rank-sum: is source s's token-length distribution
+    // shifted against the rest of the corpus? Doubled average ranks
+    // (2·rank is integral even at ties) come from ONE global length
+    // census window; per-source rank sums are census joins. The only
+    // doubles are the final tie-corrected z expression.
+    Q("mann_whitney",
+      """WITH d AS (SELECT source, len(string_split(text, ' ')) AS x FROM documents),
+        |g AS (SELECT x, COUNT(*) AS nx FROM d GROUP BY 1),
+        |r AS (SELECT x, nx,
+        |    2 * (SUM(nx) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - nx) + nx + 1 AS r2
+        |  FROM g),
+        |sc AS (SELECT source, x, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt * r.r2) AS BIGINT) AS r2sum
+        |  FROM sc JOIN r ON sc.x = r.x GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(nx) AS BIGINT) AS nt,
+        |    CAST(SUM(nx * nx * nx - nx) AS BIGINT) AS ties FROM g)
+        |SELECT source, n1, CAST(r2sum - n1 * (n1 + 1) AS BIGINT) AS u2,
+        |  round((CAST(u2 AS DOUBLE) - CAST(n1 * (nt - n1) AS DOUBLE))
+        |    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (nt - n1) / 12.0
+        |        * ((nt + 1.0) - CAST(ties AS DOUBLE) / nt / (nt - 1.0)))), 6) AS z
+        |FROM t, nn ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("x"))
+      val g = d.groupBy("x").agg(count(lit(1)).as("nx"))
+      val cum = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = g.select(col("x"),
+        (lit(2) * (sum(col("nx")).over(cum) - col("nx")) + col("nx") + 1).as("r2"))
+      val sc = d.groupBy("source", "x").agg(count(lit(1)).as("cnt"))
+      val t = sc.join(broadcast(r), "x")
+        .groupBy("source")
+        .agg(sum(col("cnt")).cast("long").as("n1"),
+          sum(col("cnt") * col("r2")).cast("long").as("r2sum"))
+      val nn = g.agg(sum(col("nx")).cast("long").as("nt"),
+        sum(col("nx") * col("nx") * col("nx") - col("nx")).cast("long").as("ties"))
+      val u2 = (col("r2sum") - col("n1") * (col("n1") + 1)).cast("long")
+      t.crossJoin(broadcast(nn))
+        .withColumn("u2", u2)
+        .select(col("source"), col("n1"), col("u2"),
+          round((col("u2").cast("double")
+            - (col("n1") * (col("nt") - col("n1"))).cast("double"))
+            / (lit(2.0) * sqrt(col("n1").cast("double") * (col("nt") - col("n1")) / 12.0
+              * ((col("nt") + lit(1.0))
+                - col("ties").cast("double") / col("nt") / (col("nt") - lit(1.0))))), 6)
+            .as("z"))
+        .orderBy("source")
+    },
+
+    // chi-square independence audit of the (event_type, hour-of-day)
+    // contingency census: per observed cell, the expectation under
+    // independence and its chi-square term. Marginals are window sums
+    // over the census (cells with zero observations are absent by
+    // construction — the census IS the support).
+    Q("chi_square_independence",
+      """WITH c AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+        |    COUNT(*) AS obs FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hod, obs,
+        |    CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        |    CAST(SUM(obs) OVER (PARTITION BY hod) AS BIGINT) AS ct,
+        |    CAST(SUM(obs) OVER () AS BIGINT) AS nt FROM c)
+        |SELECT event_type, hod, obs,
+        |  round(CAST(rt * ct AS DOUBLE) / nt, 6) AS expected,
+        |  round((CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / nt)
+        |      * (CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / nt)
+        |      / (CAST(rt * ct AS DOUBLE) / nt), 6) AS chi2_term
+        |FROM w ORDER BY event_type, hod""".stripMargin) { (s, dir) =>
+      val c = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+        .agg(count(lit(1)).as("obs"))
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val w = c
+        .withColumn("rt", sum(col("obs")).over(
+          Window.partitionBy("event_type").rowsBetween(Long.MinValue, Long.MaxValue)).cast("long"))
+        .withColumn("ct", sum(col("obs")).over(
+          Window.partitionBy("hod").rowsBetween(Long.MinValue, Long.MaxValue)).cast("long"))
+        .withColumn("nt", sum(col("obs")).over(all).cast("long"))
+      val e = (col("rt") * col("ct")).cast("double") / col("nt")
+      val o = col("obs").cast("double")
+      w.select(col("event_type"), col("hod"), col("obs"),
+          round(e, 6).as("expected"),
+          round((o - e) * (o - e) / e, 6).as("chi2_term"))
+        .orderBy("event_type", "hod")
+    },
+
+    // sample autocorrelation of the hourly total-value series at TRUE
+    // hour lags 1..24 (missing hours are genuinely absent, not
+    // adjacent): deviations are N-scaled exact integers (c·N − S), the
+    // lag pairing is a census self-join on hour-index difference, and
+    // acf_k = Σ dev_t·dev_{t-k} / Σ dev² in exact DECIMAL up to one
+    // final divide.
+    Q("autocorrelation",
+      s"""WITH ${duckCents("")},
+        |i AS (SELECT epoch_us(hour) // 3600000000 AS t, c FROM h),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc FROM i),
+        |d AS (SELECT t, CAST(c * s.n - s.sc AS DECIMAL(18,0)) AS dev FROM i CROSS JOIN s),
+        |p AS (SELECT CAST(a.t - b.t AS INT) AS k,
+        |    CAST(SUM(a.dev * b.dev) AS DECIMAL(38,0)) AS num, COUNT(*) AS n_pairs
+        |  FROM d a JOIN d b ON a.t - b.t BETWEEN 1 AND 24 GROUP BY 1),
+        |dd AS (SELECT CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS den FROM d)
+        |SELECT k, n_pairs, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        |FROM p, dd ORDER BY k""".stripMargin) { (s, dir) =>
+      val i = sparkCents(s, dir, Nil)
+        .select(expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+      val sCensus = i.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("sc"))
+      val d = i.crossJoin(broadcast(sCensus))
+        .select(col("t"),
+          (col("c") * col("n") - col("sc")).cast(DecimalType(18, 0)).as("dev"))
+        .localCheckpoint(true) // census; feeds both the pairs and the denominator
+      val a = d.select(col("t").as("ta"), col("dev").as("deva"))
+      val b = d.select(col("t").as("tb"), col("dev").as("devb"))
+      val p = a.join(broadcast(b),
+          col("ta") - col("tb") >= 1 && col("ta") - col("tb") <= 24)
+        .groupBy((col("ta") - col("tb")).cast("int").as("k"))
+        .agg(sum(col("deva") * col("devb")).cast(DecimalType(38, 0)).as("num"),
+          count(lit(1)).as("n_pairs"))
+      val dd = d.agg(sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("den"))
+      p.crossJoin(broadcast(dd))
+        .select(col("k"), col("n_pairs"),
+          round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+        .orderBy("k")
+    },
+
+    // CUSUM changepoint locator per event_type: D_t = N·cumΣc − t·S is
+    // the (N-scaled, exact-integer) deviation of the cumulative sum
+    // from the no-change linear trend; the changepoint estimate is the
+    // hour of max |D| (classic CUSUM argmax), reported with the
+    // per-hour average deviation in value units.
+    Q("cusum_changepoint",
+      s"""WITH ${duckCents("event_type, ")},
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc FROM h GROUP BY 1),
+        |w AS (SELECT h.event_type, hour,
+        |    CAST(SUM(c) OVER (PARTITION BY h.event_type ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY hour) AS BIGINT) AS tt,
+        |    s.n, s.sc
+        |  FROM h JOIN s ON h.event_type = s.event_type),
+        |dv AS (SELECT event_type, hour,
+        |    CAST(cum * n - tt * sc AS DECIMAL(20,0)) AS dev, n FROM w),
+        |rk AS (SELECT event_type, hour, dev, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(dev) DESC, hour) AS r
+        |  FROM dv)
+        |SELECT event_type, hour AS cp_hour,
+        |  round(CAST(dev AS DOUBLE) / n / 100.0, 6) AS max_dev
+        |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val h = sparkCents(s, dir, Seq("event_type"))
+      val sc = h.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("c")).cast("long").as("sc"))
+      val ord = Window.partitionBy("event_type").orderBy("hour")
+      val w = h.join(broadcast(sc), "event_type")
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .withColumn("tt", row_number().over(ord).cast("long"))
+        .select(col("event_type"), col("hour"),
+          (col("cum") * col("n") - col("tt") * col("sc"))
+            .cast(DecimalType(20, 0)).as("dev"), col("n"))
+      val rk = Window.partitionBy("event_type")
+        .orderBy(abs(col("dev")).desc, col("hour"))
+      w.withColumn("r", row_number().over(rk))
+        .filter(col("r") === 1)
+        .select(col("event_type"), col("hour").as("cp_hour"),
+          round(col("dev").cast("double") / col("n") / 100.0, 6).as("max_dev"))
+        .orderBy("event_type")
+    },
+
+    // Poisson-bootstrap 95% CI for the mean token length: resample b
+    // draws doc i with multiplicity ~ Poisson(1) via the portable-hash
+    // uniform and a literal inverse-CDF ladder — all B=200 resamples
+    // fuse into ONE scan (the reason Poisson bootstrap IS the
+    // distributed bootstrap: no global n to coordinate). Resample
+    // means quantize to micro-units; the CI is nearest-rank order
+    // statistics on the 200-row census.
+    {
+      val B = 200
+      def duckLadder(uh: String) =
+        poissonCdf.zipWithIndex.map { case (p, k) =>
+          s"WHEN $uh < $p THEN $k" }.mkString("CASE ", " ", " ELSE 7 END")
+      Q("bootstrap_ci",
+        s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS x FROM documents),
+          |dr AS (SELECT doc_id, x, r.b AS b,
+          |    CAST(${duckH32("'b|' || r.b || '|' || doc_id")} AS DOUBLE) / 4294967296.0 AS uh
+          |  FROM d, range(0, $B) r(b)),
+          |w AS (SELECT b, x, ${duckLadder("uh")} AS w FROM dr),
+          |m AS (SELECT b,
+          |    CAST(floor(CAST(SUM(w * x) AS DOUBLE) / SUM(w) * 1000000.0 + 0.5) AS BIGINT) AS mu
+          |  FROM w GROUP BY b HAVING SUM(w) > 0),
+          |r AS (SELECT mu, b, ROW_NUMBER() OVER (ORDER BY mu, b) AS rn,
+          |    COUNT(*) OVER () AS nb FROM m),
+          |sel AS (SELECT MAX(CASE WHEN rn = 5 THEN mu END) AS lo,
+          |    MAX(CASE WHEN rn = 195 THEN mu END) AS hi, MAX(nb) AS nb FROM r),
+          |fm AS (SELECT round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_full FROM d)
+          |SELECT nb AS n_resamples, mean_full,
+          |  round(lo / 1000000.0, 6) AS ci_lo, round(hi / 1000000.0, 6) AS ci_hi
+          |FROM sel, fm""".stripMargin) { (s, dir) =>
+        val d = Tables.parallelize(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), size(split(col("text"), " ")).as("x")))
+        val uh = conv(substring(md5(
+            concat(lit("b|"), col("b").cast("string"), lit("|"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0
+        val ladder = poissonCdf.zipWithIndex.foldRight(lit(7): Column) {
+          case ((p, k), acc) => when(col("uh") < p, lit(k)).otherwise(acc)
+        }
+        val m = d.select(col("doc_id"), col("x"),
+            explode(sequence(lit(0), lit(B - 1))).as("b"))
+          .withColumn("uh", uh)
+          .select(col("b"), col("x"), ladder.as("w"))
+          .groupBy("b")
+          .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+          .filter(col("sw") > 0)
+          .select(col("b"),
+            floor(col("swx").cast("double") / col("sw") * 1000000.0 + 0.5)
+              .cast("long").as("mu"))
+        val r = m.withColumn("rn",
+            row_number().over(Window.orderBy("mu", "b")))
+          .withColumn("nb", count(lit(1)).over(
+            Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+        val sel = r.agg(
+          max(when(col("rn") === 5, col("mu"))).as("lo"),
+          max(when(col("rn") === 195, col("mu"))).as("hi"),
+          max(col("nb")).as("nb"))
+        val fm = d.agg(
+          round(sum(col("x")).cast("double") / count(lit(1)), 6).as("mean_full"))
+        sel.crossJoin(broadcast(fm))
+          .select(col("nb").as("n_resamples"), col("mean_full"),
+            round(col("lo") / 1000000.0, 6).as("ci_lo"),
+            round(col("hi") / 1000000.0, 6).as("ci_hi"))
+      }
+    },
+
+    // Theil–Sen robust trend per event_type: the (lower) median of all
+    // pairwise hourly slopes. The pair set is census², bounded by the
+    // TIME SPAN (720 hours) regardless of corpus size; slopes round to
+    // 6 dp before ranking so the order statistic is engine-stable.
+    Q("theil_sen",
+      s"""WITH ${duckCents("event_type, ")},
+        |i AS (SELECT event_type, epoch_us(hour) // 3600000000 AS t, c FROM h),
+        |p AS (SELECT a.event_type,
+        |    round(CAST(b.c - a.c AS DOUBLE) / ((b.t - a.t) * 100.0), 6) AS slope,
+        |    a.t AS t1, b.t AS t2
+        |  FROM i a JOIN i b ON a.event_type = b.event_type AND a.t < b.t),
+        |r AS (SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, t1, t2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np FROM p)
+        |SELECT event_type, np AS n_pairs, slope AS median_slope
+        |FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val i = sparkCents(s, dir, Seq("event_type"))
+        .select(col("event_type"), expr("unix_micros(hour) div 3600000000L").as("t"),
+          col("c"))
+      val a = i.select(col("event_type"), col("t").as("t1"), col("c").as("c1"))
+      val b = i.select(col("event_type").as("et2"), col("t").as("t2"), col("c").as("c2"))
+      val p = a.join(b, col("event_type") === col("et2") && col("t1") < col("t2"))
+        .select(col("event_type"),
+          round((col("c2") - col("c1")).cast("double")
+            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"),
+          col("t1"), col("t2"))
+      val r = p
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("slope", "t1", "t2")))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy("event_type").rowsBetween(Long.MinValue, Long.MaxValue)))
+      r.filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope").as("median_slope"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -33,7 +33,7 @@ object TimeSeriesQueries {
 
   /** Shared hourly census, DuckDB side: `h(event_type, hour, n_events,
     * v)` with v = exact DECIMAL(18,2) hourly value sum. */
-  private val duckHourly: String =
+  private[queries] val duckHourly: String =
     """h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
       |    COUNT(*) AS n_events,
       |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
@@ -41,7 +41,7 @@ object TimeSeriesQueries {
 
   /** Shared hourly census, Spark side (bit-identical to [[duckHourly]]
     * by the Tables.load µs-truncation contract). */
-  private def hourly(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def hourly(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),

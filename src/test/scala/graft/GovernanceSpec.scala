@@ -228,6 +228,74 @@ class GovernanceSpec extends SparkSpec {
       "the dataflow iteration should capture most of the top eigenvalue")
   }
 
+  test("mann_whitney matches an exact JVM rank-sum for one source") {
+    val got = run("mann_whitney", sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lens = Tables.load(spark, sf001, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("x"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // doubled average ranks over the pooled sample, exact integers
+    val byX = lens.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedX = byX.keys.toSeq.sorted
+    val r2 = {
+      var cum = 0L
+      sortedX.map { x =>
+        val nx = byX(x); val r = 2 * cum + nx + 1; cum += nx; x -> r
+      }.toMap
+    }
+    val s0 = lens.filter(_._1 == "src0")
+    val n1 = s0.length.toLong
+    val r2sum = s0.map(t => r2(t._2)).sum
+    val u2 = r2sum - n1 * (n1 + 1)
+    assert(got("src0").getLong(1) === n1)
+    assert(got("src0").getLong(2) === u2, "doubled U statistic diverged")
+    // and U is in range for every source
+    val nt = lens.length.toLong
+    got.values.foreach { r =>
+      val (n, u) = (r.getLong(1), r.getLong(2))
+      assert(u >= 0 && u <= 2 * n * (nt - n), r.getString(0))
+    }
+  }
+
+  test("chi_square_independence: expectations fit the marginals") {
+    val rows = run("chi_square_independence", sf001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (ty, rs) =>
+      val obs = rs.map(_.getLong(2)).sum.toDouble
+      val exp = rs.map(_.getDouble(3)).sum
+      // every hod cell is populated at sf0.01, so the row marginal is
+      // fully covered by observed cells
+      assert(math.abs(obs - exp) < 0.01, s"$ty: obs $obs vs expected $exp")
+    }
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+  }
+
+  test("autocorrelation stays within Cauchy-Schwarz bounds at all 24 lags") {
+    val rows = run("autocorrelation", sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 24))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("cusum_changepoint locates the constructed spike") {
+    val rows = run("cusum_changepoint", anomalyDir).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(rows("flat") === Timestamp.valueOf("2024-01-09 08:00:00"),
+      "CUSUM argmax must land on the spike hour")
+  }
+
+  test("bootstrap_ci brackets the full-sample mean") {
+    val r = run("bootstrap_ci", sf001).collect().head
+    assert(r.getLong(0) === 200L)
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo > 0.0 && hi - lo < 20.0, s"CI width ${hi - lo}")
+  }
+
+  test("theil_sen slope of a constant series is exactly zero") {
+    val rows = run("theil_sen", anomalyDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows("const") === 0.0)
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum
