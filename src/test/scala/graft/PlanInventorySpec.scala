@@ -48,7 +48,14 @@ class PlanInventorySpec extends SparkSpec {
     "graph_modularity",   // one-row edge census (m) broadcast back
     "rfm_segments",       // ntile windows over the USER census
     "event_type_lift",    // basket total nu: one row, broadcast back
-    "token_burstiness")   // top-30 window over the vocabulary census
+    "token_burstiness",   // top-30 window over the vocabulary census
+    "table_stats",        // one-row ANALYZE-wide aggregate, unpivoted
+    "benford_audit",      // whole-frame window over the 9-digit census
+    "pca_power_iteration",// renormalizer windows over the 64-row iterate
+    "mann_whitney",       // rank cumsum over the length census + one-row totals
+    "chi_square_independence", // marginal windows over the 120-cell census
+    "autocorrelation",    // one-row (n, Σc) and Σdev² censuses
+    "bootstrap_ci")       // rank window over the 200-row resample census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -83,7 +90,11 @@ class PlanInventorySpec extends SparkSpec {
     "graph_modularity", // one-row edge census cross-joined back
     "rfm_segments", // one-row global-max-ts census cross-joined back
     "event_type_lift", // one-row basket total cross-joined back
-    "token_burstiness") // one-row doc-count census cross-joined back
+    "token_burstiness", // one-row doc-count census cross-joined back
+    "mann_whitney", // one-row (nt, ties) totals cross-joined back
+    "autocorrelation", // hour-census lag self-join (time-span-bounded) + one-row censuses
+    "bootstrap_ci", // one-row full-mean census cross-joined back
+    "file_skipping_audit") // month-dim x file-census interval join, both census-sized
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
