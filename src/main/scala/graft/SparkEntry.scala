@@ -16,7 +16,8 @@ object SparkEntry {
       ExtraQueries.all ++ TpchQueries.all ++ BehaviorQueries.all ++
       VocabQueries.all ++ SequenceQueries.all ++ SelectionQueries.all ++
       EvalQueries.all ++ TimeSeriesQueries.all ++ GovernanceQueries.all ++
-      ProseQueries.all ++ LinAlgQueries.all ++ StatQueries.all
+      ProseQueries.all ++ LinAlgQueries.all ++ StatQueries.all ++
+      ModelQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

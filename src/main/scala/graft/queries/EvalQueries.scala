@@ -38,7 +38,7 @@ object EvalQueries {
   // by EvalSpec's cross-query consistency test.
 
   /** DuckDB CTE `sl(doc_id, score_u, label)` over `documents`. */
-  private val duckScoreLabel: String =
+  private[queries] val duckScoreLabel: String =
     """f AS (SELECT doc_id,
       |    len(string_split(text, ' ')) AS n_toks,
       |    len(list_distinct(string_split(text, ' '))) AS n_types,

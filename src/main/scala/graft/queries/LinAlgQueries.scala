@@ -91,7 +91,10 @@ object LinAlgQueries {
           |v0 AS (SELECT r.i AS i, CAST(1000000 AS BIGINT) AS v FROM range(1, ${Dim + 1}) r(i)),
           |$iterSql
           |SELECT i - 1 AS dim_idx, v AS v_scaled FROM v$Iters ORDER BY dim_idx""".stripMargin) { (s, dir) =>
-        val e = Tables.load(s, dir, "embeddings").select(expr(sparkU).as("u"))
+        // spread the scan: the d² outer-product explode is the heavy
+        // stage and must not run in the fixture's single row-group task
+        val e = Tables.parallelize(
+          Tables.load(s, dir, "embeddings").select(expr(sparkU).as("u")))
         // one corpus pass -> d² outer-product census (map-side partials)
         val pairs = e
           .select(explode(expr(

@@ -301,9 +301,12 @@ object StatQueries {
         |    COUNT(*) OVER (PARTITION BY event_type) AS np FROM p)
         |SELECT event_type, np AS n_pairs, slope AS median_slope
         |FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // materialize the 3600-row census once: both join arms feed off
+      // it instead of re-running the corpus aggregation
       val i = sparkCents(s, dir, Seq("event_type"))
         .select(col("event_type"), expr("unix_micros(hour) div 3600000000L").as("t"),
           col("c"))
+        .localCheckpoint(true)
       val a = i.select(col("event_type"), col("t").as("t1"), col("c").as("c1"))
       val b = i.select(col("event_type").as("et2"), col("t").as("t2"), col("c").as("c2"))
       val p = a.join(b, col("event_type") === col("et2") && col("t1") < col("t2"))

@@ -296,6 +296,91 @@ class GovernanceSpec extends SparkSpec {
     assert(rows("const") === 0.0)
   }
 
+  test("roc_auc matches an exact JVM rank-sum replay") {
+    val r = run("roc_auc", sf001).collect().head
+    val sl = graft.queries.EvalQueries.scoreLabelOf(
+        Tables.load(spark, sf001, "documents").select("doc_id", "text"))
+      .collect().map(x => (x.getLong(1), x.getInt(2)))
+    val byScore = sl.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum.toLong)).toMap
+    var cum = 0L
+    var r2pos = 0L
+    byScore.keys.toSeq.sorted.foreach { sc =>
+      val (nx, npos) = byScore(sc)
+      r2pos += npos * (2 * cum + nx + 1)
+      cum += nx
+    }
+    val n1 = sl.map(_._2).sum.toLong
+    val nt = sl.length.toLong
+    val auc = BigDecimal(((r2pos - n1 * (n1 + 1)).toDouble / 2.0) /
+      (n1.toDouble * (nt - n1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === n1 && r.getLong(1) === nt - n1)
+    assert(r.getDouble(2) === auc, "AUC diverged from the rank-sum replay")
+    assert(auc > 0.5, "the quality scorer must beat chance on its own label")
+  }
+
+  test("ols_cramer: exact determinant replay and R² bounds") {
+    val r = run("ols_cramer", sf001).collect().head
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0,
+      s"R² ${r.getDouble(4)} out of range")
+    // JVM replay of the moment census + Cramer solve, exact integers
+    val rows = Tables.load(spark, sf001, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("y"))
+      .select(expr("unix_micros(hour) div 3600000000L"), hour(col("hour")).cast("long"),
+        col("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val t0 = rows.map(_._1).min
+    val xs = rows.map { case (th, hod, y) => (BigInt(th - t0), BigInt(hod), BigInt(y)) }
+    val n = BigInt(xs.length)
+    val st = xs.map(_._1).sum; val sh = xs.map(_._2).sum
+    val stt = xs.map(v => v._1 * v._1).sum; val sth = xs.map(v => v._1 * v._2).sum
+    val shh = xs.map(v => v._2 * v._2).sum; val sy = xs.map(_._3).sum
+    val sty = xs.map(v => v._1 * v._3).sum; val shy = xs.map(v => v._2 * v._3).sum
+    val det = n * (stt * shh - sth * sth) - st * (st * shh - sth * sh) +
+      sh * (st * sth - stt * sh)
+    val det1 = n * (sty * shh - shy * sth) - sy * (st * shh - sth * sh) +
+      sh * (st * shy - sty * sh)
+    val beta1 = BigDecimal(BigDecimal(det1).toDouble / BigDecimal(det).toDouble / 100.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === beta1, "beta1 diverged from the Cramer replay")
+  }
+
+  test("markov_entropy_rate is consistent with markov_transitions") {
+    val h = run("markov_entropy_rate", sf001).collect().head
+    val cells = run("markov_transitions", sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val nt = cells.map(_._2).sum
+    val ni = cells.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sum6 = cells.map { case (prev, n) =>
+      BigDecimal(n) * BigDecimal(math.log(n.toDouble / ni(prev)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val want = BigDecimal(-sum6.toDouble / nt)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h.getLong(0) === nt)
+    assert(h.getDouble(2) === want, "entropy rate diverged from the census replay")
+    assert(h.getDouble(2) >= 0.0 && h.getDouble(2) <= math.log(5.0) + 1e-6)
+  }
+
+  test("decision_stump: splits are valid and informative") {
+    val rows = run("decision_stump", sf001).collect()
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("n_toks", "ttr_pct", "stop_pct"))
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0,
+        s"${r.getString(0)}: degenerate split")
+      assert(r.getDouble(4) >= 0.0, s"${r.getString(0)}: negative IG")
+    }
+    // the label contains an explicit token-count window, so the
+    // n_toks stump must be genuinely informative
+    val nToks = rows.find(_.getString(0) == "n_toks").get
+    assert(nToks.getDouble(4) > 0.01, s"n_toks IG ${nToks.getDouble(4)}")
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum
