@@ -55,7 +55,10 @@ class PlanInventorySpec extends SparkSpec {
     "mann_whitney",       // rank cumsum over the length census + one-row totals
     "chi_square_independence", // marginal windows over the 120-cell census
     "autocorrelation",    // one-row (n, Σc) and Σdev² censuses
-    "bootstrap_ci")       // rank window over the 200-row resample census
+    "bootstrap_ci",       // rank window over the 200-row resample census
+    "roc_auc",            // rank cumsum over the score census + one-row totals
+    "ols_cramer",         // one-row moment census (min-t, 10 moments)
+    "markov_entropy_rate")// whole-frame window over the <=25-cell transition census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -94,7 +97,9 @@ class PlanInventorySpec extends SparkSpec {
     "mann_whitney", // one-row (nt, ties) totals cross-joined back
     "autocorrelation", // hour-census lag self-join (time-span-bounded) + one-row censuses
     "bootstrap_ci", // one-row full-mean census cross-joined back
-    "file_skipping_audit") // month-dim x file-census interval join, both census-sized
+    "file_skipping_audit", // month-dim x file-census interval join, both census-sized
+    "roc_auc",  // one-row doc-count census cross-joined back
+    "ols_cramer") // one-row min-t census cross-joined onto the hour census
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
