@@ -1500,6 +1500,60 @@ object DedupQueries {
           greatest(col("sa"), col("sb")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")
+    },
+
+    // degree assortativity of the near-dup graph (Newman's r): the
+    // Pearson correlation of endpoint degrees across edges. Negative r
+    // = hub-and-spoke boilerplate families (templates linked to many
+    // singletons); positive r = cliquey mirror clusters — which one
+    // decides whether pairwise dedup or clustering pays. Rides the
+    // banded pair pipeline; degrees and the moment census are exact
+    // integers, the correlation is one guarded double expression.
+    Q("graph_assortativity",
+      s"""$minhashCte,
+         |$bandsCte,
+         |prs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION ALL SELECT d2, d1 FROM prs),
+         |deg AS (SELECT a AS id, COUNT(*) AS dg FROM edges GROUP BY 1),
+         |de AS (SELECT da.dg AS dx, db.dg AS dy FROM edges e
+         |  JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dy * dy) AS BIGINT) AS syy FROM de)
+         |SELECT mm AS n_edges,
+         |  CASE WHEN mm * sxx - sx * sx > 0 AND mm * syy - sy * sy > 0
+         |    THEN round((CAST(mm AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |      / sqrt((CAST(mm AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |           * (CAST(mm AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         |    END AS assortativity
+         |FROM m""".stripMargin) { (s, dir) =>
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .localCheckpoint(true) // banding-bounded; feeds degrees AND the decoration
+      val deg = edges.groupBy(col("a").as("id")).agg(count(lit(1)).as("dg"))
+      val de = edges
+        .join(broadcast(deg.select(col("id").as("ida"), col("dg").as("dx"))),
+          col("a") === col("ida"))
+        .join(broadcast(deg.select(col("id").as("idb"), col("dg").as("dy"))),
+          col("b") === col("idb"))
+      val m = de.agg(count(lit(1)).cast("long").as("mm"),
+        sum(col("dx")).cast("long").as("sx"), sum(col("dy")).cast("long").as("sy"),
+        sum(col("dx") * col("dy")).cast("long").as("sxy"),
+        sum(col("dx") * col("dx")).cast("long").as("sxx"),
+        sum(col("dy") * col("dy")).cast("long").as("syy"))
+      val (mm, sx, sy) = (col("mm"), col("sx"), col("sy"))
+      m.select(mm.as("n_edges"),
+        when(mm * col("sxx") - sx * sx > 0 && mm * col("syy") - sy * sy > 0,
+          round((mm.cast("double") * col("sxy") - sx.cast("double") * sy)
+            / sqrt((mm.cast("double") * col("sxx") - sx.cast("double") * sx)
+              * (mm.cast("double") * col("syy") - sy.cast("double") * sy)), 6))
+          .as("assortativity"))
     }
   )
 }

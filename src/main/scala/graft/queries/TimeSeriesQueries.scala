@@ -185,6 +185,69 @@ object TimeSeriesQueries {
             round(col("num").cast("double") / col("den"), 6).as("ewma"))
           .orderBy("event_type", "hour")
       }
+    },
+
+    // Kaplan–Meier survival over user lifetimes: lifetime = days from
+    // first to last event; a user whose last event precedes the
+    // observation horizon minus 1 day is a churn EVENT, later ones
+    // are right-censored (the standard end-of-window censoring rule).
+    // n-at-risk is a reverse cumulative window over the lifetime
+    // census, and the product-limit estimator runs as exp(Σ rounded
+    // logs) — the suite's decimal-log convention — so the curve is
+    // engine-exact; a (rare) d = n_risk step pins survival to 0 via
+    // the cumulative dead flag instead of ln(0).
+    Q("kaplan_meier",
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MAX(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+        |g AS (SELECT MAX(last_us) AS gmax FROM u),
+        |l AS (SELECT user_id, (last_us - first_us) // 86400000000 AS lt,
+        |    CASE WHEN last_us < g.gmax - 86400000000 THEN 1 ELSE 0 END AS death
+        |  FROM u CROSS JOIN g),
+        |c AS (SELECT lt, COUNT(*) AS nu, CAST(SUM(death) AS BIGINT) AS d FROM l GROUP BY 1),
+        |w AS (SELECT lt, nu, d, nu - d AS censored,
+        |    CAST(SUM(nu) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM c),
+        |t AS (SELECT lt, d, censored, n_risk,
+        |    CAST(SUM(CASE WHEN d > 0 AND d < n_risk
+        |        THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6) AS DECIMAL(20,6))
+        |        ELSE CAST(0 AS DECIMAL(20,6)) END)
+        |      OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS DECIMAL(20,6)) AS cumlog,
+        |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS dead
+        |  FROM w)
+        |SELECT lt AS lifetime_days, n_risk, d AS n_events, censored AS n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(CAST(cumlog AS DOUBLE)), 6) END AS survival
+        |FROM t ORDER BY lifetime_days""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val g = u.agg(max(col("last_us")).as("gmax"))
+      val l = u.crossJoin(broadcast(g))
+        .select(expr("(last_us - first_us) div 86400000000L").as("lt"),
+          when(col("last_us") < col("gmax") - lit(86400000000L), 1)
+            .otherwise(0).as("death"))
+      val c = l.groupBy("lt")
+        .agg(count(lit(1)).as("nu"), sum(col("death")).cast("long").as("d"))
+      val fwd = Window.orderBy("lt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val back = Window.orderBy("lt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = c.select(col("lt"), col("nu"), col("d"),
+        (col("nu") - col("d")).as("censored"),
+        sum(col("nu")).over(fwd).cast("long").as("n_risk"))
+      val logTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+        round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 6)
+          .cast(DecimalType(20, 6)))
+        .otherwise(lit(0).cast(DecimalType(20, 6)))
+      val t = w.select(col("lt"), col("d"), col("censored"), col("n_risk"),
+        sum(logTerm).over(back).cast(DecimalType(20, 6)).as("cumlog"),
+        max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(back).as("dead"))
+      t.select(col("lt").as("lifetime_days"), col("n_risk"),
+          col("d").as("n_events"), col("censored").as("n_censored"),
+          when(col("dead") === 1, 0.0)
+            .otherwise(round(exp(col("cumlog").cast("double")), 6)).as("survival"))
+        .orderBy("lifetime_days")
     }
   )
 }

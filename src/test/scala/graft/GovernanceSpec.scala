@@ -381,6 +381,32 @@ class GovernanceSpec extends SparkSpec {
     assert(nToks.getDouble(4) > 0.01, s"n_toks IG ${nToks.getDouble(4)}")
   }
 
+  test("kaplan_meier: survival is a declining step function covering every user") {
+    val rows = run("kaplan_meier", sf001).collect()
+      .sortBy(_.getLong(0))
+    val users = Tables.load(spark, sf001, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === users,
+      "events + censored must cover every user")
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.forall(x => x >= 0.0 && x <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      s"survival must be non-increasing: ${surv.toSeq}")
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "the censoring rule must leave some churn events to estimate from")
+    // n_risk is the reverse cumulative of the lifetime census
+    val nu = rows.map(r => r.getLong(2) + r.getLong(3))
+    val risks = rows.map(_.getLong(1))
+    assert(risks.toSeq === nu.indices.map(i => nu.drop(i).sum).toSeq)
+  }
+
+  test("graph_assortativity is a valid correlation over a symmetrized edge set") {
+    val r = run("graph_assortativity", sf001).collect().head
+    assert(r.getLong(0) % 2 === 0, "symmetrized edge count must be even")
+    if (!r.isNullAt(1))
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

@@ -58,7 +58,9 @@ class PlanInventorySpec extends SparkSpec {
     "bootstrap_ci",       // rank window over the 200-row resample census
     "roc_auc",            // rank cumsum over the score census + one-row totals
     "ols_cramer",         // one-row moment census (min-t, 10 moments)
-    "markov_entropy_rate")// whole-frame window over the <=25-cell transition census
+    "markov_entropy_rate",// whole-frame window over the <=25-cell transition census
+    "graph_assortativity",// one-row degree-moment census
+    "kaplan_meier")       // risk/product windows over the lifetime-day census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -99,7 +101,8 @@ class PlanInventorySpec extends SparkSpec {
     "bootstrap_ci", // one-row full-mean census cross-joined back
     "file_skipping_audit", // month-dim x file-census interval join, both census-sized
     "roc_auc",  // one-row doc-count census cross-joined back
-    "ols_cramer") // one-row min-t census cross-joined onto the hour census
+    "ols_cramer", // one-row min-t census cross-joined onto the hour census
+    "kaplan_meier") // one-row horizon census cross-joined onto the user census
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
