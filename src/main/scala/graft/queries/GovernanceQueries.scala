@@ -265,6 +265,48 @@ object GovernanceQueries {
           round(col("files_scanned").cast("double") / col("files_total"), 6)
             .as("frac_scanned"))
         .orderBy("layout", "month_start_day")
+    },
+
+    // differential-privacy-SHAPED noisy release of the (event_type,
+    // hour-of-day) histogram: per-cell Laplace(1/eps) noise via the
+    // canonical inverse CDF on a cell-keyed uniform. LOUDLY NOT real
+    // DP: the "noise" is a deterministic hash of the cell key so the
+    // cross-engine gate can check the release arithmetic — production
+    // must draw real randomness (and track the privacy budget). What
+    // this pins is the dataflow shape: noise injection is scan-side,
+    // the release never touches row-level data after the census, and
+    // the true counts never appear in the output.
+    {
+      val eps = 1.0
+      Q("dp_histogram",
+        s"""WITH c AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+          |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+          |u AS (SELECT event_type, hod, n,
+          |    CAST(${graft.functions.PortableHash.duckH32(
+                 "'dp|' || event_type || '|' || hod")} AS DOUBLE) / 4294967296.0 AS uh
+          |  FROM c)
+          |SELECT event_type, hod,
+          |  round(n + (CASE WHEN uh < 0.5
+          |      THEN ln(greatest(2.0 * uh, 0.000000000001)) / $eps
+          |      ELSE -ln(greatest(2.0 * (1.0 - uh), 0.000000000001)) / $eps END), 6) AS noisy_n,
+          |  CAST($eps AS DOUBLE) AS epsilon
+          |FROM u ORDER BY event_type, hod""".stripMargin) { (s, dir) =>
+        val c = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+          .agg(count(lit(1)).as("n"))
+        val uh = conv(substring(md5(concat(lit("dp|"), col("event_type"),
+            lit("|"), col("hod").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0
+        val lap = when(col("uh") < 0.5,
+          log(greatest(lit(2.0) * col("uh"), lit(0.000000000001))) / eps)
+          .otherwise(-log(greatest(lit(2.0) * (lit(1.0) - col("uh")),
+            lit(0.000000000001))) / eps)
+        c.withColumn("uh", uh)
+          .select(col("event_type"), col("hod"),
+            round(col("n") + lap, 6).as("noisy_n"),
+            lit(eps).as("epsilon"))
+          .orderBy("event_type", "hod")
+      }
     }
   )
 }

@@ -248,6 +248,100 @@ object TimeSeriesQueries {
           when(col("dead") === 1, 0.0)
             .otherwise(round(exp(col("cumlog").cast("double")), 6)).as("survival"))
         .orderBy("lifetime_days")
+    },
+
+    // seasonal-naive forecast backtest: train on the first 24 days
+    // (per-(type, hour-of-day) mean), score the rest. The model is a
+    // 120-cell census carried as exact (Σcents, n) pairs; per-hour
+    // errors round to 6 dp THEN sum as DECIMAL (the suite convention
+    // for cross-row double accumulation), so MAE/MAPE/bias are
+    // engine-exact. Test cells whose (type, hod) never occurred in
+    // training are excluded by the inner model join (none exist in
+    // the fixtures; a production run would left-join and count them).
+    Q("forecast_backtest",
+      s"""WITH ${duckHourly.replace("h AS", "hh AS")},
+        |i AS (SELECT event_type, hour, CAST(hour(hour) AS INT) AS hod,
+        |    epoch_us(hour) // 86400000000 AS day, CAST(v * 100 AS BIGINT) AS y
+        |  FROM hh),
+        |sp AS (SELECT MIN(day) + 24 AS split_day FROM i),
+        |m AS (SELECT event_type, hod, CAST(SUM(y) AS BIGINT) AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM i CROSS JOIN sp WHERE day < split_day GROUP BY 1, 2),
+        |t AS (SELECT i.event_type, i.y, m.sv, m.cnt
+        |  FROM i CROSS JOIN sp JOIN m ON i.event_type = m.event_type AND i.hod = m.hod
+        |  WHERE i.day >= split_day),
+        |e AS (SELECT event_type,
+        |    CAST(round(abs(CAST(y AS DOUBLE) - CAST(sv AS DOUBLE) / cnt) / 100.0, 6) AS DECIMAL(20,6)) AS ae,
+        |    CAST(round((CAST(y AS DOUBLE) - CAST(sv AS DOUBLE) / cnt) / 100.0, 6) AS DECIMAL(20,6)) AS err,
+        |    CASE WHEN y > 0 THEN CAST(round(abs(CAST(y AS DOUBLE) - CAST(sv AS DOUBLE) / cnt) / CAST(y AS DOUBLE), 6) AS DECIMAL(20,6)) END AS ape
+        |  FROM t)
+        |SELECT event_type, COUNT(*) AS n_test,
+        |  round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  round(CAST(SUM(ape) AS DOUBLE) / COUNT(ape), 6) AS mape,
+        |  round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS bias
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val i = hourly(s, dir).select(col("event_type"), col("hour"),
+        hour(col("hour")).cast("int").as("hod"),
+        expr("unix_micros(hour) div 86400000000L").as("day"),
+        (col("v") * 100).cast("long").as("y"))
+      val sp = i.agg((min(col("day")) + 24).as("split_day"))
+      val withSplit = i.crossJoin(broadcast(sp))
+      val m = withSplit.filter(col("day") < col("split_day"))
+        .groupBy("event_type", "hod")
+        .agg(sum(col("y")).cast("long").as("sv"), count(lit(1)).cast("long").as("cnt"))
+      val t = withSplit.filter(col("day") >= col("split_day"))
+        .join(broadcast(m), Seq("event_type", "hod"))
+      val yD = col("y").cast("double")
+      val pred = col("sv").cast("double") / col("cnt")
+      val e = t.select(col("event_type"),
+        round(abs(yD - pred) / 100.0, 6).cast(DecimalType(20, 6)).as("ae"),
+        round((yD - pred) / 100.0, 6).cast(DecimalType(20, 6)).as("err"),
+        when(col("y") > 0, round(abs(yD - pred) / yD, 6).cast(DecimalType(20, 6)))
+          .as("ape"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_test"),
+          round(sum(col("ae")).cast("double") / count(lit(1)), 6).as("mae"),
+          round(sum(col("ape")).cast("double") / count(col("ape")), 6).as("mape"),
+          round(sum(col("err")).cast("double") / count(lit(1)), 6).as("bias"))
+        .orderBy("event_type")
+    },
+
+    // tail risk of the daily value series: nearest-rank 5th-percentile
+    // worst day (VaR95) and the exact mean of the days at or below it
+    // (expected shortfall) — the census-order-statistic pattern, never
+    // a corpus sort: ranks come from one window over the |days| census
+    // and ES is an exact decimal mean over the flagged tail.
+    Q("var_es",
+      """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY c, day) AS rn,
+        |    COUNT(*) OVER () AS nd FROM d),
+        |v AS (SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * nd) AS BIGINT)) THEN c END) AS var_c,
+        |    MAX(nd) AS nd FROM r),
+        |t AS (SELECT r.c FROM r CROSS JOIN v WHERE r.c <= v.var_c)
+        |SELECT v.nd AS n_days, round(v.var_c / 100.0, 6) AS var95,
+        |  round(CAST((SELECT SUM(c) FROM t) AS DOUBLE) / (SELECT COUNT(*) FROM t) / 100.0, 6) AS es95
+        |FROM v""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day"))
+        .agg((sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          * 100).cast("long").as("c"))
+      val r = d
+        .withColumn("rn", row_number().over(Window.orderBy("c", "day")))
+        .withColumn("nd", count(lit(1)).over(
+          Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      val v = r.agg(
+        max(when(col("rn") === greatest(lit(1L),
+          ceil(lit(0.05) * col("nd")).cast("long")), col("c"))).as("var_c"),
+        max(col("nd")).as("nd"))
+      val t = r.select("c").crossJoin(broadcast(v))
+        .filter(col("c") <= col("var_c"))
+        .agg(sum(col("c")).as("tc"), count(lit(1)).as("tn"))
+      v.crossJoin(broadcast(t))
+        .select(col("nd").as("n_days"),
+          round(col("var_c") / 100.0, 6).as("var95"),
+          round(col("tc").cast("double") / col("tn") / 100.0, 6).as("es95"))
     }
   )
 }

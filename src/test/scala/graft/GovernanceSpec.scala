@@ -407,6 +407,42 @@ class GovernanceSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
   }
 
+  test("forecast_backtest: error identities hold per type") {
+    val rows = run("forecast_backtest", sf001).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, mae, mape, bias) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0, r.getString(0))
+      assert(mae >= math.abs(bias) - 1e-6,
+        s"${r.getString(0)}: MAE $mae < |bias| $bias")
+      assert(mape > 0.0 && mae > 0.0)
+    }
+  }
+
+  test("var_es: expected shortfall sits at or below the VaR threshold") {
+    val r = run("var_es", sf001).collect().head
+    assert(r.getLong(0) >= 28 && r.getLong(0) <= 31, s"n_days ${r.getLong(0)}")
+    assert(r.getDouble(2) <= r.getDouble(1) + 1e-9,
+      s"ES ${r.getDouble(2)} must not exceed VaR ${r.getDouble(1)}")
+  }
+
+  test("dp_histogram: noise stays within the Laplace inverse-CDF envelope") {
+    val got = run("dp_histogram", sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val truth = Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === truth.keySet)
+    // |Laplace(1)| is capped by -ln(1e-12) ~ 27.6 under the clamped CDF
+    got.foreach { case (k, noisy) =>
+      assert(math.abs(noisy - truth(k)) <= 28.0, s"$k: $noisy vs ${truth(k)}")
+    }
+    // and the noise is genuinely nonzero somewhere
+    assert(got.exists { case (k, noisy) => math.abs(noisy - truth(k)) > 0.01 })
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

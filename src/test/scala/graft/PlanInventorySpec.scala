@@ -60,7 +60,9 @@ class PlanInventorySpec extends SparkSpec {
     "ols_cramer",         // one-row moment census (min-t, 10 moments)
     "markov_entropy_rate",// whole-frame window over the <=25-cell transition census
     "graph_assortativity",// one-row degree-moment census
-    "kaplan_meier")       // risk/product windows over the lifetime-day census
+    "kaplan_meier",       // risk/product windows over the lifetime-day census
+    "forecast_backtest",  // one-row split-day census, broadcast back
+    "var_es")             // rank window over the |days| census + one-row tail rollups
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -102,7 +104,9 @@ class PlanInventorySpec extends SparkSpec {
     "file_skipping_audit", // month-dim x file-census interval join, both census-sized
     "roc_auc",  // one-row doc-count census cross-joined back
     "ols_cramer", // one-row min-t census cross-joined onto the hour census
-    "kaplan_meier") // one-row horizon census cross-joined onto the user census
+    "kaplan_meier", // one-row horizon census cross-joined onto the user census
+    "forecast_backtest", // one-row split-day census cross-joined onto the hour census
+    "var_es") // one-row VaR/tail censuses cross-joined together
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
