@@ -314,6 +314,47 @@ object ScaleSmoke {
           .filter(col("nh") === 3).count()
       }
     }
+    // Gramian census shape (pca_power_iteration's heavy half): the d²
+    // outer-product census must stay EXACTLY 4096 cells however large
+    // the corpus grows — copies add to the sums, never to the cells —
+    // while the explode scan scales linearly
+    time("gramian_census_d64") {
+      val e = Tables.parallelizeByRange(emb, col("vec_id"))
+        .select(expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))").as("u"))
+      val cells = e.select(explode(expr(
+          """flatten(transform(u, (ui, i) ->
+            |  transform(u, (uj, j) -> struct(i, j, ui * uj AS x))))""".stripMargin))
+          .as("c"))
+        .groupBy(col("c.i"), col("c.j"))
+        .agg(sum(col("c.x").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(17, 0))).as("sp"))
+        .count()
+      println(s"[smoke]   gramian cells (must stay d*d): $cells")
+      cells
+    }
+    // Poisson bootstrap shape (bootstrap_ci): B resample partials per
+    // partition shuffle down to a CONSTANT 200-row census; the B
+    // hash draws are scan-side and scale linearly with the corpus
+    time("poisson_bootstrap_200") {
+      import graft.functions.PortableHash
+      val d = Tables.parallelizeByRange(docs, col("doc_id"))
+        .select(col("doc_id"), size(split(col("text"), " ")).as("x"))
+      val resamples = d
+        .select(col("doc_id"), col("x"),
+          explode(sequence(lit(0), lit(199))).as("b"))
+        .select(col("b"), col("x"),
+          (PortableHash.h32(concat(lit("b|"), col("b").cast("string"),
+            lit("|"), col("doc_id").cast("string"))).cast("double")
+            / 4294967296.0).as("uh"))
+        .select(col("b"), col("x"),
+          when(col("uh") < 0.3678794411714423, 0)
+            .when(col("uh") < 0.7357588823428846, 1)
+            .when(col("uh") < 0.9196986029286058, 2).otherwise(3).as("w"))
+        .groupBy("b").agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+        .count()
+      println(s"[smoke]   bootstrap resample census (must stay B): $resamples")
+      resamples
+    }
     spark.stop()
   }
 }

@@ -323,6 +323,165 @@ object StatQueries {
         .select(col("event_type"), col("np").as("n_pairs"),
           col("slope").as("median_slope"))
         .orderBy("event_type")
+    },
+
+    // Welch's t (unequal variances) per source vs the rest of the
+    // corpus — the parametric sibling of mann_whitney on the same
+    // length census: sample variances come from exact (n, Σx, Σx²)
+    // moments, and t plus the Welch–Satterthwaite df are single
+    // double expressions. |t| and z (rank-sum) disagreeing flags
+    // non-normality — which is why both ship.
+    Q("ttest_welch",
+      """WITH d AS (SELECT source, len(string_split(text, ' ')) AS x FROM documents),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS q1
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS nt, CAST(SUM(s1) AS BIGINT) AS st,
+        |    CAST(SUM(q1) AS BIGINT) AS qt FROM g),
+        |w AS (SELECT source, n1, s1, q1, nt - n1 AS n2, st - s1 AS s2, qt - q1 AS q2
+        |  FROM g CROSS JOIN tot),
+        |v AS (SELECT source, n1, n2,
+        |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
+        |    (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1) * n1) AS vn1,
+        |    (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1) * n2) AS vn2
+        |  FROM w)
+        |SELECT source, n1 AS n,
+        |  round(md / sqrt(vn1 + vn2), 6) AS t,
+        |  round((vn1 + vn2) * (vn1 + vn2)
+        |    / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)), 6) AS df
+        |FROM v ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("x"))
+      val g = d.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n1"),
+          sum(col("x")).cast("long").as("s1"),
+          sum(col("x") * col("x")).cast("long").as("q1"))
+      val tot = g.agg(sum(col("n1")).cast("long").as("nt"),
+        sum(col("s1")).cast("long").as("st"), sum(col("q1")).cast("long").as("qt"))
+      val w = g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n1"), col("s1"), col("q1"),
+          (col("nt") - col("n1")).as("n2"), (col("st") - col("s1")).as("s2"),
+          (col("qt") - col("q1")).as("q2"))
+      val md = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
+      val vn1 = (col("n1").cast("double") * col("q1") - col("s1").cast("double") * col("s1")) /
+        (col("n1").cast("double") * (col("n1") - 1) * col("n1"))
+      val vn2 = (col("n2").cast("double") * col("q2") - col("s2").cast("double") * col("s2")) /
+        (col("n2").cast("double") * (col("n2") - 1) * col("n2"))
+      w.select(col("source"), col("n1"), col("n2"),
+          md.as("md"), vn1.as("vn1"), vn2.as("vn2"))
+        .select(col("source"), col("n1").as("n"),
+          round(col("md") / sqrt(col("vn1") + col("vn2")), 6).as("t"),
+          round((col("vn1") + col("vn2")) * (col("vn1") + col("vn2"))
+            / (col("vn1") * col("vn1") / (col("n1") - 1)
+              + col("vn2") * col("vn2") / (col("n2") - 1)), 6).as("df"))
+        .orderBy("source")
+    },
+
+    // modified-z outlier days by median absolute deviation: two
+    // rank-window passes over the |days| census (median, then MAD)
+    // replace any corpus sort; the 0.6745·dev/MAD score and the 3.5
+    // flag are the Iglewicz–Hoaglin convention. Robust where
+    // rolling_anomaly's mean/σ window is not (a single wild day
+    // inflates σ and masks neighbors; the median pair shrugs).
+    Q("mad_outliers",
+      """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY c, day) AS rn,
+        |    COUNT(*) OVER () AS nd FROM d),
+        |med AS (SELECT MAX(CASE WHEN rn = (nd + 1) // 2 THEN c END) AS m FROM r),
+        |dev AS (SELECT day, c, abs(c - med.m) AS ad, med.m AS m FROM r CROSS JOIN med),
+        |r2 AS (SELECT day, c, ad, m, ROW_NUMBER() OVER (ORDER BY ad, day) AS rn,
+        |    COUNT(*) OVER () AS nd FROM dev),
+        |mad AS (SELECT MAX(CASE WHEN rn = (nd + 1) // 2 THEN ad END) AS mad FROM r2)
+        |SELECT day, round(c / 100.0, 6) AS total,
+        |  CASE WHEN mad.mad > 0
+        |    THEN round(0.6745 * (CAST(c AS DOUBLE) - m) / mad.mad, 6) END AS mz,
+        |  CASE WHEN mad.mad > 0 AND abs(0.6745 * (CAST(c AS DOUBLE) - m) / mad.mad) > 3.5
+        |    THEN TRUE ELSE FALSE END AS is_outlier
+        |FROM r2 CROSS JOIN mad ORDER BY day""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day"))
+        .agg((sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          * 100).cast("long").as("c"))
+      val r = d
+        .withColumn("rn", row_number().over(Window.orderBy("c", "day")))
+        .withColumn("nd", count(lit(1)).over(
+          Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      val med = r.agg(max(when(col("rn") === expr("(nd + 1) div 2"), col("c"))).as("m"))
+      val dev = r.select(col("day"), col("c")).crossJoin(broadcast(med))
+        .withColumn("ad", abs(col("c") - col("m")))
+      val r2 = dev
+        .withColumn("rn", row_number().over(Window.orderBy("ad", "day")))
+        .withColumn("nd", count(lit(1)).over(
+          Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      val mad = r2.agg(max(when(col("rn") === expr("(nd + 1) div 2"), col("ad"))).as("mad"))
+      val mz = lit(0.6745) * (col("c").cast("double") - col("m")) / col("mad")
+      r2.crossJoin(broadcast(mad))
+        .select(col("day"), round(col("c") / 100.0, 6).as("total"),
+          when(col("mad") > 0, round(mz, 6)).as("mz"),
+          when(col("mad") > 0 && abs(mz) > 3.5, true).otherwise(false)
+            .as("is_outlier"))
+        .orderBy("day")
+    },
+
+    // binary-segmentation changepoint per event_type: the best single
+    // split of the hourly series minimizes SSE_left + SSE_right, and
+    // cumulative (Σc, Σc²) windows price EVERY split in one census
+    // pass (decision_stump's trick applied to time). Reported as the
+    // variance-reduction gain vs the unsplit series — the model-fit
+    // counterpart of cusum_changepoint's cumsum argmax.
+    Q("binseg_changepoint",
+      s"""WITH ${duckCents("event_type, ")},
+        |i AS (SELECT event_type, hour, c FROM h),
+        |w AS (SELECT event_type, hour, c,
+        |    CAST(SUM(c) OVER win AS BIGINT) AS sk,
+        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * c) OVER win AS DECIMAL(20,0)) AS qk,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS k,
+        |    CAST(SUM(c) OVER wt AS BIGINT) AS sn,
+        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * c) OVER wt AS DECIMAL(20,0)) AS qn,
+        |    CAST(COUNT(*) OVER wt AS BIGINT) AS n
+        |  FROM i
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING),
+        |         wt AS (PARTITION BY event_type)),
+        |g AS (SELECT event_type, hour, k, n,
+        |    (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / n)
+        |      - ((CAST(qk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / k)
+        |        + (CAST(qn - qk AS DOUBLE) - CAST(sn - sk AS DOUBLE) * (sn - sk) / (n - k))) AS gain
+        |  FROM w WHERE k < n),
+        |rk AS (SELECT event_type, hour, gain,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gain DESC, hour) AS r
+        |  FROM g)
+        |SELECT event_type, hour AS split_hour, round(gain / 10000.0, 6) AS gain
+        |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val i = sparkCents(s, dir, Seq("event_type"))
+      val win = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val ord = Window.partitionBy("event_type").orderBy("hour")
+      val w = i
+        .withColumn("sk", sum(col("c")).over(win).cast("long"))
+        .withColumn("qk", sum((col("c").cast(DecimalType(18, 0)) * col("c")))
+          .over(win).cast(DecimalType(20, 0)))
+        .withColumn("k", row_number().over(ord).cast("long"))
+        .withColumn("sn", sum(col("c")).over(wt).cast("long"))
+        .withColumn("qn", sum((col("c").cast(DecimalType(18, 0)) * col("c")))
+          .over(wt).cast(DecimalType(20, 0)))
+        .withColumn("n", count(lit(1)).over(wt).cast("long"))
+      val sst = col("qn").cast("double") - col("sn").cast("double") * col("sn") / col("n")
+      val sseL = col("qk").cast("double") - col("sk").cast("double") * col("sk") / col("k")
+      val sseR = (col("qn") - col("qk")).cast("double") -
+        (col("sn") - col("sk")).cast("double") * (col("sn") - col("sk")) / (col("n") - col("k"))
+      val g = w.filter(col("k") < col("n"))
+        .select(col("event_type"), col("hour"),
+          (sst - (sseL + sseR)).as("gain"))
+      val rk = Window.partitionBy("event_type").orderBy(col("gain").desc, col("hour"))
+      g.withColumn("r", row_number().over(rk))
+        .filter(col("r") === 1)
+        .select(col("event_type"), col("hour").as("split_hour"),
+          round(col("gain") / 10000.0, 6).as("gain"))
+        .orderBy("event_type")
     }
   )
 }

@@ -443,6 +443,61 @@ class GovernanceSpec extends SparkSpec {
     assert(got.exists { case (k, noisy) => math.abs(noisy - truth(k)) > 0.01 })
   }
 
+  test("ttest_welch matches an exact-moment JVM replay for one source") {
+    val got = run("ttest_welch", sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lens = Tables.load(spark, sf001, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("x"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    val s0 = lens.filter(_._1 == "src0").map(_._2)
+    val rest = lens.filter(_._1 != "src0").map(_._2)
+    def mom(xs: Array[Long]) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    val (n1, s1, q1) = mom(s0); val (n2, s2, q2) = mom(rest)
+    val md = s1.toDouble / n1 - s2.toDouble / n2
+    val vn1 = (n1.toDouble * q1 - s1.toDouble * s1) / (n1.toDouble * (n1 - 1) * n1)
+    val vn2 = (n2.toDouble * q2 - s2.toDouble * s2) / (n2.toDouble * (n2 - 1) * n2)
+    val t = BigDecimal(md / math.sqrt(vn1 + vn2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("src0").getLong(1) === n1)
+    assert(got("src0").getDouble(2) === t, "t statistic diverged")
+    got.values.foreach(r => assert(r.getDouble(3) > 1.0, "df must exceed 1"))
+  }
+
+  test("mad_outliers matches a JVM median/MAD replay") {
+    val rows = run("mad_outliers", sf001).collect().sortBy(_.getLong(0))
+    val cs = Tables.load(spark, sf001, "events")
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def lowerMedian(xs: Seq[Long]) = xs.sorted.apply((xs.length - 1) / 2)
+    val m = lowerMedian(cs.map(_._2).toSeq)
+    val mad = lowerMedian(cs.map(x => math.abs(x._2 - m)).toSeq)
+    assert(mad > 0)
+    rows.zip(cs).foreach { case (r, (_, c)) =>
+      val mz = BigDecimal(0.6745 * (c.toDouble - m) / mad)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === mz, s"day ${r.getLong(0)}")
+      assert(r.getBoolean(3) === (math.abs(0.6745 * (c.toDouble - m) / mad) > 3.5))
+    }
+  }
+
+  test("binseg_changepoint: zero gain on a constant series, positive at the spike") {
+    val rows = run("binseg_changepoint", anomalyDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("const").getDouble(2) === 0.0,
+      "a constant series has nothing to gain from splitting")
+    assert(rows("flat").getDouble(2) > 0.0,
+      "the spiked series must gain from isolating the spike")
+    // the best split must bracket the spike hour tightly: isolating
+    // the single wild observation minimizes both segment SSEs
+    val split = rows("flat").getTimestamp(1)
+    val spike = Timestamp.valueOf("2024-01-09 08:00:00").getTime
+    assert(math.abs(split.getTime - spike) <= 3600000L,
+      s"split $split too far from the spike")
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

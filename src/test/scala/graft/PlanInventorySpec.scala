@@ -62,7 +62,9 @@ class PlanInventorySpec extends SparkSpec {
     "graph_assortativity",// one-row degree-moment census
     "kaplan_meier",       // risk/product windows over the lifetime-day census
     "forecast_backtest",  // one-row split-day census, broadcast back
-    "var_es")             // rank window over the |days| census + one-row tail rollups
+    "var_es",             // rank window over the |days| census + one-row tail rollups
+    "ttest_welch",        // one-row corpus-moment census, broadcast back
+    "mad_outliers")       // median/MAD rank windows over the |days| census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -106,7 +108,9 @@ class PlanInventorySpec extends SparkSpec {
     "ols_cramer", // one-row min-t census cross-joined onto the hour census
     "kaplan_meier", // one-row horizon census cross-joined onto the user census
     "forecast_backtest", // one-row split-day census cross-joined onto the hour census
-    "var_es") // one-row VaR/tail censuses cross-joined together
+    "var_es", // one-row VaR/tail censuses cross-joined together
+    "ttest_welch", // one-row corpus-moment census cross-joined back
+    "mad_outliers") // one-row median/MAD censuses cross-joined back
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
