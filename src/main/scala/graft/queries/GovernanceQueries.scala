@@ -307,6 +307,107 @@ object GovernanceQueries {
             lit(eps).as("epsilon"))
           .orderBy("event_type", "hod")
       }
+    },
+
+    // right-to-erasure rewrite cost by physical layout: deleting 2% of
+    // users forces rewriting every FILE that holds any of their rows.
+    // In the append-ordered layout the victims smear across all files
+    // (amplification ~ 1/selectivity); clustered-by-user they
+    // concentrate (amplification -> ~file size / user rows). The same
+    // zone-census machinery as file_skipping_audit, pointed at DELETE
+    // instead of SELECT — the number a 100 TB table owner needs before
+    // choosing a layout (or a deletion-vector format).
+    Q("delete_amplification",
+      """WITH e AS (SELECT event_id, user_id,
+        |    CASE WHEN user_id % 50 = 0 THEN 1 ELSE 0 END AS del FROM events),
+        |f AS (SELECT 'natural' AS layout, event_id // 1000 AS file_id,
+        |    COUNT(*) AS n_rows, CAST(SUM(del) AS BIGINT) AS n_del
+        |  FROM e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'by_user' AS layout, user_id // 10 AS file_id,
+        |    COUNT(*) AS n_rows, CAST(SUM(del) AS BIGINT) AS n_del
+        |  FROM e GROUP BY 1, 2)
+        |SELECT layout, COUNT(*) AS files_total,
+        |  CAST(SUM(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+        |  CAST(SUM(n_del) AS BIGINT) AS rows_deleted,
+        |  CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_rewritten,
+        |  round(CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS DOUBLE)
+        |    / SUM(n_del), 6) AS amplification
+        |FROM f GROUP BY layout ORDER BY layout""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          when(col("user_id") % 50 === 0, 1).otherwise(0).as("del"))
+      def files(layout: String, fileId: org.apache.spark.sql.Column) =
+        e.groupBy(lit(layout).as("layout"), fileId.as("file_id"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("del")).cast("long").as("n_del"))
+      files("natural", expr("event_id div 1000"))
+        .unionAll(files("by_user", expr("user_id div 10")))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("n_del") > 0, 1).otherwise(0)).cast("long").as("files_touched"),
+          sum(col("n_del")).cast("long").as("rows_deleted"),
+          sum(when(col("n_del") > 0, col("n_rows")).otherwise(0)).cast("long")
+            .as("rows_rewritten"),
+          round(sum(when(col("n_del") > 0, col("n_rows")).otherwise(0)).cast("double")
+            / sum(col("n_del")), 6).as("amplification"))
+        .orderBy("layout")
+    },
+
+    // watermark-delay sizing audit: for candidate delays, what
+    // fraction of the stream would be dropped as late? The fixture's
+    // ids are globally event-time-ordered (zero natural lateness), so
+    // the log replays under hash-derived DELIVERY JITTER (0-300 s per
+    // event — the standard way to stress a watermark policy before
+    // real out-of-orderness bites): an event is late at delay d when
+    // its event time trails the running event-time max over ARRIVAL
+    // order by more than d. The running max is a DISTRIBUTED
+    // two-phase prefix scan: hourly-arrival-bucket maxima form a
+    // census, the exclusive prefix of that census broadcasts back,
+    // and each bucket finishes with a LOCAL cumulative window — one
+    // hash exchange, bounded partitions, no global sort (the naive
+    // global-window form single-partitions the corpus).
+    Q("watermark_delay_audit",
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) + (${graft.functions.PortableHash.duckH32(
+             "'arr|' || event_id")} % 300) * 1000000 AS arr_us
+        |  FROM events),
+        |w AS (SELECT us,
+        |    MAX(us) OVER (ORDER BY arr_us, event_id ROWS UNBOUNDED PRECEDING) AS run_max
+        |  FROM e),
+        |d AS (SELECT unnest([60, 300, 3600]) AS delay_s),
+        |l AS (SELECT d.delay_s, w.us, w.run_max FROM w CROSS JOIN d)
+        |SELECT delay_s,
+        |  CAST(SUM(CASE WHEN us < run_max - CAST(delay_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(CAST(SUM(CASE WHEN us < run_max - CAST(delay_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS frac_late
+        |FROM l GROUP BY delay_s ORDER BY delay_s""".stripMargin) { (s, dir) =>
+      import graft.functions.PortableHash
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arr_us", col("us") +
+          (PortableHash.h32(concat(lit("arr|"), col("event_id").cast("string")))
+            % 300) * 1000000L)
+        .withColumn("bucket", expr("arr_us div 3600000000L"))
+      // phase 1: bucket maxima census + exclusive prefix over it
+      val bmax = e.groupBy("bucket").agg(max(col("us")).as("bmax"))
+      val prefix = bmax.select(col("bucket"),
+        max(col("bmax")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("prev_max"))
+      // phase 2: local cumulative max within each bounded bucket
+      val local = Window.partitionBy("bucket").orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = e.join(broadcast(prefix), "bucket")
+        .withColumn("run_max",
+          greatest(coalesce(col("prev_max"), lit(Long.MinValue)),
+            max(col("us")).over(local)))
+      val late = w.withColumn("delay_s",
+          explode(array(lit(60), lit(300), lit(3600))))
+      late.groupBy("delay_s")
+        .agg(sum(when(col("us") < col("run_max") - col("delay_s").cast("long") * 1000000L, 1)
+            .otherwise(0)).cast("long").as("n_late"),
+          round(sum(when(col("us") < col("run_max") - col("delay_s").cast("long") * 1000000L, 1)
+            .otherwise(0)).cast("double") / count(lit(1)), 6).as("frac_late"))
+        .orderBy("delay_s")
     }
   )
 }

@@ -498,6 +498,51 @@ class GovernanceSpec extends SparkSpec {
       s"split $split too far from the spike")
   }
 
+  test("delete_amplification: clustering the delete key shrinks the rewrite") {
+    val rows = run("delete_amplification", sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("by_user").getLong(3) === rows("natural").getLong(3),
+      "both layouts delete the same rows")
+    assert(rows("by_user").getDouble(5) < rows("natural").getDouble(5),
+      "the user-clustered layout must amplify less")
+    rows.values.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), "rewritten >= deleted")
+      assert(r.getLong(2) <= r.getLong(1), "touched <= total files")
+    }
+  }
+
+  test("watermark_delay_audit: two-phase prefix max equals the naive global scan") {
+    val rows = run("watermark_delay_audit", sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // JVM replay: naive single-threaded running max over arrival order
+    val evs = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val byArrival = evs.map { case (id, us) =>
+      (us + (h32(s"arr|$id") % 300) * 1000000L, id, us)
+    }.sortBy(t => (t._1, t._2))
+    var rm = Long.MinValue
+    val lateCounts = Array(60L, 300L, 3600L).map { d =>
+      rm = Long.MinValue
+      var n = 0L
+      byArrival.foreach { case (_, _, us) =>
+        rm = math.max(rm, us)
+        if (us < rm - d * 1000000L) n += 1
+      }
+      n
+    }
+    assert(rows.map(_._2).toSeq === lateCounts.toSeq,
+      "distributed two-phase scan diverged from the sequential replay")
+    // monotone: longer delay never admits more lateness
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.reverse.toSeq)
+    assert(rows.last._2 === 0L, "jitter is capped at 300s; 3600s must drop nothing")
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

@@ -64,7 +64,8 @@ class PlanInventorySpec extends SparkSpec {
     "forecast_backtest",  // one-row split-day census, broadcast back
     "var_es",             // rank window over the |days| census + one-row tail rollups
     "ttest_welch",        // one-row corpus-moment census, broadcast back
-    "mad_outliers")       // median/MAD rank windows over the |days| census
+    "mad_outliers",       // median/MAD rank windows over the |days| census
+    "watermark_delay_audit") // exclusive-prefix window over the arrival-hour bucket census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
