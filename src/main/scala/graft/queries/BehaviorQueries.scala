@@ -487,6 +487,144 @@ object BehaviorQueries {
         .select(col("user_id"), col("n_events"), col("score_u"),
           (col("score_u") / lit(1000000.0)).as("score"))
         .orderBy("user_id")
+    },
+
+    // difference-in-differences: did a mid-window change move purchase
+    // value for the exposed half (even user_ids) beyond the control
+    // trend? The whole estimate reduces to a FOUR-CELL moment census
+    // (treat × period n/Σcents via conditional aggregation in one
+    // corpus pass); the DiD contrast and each cell mean are single
+    // double expressions over exact integers. The parallel-trends
+    // caveat rides in the pre-period means, which ship alongside.
+    Q("did_estimate",
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |sp AS (SELECT MIN(day) + 15 AS split_day FROM p),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND day < split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND day < split_day THEN c ELSE 0 END) AS BIGINT) AS s_t_pre,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND day >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND day >= split_day THEN c ELSE 0 END) AS BIGINT) AS s_t_post,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day < split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day < split_day THEN c ELSE 0 END) AS BIGINT) AS s_c_pre,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day >= split_day THEN c ELSE 0 END) AS BIGINT) AS s_c_post
+        |  FROM p CROSS JOIN sp)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  round(CAST(s_t_pre AS DOUBLE) / n_t_pre / 100.0, 6) AS m_t_pre,
+        |  round(CAST(s_t_post AS DOUBLE) / n_t_post / 100.0, 6) AS m_t_post,
+        |  round(CAST(s_c_pre AS DOUBLE) / n_c_pre / 100.0, 6) AS m_c_pre,
+        |  round(CAST(s_c_post AS DOUBLE) / n_c_post / 100.0, 6) AS m_c_post,
+        |  round((CAST(s_t_post AS DOUBLE) / n_t_post - CAST(s_t_pre AS DOUBLE) / n_t_pre
+        |       - (CAST(s_c_post AS DOUBLE) / n_c_post - CAST(s_c_pre AS DOUBLE) / n_c_pre)) / 100.0, 6) AS did
+        |FROM m""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val p = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("c"))
+      val sp = p.agg((min(col("day")) + 15).as("split_day"))
+      def cell(treat: Boolean, post: Boolean) = {
+        val cond = (col("user_id") % 2 === (if (treat) 0 else 1)) &&
+          (if (post) col("day") >= col("split_day") else col("day") < col("split_day"))
+        (sum(when(cond, 1).otherwise(0)).cast("long"),
+          sum(when(cond, col("c")).otherwise(0)).cast("long"))
+      }
+      val withSplit = p.crossJoin(broadcast(sp))
+      val ((ntPre, stPre), (ntPost, stPost)) = (cell(true, false), cell(true, true))
+      val ((ncPre, scPre), (ncPost, scPost)) = (cell(false, false), cell(false, true))
+      val m = withSplit.agg(
+        ntPre.as("n_t_pre"), stPre.as("s_t_pre"),
+        ntPost.as("n_t_post"), stPost.as("s_t_post"),
+        ncPre.as("n_c_pre"), scPre.as("s_c_pre"),
+        ncPost.as("n_c_post"), scPost.as("s_c_post"))
+      def mean(sc: String, n: String) = col(sc).cast("double") / col(n)
+      m.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        round(mean("s_t_pre", "n_t_pre") / 100.0, 6).as("m_t_pre"),
+        round(mean("s_t_post", "n_t_post") / 100.0, 6).as("m_t_post"),
+        round(mean("s_c_pre", "n_c_pre") / 100.0, 6).as("m_c_pre"),
+        round(mean("s_c_post", "n_c_post") / 100.0, 6).as("m_c_post"),
+        round((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")
+          - (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))) / 100.0, 6)
+          .as("did"))
+    },
+
+    // cohort LTV curve: users cohorted by first-event week, cumulative
+    // purchase value per cohort member by age-in-weeks. The classic
+    // growth-accounting table: one exchange on user_id for the first
+    // event, a (cohort, age) census for the value rollup, a cumulative
+    // window over census rows, and a FIXED per-cohort denominator
+    // (cohort size), so curves are comparable across cohorts.
+    Q("ltv_curve",
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY 1),
+        |coh AS (SELECT user_id, first_day // 7 AS cohort_week FROM f),
+        |cs AS (SELECT cohort_week, COUNT(*) AS n_users FROM coh GROUP BY 1),
+        |pv AS (SELECT e.user_id, c.cohort_week,
+        |    (epoch_us(e.ts) // 86400000000 - c2.first_day) // 7 AS age_week,
+        |    CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM events e JOIN coh c ON e.user_id = c.user_id
+        |  JOIN f c2 ON e.user_id = c2.user_id
+        |  WHERE e.event_type = 'purchase'),
+        |a AS (SELECT cohort_week, age_week, CAST(SUM(c) AS BIGINT) AS cents
+        |  FROM pv GROUP BY 1, 2),
+        |w AS (SELECT cohort_week, age_week, cents,
+        |    CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM a)
+        |SELECT w.cohort_week, w.age_week, cs.n_users,
+        |  round(CAST(w.cum_cents AS DOUBLE) / cs.n_users / 100.0, 6) AS ltv_per_user
+        |FROM w JOIN cs ON w.cohort_week = cs.cohort_week
+        |ORDER BY w.cohort_week, w.age_week""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.load(s, dir, "events")
+      val f = ev.groupBy("user_id")
+        .agg(min(expr("unix_micros(ts) div 86400000000L")).as("first_day"))
+        .withColumn("cohort_week", expr("first_day div 7"))
+      val cs = f.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+      val a = ev.filter(col("event_type") === "purchase")
+        .join(f, "user_id")
+        .select(col("cohort_week"),
+          expr("(unix_micros(ts) div 86400000000L - first_day) div 7").as("age_week"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("c"))
+        .groupBy("cohort_week", "age_week")
+        .agg(sum(col("c")).cast("long").as("cents"))
+      val cum = Window.partitionBy("cohort_week").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.withColumn("cum_cents", sum(col("cents")).over(cum).cast("long"))
+        .join(broadcast(cs), "cohort_week")
+        .select(col("cohort_week"), col("age_week"), col("n_users"),
+          round(col("cum_cents").cast("double") / col("n_users") / 100.0, 6)
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "age_week")
+    },
+
+    // last-touch attribution: every purchase credits the user's most
+    // recent PRIOR click-or-view (the as-of composition the generic
+    // AsOf operator provides), rolled to an attribution census per
+    // touch type — 'none' collects purchases with no prior touch. The
+    // as-of join is the union-sort trick: one exchange per side, no
+    // per-user quadratic interval scan.
+    Q("last_touch_attribution",
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT * FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.value AS v, t.event_type AS touch
+        |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts)
+        |SELECT COALESCE(touch, 'none') AS touch_type, COUNT(*) AS n_purchases,
+        |  CAST(CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .withColumnRenamed("event_type", "touch")
+      graft.ops.AsOf.join(purchases, touches, "user_id", "ts", Seq("touch"))
+        .groupBy(coalesce(col("right_touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .cast(DecimalType(18, 2)).cast("double").as("total_value"))
+        .orderBy("touch_type")
     }
   )
 }

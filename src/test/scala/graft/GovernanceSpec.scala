@@ -543,6 +543,33 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.last._2 === 0L, "jitter is capped at 300s; 3600s must drop nothing")
   }
 
+  test("did_estimate: the contrast reconciles with its reported cell means") {
+    val r = run("did_estimate", sf001).collect().head
+    Seq(0, 1, 2, 3).foreach(i => assert(r.getLong(i) > 0, s"empty cell $i"))
+    val did = (r.getDouble(5) - r.getDouble(4)) - (r.getDouble(7) - r.getDouble(6))
+    assert(math.abs(r.getDouble(8) - did) < 1e-5,
+      s"did ${r.getDouble(8)} vs cells $did")
+  }
+
+  test("ltv_curve: cumulative value per user never declines with age") {
+    val rows = run("ltv_curve", sf001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (cohort, rs) =>
+      val byAge = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byAge.zip(byAge.tail).forall { case (a, b) => b >= a },
+        s"cohort $cohort: $byAge")
+      assert(rs.map(_.getLong(2)).distinct.length === 1,
+        s"cohort $cohort: denominator must be the fixed cohort size")
+    }
+  }
+
+  test("last_touch_attribution covers every purchase exactly once") {
+    val rows = run("last_touch_attribution", sf001).collect()
+    val purchases = Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum === purchases)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "none")))
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

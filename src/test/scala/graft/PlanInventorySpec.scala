@@ -65,7 +65,8 @@ class PlanInventorySpec extends SparkSpec {
     "var_es",             // rank window over the |days| census + one-row tail rollups
     "ttest_welch",        // one-row corpus-moment census, broadcast back
     "mad_outliers",       // median/MAD rank windows over the |days| census
-    "watermark_delay_audit") // exclusive-prefix window over the arrival-hour bucket census
+    "watermark_delay_audit", // exclusive-prefix window over the arrival-hour bucket census
+    "did_estimate")       // one-row split-day census + one-row 8-moment cell census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -111,7 +112,8 @@ class PlanInventorySpec extends SparkSpec {
     "forecast_backtest", // one-row split-day census cross-joined onto the hour census
     "var_es", // one-row VaR/tail censuses cross-joined together
     "ttest_welch", // one-row corpus-moment census cross-joined back
-    "mad_outliers") // one-row median/MAD censuses cross-joined back
+    "mad_outliers", // one-row median/MAD censuses cross-joined back
+    "did_estimate") // one-row split-day census cross-joined onto the purchase scan
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
