@@ -1441,6 +1441,42 @@ class StreamingSpec extends SparkSpec {
       assert(got === expect, "streaming EWMA diverged from batch ewma_trend")
     } finally q.stop()
   }
+
+  test("streaming attribution census matches the batch last-touch query under random arrival") {
+    import graft.streaming.StreamAttribution
+    import graft.streaming.StreamAttribution.TouchEvent
+    implicit val ctx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as long)").as("cents"))
+      .as[TouchEvent].collect().toSeq
+    val rnd = new scala.util.Random(20260815L)
+    val mem = MemoryStream[TouchEvent]
+    val q = StreamAttribution.attribute(mem.toDS(), "800 hours")
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(250).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // one far-future sentinel advances the watermark past all real
+      // data; its type is dropped before state, so nothing else shifts
+      mem.addData(TouchEvent(999L, 900000L, ts("2024-06-01 12:00:00"), "error", 0L))
+      q.processAllAvailable()
+      val got = spark.table("attr_stream")
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("cents")) / 100.0).as("v"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expect = SparkEntry.queries("last_touch_attribution")(spark, sf0001)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === expect,
+        "streaming attribution census diverged from the batch as-of query")
+    } finally q.stop()
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
