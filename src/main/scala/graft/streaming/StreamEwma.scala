@@ -45,7 +45,10 @@ object StreamEwma {
     (0 until K).map(k => 1L << (K - 1 - k))
 
   /** Stable 32-bit key for the type string (the replay combinator
-    * keys on Long) — PortableHash's md5 construction. */
+    * keys on Long) — PortableHash's md5 construction. A 2^-32 hash
+    * collision would co-mingle two types' rings; with a handful of
+    * types this is negligible, and a deployment with a large keyspace
+    * should widen the key to the full md5 instead. */
   private def typeKey(s: String): Long = {
     val d = MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
