@@ -353,6 +353,106 @@ object GovernanceQueries {
         .orderBy("layout")
     },
 
+    // referential-integrity census over the star schema's five FK
+    // edges: orphaned child rows (FK value absent from the parent) and
+    // childless parents, one row per edge. Everything joins at KEY
+    // grain — the child reduces to a (key -> rows) census first, so
+    // the integrity check shuffles key censuses, never fact rows; at
+    // 100 TB that is the difference between an audit and a re-shuffle
+    // of the warehouse.
+    Q("referential_integrity", {
+      def edge(name: String, child: String, ck: String,
+               parent: String, pk: String) =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT COUNT(*) FROM $child) AS child_rows,
+           |  CAST((SELECT COALESCE(SUM(cnt), 0) FROM
+           |     (SELECT $ck AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) c
+           |     WHERE c.k NOT IN (SELECT $pk FROM $parent)) AS BIGINT) AS orphan_rows,
+           |  (SELECT COUNT(*) FROM $parent p
+           |     WHERE p.$pk NOT IN (SELECT $ck FROM $child WHERE $ck IS NOT NULL))
+           |    AS childless_parents
+           |FROM (SELECT 1) one""".stripMargin
+      Seq(
+        edge("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    }) { (s, dir) =>
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+               parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val ckeys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // key census; feeds both directions
+        val pkeys = parent.select(col(pk).as("k")).distinct()
+        // NULL FK values are neither orphans nor matches (DuckDB's
+        // NOT IN three-valued logic drops them; mirror it explicitly)
+        val orphans = ckeys.filter(col("k").isNotNull)
+          .join(pkeys, Seq("k"), "left_anti")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"))
+        val childless = pkeys.join(ckeys.filter(col("k").isNotNull),
+            Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("childless_parents"))
+        val rows = child.agg(count(lit(1)).as("child_rows"))
+        rows.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
+          .select(lit(name).as("fk"), col("child_rows"), col("orphan_rows"),
+            col("childless_parents"))
+      }
+      val li = Tables.load(s, dir, "lineitem")
+      val ords = Tables.load(s, dir, "orders")
+      Seq(
+        edge("lineitem.orderkey->orders", li, "l_orderkey", ords, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey"),
+        edge("orders.custkey->customer", ords, "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey"),
+        edge("customer.nationkey->nation", Tables.load(s, dir, "customer"),
+          "c_nationkey", Tables.load(s, dir, "nation"), "n_nationkey"))
+        .reduce(_ unionAll _)
+        .orderBy("fk")
+    },
+
+    // primary-key uniqueness census across the schema: rows, distinct
+    // keys, duplicated key values and their excess rows per table —
+    // the constraint a lake without enforcement silently loses. The
+    // composite lineitem key exercises the multi-column path. Each
+    // table reduces to one aggregate over its key census.
+    Q("pk_uniqueness", {
+      def one(table: String, keyExpr: String) =
+        s"""SELECT '$table' AS tbl, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |  COUNT(*) AS n_keys,
+           |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+           |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS excess_rows
+           |FROM (SELECT $keyExpr AS k, COUNT(*) AS cnt FROM $table GROUP BY 1) c""".stripMargin
+      Seq(one("customer", "c_custkey"), one("orders", "o_orderkey"),
+        one("part", "p_partkey"), one("supplier", "s_suppkey"),
+        one("events", "event_id"),
+        one("lineitem", "l_orderkey || '|' || l_linenumber"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+    }) { (s, dir) =>
+      def one(table: String, key: org.apache.spark.sql.Column) =
+        Tables.load(s, dir, table)
+          .groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).cast("long").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long").as("dup_keys"),
+            sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0)).cast("long")
+              .as("excess_rows"))
+          .select(lit(table).as("tbl"), col("n_rows"), col("n_keys"),
+            col("dup_keys"), col("excess_rows"))
+      Seq(one("customer", col("c_custkey")),
+        one("orders", col("o_orderkey")),
+        one("part", col("p_partkey")),
+        one("supplier", col("s_suppkey")),
+        one("events", col("event_id")),
+        one("lineitem", concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))))
+        .reduce(_ unionAll _)
+        .orderBy("tbl")
+    },
+
     // watermark-delay sizing audit: for candidate delays, what
     // fraction of the stream would be dropped as late? The fixture's
     // ids are globally event-time-ordered (zero natural lateness), so

@@ -570,6 +570,29 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "none")))
   }
 
+  test("referential_integrity: the fixture star schema has no orphans") {
+    val rows = run("referential_integrity", sf001).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: orphans")
+      assert(r.getLong(3) >= 0L)
+    }
+    val li = rows.find(_.getString(0).startsWith("lineitem.orderkey")).get
+    assert(li.getLong(1) ===
+      Tables.load(spark, sf001, "lineitem").count())
+  }
+
+  test("pk_uniqueness: the row/key/excess identity holds per table") {
+    val rows = run("pk_uniqueness", sf001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) === r.getLong(4),
+        s"${r.getString(0)}: rows - keys != excess")
+      if (r.getLong(3) === 0L) assert(r.getLong(4) === 0L)
+    }
+    val byTbl = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byTbl("customer") === 0L && byTbl("events") === 0L)
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum
