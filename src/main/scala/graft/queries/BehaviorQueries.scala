@@ -512,12 +512,13 @@ object BehaviorQueries {
         |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day >= split_day THEN c ELSE 0 END) AS BIGINT) AS s_c_post
         |  FROM p CROSS JOIN sp)
         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
-        |  round(CAST(s_t_pre AS DOUBLE) / n_t_pre / 100.0, 6) AS m_t_pre,
-        |  round(CAST(s_t_post AS DOUBLE) / n_t_post / 100.0, 6) AS m_t_post,
-        |  round(CAST(s_c_pre AS DOUBLE) / n_c_pre / 100.0, 6) AS m_c_pre,
-        |  round(CAST(s_c_post AS DOUBLE) / n_c_post / 100.0, 6) AS m_c_post,
-        |  round((CAST(s_t_post AS DOUBLE) / n_t_post - CAST(s_t_pre AS DOUBLE) / n_t_pre
-        |       - (CAST(s_c_post AS DOUBLE) / n_c_post - CAST(s_c_pre AS DOUBLE) / n_c_pre)) / 100.0, 6) AS did
+        |  CASE WHEN n_t_pre > 0 THEN round(CAST(s_t_pre AS DOUBLE) / n_t_pre / 100.0, 6) END AS m_t_pre,
+        |  CASE WHEN n_t_post > 0 THEN round(CAST(s_t_post AS DOUBLE) / n_t_post / 100.0, 6) END AS m_t_post,
+        |  CASE WHEN n_c_pre > 0 THEN round(CAST(s_c_pre AS DOUBLE) / n_c_pre / 100.0, 6) END AS m_c_pre,
+        |  CASE WHEN n_c_post > 0 THEN round(CAST(s_c_post AS DOUBLE) / n_c_post / 100.0, 6) END AS m_c_post,
+        |  CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0 THEN
+        |    round((CAST(s_t_post AS DOUBLE) / n_t_post - CAST(s_t_pre AS DOUBLE) / n_t_pre
+        |       - (CAST(s_c_post AS DOUBLE) / n_c_post - CAST(s_c_pre AS DOUBLE) / n_c_pre)) / 100.0, 6) END AS did
         |FROM m""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val p = Tables.load(s, dir, "events")
@@ -539,14 +540,20 @@ object BehaviorQueries {
         ntPost.as("n_t_post"), stPost.as("s_t_post"),
         ncPre.as("n_c_pre"), scPre.as("s_c_pre"),
         ncPost.as("n_c_post"), scPost.as("s_c_post"))
-      def mean(sc: String, n: String) = col(sc).cast("double") / col(n)
+      // an empty cell (tiny corpora, one-sided windows) yields NULL
+      // means instead of an ANSI divide-by-zero (EdgeCasesSpec sweep)
+      def mean(sc: String, n: String) = when(col(n) > 0,
+        col(sc).cast("double") / col(n))
+      val allCells = col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+        col("n_c_pre") > 0 && col("n_c_post") > 0
       m.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
         round(mean("s_t_pre", "n_t_pre") / 100.0, 6).as("m_t_pre"),
         round(mean("s_t_post", "n_t_post") / 100.0, 6).as("m_t_post"),
         round(mean("s_c_pre", "n_c_pre") / 100.0, 6).as("m_c_pre"),
         round(mean("s_c_post", "n_c_post") / 100.0, 6).as("m_c_post"),
-        round((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")
-          - (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))) / 100.0, 6)
+        when(allCells,
+          round((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")
+            - (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))) / 100.0, 6))
           .as("did"))
     },
 

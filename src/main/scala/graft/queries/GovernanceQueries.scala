@@ -331,8 +331,9 @@ object GovernanceQueries {
         |  CAST(SUM(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
         |  CAST(SUM(n_del) AS BIGINT) AS rows_deleted,
         |  CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_rewritten,
-        |  round(CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS DOUBLE)
-        |    / SUM(n_del), 6) AS amplification
+        |  CASE WHEN SUM(n_del) > 0
+        |    THEN round(CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS DOUBLE)
+        |      / SUM(n_del), 6) END AS amplification
         |FROM f GROUP BY layout ORDER BY layout""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"),
@@ -348,8 +349,11 @@ object GovernanceQueries {
           sum(col("n_del")).cast("long").as("rows_deleted"),
           sum(when(col("n_del") > 0, col("n_rows")).otherwise(0)).cast("long")
             .as("rows_rewritten"),
-          round(sum(when(col("n_del") > 0, col("n_rows")).otherwise(0)).cast("double")
-            / sum(col("n_del")), 6).as("amplification"))
+          // a zero-victim batch must report NULL, not divide by zero
+          // (ANSI mode throws — caught by the EdgeCasesSpec sweep)
+          when(sum(col("n_del")) > 0,
+            round(sum(when(col("n_del") > 0, col("n_rows")).otherwise(0)).cast("double")
+              / sum(col("n_del")), 6)).as("amplification"))
         .orderBy("layout")
     },
 

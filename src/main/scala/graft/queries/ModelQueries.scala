@@ -41,10 +41,12 @@ object ModelQueries {
         |    CAST(SUM(npos) AS BIGINT) AS n1 FROM r),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM sl)
         |SELECT n1 AS n_pos, CAST(nt - n1 AS BIGINT) AS n_neg,
-        |  round((CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / 2.0)
-        |      / (CAST(n1 AS DOUBLE) * (nt - n1)), 6) AS auc,
-        |  round((CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / 2.0)
-        |      / (CAST(n1 AS DOUBLE) * (nt - n1)) * 2.0 - 1.0, 6) AS gini
+        |  CASE WHEN n1 > 0 AND n1 < nt THEN
+        |    round((CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+        |      / (CAST(n1 AS DOUBLE) * (nt - n1)), 6) END AS auc,
+        |  CASE WHEN n1 > 0 AND n1 < nt THEN
+        |    round((CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+        |      / (CAST(n1 AS DOUBLE) * (nt - n1)) * 2.0 - 1.0, 6) END AS gini
         |FROM t, n""".stripMargin) { (s, dir) =>
       val sl = EvalQueries.scoreLabelOf(Tables.parallelize(
         Tables.load(s, dir, "documents").select("doc_id", "text")))
@@ -59,11 +61,14 @@ object ModelQueries {
       val n = sl.agg(count(lit(1)).cast("long").as("nt"))
       val aucExpr = ((col("r2pos") - col("n1") * (col("n1") + 1)).cast("double") / 2.0) /
         (col("n1").cast("double") * (col("nt") - col("n1")))
+      // single-class corpora have no ranking to score: NULL AUC
+      // instead of an ANSI divide-by-zero (EdgeCasesSpec sweep)
+      val ok = col("n1") > 0 && col("n1") < col("nt")
       t.crossJoin(broadcast(n))
         .select(col("n1").as("n_pos"),
           (col("nt") - col("n1")).cast("long").as("n_neg"),
-          round(aucExpr, 6).as("auc"),
-          round(aucExpr * 2.0 - 1.0, 6).as("gini"))
+          when(ok, round(aucExpr, 6)).as("auc"),
+          when(ok, round(aucExpr * 2.0 - 1.0, 6)).as("gini"))
     },
 
     // distributed OLS in closed form: regress the hourly cent sum on
@@ -98,14 +103,15 @@ object ModelQueries {
         |    n*CAST(stt*shy - sth*sty AS DECIMAL(24,0)) - st*CAST(st*shy - sty*sh AS DECIMAL(24,0)) + sy*CAST(st*sth - stt*sh AS DECIMAL(24,0)) AS det2
         |  FROM m)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) AS beta0,
-        |  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) AS beta1,
-        |  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) AS beta2,
-        |  round(1.0 - (CAST(syy AS DOUBLE)
+        |  CASE WHEN det <> 0 THEN round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) END AS beta0,
+        |  CASE WHEN det <> 0 THEN round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) END AS beta1,
+        |  CASE WHEN det <> 0 THEN round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) END AS beta2,
+        |  CASE WHEN det <> 0 AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |    round(1.0 - (CAST(syy AS DOUBLE)
         |      - (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
         |        + CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sty AS DOUBLE)
         |        + CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(shy AS DOUBLE)))
-        |    / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2
+        |    / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS r2
         |FROM d""".stripMargin) { (s, dir) =>
       val h = Tables.load(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
@@ -144,13 +150,17 @@ object ModelQueries {
       val b2 = col("det2").cast("double") / det
       val syyD = col("syy").cast("double")
       val syD = col("sy").cast("double")
+      // collinear features / constant response: NULL instead of an
+      // ANSI divide-by-zero (EdgeCasesSpec sweep)
+      val okDet = col("det") =!= 0
+      val sst = syyD - syD * syD / col("n").cast("double")
       d.select(col("n").cast("long").as("n"),
-        round(b0 / 100.0, 6).as("beta0"),
-        round(b1 / 100.0, 6).as("beta1"),
-        round(b2 / 100.0, 6).as("beta2"),
-        round(lit(1.0) - (syyD - (b0 * syD + b1 * col("sty").cast("double")
-          + b2 * col("shy").cast("double")))
-          / (syyD - syD * syD / col("n").cast("double")), 6).as("r2"))
+        when(okDet, round(b0 / 100.0, 6)).as("beta0"),
+        when(okDet, round(b1 / 100.0, 6)).as("beta1"),
+        when(okDet, round(b2 / 100.0, 6)).as("beta2"),
+        when(okDet && sst > 0,
+          round(lit(1.0) - (syyD - (b0 * syD + b1 * col("sty").cast("double")
+            + b2 * col("shy").cast("double"))) / sst, 6)).as("r2"))
     },
 
     // Markov-chain entropy rate of the per-user event stream: H =

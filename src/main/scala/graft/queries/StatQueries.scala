@@ -70,9 +70,10 @@ object StatQueries {
         |nn AS (SELECT CAST(SUM(nx) AS BIGINT) AS nt,
         |    CAST(SUM(nx * nx * nx - nx) AS BIGINT) AS ties FROM g)
         |SELECT source, n1, CAST(r2sum - n1 * (n1 + 1) AS BIGINT) AS u2,
-        |  round((CAST(u2 AS DOUBLE) - CAST(n1 * (nt - n1) AS DOUBLE))
-        |    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (nt - n1) / 12.0
-        |        * ((nt + 1.0) - CAST(ties AS DOUBLE) / nt / (nt - 1.0)))), 6) AS z
+        |  CASE WHEN n1 < nt AND nt > 1 THEN
+        |    round((CAST(u2 AS DOUBLE) - CAST(n1 * (nt - n1) AS DOUBLE))
+        |      / (2.0 * sqrt(CAST(n1 AS DOUBLE) * (nt - n1) / 12.0
+        |          * ((nt + 1.0) - CAST(ties AS DOUBLE) / nt / (nt - 1.0)))), 6) END AS z
         |FROM t, nn ORDER BY source""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
         .select(col("source"), size(split(col("text"), " ")).as("x"))
@@ -92,11 +93,14 @@ object StatQueries {
       t.crossJoin(broadcast(nn))
         .withColumn("u2", u2)
         .select(col("source"), col("n1"), col("u2"),
-          round((col("u2").cast("double")
-            - (col("n1") * (col("nt") - col("n1"))).cast("double"))
-            / (lit(2.0) * sqrt(col("n1").cast("double") * (col("nt") - col("n1")) / 12.0
-              * ((col("nt") + lit(1.0))
-                - col("ties").cast("double") / col("nt") / (col("nt") - lit(1.0))))), 6)
+          // single-source / single-row corpora have no "rest": NULL z
+          // instead of an ANSI divide-by-zero (EdgeCasesSpec sweep)
+          when(col("n1") < col("nt") && col("nt") > 1,
+            round((col("u2").cast("double")
+              - (col("n1") * (col("nt") - col("n1"))).cast("double"))
+              / (lit(2.0) * sqrt(col("n1").cast("double") * (col("nt") - col("n1")) / 12.0
+                * ((col("nt") + lit(1.0))
+                  - col("ties").cast("double") / col("nt") / (col("nt") - lit(1.0))))), 6))
             .as("z"))
         .orderBy("source")
     },
@@ -153,7 +157,8 @@ object StatQueries {
         |    CAST(SUM(a.dev * b.dev) AS DECIMAL(38,0)) AS num, COUNT(*) AS n_pairs
         |  FROM d a JOIN d b ON a.t - b.t BETWEEN 1 AND 24 GROUP BY 1),
         |dd AS (SELECT CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS den FROM d)
-        |SELECT k, n_pairs, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        |SELECT k, n_pairs,
+        |  CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
         |FROM p, dd ORDER BY k""".stripMargin) { (s, dir) =>
       val i = sparkCents(s, dir, Nil)
         .select(expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
@@ -173,7 +178,8 @@ object StatQueries {
       val dd = d.agg(sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("den"))
       p.crossJoin(broadcast(dd))
         .select(col("k"), col("n_pairs"),
-          round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+          when(col("den") > 0, // constant series: NULL, not divide-by-zero
+            round(col("num").cast("double") / col("den").cast("double"), 6)).as("acf"))
         .orderBy("k")
     },
 
@@ -346,9 +352,9 @@ object StatQueries {
         |    (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1) * n2) AS vn2
         |  FROM w)
         |SELECT source, n1 AS n,
-        |  round(md / sqrt(vn1 + vn2), 6) AS t,
-        |  round((vn1 + vn2) * (vn1 + vn2)
-        |    / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)), 6) AS df
+        |  CASE WHEN n1 > 1 AND n2 > 1 THEN round(md / sqrt(vn1 + vn2), 6) END AS t,
+        |  CASE WHEN n1 > 1 AND n2 > 1 THEN round((vn1 + vn2) * (vn1 + vn2)
+        |    / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)), 6) END AS df
         |FROM v ORDER BY source""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
         .select(col("source"), size(split(col("text"), " ")).as("x"))
@@ -362,18 +368,24 @@ object StatQueries {
         .select(col("source"), col("n1"), col("s1"), col("q1"),
           (col("nt") - col("n1")).as("n2"), (col("st") - col("s1")).as("s2"),
           (col("qt") - col("q1")).as("q2"))
-      val md = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
-      val vn1 = (col("n1").cast("double") * col("q1") - col("s1").cast("double") * col("s1")) /
-        (col("n1").cast("double") * (col("n1") - 1) * col("n1"))
-      val vn2 = (col("n2").cast("double") * col("q2") - col("s2").cast("double") * col("s2")) /
-        (col("n2").cast("double") * (col("n2") - 1) * col("n2"))
+      // degenerate corpora (single source, n<=1 samples) yield NULL
+      // stats instead of ANSI divide-by-zero (EdgeCasesSpec sweep)
+      val md = when(col("n1") > 0 && col("n2") > 0,
+        col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2"))
+      val vn1 = when(col("n1") > 1,
+        (col("n1").cast("double") * col("q1") - col("s1").cast("double") * col("s1")) /
+          (col("n1").cast("double") * (col("n1") - 1) * col("n1")))
+      val vn2 = when(col("n2") > 1,
+        (col("n2").cast("double") * col("q2") - col("s2").cast("double") * col("s2")) /
+          (col("n2").cast("double") * (col("n2") - 1) * col("n2")))
+      val ok = col("n1") > 1 && col("n2") > 1
       w.select(col("source"), col("n1"), col("n2"),
           md.as("md"), vn1.as("vn1"), vn2.as("vn2"))
         .select(col("source"), col("n1").as("n"),
-          round(col("md") / sqrt(col("vn1") + col("vn2")), 6).as("t"),
-          round((col("vn1") + col("vn2")) * (col("vn1") + col("vn2"))
+          when(ok, round(col("md") / sqrt(col("vn1") + col("vn2")), 6)).as("t"),
+          when(ok, round((col("vn1") + col("vn2")) * (col("vn1") + col("vn2"))
             / (col("vn1") * col("vn1") / (col("n1") - 1)
-              + col("vn2") * col("vn2") / (col("n2") - 1)), 6).as("df"))
+              + col("vn2") * col("vn2") / (col("n2") - 1)), 6)).as("df"))
         .orderBy("source")
     },
 

@@ -277,7 +277,7 @@ object TimeSeriesQueries {
         |  FROM t)
         |SELECT event_type, COUNT(*) AS n_test,
         |  round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
-        |  round(CAST(SUM(ape) AS DOUBLE) / COUNT(ape), 6) AS mape,
+        |  CASE WHEN COUNT(ape) > 0 THEN round(CAST(SUM(ape) AS DOUBLE) / COUNT(ape), 6) END AS mape,
         |  round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS bias
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val i = hourly(s, dir).select(col("event_type"), col("hour"),
@@ -301,7 +301,8 @@ object TimeSeriesQueries {
       e.groupBy("event_type")
         .agg(count(lit(1)).as("n_test"),
           round(sum(col("ae")).cast("double") / count(lit(1)), 6).as("mae"),
-          round(sum(col("ape")).cast("double") / count(col("ape")), 6).as("mape"),
+          when(count(col("ape")) > 0, // all-zero test hours: NULL MAPE
+            round(sum(col("ape")).cast("double") / count(col("ape")), 6)).as("mape"),
           round(sum(col("err")).cast("double") / count(lit(1)), 6).as("bias"))
         .orderBy("event_type")
     },

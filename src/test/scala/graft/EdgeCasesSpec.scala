@@ -102,4 +102,62 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got === Map(10L -> 10L, 20L -> 10L),
       s"pair did not converge to the min label: $got")
   }
+
+  test("every round-8 query survives a near-degenerate corpus without throwing") {
+    // 1-3 rows per table: over-selective filters, single-cell censuses,
+    // zero-variance series, empty train/test splits — the shapes a
+    // partition-pruned read hands an operator at 100 TB. The contract
+    // is NO EXCEPTION; rows may legitimately be 0 / NULL / NaN.
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, "purchase", 20.0, """{"k": 1}"""),
+      (2L, t("2024-01-01 11:00:00"), 7L, "click", 5.0, """{"k": 2}"""),
+      (3L, t("2024-01-02 10:00:00"), 7L, "view", 1.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((0L, "the table scan is a fast row group", "en", "src0", 34L),
+      (1L, "a sort and a merge join the data", "en", "src0", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Array.tabulate(64)(i => (i % 7 - 3) / 10.0f), 0),
+      (1L, Array.tabulate(64)(i => (i % 5 - 2) / 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq((1L, "c1", 0, 100.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "O", 50.0, t("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 2.0, 10.0, 0.01, 0.02, "N", "O", t("2024-01-05 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "p1")).toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    Seq((1L, "s1")).toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    Seq((0, "nation0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    val round8 = Seq(
+      "rolling_anomaly", "seasonal_decompose", "ewma_trend", "kaplan_meier",
+      "forecast_backtest", "var_es", "k_anonymity", "anonymize_sweep",
+      "table_stats", "benford_audit", "mv_merge", "file_skipping_audit",
+      "dp_histogram", "delete_amplification", "watermark_delay_audit",
+      "referential_integrity", "pk_uniqueness", "readability",
+      "ngram_diversity", "pca_power_iteration", "rp_project_audit",
+      "mann_whitney", "chi_square_independence", "autocorrelation",
+      "cusum_changepoint", "bootstrap_ci", "theil_sen", "ttest_welch",
+      "mad_outliers", "binseg_changepoint", "roc_auc", "ols_cramer",
+      "markov_entropy_rate", "decision_stump", "graph_assortativity",
+      "did_estimate", "ltv_curve", "last_touch_attribution")
+    round8.foreach { name =>
+      try SparkEntry.queries(name)(spark, dir).collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the tiny corpus: ${e.getMessage}")
+      }
+    }
+  }
 }
