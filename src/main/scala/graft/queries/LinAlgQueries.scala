@@ -73,7 +73,9 @@ object LinAlgQueries {
         val pv = if (t == 1) "v0" else s"v${t - 1}"
         s"""w$t AS (SELECT mm.i, CAST(SUM(mm.mv * CAST($pv.v AS DECIMAL(8,0))) AS DECIMAL(32,0)) AS w
            |  FROM mm JOIN $pv ON mm.j = $pv.i GROUP BY 1),
-           |v$t AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(MAX(abs(w)) OVER () AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+           |v$t AS (SELECT i, CASE WHEN MAX(abs(w)) OVER () > 0
+           |    THEN CAST(floor(CAST(w AS DOUBLE) / CAST(MAX(abs(w)) OVER () AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS v
            |  FROM w$t)""".stripMargin
       }.mkString(",\n")
       Q("pca_power_iteration",
@@ -136,10 +138,13 @@ object LinAlgQueries {
             .groupBy("i")
             .agg(sum(col("mv") * col("v").cast(DecimalType(8, 0)))
               .cast(DecimalType(32, 0)).as("w"))
+          // an all-identical corpus gives M = 0 -> max|w| = 0: emit the
+          // zero iterate instead of an ANSI divide-by-zero
           v = w.select(col("i").as("vi"),
-            floor(col("w").cast("double")
-              / max(abs(col("w"))).over(whole).cast("double")
-              * 1000000.0 + 0.5).cast("long").as("v"))
+            when(max(abs(col("w"))).over(whole) > 0,
+              floor(col("w").cast("double")
+                / max(abs(col("w"))).over(whole).cast("double")
+                * 1000000.0 + 0.5).cast("long")).otherwise(lit(0L)).as("v"))
         }
         v.select(col("vi").as("dim_idx"), col("v").as("v_scaled"))
           .orderBy("dim_idx")
@@ -165,7 +170,9 @@ object LinAlgQueries {
           |pv AS (SELECT vec_id, CAST(SUM(p * p) AS BIGINT) AS pp FROM pj GROUP BY 1),
           |uv AS (SELECT vec_id, CAST(list_sum(list_transform(u, x -> x * x)) AS BIGINT) AS uu FROM e),
           |r AS (SELECT pv.vec_id,
-          |    CAST(floor(CAST(pp AS DOUBLE) / ($RpK.0 * CAST(uu AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS r_u
+          |    CASE WHEN uu > 0
+          |      THEN CAST(floor(CAST(pp AS DOUBLE) / ($RpK.0 * CAST(uu AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+          |      END AS r_u
           |  FROM pv JOIN uv ON pv.vec_id = uv.vec_id)
           |SELECT r_u // 100000 AS ratio_bin, COUNT(*) AS n_vecs,
           |  round(CAST(SUM(r_u) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_ratio
@@ -186,9 +193,10 @@ object LinAlgQueries {
         val r = pj.groupBy("vec_id")
           .agg(sum(col("p") * col("p")).cast("long").as("pp"),
             first(col("uu")).as("uu"))
-          .select(floor(col("pp").cast("double")
+          // a zero vector has no energy ratio: NULL, not divide-by-zero
+          .select(when(col("uu") > 0, floor(col("pp").cast("double")
             / (lit(RpK.toDouble) * col("uu").cast("double"))
-            * 1000000.0 + 0.5).cast("long").as("r_u"))
+            * 1000000.0 + 0.5).cast("long")).as("r_u"))
         r.groupBy(expr("r_u div 100000").as("ratio_bin"))
           .agg(count(lit(1)).as("n_vecs"),
             round(sum(col("r_u")).cast("double") / count(lit(1)) / 1000000.0, 6)

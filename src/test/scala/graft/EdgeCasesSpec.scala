@@ -159,5 +159,19 @@ class EdgeCasesSpec extends SparkSpec {
         fail(s"$name threw on the tiny corpus: ${e.getMessage}")
       }
     }
+    // degenerate embedding table: identical vectors (zero centered
+    // moment matrix) plus an all-zero vector (no energy) — the linear
+    // algebra queries must yield zero/NULL rows, not divide by zero
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tiny_emb").toString
+    Seq((0L, Array.fill(64)(0.25f), 0), (1L, Array.fill(64)(0.25f), 0),
+      (2L, Array.fill(64)(0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir2/embeddings.parquet")
+    Seq("pca_power_iteration", "rp_project_audit").foreach { name =>
+      try SparkEntry.queries(name)(spark, dir2).collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on degenerate embeddings: ${e.getMessage}")
+      }
+    }
   }
 }
