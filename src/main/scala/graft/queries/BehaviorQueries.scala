@@ -557,6 +557,51 @@ object BehaviorQueries {
           .as("did"))
     },
 
+    // two-proportion z-test on user-level purchase conversion between
+    // the even/odd cohorts — the significance gate an experimenter
+    // runs beside did_estimate's effect size. Converts at the USER
+    // grain (>=1 purchase), so the whole test reduces to a four-number
+    // census; the pooled-variance z is one guarded double expression.
+    Q("conversion_ztest",
+      """WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+        |  FROM u)
+        |SELECT n1, x1, n2, x2,
+        |  CASE WHEN n1 > 0 THEN round(CAST(x1 AS DOUBLE) / n1, 6) END AS p1,
+        |  CASE WHEN n2 > 0 THEN round(CAST(x2 AS DOUBLE) / n2, 6) END AS p2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+        |    round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+        |      / sqrt(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
+        |          * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+        |          * (1.0 / n1 + 1.0 / n2)), 6)
+        |  END AS z
+        |FROM m""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2).cast("int").as("grp"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val m = u.agg(
+        sum(when(col("grp") === 0, 1).otherwise(0)).cast("long").as("n1"),
+        sum(when(col("grp") === 0, col("conv")).otherwise(0)).cast("long").as("x1"),
+        sum(when(col("grp") === 1, 1).otherwise(0)).cast("long").as("n2"),
+        sum(when(col("grp") === 1, col("conv")).otherwise(0)).cast("long").as("x2"))
+      val (n1, x1, n2, x2) = (col("n1"), col("x1"), col("n2"), col("x2"))
+      val pPool = (x1 + x2).cast("double") / (n1 + n2)
+      val zOk = n1 > 0 && n2 > 0 && x1 + x2 > 0 && x1 + x2 < n1 + n2
+      m.select(n1, x1, n2, x2,
+        when(n1 > 0, round(x1.cast("double") / n1, 6)).as("p1"),
+        when(n2 > 0, round(x2.cast("double") / n2, 6)).as("p2"),
+        when(zOk,
+          round((x1.cast("double") / n1 - x2.cast("double") / n2)
+            / sqrt(pPool * (lit(1.0) - pPool)
+              * (lit(1.0) / n1 + lit(1.0) / n2)), 6)).as("z"))
+    },
+
     // cohort LTV curve: users cohorted by first-event week, cumulative
     // purchase value per cohort member by age-in-weeks. The classic
     // growth-accounting table: one exchange on user_id for the first

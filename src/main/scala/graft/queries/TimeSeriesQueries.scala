@@ -250,6 +250,77 @@ object TimeSeriesQueries {
         .orderBy("lifetime_days")
     },
 
+    // log-rank test between the even/odd user cohorts' survival curves
+    // (kaplan_meier's lifetime/censoring definitions verbatim): at
+    // each event time, observed group-1 deaths vs the hypergeometric
+    // expectation and variance from the at-risk counts; per-term
+    // values follow the rounded-term decimal-sum convention, so O1,
+    // E1, V are engine-exact and z is one guarded double.
+    Q("logrank_test",
+      """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MAX(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+        |g AS (SELECT MAX(last_us) AS gmax FROM u),
+        |l AS (SELECT user_id, (last_us - first_us) // 86400000000 AS lt,
+        |    CASE WHEN last_us < g.gmax - 86400000000 THEN 1 ELSE 0 END AS death,
+        |    CAST(user_id % 2 AS INT) AS grp
+        |  FROM u CROSS JOIN g),
+        |c AS (SELECT lt, COUNT(*) AS nu, CAST(SUM(death) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN death ELSE 0 END) AS BIGINT) AS d1
+        |  FROM l GROUP BY 1),
+        |w AS (SELECT lt, d, d1,
+        |    CAST(SUM(nu) OVER rc AS BIGINT) AS n,
+        |    CAST(SUM(nu1) OVER rc AS BIGINT) AS n1
+        |  FROM c
+        |  WINDOW rc AS (ORDER BY lt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |t AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(CAST(round(CAST(d AS DOUBLE) * n1 / n, 6) AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS e1,
+        |    CAST(SUM(CASE WHEN n > 1 THEN
+        |        CAST(round(CAST(d AS DOUBLE) * n1 / n * (1.0 - CAST(n1 AS DOUBLE) / n)
+        |          * (n - d) / (n - 1), 6) AS DECIMAL(20,6))
+        |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DECIMAL(20,6)) AS v
+        |  FROM w WHERE d > 0)
+        |SELECT o1, CAST(e1 AS DOUBLE) AS e1,
+        |  CASE WHEN v > 0 THEN
+        |    round((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) / sqrt(CAST(v AS DOUBLE)), 6)
+        |  END AS z
+        |FROM t""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val g = u.agg(max(col("last_us")).as("gmax"))
+      val l = u.crossJoin(broadcast(g))
+        .select(expr("(last_us - first_us) div 86400000000L").as("lt"),
+          when(col("last_us") < col("gmax") - lit(86400000000L), 1)
+            .otherwise(0).as("death"),
+          (col("user_id") % 2).cast("int").as("grp"))
+      val c = l.groupBy("lt")
+        .agg(count(lit(1)).as("nu"), sum(col("death")).cast("long").as("d"),
+          sum(when(col("grp") === 1, 1).otherwise(0)).cast("long").as("nu1"),
+          sum(when(col("grp") === 1, col("death")).otherwise(0)).cast("long").as("d1"))
+      val rc = Window.orderBy("lt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val w = c.select(col("lt"), col("d"), col("d1"),
+        sum(col("nu")).over(rc).cast("long").as("n"),
+        sum(col("nu1")).over(rc).cast("long").as("n1"))
+      val dD = col("d").cast("double")
+      val n1D = col("n1").cast("double")
+      val eTerm = round(dD * col("n1") / col("n"), 6).cast(DecimalType(20, 6))
+      val vTerm = when(col("n") > 1,
+        round(dD * col("n1") / col("n") * (lit(1.0) - n1D / col("n"))
+          * (col("n") - col("d")) / (col("n") - 1), 6).cast(DecimalType(20, 6)))
+        .otherwise(lit(0).cast(DecimalType(20, 6)))
+      val t = w.filter(col("d") > 0)
+        .agg(sum(col("d1")).cast("long").as("o1"),
+          sum(eTerm).cast(DecimalType(20, 6)).as("e1"),
+          sum(vTerm).cast(DecimalType(20, 6)).as("v"))
+      t.select(col("o1"), col("e1").cast("double").as("e1"),
+        when(col("v") > 0,
+          round((col("o1").cast("double") - col("e1").cast("double"))
+            / sqrt(col("v").cast("double")), 6)).as("z"))
+    },
+
     // seasonal-naive forecast backtest: train on the first 24 days
     // (per-(type, hour-of-day) mean), score the rest. The model is a
     // 120-cell census carried as exact (Σcents, n) pairs; per-hour

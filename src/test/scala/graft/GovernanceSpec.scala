@@ -593,6 +593,28 @@ class GovernanceSpec extends SparkSpec {
     assert(byTbl("customer") === 0L && byTbl("events") === 0L)
   }
 
+  test("logrank_test reconciles with kaplan_meier's event counts") {
+    val lr = run("logrank_test", sf001).collect().head
+    val totalDeaths = run("kaplan_meier", sf001).collect()
+      .map(_.getLong(2)).sum
+    assert(lr.getLong(0) >= 0 && lr.getLong(0) <= totalDeaths,
+      "group-1 deaths must be within the total")
+    assert(lr.getDouble(1) > 0.0, "expected deaths must be positive")
+    assert(!lr.isNullAt(2) && math.abs(lr.getDouble(2)) < 10.0,
+      "z must be defined and sane on the fixture")
+  }
+
+  test("conversion_ztest covers every user; z defined when rates differ from 0/1") {
+    val r = run("conversion_ztest", sf0001).collect().head
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) === users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    val converted = r.getLong(1) + r.getLong(3)
+    if (converted > 0 && converted < users)
+      assert(!r.isNullAt(6), "z must be defined off the boundary")
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

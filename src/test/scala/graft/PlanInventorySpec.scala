@@ -68,7 +68,9 @@ class PlanInventorySpec extends SparkSpec {
     "watermark_delay_audit", // exclusive-prefix window over the arrival-hour bucket census
     "did_estimate",       // one-row split-day census + one-row 8-moment cell census
     "referential_integrity", // one-row per-edge orphan/childless rollups
-    "pk_uniqueness")      // one-row per-table key-census rollups
+    "pk_uniqueness",      // one-row per-table key-census rollups
+    "conversion_ztest",   // one-row four-number conversion census
+    "logrank_test")       // risk windows over the lifetime census + one-row O/E/V rollup
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -116,7 +118,8 @@ class PlanInventorySpec extends SparkSpec {
     "ttest_welch", // one-row corpus-moment census cross-joined back
     "mad_outliers", // one-row median/MAD censuses cross-joined back
     "did_estimate", // one-row split-day census cross-joined onto the purchase scan
-    "referential_integrity") // one-row orphan/childless rollups cross-joined per edge
+    "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
+    "logrank_test") // one-row horizon census cross-joined onto the user census
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
