@@ -331,6 +331,156 @@ object StatQueries {
         .orderBy("event_type")
     },
 
+    // iterative proportional fitting (raking) of the (source, lang)
+    // census to uniform target margins — the survey-statistics
+    // reweighting that makes a skewed corpus representable: two full
+    // IPF rounds (4 half-steps) unrolled over the census, each scale
+    // factor applied as one double expression and the weight
+    // re-quantized to DECIMAL(20,6) so every iterate is engine-exact.
+    // The census is |sources|x|langs| regardless of corpus size.
+    {
+      val steps = Seq(("source", "sn"), ("lang", "ln"),
+        ("source", "sn"), ("lang", "ln"))
+      val duckSteps = steps.zipWithIndex.map { case ((dim, tgt), i) =>
+        val pv = if (i == 0) "w0" else s"w${i}"
+        s"""w${i + 1} AS (SELECT source, lang, n, sn, ln,
+           |    CAST(round(CAST(w AS DOUBLE) * ((CAST(nt AS DOUBLE) / $tgt)
+           |        / CAST(SUM(w) OVER (PARTITION BY $dim) AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w,
+           |    nt FROM $pv)""".stripMargin
+      }.mkString(",\n")
+      Q("ipf_raking",
+        s"""WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+          |m AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+          |    CAST(COUNT(DISTINCT source) AS BIGINT) AS sn,
+          |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS ln FROM c),
+          |w0 AS (SELECT source, lang, n, sn, ln,
+          |    CAST(n AS DECIMAL(20,6)) AS w, nt FROM c CROSS JOIN m),
+          |$duckSteps
+          |SELECT source, lang, n, CAST(w AS DOUBLE) AS raked_weight
+          |FROM w4 ORDER BY source, lang""".stripMargin) { (s, dir) =>
+        val c = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        val m = c.agg(sum(col("n")).cast("long").as("nt"),
+          count_distinct(col("source")).cast("long").as("sn"),
+          count_distinct(col("lang")).cast("long").as("ln"))
+        var w = c.crossJoin(broadcast(m))
+          .withColumn("w", col("n").cast(DecimalType(20, 6)))
+        steps.foreach { case (dim, tgt) =>
+          val part = Window.partitionBy(dim)
+            .rowsBetween(Long.MinValue, Long.MaxValue)
+          w = w.withColumn("w",
+            round(col("w").cast("double") * ((col("nt").cast("double") / col(tgt))
+              / sum(col("w")).over(part).cast("double")), 6)
+              .cast(DecimalType(20, 6)))
+        }
+        w.select(col("source"), col("lang"), col("n"),
+            col("w").cast("double").as("raked_weight"))
+          .orderBy("source", "lang")
+      }
+    },
+
+    // Hurst exponent by rescaled-range (R/S) analysis of the hourly
+    // total series: for block sizes 16/32/64/128, each full block's
+    // range-of-cumulative-deviations over its std (both n-scaled
+    // exact integers up to one sqrt), block values rounded then
+    // decimal-averaged per size, and H = the least-squares slope of
+    // ln(R/S) on ln(n) over the four points (H≈0.5 ⇔ no long
+    // memory). Census math throughout — blocks partition the
+    // |hours| census, never the corpus.
+    Q("hurst_exponent",
+      s"""WITH ${duckCents("")},
+        |i AS (SELECT c, ROW_NUMBER() OVER (ORDER BY hour) AS t FROM h),
+        |b AS (SELECT bn.n AS bn, (t - 1) // bn.n AS blk, t, c
+        |  FROM i CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS n) bn),
+        |s AS (SELECT bn, blk, c,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS sb,
+        |    CAST(SUM(CAST(c AS DECIMAL(18,0)) * c) OVER w AS DECIMAL(20,0)) AS qb,
+        |    CAST(SUM(c) OVER wc AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bn, blk ORDER BY t) AS BIGINT) AS k
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY bn, blk),
+        |         wc AS (PARTITION BY bn, blk ORDER BY t ROWS UNBOUNDED PRECEDING)),
+        |r AS (SELECT bn, blk,
+        |    MAX(cnt * cum - k * sb) - MIN(cnt * cum - k * sb) AS rng,
+        |    MAX(CAST(cnt AS DECIMAL(4,0)) * qb
+        |      - CAST(sb AS DECIMAL(12,0)) * CAST(sb AS DECIMAL(12,0))) AS varn
+        |  FROM s WHERE cnt = bn GROUP BY 1, 2),
+        |rs AS (SELECT bn,
+        |    CAST(round(CAST(rng AS DOUBLE) / sqrt(CAST(varn AS DOUBLE)), 6) AS DECIMAL(20,6)) AS rs
+        |  FROM r WHERE varn > 0),
+        |a AS (SELECT bn, COUNT(*) AS n_blocks,
+        |    round(CAST(SUM(rs) AS DOUBLE) / COUNT(*), 6) AS avg_rs FROM rs GROUP BY 1),
+        |f AS (SELECT bn, n_blocks, avg_rs,
+        |    CAST(round(ln(CAST(bn AS DOUBLE)), 6) AS DECIMAL(12,6)) AS xq,
+        |    CAST(round(ln(avg_rs), 6) AS DECIMAL(12,6)) AS yq
+        |  FROM a WHERE avg_rs > 0),
+        |h2 AS (SELECT bn, n_blocks, avg_rs,
+        |    CAST(COUNT(*) OVER () AS DECIMAL(4,0)) AS kk,
+        |    CAST(SUM(xq) OVER () AS DECIMAL(14,6)) AS sx,
+        |    CAST(SUM(yq) OVER () AS DECIMAL(14,6)) AS sy,
+        |    CAST(SUM(xq * yq) OVER () AS DECIMAL(20,12)) AS sxy,
+        |    CAST(SUM(xq * xq) OVER () AS DECIMAL(20,12)) AS sxx
+        |  FROM f)
+        |SELECT bn AS block_n, n_blocks, avg_rs,
+        |  CASE WHEN kk * sxx - sx * sx > 0 THEN
+        |    round(CAST(kk * sxy - sx * sy AS DOUBLE) / CAST(kk * sxx - sx * sx AS DOUBLE), 6)
+        |  END AS hurst
+        |FROM h2 ORDER BY block_n""".stripMargin) { (s, dir) =>
+      val i = sparkCents(s, dir, Nil)
+        .withColumn("t", row_number().over(Window.orderBy("hour")))
+        .select("t", "c")
+      val b = i.crossJoin(broadcast(
+          s.range(0, 4).select(expr("shiftleft(16, cast(id as int))").as("bn"))))
+        .select(col("bn"), expr("(t - 1) div bn").as("blk"), col("t"), col("c"))
+      val wWhole = Window.partitionBy("bn", "blk")
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val wc = Window.partitionBy("bn", "blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sdf = b
+        .withColumn("cnt", count(lit(1)).over(wWhole).cast("long"))
+        .withColumn("sb", sum(col("c")).over(wWhole).cast("long"))
+        .withColumn("qb", sum(col("c").cast(DecimalType(18, 0)) * col("c"))
+          .over(wWhole).cast(DecimalType(20, 0)))
+        .withColumn("cum", sum(col("c")).over(wc).cast("long"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("bn", "blk").orderBy("t")).cast("long"))
+      val dev = col("cnt") * col("cum") - col("k") * col("sb")
+      val r = sdf.filter(col("cnt") === col("bn"))
+        .groupBy("bn", "blk")
+        .agg((max(dev) - min(dev)).as("rng"),
+          max(col("cnt").cast(DecimalType(4, 0)) * col("qb")
+            - col("sb").cast(DecimalType(12, 0)) * col("sb").cast(DecimalType(12, 0)))
+            .as("varn"))
+      val rs = r.filter(col("varn") > 0)
+        .select(col("bn"),
+          round(col("rng").cast("double") / sqrt(col("varn").cast("double")), 6)
+            .cast(DecimalType(20, 6)).as("rs"))
+      val a = rs.groupBy("bn")
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(col("rs")).cast("double") / count(lit(1)), 6).as("avg_rs"))
+      // order-free slope: decimal-quantized (x, y) cross-multiplied
+      // sums — a double AVG/SUM over the 4-point frame would depend
+      // on frame traversal order in the last bits
+      val f = a.filter(col("avg_rs") > 0)
+        .withColumn("xq",
+          round(log(col("bn").cast("double")), 6).cast(DecimalType(12, 6)))
+        .withColumn("yq", round(log(col("avg_rs")), 6).cast(DecimalType(12, 6)))
+      val whole = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+      val h2 = f
+        .withColumn("kk", count(lit(1)).over(whole).cast(DecimalType(4, 0)))
+        .withColumn("sx", sum(col("xq")).over(whole).cast(DecimalType(14, 6)))
+        .withColumn("sy", sum(col("yq")).over(whole).cast(DecimalType(14, 6)))
+        .withColumn("sxy", sum(col("xq") * col("yq")).over(whole).cast(DecimalType(20, 12)))
+        .withColumn("sxx", sum(col("xq") * col("xq")).over(whole).cast(DecimalType(20, 12)))
+      h2.select(col("bn").as("block_n"), col("n_blocks"), col("avg_rs"),
+          when(col("kk") * col("sxx") - col("sx") * col("sx") > 0,
+            round((col("kk") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("kk") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+            .as("hurst"))
+        .orderBy("block_n")
+    },
+
     // Welch's t (unequal variances) per source vs the rest of the
     // corpus — the parametric sibling of mann_whitney on the same
     // length census: sample variances come from exact (n, Σx, Σx²)

@@ -615,6 +615,39 @@ class GovernanceSpec extends SparkSpec {
       assert(!r.isNullAt(6), "z must be defined off the boundary")
   }
 
+  test("ipf_raking preserves total mass and hits the last-balanced margin") {
+    val rows = run("ipf_raking", sf001).collect()
+    val total = Tables.load(spark, sf001, "documents").count().toDouble
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - total) < 0.01, s"mass $wsum vs $total")
+    // the final IPF half-step balanced the lang margin: each lang's
+    // weight must equal N/|langs| up to quantization
+    val byLang = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getDouble(3)).sum).toMap
+    val target = total / byLang.size
+    byLang.foreach { case (l, w) =>
+      assert(math.abs(w - target) < 0.01, s"$l margin $w vs $target")
+    }
+    // the source margin (balanced one half-step earlier) is close
+    val bySource = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(3)).sum).toMap
+    val st = total / bySource.size
+    bySource.foreach { case (src, w) =>
+      assert(math.abs(w - st) / st < 0.25, s"$src margin $w vs $st")
+    }
+  }
+
+  test("hurst_exponent: single estimate, in range, R/S grows with block size") {
+    val rows = run("hurst_exponent", sf001).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getDouble(3)).distinct.length === 1,
+      "the slope must be one number across rows")
+    val h = rows.head.getDouble(3)
+    assert(h > 0.0 && h < 1.0, s"H $h out of range")
+    val rs = rows.map(_.getDouble(2))
+    assert(rs.zip(rs.tail).forall { case (a, b) => b > a },
+      s"avg R/S must grow with block size: ${rs.toSeq}")
+  }
+
   test("rp_project_audit: energy ratios concentrate around 1") {
     val rows = run("rp_project_audit", sf0001).collect()
     val nVecs = rows.map(_.getLong(1)).sum

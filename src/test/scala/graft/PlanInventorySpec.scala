@@ -70,7 +70,9 @@ class PlanInventorySpec extends SparkSpec {
     "referential_integrity", // one-row per-edge orphan/childless rollups
     "pk_uniqueness",      // one-row per-table key-census rollups
     "conversion_ztest",   // one-row four-number conversion census
-    "logrank_test")       // risk windows over the lifetime census + one-row O/E/V rollup
+    "logrank_test",       // risk windows over the lifetime census + one-row O/E/V rollup
+    "ipf_raking",         // one-row margin census; scaling windows on the |cells| census
+    "hurst_exponent")     // rank/slope windows over the hour census and 4-point fit
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -119,7 +121,9 @@ class PlanInventorySpec extends SparkSpec {
     "mad_outliers", // one-row median/MAD censuses cross-joined back
     "did_estimate", // one-row split-day census cross-joined onto the purchase scan
     "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
-    "logrank_test") // one-row horizon census cross-joined onto the user census
+    "logrank_test", // one-row horizon census cross-joined onto the user census
+    "ipf_raking", // one-row margin census cross-joined onto the cell census
+    "hurst_exponent") // 4-row block-size dim cross-joined onto the hour census
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
