@@ -152,7 +152,9 @@ class EdgeCasesSpec extends SparkSpec {
       "cusum_changepoint", "bootstrap_ci", "theil_sen", "ttest_welch",
       "mad_outliers", "binseg_changepoint", "roc_auc", "ols_cramer",
       "markov_entropy_rate", "decision_stump", "graph_assortativity",
-      "did_estimate", "ltv_curve", "last_touch_attribution")
+      "did_estimate", "ltv_curve", "last_touch_attribution",
+      "spearman_corr", "mann_kendall", "levene_bf",
+      "benjamini_hochberg", "cmh_test")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

@@ -72,7 +72,10 @@ class PlanInventorySpec extends SparkSpec {
     "conversion_ztest",   // one-row four-number conversion census
     "logrank_test",       // risk windows over the lifetime census + one-row O/E/V rollup
     "ipf_raking",         // one-row margin census; scaling windows on the |cells| census
-    "hurst_exponent")     // rank/slope windows over the hour census and 4-point fit
+    "hurst_exponent",     // rank/slope windows over the hour census and 4-point fit
+    "levene_bf",          // one-row F census (20-group rollup), broadcast back
+    "benjamini_hochberg", // BH rank/step-up windows over the |sources|-row family
+    "cmh_test")           // one-row strata rollup (5 decimal sums)
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -123,7 +126,9 @@ class PlanInventorySpec extends SparkSpec {
     "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
     "logrank_test", // one-row horizon census cross-joined onto the user census
     "ipf_raking", // one-row margin census cross-joined onto the cell census
-    "hurst_exponent") // 4-row block-size dim cross-joined onto the hour census
+    "hurst_exponent", // 4-row block-size dim cross-joined onto the hour census
+    "levene_bf", // one-row F census cross-joined onto the group census
+    "benjamini_hochberg") // one-row (nt, ties) totals, like mann_whitney
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
