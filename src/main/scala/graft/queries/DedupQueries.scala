@@ -1554,6 +1554,50 @@ object DedupQueries {
             / sqrt((mm.cast("double") * col("sxx") - sx.cast("double") * sx)
               * (mm.cast("double") * col("syy") - sy.cast("double") * sy)), 6))
           .as("assortativity"))
+    },
+
+    // K-CORE PEEL (k=2, 3 unrolled rounds) over the near-dup candidate
+    // graph: repeatedly remove degree-<2 nodes, so pendant pairs fall
+    // away and what remains is the densely-linked template CORE — the
+    // part of the dup graph worth clustering rather than pairwise
+    // dedup. Fixed unrolled iterations (the pagerank_dups discipline:
+    // DuckDB cannot loop, and bounded rounds need no lineage
+    // truncation); each round is an integer degree census + two
+    // broadcast semi-joins against the (census-sized) keep set.
+    // 100 TB: edges are banding-bounded, keep sets only shrink, and
+    // the per-round cost is one groupBy + one hash join on `a`.
+    Q("kcore_peel", {
+      val peelCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT a, COUNT(*) AS deg FROM e${i - 1} GROUP BY 1),
+           |k$i AS (SELECT a FROM d$i WHERE deg >= 2),
+           |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+           |        JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |       UNION ALL SELECT d2, d1 FROM pairs),
+         |$peelCtes
+         |SELECT a AS doc_id, COUNT(*) AS degree FROM e3
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sig = Dedup.minhashFromText(
+        Tables.load(s, dir, "documents"), "doc_id", "text", K)
+      val pairs = Dedup.candidatePairs(Dedup.bandKeys(sig, "doc_id", B, R), "doc_id")
+      var e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .localCheckpoint(true) // banding-bounded; feeds all three rounds
+      for (_ <- 1 to 3) {
+        val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("a")
+        e = e.join(broadcast(keep), "a")
+          .join(broadcast(keep.toDF("b")), "b")
+          .select("a", "b")
+      }
+      e.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -261,8 +261,8 @@ object RankStatQueries {
           |k AS (SELECT source, z, p,
           |    CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS k,
           |    COUNT(*) OVER () AS m FROM pp)
-          |SELECT source, z, p, k, round(0.05 * k / m, 6) AS crit,
-          |  k <= MAX(CASE WHEN p <= 0.05 * k / m THEN k ELSE 0 END) OVER () AS significant
+          |SELECT source, z, p, k, round(CAST(0.05 AS DOUBLE) * k / m, 6) AS crit,
+          |  k <= MAX(CASE WHEN p <= CAST(0.05 AS DOUBLE) * k / m THEN k ELSE 0 END) OVER () AS significant
           |FROM k ORDER BY k""".stripMargin) { (s, dir) =>
         val d = Tables.load(s, dir, "documents")
           .select(col("source"), size(split(col("text"), " ")).as("x"))

@@ -644,6 +644,69 @@ object StatQueries {
         .select(col("event_type"), col("hour").as("split_hour"),
           round(col("gain") / 10000.0, 6).as("gain"))
         .orderBy("event_type")
+    },
+
+    // GROUP-SEQUENTIAL SPRT: Wald's sequential probability ratio test
+    // on the daily conversion stream (unit = active user-day,
+    // outcome = converted that day), H0 p=0.30 vs H1 p=0.40 at
+    // alpha = beta = 0.05. The log-likelihood ratio is NOT a running
+    // double sum: LLR_t = K_t·ln(p1/p0) + (N_t-K_t)·ln(q1/q0) is
+    // recomputed each day from the exact cumulative integers times
+    // Scala-computed literal constants (identical parses in both
+    // engines), so the trajectory and every boundary decision are
+    // engine-exact. Output: the day-by-day monitoring table with the
+    // boundary state and whether a decision has been reached.
+    Q("sprt_boundary", {
+      val (p0, p1) = (0.30, 0.40)
+      val la = math.log(p1 / p0)
+      val lb = math.log((1 - p1) / (1 - p0))
+      val up = math.log(0.95 / 0.05)
+      val lo = math.log(0.05 / 0.95)
+      s"""WITH u AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT day, COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS k FROM u GROUP BY 1),
+         |c AS (SELECT day,
+         |    CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+         |    CAST(SUM(k) OVER w AS BIGINT) AS k_cum
+         |  FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+         |l AS (SELECT day, n_cum, k_cum,
+         |    k_cum * CAST($la AS DOUBLE) + (n_cum - k_cum) * CAST($lb AS DOUBLE) AS llr FROM c),
+         |s AS (SELECT day, n_cum, k_cum, llr,
+         |    CASE WHEN llr >= CAST($up AS DOUBLE) THEN 'accept_h1'
+         |         WHEN llr <= CAST($lo AS DOUBLE) THEN 'accept_h0'
+         |         ELSE 'continue' END AS state FROM l)
+         |SELECT day, n_cum, k_cum, round(llr, 6) AS llr, state,
+         |  MAX(CASE WHEN state <> 'continue' THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1 AS decided
+         |FROM s ORDER BY day""".stripMargin
+    }) { (s, dir) =>
+      val (p0, p1) = (0.30, 0.40)
+      val la = math.log(p1 / p0)
+      val lb = math.log((1 - p1) / (1 - p0))
+      val up = math.log(0.95 / 0.05)
+      val lo = math.log(0.05 / 0.95)
+      val u = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("o"))
+      val d = u.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("o")).cast("long").as("k"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val llr = col("k_cum") * lit(la) + (col("n_cum") - col("k_cum")) * lit(lb)
+      d.select(col("day"),
+          sum(col("n")).over(w).cast("long").as("n_cum"),
+          sum(col("k")).over(w).cast("long").as("k_cum"))
+        .withColumn("llr", llr)
+        .withColumn("state",
+          when(col("llr") >= up, "accept_h1")
+            .when(col("llr") <= lo, "accept_h0")
+            .otherwise("continue"))
+        .select(col("day"), col("n_cum"), col("k_cum"),
+          round(col("llr"), 6).as("llr"), col("state"),
+          (max(when(col("state") =!= "continue", 1).otherwise(0)).over(w)
+            === 1).as("decided"))
+        .orderBy("day")
     }
   )
 }

@@ -414,6 +414,103 @@ object TimeSeriesQueries {
         .select(col("nd").as("n_days"),
           round(col("var_c") / 100.0, 6).as("var95"),
           round(col("tc").cast("double") / col("tn") / 100.0, 6).as("es95"))
+    },
+
+    // ADDITIVE HOLT-WINTERS (triple exponential smoothing, season
+    // m=24) over the global hourly cent series: the genuinely
+    // SEQUENTIAL recurrence the closed-form queries (ewma_trend's
+    // truncated kernel) deliberately avoid. Cross-engine trick: every
+    // iterate (level, trend, seasonal) is re-quantized to a 6-dp
+    // DECIMAL after each step — the state walk is exact decimal
+    // arithmetic under the same away-from-zero rounding rule in both
+    // engines, so a 696-step trajectory is bit-identical (no float
+    // drift to accumulate). Init is the standard first-two-days
+    // recipe; its /24 and /576 divisions can never land on a rounding
+    // boundary (terminating expansions stop by the 6th digit). Spark
+    // side: the corpus reduces to the ~|hours| census in one scan,
+    // then ONE bounded group folds it in memory (the OrderedReplay
+    // discipline: census-sized by the time span, never corpus-sized);
+    // DuckDB side: a recursive CTE carrying the 24-slot seasonal ring
+    // as a list. alpha/beta/gamma = 0.2/0.1/0.3 as exact decimals.
+    Q("holt_winters", {
+      // lnew appears in three places in the recursive step; ONE
+      // Scala string keeps the copies identical
+      val lnew = "CAST(round(0.2 * (h.y - r.sl[1]) + 0.8 * (r.l + r.b), 6) AS DECIMAL(24,6))"
+      s"""WITH RECURSIVE h0 AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT hour, y, CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS t FROM h0),
+         |init AS (SELECT
+         |    CAST(round(CAST(SUM(CASE WHEN t <= 24 THEN y END) AS DOUBLE) / 24.0, 6) AS DECIMAL(24,6)) AS l0,
+         |    CAST(round(CAST(SUM(CASE WHEN t BETWEEN 25 AND 48 THEN y END)
+         |      - SUM(CASE WHEN t <= 24 THEN y END) AS DOUBLE) / 576.0, 6) AS DECIMAL(24,6)) AS b0,
+         |    CAST(MAX(t) AS BIGINT) AS tmax
+         |  FROM h),
+         |s0 AS (SELECT t AS i, CAST(h.y - init.l0 AS DECIMAL(24,6)) AS s
+         |       FROM h CROSS JOIN init WHERE t <= 24),
+         |rec AS (
+         |  SELECT CAST(24 AS BIGINT) AS t, CAST(NULL AS BIGINT) AS y,
+         |      init.l0 AS l, init.b0 AS b,
+         |      (SELECT list(s ORDER BY i) FROM s0) AS sl,
+         |      CAST(NULL AS DECIMAL(24,6)) AS fitted,
+         |      CAST(NULL AS DECIMAL(24,6)) AS seas
+         |    FROM init WHERE init.tmax >= 48
+         |  UNION ALL
+         |  SELECT h.t, h.y,
+         |      $lnew,
+         |      CAST(round(0.1 * ($lnew - r.l) + 0.9 * r.b, 6) AS DECIMAL(24,6)),
+         |      list_slice(r.sl, 2, 24)
+         |        || [CAST(round(0.3 * (h.y - $lnew) + 0.7 * r.sl[1], 6) AS DECIMAL(24,6))],
+         |      CAST(r.l + r.b + r.sl[1] AS DECIMAL(24,6)),
+         |      CAST(round(0.3 * (h.y - $lnew) + 0.7 * r.sl[1], 6) AS DECIMAL(24,6))
+         |    FROM rec r JOIN h ON h.t = r.t + 1)
+         |SELECT rec.t, h.hour, CAST(rec.y AS BIGINT) AS y_cents,
+         |  CAST(rec.l AS DOUBLE) AS level, CAST(rec.b AS DOUBLE) AS trend,
+         |  CAST(rec.seas AS DOUBLE) AS seasonal, CAST(rec.fitted AS DOUBLE) AS fitted
+         |FROM rec JOIN h ON rec.t = h.t WHERE rec.t >= 25
+         |ORDER BY rec.t""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val h = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(12, 2)))
+          .cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
+        .withColumn("t", row_number().over(Window.orderBy("hour")).cast("long"))
+        .select(col("t"), col("hour"), col("y"))
+        .as[(Long, java.sql.Timestamp, Long)]
+      h.groupByKey(_ => 0)
+        .flatMapGroups { (_, it) =>
+          val rows = it.toArray.sortBy(_._1)
+          if (rows.length < 48) Iterator.empty
+          else {
+            def q6(x: BigDecimal) =
+              x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            def rd6(x: Double) = BigDecimal(x).setScale(
+              6, BigDecimal.RoundingMode.HALF_UP)
+            val s1 = rows.take(24).map(_._3).sum
+            val s2 = rows.slice(24, 48).map(_._3).sum
+            var l = rd6(s1.toDouble / 24.0)
+            var b = rd6((s2 - s1).toDouble / 576.0)
+            val ring = scala.collection.mutable.Queue(
+              rows.take(24).map(r => BigDecimal(r._3) - l): _*)
+            rows.drop(24).iterator.map { case (t, hour, y) =>
+              val sOld = ring.dequeue()
+              val fitted = l + b + sOld
+              val lnew = q6(BigDecimal("0.2") * (BigDecimal(y) - sOld)
+                + BigDecimal("0.8") * (l + b))
+              val bnew = q6(BigDecimal("0.1") * (lnew - l)
+                + BigDecimal("0.9") * b)
+              val snew = q6(BigDecimal("0.3") * (BigDecimal(y) - lnew)
+                + BigDecimal("0.7") * sOld)
+              ring.enqueue(snew)
+              l = lnew; b = bnew
+              (t, hour, y, lnew.toDouble, bnew.toDouble,
+                snew.toDouble, fitted.toDouble)
+            }
+          }
+        }
+        .toDF("t", "hour", "y_cents", "level", "trend", "seasonal", "fitted")
+        .orderBy("t")
     }
   )
 }

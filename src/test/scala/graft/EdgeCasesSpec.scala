@@ -154,7 +154,8 @@ class EdgeCasesSpec extends SparkSpec {
       "markov_entropy_rate", "decision_stump", "graph_assortativity",
       "did_estimate", "ltv_curve", "last_touch_attribution",
       "spearman_corr", "mann_kendall", "levene_bf",
-      "benjamini_hochberg", "cmh_test")
+      "benjamini_hochberg", "cmh_test", "tfidf_cosine_knn", "ndcg_eval",
+      "kcore_peel", "sprt_boundary", "holt_winters")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

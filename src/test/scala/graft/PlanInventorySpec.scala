@@ -75,7 +75,10 @@ class PlanInventorySpec extends SparkSpec {
     "hurst_exponent",     // rank/slope windows over the hour census and 4-point fit
     "levene_bf",          // one-row F census (20-group rollup), broadcast back
     "benjamini_hochberg", // BH rank/step-up windows over the |sources|-row family
-    "cmh_test")           // one-row strata rollup (5 decimal sums)
+    "cmh_test",           // one-row strata rollup (5 decimal sums)
+    "tfidf_cosine_knn",   // one-row doc-count census (the idf N), broadcast back
+    "sprt_boundary",      // cumulative windows over the |days| census
+    "holt_winters")       // t-index window + single fold group, both |hours|-census-sized
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -128,7 +131,9 @@ class PlanInventorySpec extends SparkSpec {
     "ipf_raking", // one-row margin census cross-joined onto the cell census
     "hurst_exponent", // 4-row block-size dim cross-joined onto the hour census
     "levene_bf", // one-row F census cross-joined onto the group census
-    "benjamini_hochberg") // one-row (nt, ties) totals, like mann_whitney
+    "benjamini_hochberg", // one-row (nt, ties) totals, like mann_whitney
+    "tfidf_cosine_knn", // one-row doc-count census cross-joined onto the postings
+    "ndcg_eval") // broadcast query side (vec_id < 20), like ann_bruteforce
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
