@@ -17,7 +17,8 @@ object SparkEntry {
       VocabQueries.all ++ SequenceQueries.all ++ SelectionQueries.all ++
       EvalQueries.all ++ TimeSeriesQueries.all ++ GovernanceQueries.all ++
       ProseQueries.all ++ LinAlgQueries.all ++ StatQueries.all ++
-      ModelQueries.all ++ RankStatQueries.all ++ RetrievalQueries.all
+      ModelQueries.all ++ RankStatQueries.all ++ RetrievalQueries.all ++
+      AttributionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

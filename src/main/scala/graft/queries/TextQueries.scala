@@ -842,6 +842,72 @@ object TextQueries {
         .orderBy("source_1", "source_2")
     },
 
+    // JENSEN-SHANNON DIVERGENCE of each source's token distribution
+    // against the REST of the corpus (log2: JSD in [0,1]) — the
+    // distributional sibling of ks_drift (which compares scalar
+    // lengths). Algebraic scale trick: tokens ABSENT from the source
+    // contribute exactly q·log2(2)=q on the rest side, so their whole
+    // contribution collapses to one exact-integer mass term Q_miss =
+    // (N - Ns - R)/(N - Ns) — only the source's OWN vocabulary rows
+    // are ever joined, never the |vocab| x |sources| grid. Per-token
+    // terms are 9-dp-quantized then decimal-summed (order-free);
+    // sources covering the whole corpus (no rest) yield NULL.
+    Q("jsd_sources",
+      """WITH tc AS (SELECT source, tok, COUNT(*) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ctot FROM tc GROUP BY 1),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM tc GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+        |tm AS (SELECT tc.source,
+        |    CAST(c AS DOUBLE) / ns AS p,
+        |    CAST(ctot - c AS DOUBLE) / (n - ns) AS q,
+        |    CAST(ctot - c AS BIGINT) AS rest_c
+        |  FROM tc JOIN ct USING (tok) JOIN st ON tc.source = st.source
+        |  CROSS JOIN nn WHERE n > ns),
+        |terms AS (SELECT source,
+        |    CAST(round(0.5 * (p * log2(2.0 * p / (p + q))
+        |      + CASE WHEN rest_c > 0 THEN q * log2(2.0 * q / (p + q)) ELSE 0.0 END), 9)
+        |      AS DECIMAL(18,9)) AS t,
+        |    rest_c
+        |  FROM tm),
+        |agg AS (SELECT source, CAST(SUM(t) AS DECIMAL(28,9)) AS shared,
+        |    CAST(SUM(rest_c) AS BIGINT) AS r FROM terms GROUP BY 1)
+        |SELECT st.source, st.ns AS n_tokens,
+        |  CASE WHEN nn.n > st.ns
+        |    THEN round(CAST(agg.shared AS DOUBLE)
+        |      + round(0.5 * CAST(nn.n - st.ns - agg.r AS DOUBLE) / (nn.n - st.ns), 9), 6)
+        |  END AS jsd
+        |FROM st JOIN agg ON st.source = agg.source CROSS JOIN nn
+        |ORDER BY st.source""".stripMargin) { (s, dir) =>
+      val tc = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val ct = tc.groupBy("tok").agg(sum(col("c")).cast("long").as("ctot"))
+      val st = tc.groupBy("source").agg(sum(col("c")).cast("long").as("ns"))
+      val nn = tc.agg(sum(col("c")).cast("long").as("n"))
+      val p = col("c").cast("double") / col("ns")
+      val q = (col("ctot") - col("c")).cast("double") / (col("n") - col("ns"))
+      val tm = tc.join(ct, "tok").join(broadcast(st), "source")
+        .crossJoin(broadcast(nn)).filter(col("n") > col("ns"))
+        .select(col("source"),
+          round(lit(0.5) * (p * log2(lit(2.0) * p / (p + q))
+            + when(col("ctot") - col("c") > 0,
+                q * log2(lit(2.0) * q / (p + q))).otherwise(0.0)), 9)
+            .cast(DecimalType(18, 9)).as("t"),
+          (col("ctot") - col("c")).cast("long").as("rest_c"))
+      val agg = tm.groupBy("source")
+        .agg(sum(col("t")).cast(DecimalType(28, 9)).as("shared"),
+          sum(col("rest_c")).cast("long").as("r"))
+      st.join(agg, "source").crossJoin(broadcast(nn))
+        .select(col("source"), col("ns").as("n_tokens"),
+          when(col("n") > col("ns"),
+            round(col("shared").cast("double")
+              + round(lit(0.5) * (col("n") - col("ns") - col("r")).cast("double")
+                / (col("n") - col("ns")), 9), 6)).as("jsd"))
+        .orderBy("source")
+    },
+
     // quality-filter pipeline: per-doc keep/drop decision with
     // per-reason flags (the C4-style audit trail — a production
     // pipeline keeps WHY a doc was dropped, not just the survivors).

@@ -155,7 +155,8 @@ class EdgeCasesSpec extends SparkSpec {
       "did_estimate", "ltv_curve", "last_touch_attribution",
       "spearman_corr", "mann_kendall", "levene_bf",
       "benjamini_hochberg", "cmh_test", "tfidf_cosine_knn", "ndcg_eval",
-      "kcore_peel", "sprt_boundary", "holt_winters")
+      "kcore_peel", "sprt_boundary", "holt_winters",
+      "jsd_sources", "propensity_strata", "markov_attribution")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

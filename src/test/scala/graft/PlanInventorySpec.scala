@@ -78,7 +78,9 @@ class PlanInventorySpec extends SparkSpec {
     "cmh_test",           // one-row strata rollup (5 decimal sums)
     "tfidf_cosine_knn",   // one-row doc-count census (the idf N), broadcast back
     "sprt_boundary",      // cumulative windows over the |days| census
-    "holt_winters")       // t-index window + single fold group, both |hours|-census-sized
+    "holt_winters",       // t-index window + single fold group, both |hours|-census-sized
+    "jsd_sources",        // one-row corpus-total census, broadcast back
+    "propensity_strata")  // ATE windows over the <=4-row stratum census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -133,7 +135,8 @@ class PlanInventorySpec extends SparkSpec {
     "levene_bf", // one-row F census cross-joined onto the group census
     "benjamini_hochberg", // one-row (nt, ties) totals, like mann_whitney
     "tfidf_cosine_knn", // one-row doc-count census cross-joined onto the postings
-    "ndcg_eval") // broadcast query side (vec_id < 20), like ann_bruteforce
+    "ndcg_eval", // broadcast query side (vec_id < 20), like ann_bruteforce
+    "jsd_sources") // one-row corpus-total census cross-joined onto the vocab rows
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized

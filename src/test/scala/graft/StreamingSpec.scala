@@ -1442,6 +1442,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SPRT monitor matches the batch sprt_boundary rows under random arrival") {
+    import graft.streaming.StreamSprt
+    import graft.streaming.StreamSprt.OutcomeEvent
+    implicit val ctx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "purchase").as("converted"))
+      .as[OutcomeEvent].collect().toSeq
+    val rnd = new scala.util.Random(20260816L)
+    val mem = MemoryStream[OutcomeEvent]
+    val q = StreamSprt.monitor(mem.toDS(), "800 hours")
+      .writeStream.format("memory").queryName("sprt_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(250).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // heartbeat rounds (user_id < 0 never joins the census): round
+      // 1 seals all real days, round 2 seals round 1 so the final
+      // real day closes and emits
+      mem.addData(OutcomeEvent(-1L, 900000L, ts("2024-03-15 12:00:00"), false))
+      q.processAllAvailable()
+      mem.addData(OutcomeEvent(-1L, 910000L, ts("2024-06-01 12:00:00"), false))
+      q.processAllAvailable()
+      val got = spark.table("sprt_stream")
+        .as[(Timestamp, Long, Long, Double, String, Boolean)]
+        .collect().sortBy(_._1.getTime)
+      val expect = SparkEntry.queries("sprt_boundary")(spark, sf0001)
+        .as[(Timestamp, Long, Long, Double, String, Boolean)]
+        .collect().sortBy(_._1.getTime)
+      assert(got === expect,
+        "streaming SPRT diverged from the batch boundary table")
+    } finally q.stop()
+  }
+
   test("streaming attribution census matches the batch last-touch query under random arrival") {
     import graft.streaming.StreamAttribution
     import graft.streaming.StreamAttribution.TouchEvent
