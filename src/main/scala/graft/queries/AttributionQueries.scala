@@ -246,6 +246,64 @@ object AttributionQueries {
             .map(v => r6(v.toDouble / reSum.toDouble)))
       }.toDF("channel", "p_conv", "p_removed", "removal_effect", "attribution")
         .orderBy("channel")
+    },
+
+    // QINI UPLIFT CURVE: rank users by a targeting score (activity
+    // count, descending — the score a campaign would target by) and
+    // report the cumulative incremental conversions of the exposed
+    // cohort over the control baseline at every score level:
+    // Qini(r) = K1(r) - K0(r)·N1(r)/N0(r). Scale-correct ranking: the
+    // curve is emitted at SCORE-VALUE granularity — windows run over
+    // the |distinct activity| census, never a global per-user sort —
+    // which is also what makes it deterministic (no intra-tie order).
+    Q("qini_curve",
+      """WITH u AS (SELECT user_id, COUNT(*) AS cnt,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS e,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT cnt, COUNT(*) AS nu,
+        |    CAST(SUM(e) AS BIGINT) AS n1, CAST(SUM(e * o) AS BIGINT) AS k1,
+        |    CAST(SUM(1 - e) AS BIGINT) AS n0,
+        |    CAST(SUM((1 - e) * o) AS BIGINT) AS k0
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT cnt,
+        |    CAST(SUM(nu) OVER win AS BIGINT) AS n_cum,
+        |    CAST(SUM(n1) OVER win AS BIGINT) AS n1_cum,
+        |    CAST(SUM(k1) OVER win AS BIGINT) AS k1_cum,
+        |    CAST(SUM(n0) OVER win AS BIGINT) AS n0_cum,
+        |    CAST(SUM(k0) OVER win AS BIGINT) AS k0_cum
+        |  FROM c WINDOW win AS (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING))
+        |SELECT cnt AS score, n_cum, n1_cum, n0_cum, k1_cum, k0_cum,
+        |  CASE WHEN n0_cum > 0 THEN
+        |    round(CAST(k1_cum AS DOUBLE)
+        |      - CAST(k0_cum AS DOUBLE) * n1_cum / n0_cum, 6) END AS qini
+        |FROM w ORDER BY score DESC""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("o"))
+        .select(col("cnt"),
+          when(col("user_id") % 2 === 0, 1).otherwise(0).as("e"), col("o"))
+      val c = u.groupBy("cnt").agg(count(lit(1)).as("nu"),
+        sum(col("e")).cast("long").as("n1"),
+        sum(col("e") * col("o")).cast("long").as("k1"),
+        sum(lit(1) - col("e")).cast("long").as("n0"),
+        sum((lit(1) - col("e")) * col("o")).cast("long").as("k0"))
+      val win = Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select(col("cnt").as("score"),
+          sum(col("nu")).over(win).cast("long").as("n_cum"),
+          sum(col("n1")).over(win).cast("long").as("n1_cum"),
+          sum(col("n0")).over(win).cast("long").as("n0_cum"),
+          sum(col("k1")).over(win).cast("long").as("k1_cum"),
+          sum(col("k0")).over(win).cast("long").as("k0_cum"))
+        .select(col("score"), col("n_cum"), col("n1_cum"), col("n0_cum"),
+          col("k1_cum"), col("k0_cum"),
+          when(col("n0_cum") > 0,
+            round(col("k1_cum").cast("double")
+              - col("k0_cum").cast("double") * col("n1_cum") / col("n0_cum"), 6))
+            .as("qini"))
+        .orderBy(col("score").desc)
     }
   )
 }

@@ -33,6 +33,37 @@ object BehaviorQueries {
     * the whole key inside whole-stage codegen as a 16-term integer
     * expression (no UDF, no array allocation).
     */
+  /** Adds the Hilbert xy2d key of (`ux`, `vb`) — 8-bit codes — as
+    * column `d`: the classic 8-step rotate-and-accumulate recurrence
+    * over bit planes, one withColumn block per step (pure integer
+    * expressions, full codegen). The DuckDB oracle unrolls the SAME
+    * step list; BehaviorSpec pins the key against an independent
+    * Scala walk and full-grid bijectivity. */
+  private[graft] def withHilbertKey(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var df = in
+      .withColumn("x", col("ux")).withColumn("y", col("vb"))
+      .withColumn("d", lit(0L))
+    Seq(128, 64, 32, 16, 8, 4, 2, 1).foreach { sz =>
+      df = df
+        .withColumn("rx",
+          when(col("x").bitwiseAND(lit(sz.toLong)) > 0, 1).otherwise(0))
+        .withColumn("ry",
+          when(col("y").bitwiseAND(lit(sz.toLong)) > 0, 1).otherwise(0))
+        .withColumn("xn", when(col("ry") === 0,
+          when(col("rx") === 1, lit(255) - col("y")).otherwise(col("y")))
+          .otherwise(col("x")))
+        .withColumn("yn", when(col("ry") === 0,
+          when(col("rx") === 1, lit(255) - col("x")).otherwise(col("x")))
+          .otherwise(col("y")))
+        .withColumn("d", col("d")
+          + lit(sz.toLong * sz) * (lit(3) * col("rx")).bitwiseXOR(col("ry")))
+        .withColumn("x", col("xn")).withColumn("y", col("yn"))
+        .drop("rx", "ry", "xn", "yn")
+    }
+    df.drop("x", "y")
+  }
+
   private[graft] def zInterleave(ux: Column, vb: Column): Column =
     (0 until 8).map { i =>
       shiftleft(shiftright(ux, i).bitwiseAND(lit(1L)), 2 * i) +
@@ -452,6 +483,54 @@ object BehaviorQueries {
           min(col("vb")).as("v_min"), max(col("vb")).as("v_max"),
           min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
         .orderBy("zbucket")
+    },
+
+    // HILBERT-CURVE layout audit — zorder_layout's sibling with the
+    // better-locality clustering key: xy2d over the same 8-bit
+    // (user, value-bucket) codes via the classic 8-step rotate-and-
+    // accumulate recurrence (one flip/swap per bit plane), UNROLLED
+    // from one Scala step list into identical pure-integer
+    // expressions in both engines — no UDF, full codegen, exact.
+    // Same per-bucket rectangle report as zorder_layout, so the two
+    // layouts' file-skipping extents are directly comparable; a
+    // HilbertSpec-style recompute pins the key against an
+    // independent JVM walk of the same recurrence.
+    Q("hilbert_layout", {
+      val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+      val ctes = steps.zipWithIndex.map { case (s, i) =>
+        val k = i + 1
+        s"""r$k AS (SELECT ux, vb, x, y, d,
+           |  CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM g${k - 1}),
+           |g$k AS (SELECT ux, vb,
+           |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END) ELSE x END AS x,
+           |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END) ELSE y END AS y,
+           |  d + $s * $s * xor(3 * rx, ry) AS d
+           | FROM r$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (
+         |  SELECT (user_id & 255) AS ux,
+         |    GREATEST(0, LEAST(255, CAST(FLOOR(value / 3.0) AS BIGINT))) AS vb
+         |  FROM events),
+         |g0 AS (SELECT ux, vb, ux AS x, vb AS y, CAST(0 AS BIGINT) AS d FROM c),
+         |$ctes
+         |SELECT (d >> 10) AS hbucket, COUNT(*) AS n,
+         |  MIN(ux) AS u_min, MAX(ux) AS u_max,
+         |  MIN(vb) AS v_min, MAX(vb) AS v_max,
+         |  MIN(d) AS h_min, MAX(d) AS h_max
+         |FROM g${steps.length} GROUP BY hbucket ORDER BY hbucket""".stripMargin
+    }) { (s, dir) =>
+      val df = withHilbertKey(Tables.load(s, dir, "events")
+        .select(
+          col("user_id").bitwiseAND(lit(255L)).as("ux"),
+          greatest(lit(0L),
+            least(lit(255L), floor(col("value") / 3.0).cast("long"))).as("vb")))
+      df.groupBy(shiftright(col("d"), 10).as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("u_min"), max(col("ux")).as("u_max"),
+          min(col("vb")).as("v_min"), max(col("vb")).as("v_max"),
+          min(col("d")).as("h_min"), max(col("d")).as("h_max"))
+        .orderBy("hbucket")
     },
 
     // Recency-weighted engagement — the time-decay aggregate behind

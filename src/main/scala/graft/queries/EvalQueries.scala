@@ -741,6 +741,53 @@ object EvalQueries {
           round((col("n") - col("tot") / 5.0) * (col("n") - col("tot") / 5.0) /
             (col("tot") / 5.0), 6).as("chi2"))
         .orderBy("lang", "fold")
+    },
+
+    // PER-SLICE AUC — roc_auc partitioned by source: the slice-based
+    // evaluation a training pipeline runs before shipping a quality
+    // model (a global AUC hides a slice where the ranking inverts).
+    // Same doubled-rank machinery as roc_auc, with every window
+    // partitioned by the slice; single-class slices report NULL
+    // rather than a divide-by-zero.
+    Q("auc_by_source",
+      s"""WITH $duckScoreLabel,
+        |ss AS (SELECT d.source, sl.score_u, sl.label FROM sl
+        |       JOIN documents d ON sl.doc_id = d.doc_id),
+        |gg AS (SELECT source, score_u, COUNT(*) AS nx,
+        |    CAST(SUM(label) AS BIGINT) AS npos FROM ss GROUP BY 1, 2),
+        |r AS (SELECT source, npos,
+        |    2 * (SUM(nx) OVER (PARTITION BY source ORDER BY score_u ROWS UNBOUNDED PRECEDING) - nx) + nx + 1 AS r2,
+        |    CAST(SUM(nx) OVER (PARTITION BY source) AS BIGINT) AS nt
+        |  FROM gg),
+        |t AS (SELECT source, CAST(SUM(npos * r2) AS BIGINT) AS r2pos,
+        |    CAST(SUM(npos) AS BIGINT) AS n1, MAX(nt) AS nt FROM r GROUP BY 1)
+        |SELECT source, n1 AS n_pos, CAST(nt - n1 AS BIGINT) AS n_neg,
+        |  CASE WHEN n1 > 0 AND n1 < nt THEN
+        |    round((CAST(r2pos - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+        |      / (CAST(n1 AS DOUBLE) * (nt - n1)), 6) END AS auc
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val ss = scoreLabelOf(graft.Tables.parallelize(
+          docs.select("doc_id", "text")))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val gg = ss.groupBy("source", "score_u")
+        .agg(count(lit(1)).as("nx"), sum(col("label")).cast("long").as("npos"))
+      val cum = Window.partitionBy("source").orderBy("score_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("source")
+      val r = gg.select(col("source"), col("npos"),
+        (lit(2) * (sum(col("nx")).over(cum) - col("nx")) + col("nx") + 1).as("r2"),
+        sum(col("nx")).over(whole).cast("long").as("nt"))
+      val t = r.groupBy("source")
+        .agg(sum(col("npos") * col("r2")).cast("long").as("r2pos"),
+          sum(col("npos")).cast("long").as("n1"), max(col("nt")).as("nt"))
+      val aucExpr = ((col("r2pos") - col("n1") * (col("n1") + 1)).cast("double") / 2.0) /
+        (col("n1").cast("double") * (col("nt") - col("n1")))
+      val ok = col("n1") > 0 && col("n1") < col("nt")
+      t.select(col("source"), col("n1").as("n_pos"),
+          (col("nt") - col("n1")).cast("long").as("n_neg"),
+          when(ok, round(aucExpr, 6)).as("auc"))
+        .orderBy("source")
     }
   )
 }

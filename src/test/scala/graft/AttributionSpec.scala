@@ -79,6 +79,63 @@ class AttributionSpec extends SparkSpec {
     assert(rows(1).getDouble(4) === 0.9 && rows(1).getDouble(5) === 0.7)
   }
 
+  test("qini_curve: uplift concentrated in the high-activity cohort") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qini").toString
+    val t0 = Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    var id = 0L
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Timestamp, Long, String, Double, String)]
+    def user(u: Long, n: Int, conv: Boolean): Unit =
+      (0 until n).foreach { i =>
+        id += 1
+        buf += ((id, new Timestamp(t0 + i * 60000L), u,
+          if (conv && i == 0) "purchase" else "view", 1.0,
+          null.asInstanceOf[String]))
+      }
+    // high activity (10 events): exposed (even) all convert, control none
+    (1 to 5).foreach(i => user(2L * i, 10, conv = true))
+    (1 to 5).foreach(i => user(2L * i + 1, 10, conv = false))
+    // low activity (2 events): nobody converts
+    (1 to 5).foreach(i => user(100L + 2L * i, 2, conv = false))
+    (1 to 5).foreach(i => user(100L + 2L * i + 1, 2, conv = false))
+    buf.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = run("qini_curve", dir).orderBy(col("score").desc).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 2L))
+    val hi = rows(0)
+    assert(hi.getLong(2) === 5L && hi.getLong(3) === 5L)
+    assert(hi.getDouble(6) === 5.0,
+      "targeting the high-activity half captures all 5 incremental conversions")
+    val all = rows(1)
+    assert(all.getLong(1) === 20L && all.getDouble(6) === 5.0,
+      "the full-population endpoint equals total incremental conversions")
+  }
+
+  test("auc_by_source: single-class slices are NULL, mixed slices score in [0,1]") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sauc").toString
+    // 'mix': alternate docs built to pass / fail the label rule;
+    // 'lowq': 5-token docs can never be label 1 (needs 20..90 tokens)
+    val goodWords = (1 to 38).map(i => f"word$i%02dxx").mkString(" ")
+    val good = s"the a $goodWords"
+    val docs =
+      (1 to 4).map(i => (i.toLong, good, "en", "mix", good.length.toLong)) ++
+      (5 to 8).map(i => (i.toLong, "tiny short words here now", "en", "mix", 25L)) ++
+      (9 to 12).map(i => (i.toLong, "tiny short words here now", "en", "lowq", 25L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = run("auc_by_source", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows("lowq")._1 === 0L && rows("lowq")._3 === None,
+      "a slice with no positives must report NULL AUC, not crash")
+    assert(rows("mix")._1 === 4L && rows("mix")._2 === 4L)
+    val auc = rows("mix")._3.get
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("markov_attribution credits the only channel on the converting path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mattr").toString

@@ -126,6 +126,45 @@ class BehaviorSpec extends SparkSpec {
     assert(stats.getLong(1) == 0L && stats.getLong(2) == 65535L)
   }
 
+  test("hilbert key: full-grid bijection and an independent Scala walk agree") {
+    import spark.implicits._
+    // independent recompute: the textbook xy2d loop in plain Scala
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 255 - x; y = 255 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y =>
+      (x.toLong, y.toLong))).toDF("ux", "vb")
+    val keyed = BehaviorQueries.withHilbertKey(grid)
+      .select("ux", "vb", "d").as[(Long, Long, Long)].collect()
+    assert(keyed.length === 65536)
+    keyed.foreach { case (x, y, d) =>
+      assert(d === xy2d(x, y), s"hilbert key mismatch at ($x, $y)")
+    }
+    val ds = keyed.map(_._3).toSet
+    assert(ds.size === 65536 && ds.min === 0L && ds.max === 65535L,
+      "xy2d must biject the 256x256 grid onto 0..65535")
+    // adjacency: consecutive d values are grid neighbors — the
+    // locality property that makes the layout worth having
+    val byD = keyed.map(t => t._3 -> (t._1, t._2)).toMap
+    (0L until 65535L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumps between d=$d and ${d + 1}")
+    }
+  }
+
   test("zorder buckets are compact (user, value) rectangles covering all rows") {
     val rows = run("zorder_layout", sf001).collect()
     val total = rows.map(_.getLong(1)).sum

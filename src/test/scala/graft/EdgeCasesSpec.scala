@@ -156,7 +156,8 @@ class EdgeCasesSpec extends SparkSpec {
       "spearman_corr", "mann_kendall", "levene_bf",
       "benjamini_hochberg", "cmh_test", "tfidf_cosine_knn", "ndcg_eval",
       "kcore_peel", "sprt_boundary", "holt_winters",
-      "jsd_sources", "propensity_strata", "markov_attribution")
+      "jsd_sources", "propensity_strata", "markov_attribution",
+      "hilbert_layout", "auc_by_source", "qini_curve")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

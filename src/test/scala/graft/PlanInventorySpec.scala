@@ -80,7 +80,8 @@ class PlanInventorySpec extends SparkSpec {
     "sprt_boundary",      // cumulative windows over the |days| census
     "holt_winters",       // t-index window + single fold group, both |hours|-census-sized
     "jsd_sources",        // one-row corpus-total census, broadcast back
-    "propensity_strata")  // ATE windows over the <=4-row stratum census
+    "propensity_strata",  // ATE windows over the <=4-row stratum census
+    "qini_curve")         // cumulative windows over the |distinct activity| census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <

@@ -1478,6 +1478,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters matches the batch holt_winters rows under random arrival") {
+    import graft.streaming.StreamHoltWinters
+    import graft.streaming.StreamHoltWinters.HourEvent
+    implicit val ctx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("ts"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as long)").as("cents"),
+        lit(false).as("heartbeat"))
+      .as[HourEvent].collect().toSeq
+    val rnd = new scala.util.Random(20260817L)
+    val mem = MemoryStream[HourEvent]
+    val q = StreamHoltWinters.smooth(mem.toDS(), "800 hours")
+      .writeStream.format("memory").queryName("hw_stream")
+      .outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(250).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // heartbeats: round 1 seals all real hours, round 2 seals
+      // round 1 so the final real hour closes and emits
+      mem.addData(HourEvent(900000L, ts("2024-03-15 12:00:00"), 0L, true))
+      q.processAllAvailable()
+      mem.addData(HourEvent(910000L, ts("2024-06-01 12:00:00"), 0L, true))
+      q.processAllAvailable()
+      val got = spark.table("hw_stream")
+        .as[(Long, Timestamp, Long, Double, Double, Double, Double)]
+        .collect().sortBy(_._1)
+      val expect = SparkEntry.queries("holt_winters")(spark, sf0001)
+        .as[(Long, Timestamp, Long, Double, Double, Double, Double)]
+        .collect().sortBy(_._1)
+      assert(got === expect,
+        "streaming Holt-Winters diverged from the batch trajectory")
+    } finally q.stop()
+  }
+
   test("streaming attribution census matches the batch last-touch query under random arrival") {
     import graft.streaming.StreamAttribution
     import graft.streaming.StreamAttribution.TouchEvent
