@@ -304,6 +304,84 @@ object AttributionQueries {
               - col("k0_cum").cast("double") * col("n1_cum") / col("n0_cum"), 6))
             .as("qini"))
         .orderBy(col("score").desc)
+    },
+
+    // SHAPLEY ATTRIBUTION — the cooperative-game sibling of
+    // markov_attribution (removal effect) and last_touch (position
+    // rule): the exact Shapley value of each touch channel under the
+    // coalition game v(S) = observed conversion rate of users whose
+    // exact touched-channel set is S (0 for unobserved cohorts — the
+    // standard empirical convention, documented; with 4 channels all
+    // 16 cohorts are populated at any realistic scale). One scan
+    // reduces the corpus to the 16-row (mask → users, conversions)
+    // census; the 4·8 marginal terms |S|!·(3−|S|)!/4!·(v(S∪i)−v(S))
+    // are exact-factorial doubles quantized to 9 dp before the
+    // decimal sum. Efficiency (Σφ = v(full) − v(∅)) is pinned in
+    // AttributionSpec.
+    Q("shapley_attribution", {
+      val vals = Channels.zipWithIndex
+        .map { case (c, i) => s"('$c', ${1 << i})" }.mkString(", ")
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(${Channels.zipWithIndex.map { case (c, i) =>
+               s"${1 << i} * MAX(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END)"
+             }.mkString("\n       + ")} AS INTEGER) AS mask,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+         |  FROM events GROUP BY 1),
+         |cen AS (SELECT mask, COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS conv
+         |        FROM u GROUP BY 1),
+         |v AS (SELECT CAST(t.m AS INTEGER) AS m,
+         |    COALESCE(CAST(cen.conv AS DOUBLE) / cen.n, 0.0) AS v
+         |  FROM range(0, 16) t(m) LEFT JOIN cen ON t.m = cen.mask),
+         |ch AS (SELECT * FROM (VALUES $vals) AS c(channel, bit)),
+         |terms AS (SELECT ch.channel,
+         |    CAST(round(CAST(factorial(bit_count(s.m)) AS DOUBLE)
+         |      * CAST(factorial(3 - bit_count(s.m)) AS DOUBLE) / 24.0
+         |      * (w.v - s.v), 9) AS DECIMAL(12,9)) AS t
+         |  FROM ch JOIN v s ON (s.m & ch.bit) = 0
+         |          JOIN v w ON w.m = (s.m | ch.bit)),
+         |nu AS (SELECT ch.channel,
+         |    CAST(COALESCE(SUM(CASE WHEN (cen.mask & ch.bit) > 0 THEN cen.n END), 0)
+         |      AS BIGINT) AS n_users
+         |  FROM ch, cen GROUP BY 1)
+         |SELECT t.channel, nu.n_users,
+         |  round(CAST(SUM(t.t) AS DOUBLE), 6) AS phi
+         |FROM terms t JOIN nu ON t.channel = nu.channel
+         |GROUP BY 1, 2 ORDER BY t.channel""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val maskExpr = Channels.zipWithIndex.map { case (c, i) =>
+        lit(1 << i) * max(when(col("event_type") === c, 1).otherwise(0))
+      }.reduce(_ + _)
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(maskExpr.cast("int").as("mask"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("o"))
+      val cen = u.groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum(col("o")).cast("long").as("conv"))
+        .localCheckpoint(true) // <=16-row census feeds v and nu
+      val v = s.range(0, 16).select(col("id").cast("int").as("m"))
+        .join(cen, col("m") === col("mask"), "left")
+        .select(col("m"),
+          coalesce(col("conv").cast("double") / col("n"), lit(0.0)).as("v"))
+        .localCheckpoint(true) // 16 rows, self-joined below
+      val ch = Channels.zipWithIndex
+        .map { case (c, i) => (c, 1 << i) }.toDF("channel", "bit")
+      val terms = ch
+        .join(v.as("s"), col("s.m").bitwiseAND(col("bit")) === 0)
+        .join(v.as("w"), col("w.m") === col("s.m").bitwiseOR(col("bit")))
+        .select(col("channel"),
+          round(factorial(bit_count(col("s.m"))).cast("double")
+              * factorial(lit(3) - bit_count(col("s.m"))).cast("double") / 24.0
+              * (col("w.v") - col("s.v")), 9)
+            .cast(DecimalType(12, 9)).as("t"))
+      val nu = ch.join(cen, col("mask").bitwiseAND(col("bit")) > 0, "left")
+        .groupBy("channel")
+        .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n_users"))
+      terms.groupBy("channel")
+        .agg(round(sum(col("t")).cast("double"), 6).as("phi"))
+        .join(nu, "channel")
+        .select(col("channel"), col("n_users"), col("phi"))
+        .orderBy("channel")
     }
   )
 }

@@ -788,6 +788,208 @@ object EvalQueries {
           (col("nt") - col("n1")).cast("long").as("n_neg"),
           when(ok, round(aucExpr, 6)).as("auc"))
         .orderBy("source")
+    },
+
+    // ISOTONIC CALIBRATION (PAVA): the monotone-nondecreasing label
+    // rate fitted over the quality-score buckets — what turns a raw
+    // ranking score into a calibrated probability without binning
+    // artifacts. Engine split exploits the PAVA ≡ minimax theorem:
+    // Spark runs pool-adjacent-violators as ONE bounded fold over the
+    // score census (exact BigInt cross-product comparisons — no float
+    // decision anywhere), while the oracle evaluates the closed-form
+    // minimax fitted[i] = max_{j<=i} min_{k>=i} avg(y_j..y_k) with an
+    // O(census²) pair window — both yield the identical block-average
+    // rational, hence the identical double. Census is dictionary-
+    // bounded (score_u ∈ [0, 1e6]), so both sides are corpus-free.
+    Q("isotonic_calibration",
+      s"""WITH $duckScoreLabel,
+        |gg AS (SELECT score_u, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS k
+        |       FROM sl GROUP BY 1),
+        |o AS (SELECT score_u, n, k, row_number() OVER w AS i,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+        |    CAST(SUM(k) OVER w AS BIGINT) AS ck
+        |  FROM gg WINDOW w AS (ORDER BY score_u ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT a.i AS j, b.i AS ke,
+        |    CAST(b.ck - a.ck + a.k AS DOUBLE) / (b.cn - a.cn + a.n) AS avgr
+        |  FROM o a JOIN o b ON a.i <= b.i),
+        |mn AS (SELECT j, ke AS i,
+        |    MIN(avgr) OVER (PARTITION BY j ORDER BY ke DESC ROWS UNBOUNDED PRECEDING) AS sufmin
+        |  FROM p),
+        |iso AS (SELECT i, MAX(sufmin) AS fitted FROM mn GROUP BY i)
+        |SELECT o.score_u, o.n, o.k, round(iso.fitted, 6) AS fitted
+        |FROM o JOIN iso ON o.i = iso.i ORDER BY o.score_u""".stripMargin) { (s, dir) =>
+      val gg = scoreLabelOf(graft.Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "text")))
+        .groupBy("score_u")
+        .agg(count(lit(1)).as("n"), sum(col("label")).cast("long").as("k"))
+      import s.implicits._
+      gg.select(col("score_u"), col("n").cast("long"), col("k"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_ => 0)
+        .flatMapGroups { (_, it) =>
+          val rows = it.toArray.sortBy(_._1)
+          // PAVA stack of blocks (n, k, #buckets); pool while the
+          // previous block's rate exceeds the incoming one — decided
+          // by exact integer cross-products, never floats
+          val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          rows.foreach { case (_, n, k) =>
+            var (bn, bk, bc) = (n, k, 1)
+            while (st.nonEmpty &&
+                BigInt(st.last._2) * bn > BigInt(bk) * st.last._1) {
+              val (pn, pk, pc) = st.remove(st.length - 1)
+              bn += pn; bk += pk; bc += pc
+            }
+            st += ((bn, bk, bc))
+          }
+          val fitted = st.iterator.flatMap { case (bn, bk, bc) =>
+            Iterator.fill(bc)(
+              BigDecimal(bk.toDouble / bn.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }.toArray
+          rows.iterator.zip(fitted.iterator).map { case ((sc, n, k), fv) =>
+            (sc, n, k, fv)
+          }
+        }
+        .toDF("score_u", "n", "k", "fitted")
+        .orderBy("score_u")
+    },
+
+    // POPULATION STABILITY INDEX — the scorecard-industry drift
+    // metric (sibling of ks_drift/jsd_sources, but THE number risk
+    // teams alert on): per source, PSI of the quality-score
+    // distribution against the whole-corpus reference over the 11
+    // fixed score bins, Laplace-smoothed ((cnt+1)/(n+11)) so empty
+    // bins contribute finite terms instead of ln(0). Everything after
+    // the one (source × bin) aggregation is census-sized; per-bin
+    // terms quantize to 9 dp before the decimal sum. The standard
+    // thresholds label the verdict: <0.1 stable, <0.25 moderate,
+    // else major.
+    Q("psi_drift",
+      s"""WITH $duckScoreLabel,
+        |sd AS (SELECT d.source, sl.score_u FROM sl
+        |       JOIN documents d ON sl.doc_id = d.doc_id),
+        |bc AS (SELECT source, score_u // 100000 AS bin, COUNT(*) AS cnt
+        |       FROM sd GROUP BY 1, 2),
+        |src AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS ns FROM bc GROUP BY 1),
+        |tot AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS ct FROM bc GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM bc),
+        |grid AS (SELECT s.source, s.ns, t.m AS bin
+        |         FROM src s CROSS JOIN range(0, 11) t(m)),
+        |p AS (SELECT g.source, g.ns,
+        |    CAST(COALESCE(b.cnt, 0) + 1 AS DOUBLE) / (g.ns + 11) AS pa,
+        |    CAST(COALESCE(tt.ct, 0) + 1 AS DOUBLE) / (nn.nt + 11) AS pe
+        |  FROM grid g
+        |  LEFT JOIN bc b ON g.source = b.source AND g.bin = b.bin
+        |  LEFT JOIN tot tt ON g.bin = tt.bin, nn),
+        |t AS (SELECT source, ns AS n_docs,
+        |    round(CAST(SUM(CAST(round((pa - pe) * ln(pa / pe), 9)
+        |      AS DECIMAL(12,9))) AS DOUBLE), 6) AS psi
+        |  FROM p GROUP BY 1, 2)
+        |SELECT source, n_docs, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'major' END AS verdict
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sd = scoreLabelOf(graft.Tables.parallelize(
+          docs.select("doc_id", "text")))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val bc = sd.groupBy(col("source"), expr("score_u div 100000").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // (source x bin) census feeds 3 rollups
+      val src = bc.groupBy("source").agg(sum(col("cnt")).cast("long").as("ns"))
+      val tot = bc.groupBy("bin").agg(sum(col("cnt")).cast("long").as("ct"))
+      val nn = bc.agg(sum(col("cnt")).cast("long").as("nt"))
+      val grid = src.crossJoin(s.range(0, 11).select(col("id").as("bin")))
+      val p = grid
+        .join(bc.withColumnRenamed("cnt", "bcnt"), Seq("source", "bin"), "left")
+        .join(broadcast(tot), Seq("bin"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("ns"),
+          ((coalesce(col("bcnt"), lit(0L)) + 1).cast("double") /
+            (col("ns") + 11)).as("pa"),
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + 11)).as("pe"))
+      val t = p.groupBy(col("source"), col("ns").as("n_docs"))
+        .agg(round(sum(round((col("pa") - col("pe")) *
+            log(col("pa") / col("pe")), 9).cast(DecimalType(12, 9)))
+          .cast("double"), 6).as("psi"))
+      t.select(col("source"), col("n_docs"), col("psi"),
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "moderate")
+            .otherwise("major").as("verdict"))
+        .orderBy("source")
+    },
+
+    // BRIER SCORE + MURPHY DECOMPOSITION — the proper-scoring-rule
+    // audit of the quality scorer (Murphy '73): the exact per-row
+    // Brier score (integer sums: score_u and label both live on the
+    // 1e6 grid, so Σ(score_u − label·1e6)² is an exact BIGINT), and
+    // the binned reliability / resolution / uncertainty decomposition
+    // over the same 11 calibration bins as score_calibration. With
+    // non-constant forecasts inside a bin the exact identity is
+    // brier = reliability − resolution + uncertainty + (within-bin
+    // forecast variance − 2·within-bin forecast-outcome covariance)
+    // (the generalized decomposition, Stephenson et al. '08);
+    // within_bin reports that combined residual — NEGATIVE when
+    // forecasts discriminate even inside a bin. One scan+census math.
+    Q("brier_decomposition",
+      s"""WITH $duckScoreLabel,
+        |bb AS (SELECT score_u // 100000 AS bin, COUNT(*) AS nk,
+        |    CAST(SUM(score_u) AS BIGINT) AS su,
+        |    CAST(SUM(label) AS BIGINT) AS kk,
+        |    CAST(SUM((score_u - label * 1000000) * (score_u - label * 1000000)) AS BIGINT) AS sq
+        |  FROM sl GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(kk) AS BIGINT) AS k,
+        |    CAST(SUM(sq) AS BIGINT) AS sq FROM bb),
+        |tm AS (SELECT
+        |    CAST(round(CAST(bb.nk AS DOUBLE) / gt.n
+        |      * (CAST(bb.su AS DOUBLE) / bb.nk / 1000000.0 - CAST(bb.kk AS DOUBLE) / bb.nk)
+        |      * (CAST(bb.su AS DOUBLE) / bb.nk / 1000000.0 - CAST(bb.kk AS DOUBLE) / bb.nk), 9)
+        |      AS DECIMAL(12,9)) AS rel,
+        |    CAST(round(CAST(bb.nk AS DOUBLE) / gt.n
+        |      * (CAST(bb.kk AS DOUBLE) / bb.nk - CAST(gt.k AS DOUBLE) / gt.n)
+        |      * (CAST(bb.kk AS DOUBLE) / bb.nk - CAST(gt.k AS DOUBLE) / gt.n), 9)
+        |      AS DECIMAL(12,9)) AS res
+        |  FROM bb, gt),
+        |dd AS (SELECT round(CAST(SUM(rel) AS DOUBLE), 6) AS reliability,
+        |    round(CAST(SUM(res) AS DOUBLE), 6) AS resolution FROM tm)
+        |SELECT gt.n AS n_docs,
+        |  round(CAST(gt.sq AS DOUBLE) / gt.n / 1e12, 6) AS brier,
+        |  dd.reliability, dd.resolution,
+        |  round(CAST(gt.k AS DOUBLE) / gt.n * (1.0 - CAST(gt.k AS DOUBLE) / gt.n), 6) AS uncertainty,
+        |  round(CAST(gt.sq AS DOUBLE) / gt.n / 1e12
+        |    - dd.reliability + dd.resolution
+        |    - CAST(gt.k AS DOUBLE) / gt.n * (1.0 - CAST(gt.k AS DOUBLE) / gt.n), 6) AS within_bin
+        |FROM gt, dd""".stripMargin) { (s, dir) =>
+      val sl = scoreLabel(s, dir)
+      val b = sl.groupBy(expr("score_u div 100000").as("bin"))
+        .agg(count(lit(1)).as("nk"), sum(col("score_u")).cast("long").as("su"),
+          sum(col("label")).cast("long").as("kk"),
+          sum((col("score_u") - col("label") * 1000000L) *
+            (col("score_u") - col("label") * 1000000L)).cast("long").as("sq"))
+        .localCheckpoint(true) // 11-row census feeds both rollups
+      val g = b.agg(sum(col("nk")).cast("long").as("n"),
+        sum(col("kk")).cast("long").as("k"),
+        sum(col("sq")).cast("long").as("sqt"))
+      val fk = col("su").cast("double") / col("nk") / 1000000.0
+      val ok = col("kk").cast("double") / col("nk")
+      val obar = col("k").cast("double") / col("n")
+      val t = b.crossJoin(broadcast(g))
+        .select(
+          round(col("nk").cast("double") / col("n") *
+            (fk - ok) * (fk - ok), 9).cast(DecimalType(12, 9)).as("rel"),
+          round(col("nk").cast("double") / col("n") *
+            (ok - obar) * (ok - obar), 9).cast(DecimalType(12, 9)).as("res"))
+      val d = t.agg(round(sum(col("rel")).cast("double"), 6).as("reliability"),
+        round(sum(col("res")).cast("double"), 6).as("resolution"))
+      g.crossJoin(broadcast(d))
+        .select(col("n").as("n_docs"),
+          round(col("sqt").cast("double") / col("n") / 1e12, 6).as("brier"),
+          col("reliability"), col("resolution"),
+          round(obar * (lit(1.0) - obar), 6).as("uncertainty"),
+          round(col("sqt").cast("double") / col("n") / lit(1e12)
+            - col("reliability") + col("resolution")
+            - obar * (lit(1.0) - obar), 6).as("within_bin"))
     }
   )
 }

@@ -52,6 +52,41 @@ object GovernanceQueries {
         .orderBy("group_size")
     },
 
+    // L-DIVERSITY audit — k_anonymity's sensitive-attribute sibling:
+    // within each quasi-identifier group (the SAME QI as
+    // k_anonymity), how many DISTINCT sensitive values (the linked
+    // orders' priority) appear? A group with l = 1 leaks its
+    // sensitive value to anyone who can place a row in it, however
+    // large k is. Census histogram over (l -> groups); customers
+    // without orders have no sensitive value exposed and drop out.
+    Q("l_diversity",
+      """WITH j AS (SELECT c.c_nationkey, c.c_mktsegment,
+        |    CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    o.o_orderpriority
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+        |g AS (SELECT c_nationkey, c_mktsegment, band,
+        |    COUNT(*) AS k, COUNT(DISTINCT o_orderpriority) AS l
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT l, COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS BIGINT) AS rows_leaking
+        |FROM g GROUP BY l ORDER BY l""".stripMargin) { (s, dir) =>
+      val j = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"),
+          col("o_orderpriority"))
+      j.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("o_orderpriority")).as("l"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("k")).cast("long").as("n_rows"),
+          sum(when(col("l") === 1, col("k")).otherwise(0L))
+            .cast("long").as("rows_leaking"))
+        .orderBy("l")
+    },
+
     // generalization-ladder sweep: the SAME QI at three acctbal band
     // widths — pick the coarsest level whose min group size clears the
     // k>=5 bar (wider bands generalize more, so min_k is monotone in

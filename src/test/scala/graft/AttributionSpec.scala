@@ -169,4 +169,44 @@ class AttributionSpec extends SparkSpec {
         s"$c is never on a converting path: zero effect, zero credit")
     }
   }
+
+  test("shapley_attribution: symmetry and efficiency on a planted coalition game") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shap").toString
+    var id = 0L
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Timestamp, Long, String, Double, String)]
+    val t0 = Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    def user(u: Long, chans: Seq[String], conv: Boolean): Unit = {
+      (chans ++ (if (conv) Seq("purchase") else Nil)).zipWithIndex.foreach {
+        case (c, i) =>
+          id += 1
+          buf += ((id, new Timestamp(t0 + i * 60000L), u, c, 1.0,
+            null.asInstanceOf[String]))
+      }
+    }
+    // click and view are exchangeable by construction:
+    // v({c}) = v({v}) = 0.5, v({c,v}) = 1.0, everything else unobserved
+    (1 to 10).foreach(i => user(i.toLong, Seq("click"), i <= 5))
+    (1 to 10).foreach(i => user(100L + i, Seq("view"), i <= 5))
+    (1 to 10).foreach(i => user(200L + i, Seq("click", "view"), conv = true))
+    buf.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = run("shapley_attribution", dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("click").getLong(1) === 20L && rows("view").getLong(1) === 20L)
+    assert(rows("error").getLong(1) === 0L && rows("signup").getLong(1) === 0L)
+    // SYMMETRY: exchangeable players get identical Shapley values
+    assert(rows("click").getDouble(2) === rows("view").getDouble(2))
+    assert(rows("error").getDouble(2) === rows("signup").getDouble(2))
+    // EFFICIENCY: sum of phis = v(full set) - v(empty) = 0 - 0 here
+    // (the full 4-channel coalition is unobserved -> v = 0 by the
+    // documented convention); exact up to the 9-dp term quantization
+    val tot = rows.values.map(_.getDouble(2)).sum
+    assert(math.abs(tot) < 1e-6, s"efficiency violated: sum phi = $tot")
+    // the observed-cohort channels carry positive credit, paid for by
+    // the never-touched channels' negative marginals onto v=0 cohorts
+    assert(rows("click").getDouble(2) > 0.0)
+    assert(rows("error").getDouble(2) < 0.0)
+  }
 }

@@ -157,7 +157,10 @@ class EdgeCasesSpec extends SparkSpec {
       "benjamini_hochberg", "cmh_test", "tfidf_cosine_knn", "ndcg_eval",
       "kcore_peel", "sprt_boundary", "holt_winters",
       "jsd_sources", "propensity_strata", "markov_attribution",
-      "hilbert_layout", "auc_by_source", "qini_curve")
+      "hilbert_layout", "auc_by_source", "qini_curve",
+      "isotonic_calibration", "l_diversity",
+      "overdispersion_fit", "poisson_em",
+      "psi_drift", "brier_decomposition", "shapley_attribution")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

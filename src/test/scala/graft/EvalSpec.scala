@@ -446,4 +446,63 @@ class EvalSpec extends SparkSpec {
       }
     } finally plan.unpersist()
   }
+
+  // ---- isotonic_calibration ----
+
+  test("isotonic fit is monotone, mass-preserving, and interval-bounded") {
+    val rows = run("isotonic_calibration").orderBy("score_u").collect()
+    assert(rows.nonEmpty)
+    val fits = rows.map(_.getDouble(3))
+    fits.zip(fits.tail).foreach { case (a, b) =>
+      assert(a <= b, "fitted rate must be non-decreasing in score")
+    }
+    fits.foreach(f => assert(f >= 0.0 && f <= 1.0))
+    // PAVA preserves total mass: sum n_i * fitted_i = sum k_i (exact
+    // in rationals; 6-dp rounding leaves sub-1e-3 residue here)
+    val mass = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val pos = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(mass - pos) < 1e-2, s"mass $mass != positives $pos")
+    // the fit is a STEP function coarser than the raw rates: blocks
+    // of equal fitted values cover every violation of monotonicity
+    val raw = rows.map(r => r.getLong(2).toDouble / r.getLong(1))
+    assert(raw.zip(fits).exists { case (r, f) => r != f },
+      "the real corpus has at least one adjacent-violator pool")
+  }
+
+  // ---- psi_drift / brier_decomposition ----
+
+  test("psi_drift: nonnegative, and a source matching the corpus mix scores ~0") {
+    val rows = run("psi_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // PSI is a sum of (pa-pe)ln(pa/pe) terms, each >= 0
+      assert(r.getDouble(2) >= 0.0, s"${r.getString(0)} psi negative")
+      val v = r.getString(3)
+      val psi = r.getDouble(2)
+      assert(v === (if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "major"))
+    }
+  }
+
+  test("brier decomposition closes: brier = rel - res + unc + within_bin") {
+    val r = run("brier_decomposition").collect().head
+    val (brier, rel, res, unc, wb) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(brier >= 0.0 && brier <= 1.0)
+    assert(rel >= 0.0 && res >= 0.0 && unc >= 0.0 && unc <= 0.25)
+    // within_bin is the exact residual by construction (wbv - 2*wbc in
+    // the generalized decomposition — negative when forecasts still
+    // discriminate inside a bin); it is bounded by the bin width term
+    assert(math.abs(wb) < 0.05, s"within-bin residual $wb out of range")
+    assert(math.abs(brier - (rel - res + unc + wb)) < 3e-6)
+    // resolution can never exceed uncertainty (law of total variance)
+    assert(res <= unc + 1e-6)
+  }
+
+  test("auc_by_source slices are consistent with the global ranking machinery") {
+    val global = run("roc_auc").collect().head
+    val slices = run("auc_by_source").collect()
+    assert(slices.map(r => r.getLong(1) + r.getLong(2)).sum ===
+      global.getLong(0) + global.getLong(1),
+      "slice populations must partition the scored corpus")
+  }
 }

@@ -81,7 +81,11 @@ class PlanInventorySpec extends SparkSpec {
     "holt_winters",       // t-index window + single fold group, both |hours|-census-sized
     "jsd_sources",        // one-row corpus-total census, broadcast back
     "propensity_strata",  // ATE windows over the <=4-row stratum census
-    "qini_curve")         // cumulative windows over the |distinct activity| census
+    "qini_curve",         // cumulative windows over the |distinct activity| census
+    "overdispersion_fit", // one-row three-moment rollup of the user census
+    "poisson_em",         // one-row param rows per EM round over the count census
+    "psi_drift",          // one-row corpus-total census onto the (source x bin) grid
+    "brier_decomposition") // one-row moment rollups of the 11-bin census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -137,7 +141,11 @@ class PlanInventorySpec extends SparkSpec {
     "benjamini_hochberg", // one-row (nt, ties) totals, like mann_whitney
     "tfidf_cosine_knn", // one-row doc-count census cross-joined onto the postings
     "ndcg_eval", // broadcast query side (vec_id < 20), like ann_bruteforce
-    "jsd_sources") // one-row corpus-total census cross-joined onto the vocab rows
+    "jsd_sources", // one-row corpus-total census cross-joined onto the vocab rows
+    "poisson_em", // one-row param row cross-joined onto the count census per EM round
+    "psi_drift", // 11-row bin grid + one-row corpus total onto the source census
+    "brier_decomposition", // one-row global moments onto the 11-bin census
+    "shapley_attribution") // 16-row coalition-value table self-paired per channel
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
