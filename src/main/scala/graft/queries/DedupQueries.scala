@@ -1598,6 +1598,40 @@ object DedupQueries {
       }
       e.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
         .orderBy("doc_id")
+    },
+
+    // FUZZY ENTITY RESOLUTION via a NATIVE Jaro-Winkler expression —
+    // the string-comparator leg of the er_field_weights linkage rule:
+    // within each p_brand block, every part-name pair scoring
+    // jw >= 0.9 (the standard ER match band; edit distance
+    // over-penalizes the transpositions JW is built for). Spark has
+    // no jaro_winkler, so this runs graft.functions.JaroWinkler — a
+    // codegen BinaryExpression pinned bitwise-identical to DuckDB's
+    // built-in (fuzz + fixtures in JaroWinklerProps), which is what
+    // makes this 6-dp hash-exact oracle possible at all. Blocked-ER
+    // scale shape: the equi-join on the block key shuffles once and
+    // the quadratic expansion is block-bounded (the bucketPairs
+    // discipline); the comparator fuses into the generated join loop.
+    Q("er_jaro_winkler",
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
+        |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+        |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_name")
+      val a = p.toDF("key_a", "p_brand", "name_a")
+      val b = p.toDF("key_b", "p_brand", "name_b")
+      a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("p_brand"), col("key_a"), col("key_b"),
+          col("name_a"), col("name_b"),
+          round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6)
+            .as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy("key_a", "key_b")
     }
   )
 }

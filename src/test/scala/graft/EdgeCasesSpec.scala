@@ -137,7 +137,8 @@ class EdgeCasesSpec extends SparkSpec {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.parquet(s"$dir/lineitem.parquet")
-    Seq((1L, "p1")).toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    Seq((1L, "p1", "Brand#1")).toDF("p_partkey", "p_name", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
     Seq((1L, "s1")).toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
     Seq((0, "nation0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
       .write.parquet(s"$dir/nation.parquet")
@@ -160,7 +161,8 @@ class EdgeCasesSpec extends SparkSpec {
       "hilbert_layout", "auc_by_source", "qini_curve",
       "isotonic_calibration", "l_diversity",
       "overdispersion_fit", "poisson_em",
-      "psi_drift", "brier_decomposition", "shapley_attribution")
+      "psi_drift", "brier_decomposition", "shapley_attribution",
+      "er_jaro_winkler")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>
