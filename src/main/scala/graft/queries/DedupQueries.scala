@@ -1632,6 +1632,44 @@ object DedupQueries {
             .as("jw"))
         .filter(col("jw") >= 0.9)
         .orderBy("key_a", "key_b")
+    },
+
+    // TYPO-DISTANCE CENSUS via a NATIVE full Damerau-Levenshtein —
+    // er_jaro_winkler's integer-exact sibling: the distribution of
+    // transposition-aware edit distances over every blocked pair
+    // (what an ER rule author reads to place the match threshold:
+    // the gap between the dl<=2 near-dup mass and the background).
+    // graft.functions.DamerauLevenshtein is the unrestricted
+    // Lowrance-Wagner distance, pinned to DuckDB's
+    // damerau_levenshtein (dl("CA","ABC") = 2, not OSA's 3). Every
+    // pair is exercised and the output is a ≤|name-length| census;
+    // integer sums, zero float risk. Same blocked-ER scale shape as
+    // er_jaro_winkler.
+    Q("er_damerau_census",
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+        |d AS (SELECT damerau_levenshtein(a.p_name, b.p_name) AS dl
+        |      FROM p a JOIN p b
+        |      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        |SELECT dl, COUNT(*) AS n_pairs,
+        |  CAST(SUM(COUNT(*)) OVER (ORDER BY dl ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_within
+        |FROM d GROUP BY dl ORDER BY dl""".stripMargin) { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_name")
+      val a = p.toDF("key_a", "p_brand", "name_a")
+      val b = p.toDF("key_b", "p_brand", "name_b")
+      val d = a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b"))
+        .select(graft.functions.DamerauLevenshtein(
+          col("name_a"), col("name_b")).as("dl"))
+      d.groupBy("dl").agg(count(lit(1)).as("n_pairs"))
+        .select(col("dl"), col("n_pairs"),
+          sum(col("n_pairs")).over(org.apache.spark.sql.expressions.Window
+            .orderBy("dl")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow))
+            .cast("long").as("n_within"))
+        .orderBy("dl")
     }
   )
 }

@@ -85,7 +85,8 @@ class PlanInventorySpec extends SparkSpec {
     "overdispersion_fit", // one-row three-moment rollup of the user census
     "poisson_em",         // one-row param rows per EM round over the count census
     "psi_drift",          // one-row corpus-total census onto the (source x bin) grid
-    "brier_decomposition") // one-row moment rollups of the 11-bin census
+    "brier_decomposition", // one-row moment rollups of the 11-bin census
+    "er_damerau_census")  // cumulative window over the <=|name| distance census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
