@@ -49,31 +49,62 @@ object DamerauLevenshtein {
     GraftSqlBridge.column(DamerauLevenshtein(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  // Hot-loop buffers, reused per task thread: this comparator runs
+  // inside a generated blocked-join loop at millions of calls per
+  // task, so per-call garbage (the DP matrix + a boxed HashMap in the
+  // naive form) dominates. Capped so a one-off giant string cannot pin
+  // a huge buffer on every executor thread forever.
+  private final val MaxCachedCells = 256 * 256
+  private val dpBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](0)
+  }
+  private val occBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](128)
+  }
+
   /** Static distance the generated code calls (codepoint symbols). */
   def dist(ua: UTF8String, ub: UTF8String): Long = {
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
+    val ascii = ua.isFullAscii && ub.isFullAscii
+    val a = StringSymbols.of(ua)
+    val b = StringSymbols.of(ub)
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0) return l2.toLong
     if (l2 == 0) return l1.toLong
     val inf = l1 + l2
-    // (l1+2) x (l2+2) matrix with the Lowrance-Wagner sentinel border
+    // (l1+2) x (l2+2) matrix with the Lowrance-Wagner sentinel border.
+    // Reuse is safe without clearing: every cell the DP reads (sentinel
+    // row 0, sentinel column 0, the i/j borders, and interior cells of
+    // rows <= the current one) is written earlier in THIS call.
     val w = l2 + 2
-    val d = new Array[Int]((l1 + 2) * w)
+    val cells = (l1 + 2) * w
+    val d =
+      if (cells > MaxCachedCells) new Array[Int](cells)
+      else {
+        var m = dpBuf.get()
+        if (m.length < cells) { m = new Array[Int](cells); dpBuf.set(m) }
+        m
+      }
     d(0) = inf
     var i = 0
     while (i <= l1) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
     while (j <= l2) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
-    // last row index (1-based) where each symbol occurred in `a`
-    val da = new java.util.HashMap[Integer, Integer]()
+    // last row index (1-based) where each symbol occurred in `a`:
+    // a flat 128-slot table on the ASCII fast path (cleared in O(128),
+    // tiny next to the O(l1*l2) DP), a boxed map only for non-ASCII.
+    val occ: Array[Int] = if (ascii) {
+      val o = occBuf.get(); java.util.Arrays.fill(o, 0); o
+    } else null
+    val da = if (ascii) null else new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= l1) {
       var db = 0
       j = 1
       while (j <= l2) {
-        val k = { val v = da.get(b(j - 1)); if (v == null) 0 else v.intValue() }
+        val k =
+          if (ascii) occ(b(j - 1))
+          else { val v = da.get(b(j - 1)); if (v == null) 0 else v.intValue() }
         val l = db
         val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         var m = d(i * w + j) + cost                    // substitution / match
@@ -86,9 +117,26 @@ object DamerauLevenshtein {
         d((i + 1) * w + j + 1) = m
         j += 1
       }
-      da.put(a(i - 1), i)
+      if (ascii) occ(a(i - 1)) = i else da.put(a(i - 1), i)
       i += 1
     }
     d((l1 + 1) * w + l2 + 1).toLong
   }
+}
+
+/** Shared symbol extraction for the string comparators: one int per
+  * Unicode codepoint. Pure-ASCII input (the common case for the
+  * identifier-ish strings ER blocks compare) reads bytes straight off
+  * the UTF8String — no String copy, no IntStream — which is the bulk
+  * of the per-call cost for short strings.
+  */
+private[functions] object StringSymbols {
+  def of(u: UTF8String): Array[Int] =
+    if (u.isFullAscii) {
+      val n = u.numBytes()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = u.getByte(i); i += 1 }
+      out
+    } else u.toString.codePoints().toArray
 }

@@ -56,8 +56,8 @@ object JaroWinkler {
     * unit DuckDB uses).
     */
   def sim(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
+    val a = StringSymbols.of(ua)
+    val b = StringSymbols.of(ub)
     val l1 = a.length
     val l2 = b.length
     // DuckDB convention: ANY empty side (including both) scores 0.0

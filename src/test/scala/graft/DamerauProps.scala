@@ -61,4 +61,29 @@ class DamerauProps extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("damerau_levenshtein"),
       s"codegen lost:\n$plan")
   }
+
+  test("ASCII fast path == generic codepoint path (shift bijection)") {
+    // Both comparators depend only on the symbol-EQUALITY pattern and
+    // lengths, so shifting every ASCII char into the CJK plane (a
+    // bijection) forces the non-ASCII generic path and must give the
+    // exact same distance/similarity as the ASCII fast path.
+    def shift(s: String): String =
+      s.map(c => (c + 0x4E00).toChar).mkString
+    val rnd = new scala.util.Random(11)
+    def word(): String =
+      Seq.fill(rnd.nextInt(24))(('a' + rnd.nextInt(5)).toChar).mkString
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (word(), word())
+      assert(dl(a, b) === dl(shift(a), shift(b)),
+        s"DL path divergence on '$a' '$b'")
+      val jwA = graft.functions.JaroWinkler.sim(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val jwG = graft.functions.JaroWinkler.sim(
+        UTF8String.fromString(shift(a)), UTF8String.fromString(shift(b)))
+      assert(jwA === jwG, s"JW path divergence on '$a' '$b'")
+    }
+    // supplementary-plane sanity: codepoints (not UTF-16 units) are the
+    // comparison symbol, so one emoji counts as ONE edit
+    assert(dl("a😀b", "ab") === 1L)
+  }
 }
