@@ -162,7 +162,9 @@ class EdgeCasesSpec extends SparkSpec {
       "isotonic_calibration", "l_diversity",
       "overdispersion_fit", "poisson_em",
       "psi_drift", "brier_decomposition", "shapley_attribution",
-      "er_jaro_winkler", "er_damerau_census")
+      "er_jaro_winkler", "er_damerau_census",
+      "anova_f", "kruskal_wallis", "cohens_kappa", "mcnemar_test",
+      "kendall_tau_daily")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

@@ -86,7 +86,12 @@ class PlanInventorySpec extends SparkSpec {
     "poisson_em",         // one-row param rows per EM round over the count census
     "psi_drift",          // one-row corpus-total census onto the (source x bin) grid
     "brier_decomposition", // one-row moment rollups of the 11-bin census
-    "er_damerau_census")  // cumulative window over the <=|name| distance census
+    "er_damerau_census",  // cumulative window over the <=|name| distance census
+    "anova_f",            // one-row moment rollups (k, nt, gx, term sum)
+    "kruskal_wallis",     // rank cumsum over the length census + one-row totals
+    "cohens_kappa",       // one-row confusion census
+    "mcnemar_test",       // one-row discordant-cell census
+    "kendall_tau_daily")  // one-row pair rollup of the |days| census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -146,7 +151,10 @@ class PlanInventorySpec extends SparkSpec {
     "poisson_em", // one-row param row cross-joined onto the count census per EM round
     "psi_drift", // 11-row bin grid + one-row corpus total onto the source census
     "brier_decomposition", // one-row global moments onto the 11-bin census
-    "shapley_attribution") // 16-row coalition-value table self-paired per channel
+    "shapley_attribution", // 16-row coalition-value table self-paired per channel
+    "anova_f",            // one-row moment rollups cross-joined together
+    "kruskal_wallis",     // one-row (k, ssum) x (nt, ties) rollups cross-joined
+    "kendall_tau_daily")  // |days|-row census self-paired (a.d < b.d)
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
