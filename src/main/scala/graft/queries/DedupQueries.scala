@@ -1681,6 +1681,86 @@ object DedupQueries {
               org.apache.spark.sql.expressions.Window.currentRow))
             .cast("long").as("n_within"))
         .orderBy("dl")
+    },
+
+    // ADAMIC-ADAR LINK PREDICTION (Adamic & Adar '03) over the
+    // rare-shingle EVIDENCE graph — the "which pairs did the evidence
+    // threshold miss?" ranker. Edges are pairs sharing >= 2 df=2
+    // shingles (each df=2 shingle names exactly ONE pair, so edge
+    // derivation is LINEAR in the shingle census — no banding, no
+    // all-pairs); on the banded near-dup graph this query is vacuous
+    // by construction (dup_triangles shows closure 1.0), while the
+    // evidence graph leaves open wedges. Score(u,w) =
+    // Σ_{v∈N(u)∩N(w)} 1/ln(deg v): shared LOW-degree neighbors carry
+    // more surprise. Common neighbors via a two-hop self-join on the
+    // symmetrized edges, existing edges anti-joined away. Float
+    // discipline: each neighbor's 1/ln(deg) is rounded to 12 dp and
+    // summed AS DECIMAL (order-free), one final double. Scale: the
+    // two-hop expansion groups by the mid node, so its cost is
+    // Σ deg(v)² over an evidence-thresholded sparse graph (max degree
+    // 5 on the fixture) — the dup_triangles bound, cappable by the
+    // same hot-bucket discipline as candidate generation.
+    Q("adamic_adar",
+      s"""$shingleCtes,
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM dsh GROUP BY 1),
+         |rare AS (SELECT d.doc_id, d.shingle FROM dsh d
+         |         JOIN dfq ON d.shingle = dfq.shingle WHERE dfq.df = 2),
+         |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM rare x JOIN rare y
+         |          ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         |        FROM edges GROUP BY 1),
+         |hop AS (SELECT e1.u AS d1, e2.v AS d2, e1.v AS mid
+         |        FROM edges e1 JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v),
+         |cand AS (SELECT h.d1, h.d2, dd.degree FROM hop h
+         |         JOIN deg dd ON h.mid = dd.node
+         |         LEFT JOIN pairs p ON p.d1 = h.d1 AND p.d2 = h.d2
+         |         WHERE p.d1 IS NULL),
+         |agg AS (SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    SUM(CASE WHEN degree > 1
+         |      THEN CAST(round(1.0 / ln(degree), 12) AS DECIMAL(14,12))
+         |      ELSE CAST(0 AS DECIMAL(14,12)) END) AS s
+         |  FROM cand GROUP BY 1, 2)
+         |SELECT d1, d2, n_common, round(CAST(s AS DOUBLE), 6) AS aa_score
+         |FROM agg ORDER BY aa_score DESC, d1, d2 LIMIT 50""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val dsh = Dedup.distinctShingles(docs.select("doc_id", "text"),
+        "doc_id", "text")
+      val dfq = dsh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val rare = dsh.join(dfq.filter(col("df") === 2), "shingle")
+        .select("shingle", "doc_id")
+      val pairs = rare.toDF("shingle", "d1")
+        .join(rare.toDF("shingle", "d2"), "shingle")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 2)
+        .select("d1", "d2")
+        // both the two-hop join and the anti-join probe this frame —
+        // materialize the evidence graph once instead of re-shingling 3x
+        .localCheckpoint(true)
+      val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      val deg = edges.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).cast("long").as("degree"))
+      val hop = edges.toDF("u1", "mid")
+        .join(edges.toDF("mid", "v2"), "mid")
+        .filter(col("u1") < col("v2"))
+        .select(col("u1").as("d1"), col("v2").as("d2"), col("mid"))
+      val cand = hop.join(deg, col("mid") === col("node"))
+        .join(pairs, Seq("d1", "d2"), "left_anti")
+      cand.groupBy("d1", "d2")
+        .agg(count(lit(1)).cast("long").as("n_common"),
+          sum(when(col("degree") > 1,
+              round(lit(1.0) / log(col("degree")), 12)
+                .cast(DecimalType(14, 12)))
+            .otherwise(lit(0).cast(DecimalType(14, 12)))).as("s"))
+        .select(col("d1"), col("d2"), col("n_common"),
+          round(col("s").cast("double"), 6).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("d1"), col("d2"))
+        .limit(50)
     }
   )
 }

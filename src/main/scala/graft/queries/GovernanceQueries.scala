@@ -547,6 +547,97 @@ object GovernanceQueries {
           round(sum(when(col("us") < col("run_max") - col("delay_s").cast("long") * 1000000L, 1)
             .otherwise(0)).cast("double") / count(lit(1)), 6).as("frac_late"))
         .orderBy("delay_s")
+    },
+
+    // T-CLOSENESS (Li, Li & Venkatasubramanian, ICDE '07) — the third
+    // rung of the re-identification ladder after k_anonymity (group
+    // size) and l_diversity (distinct sensitive values): how far does
+    // each QI group's sensitive-attribute DISTRIBUTION sit from the
+    // corpus-wide one? Same QI cell as those queries, sensitive
+    // attribute = o_orderpriority (its '1-URGENT'..'5-LOW' prefixes
+    // make lexicographic order the semantic order), distance = the
+    // ordered-attribute EMD: mean |cumulative difference|. The
+    // integer trick that keeps both engines bit-identical: the
+    // cumulative difference cum_c/k − cum_g/N is held as ONE integer
+    // numerator |cum_c·N − cum_g·k| and only divided once per group —
+    // EMD = Σ|…| / ((m−1)·k·N). Output is the anonymize_sweep-style
+    // verdict table: groups/rows whose 6-dp EMD exceeds each policy
+    // threshold. Scale: one scan to the (QI, value) census; the value
+    // grid fan-out is |values| (≤5) per group; windows partition BY
+    // GROUP, so no single-partition stage anywhere.
+    Q("t_closeness",
+      """WITH j AS (SELECT c.c_nationkey, c.c_mktsegment,
+        |    CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    o.o_orderpriority AS v
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+        |g AS (SELECT c_nationkey, c_mktsegment, band, v, COUNT(*) AS c
+        |      FROM j GROUP BY 1, 2, 3, 4),
+        |kk AS (SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(SUM(c) AS BIGINT) AS k FROM g GROUP BY 1, 2, 3),
+        |q AS (SELECT v, CAST(SUM(c) AS BIGINT) AS gc FROM g GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(gc) AS BIGINT) AS nt,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM q),
+        |grid AS (SELECT kk.c_nationkey, kk.c_mktsegment, kk.band, kk.k,
+        |    q.v, q.gc, COALESCE(g.c, 0) AS c
+        |  FROM kk CROSS JOIN q
+        |  LEFT JOIN g ON g.c_nationkey = kk.c_nationkey
+        |    AND g.c_mktsegment = kk.c_mktsegment AND g.band = kk.band
+        |    AND g.v = q.v),
+        |cum AS (SELECT c_nationkey, c_mktsegment, band, k,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment, band
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(gc) OVER (PARTITION BY c_nationkey, c_mktsegment, band
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS cg
+        |  FROM grid),
+        |emd AS (SELECT c_nationkey, c_mktsegment, band, k,
+        |    CASE WHEN m > 1 THEN round(CAST(SUM(abs(cc * nt - cg * k)) AS DOUBLE)
+        |      / ((m - 1.0) * k * nt), 6) END AS emd
+        |  FROM cum, nn GROUP BY 1, 2, 3, 4, m, nt),
+        |th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5]) AS DOUBLE) AS t)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN emd > t THEN 1 ELSE 0 END) AS BIGINT) AS groups_over,
+        |  CAST(SUM(CASE WHEN emd > t THEN k ELSE 0 END) AS BIGINT) AS rows_over
+        |FROM emd CROSS JOIN th GROUP BY t ORDER BY t""".stripMargin) { (s, dir) =>
+      val j = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"),
+          col("o_orderpriority").as("v"))
+      val g = j.groupBy("c_nationkey", "c_mktsegment", "band", "v")
+        .agg(count(lit(1)).as("c"))
+      val kk = g.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(sum(col("c")).cast("long").as("k"))
+      val q = g.groupBy("v").agg(sum(col("c")).cast("long").as("gc"))
+      val nn = q.agg(sum(col("gc")).cast("long").as("nt"),
+        count(lit(1)).cast("long").as("m"))
+      val grid = kk.crossJoin(broadcast(q))
+        .join(g, Seq("c_nationkey", "c_mktsegment", "band", "v"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("k"), col("v"), col("gc"), coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment", "band")
+        .orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.select(col("c_nationkey"), col("c_mktsegment"),
+        col("band"), col("k"),
+        sum(col("c")).over(w).as("cc"), sum(col("gc")).over(w).as("cg"))
+      val emd = cum.crossJoin(broadcast(nn))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("k"), col("m"), col("nt"))
+        .agg(sum(abs(col("cc") * col("nt") - col("cg") * col("k"))).as("s"))
+        // single-valued sensitive attribute: NULL, never divide-by-zero
+        .select(col("k"),
+          when(col("m") > 1, round(col("s").cast("double")
+            / ((col("m") - lit(1.0)) * col("k") * col("nt")), 6)).as("emd"))
+      import s.implicits._
+      val th = Seq(0.1, 0.2, 0.3, 0.4, 0.5).toDF("t")
+      emd.crossJoin(broadcast(th))
+        .groupBy("t")
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          sum(when(col("emd") > col("t"), 1).otherwise(0)).cast("long")
+            .as("groups_over"),
+          sum(when(col("emd") > col("t"), col("k")).otherwise(0L)).cast("long")
+            .as("rows_over"))
+        .orderBy("t")
     }
   )
 }

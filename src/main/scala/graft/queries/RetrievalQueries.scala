@@ -163,6 +163,88 @@ object RetrievalQueries {
               / element_at(cumArr, least(col("nl") - 1, lit(NdcgK)).cast("int"))
                 .cast("double"), 6)).as("ndcg10"))
         .orderBy("q_id")
+    },
+
+    // MAP / MRR / RECALL@10 — ndcg_eval's rank-UNWEIGHTED siblings
+    // over the same query set, shortlist, and label-relevance rule
+    // (the three numbers every retrieval eval reports side by side):
+    // reciprocal rank of the FIRST relevant hit (0.0 when the top-10
+    // has none — the MRR convention), average precision as the mean
+    // of precision@r at each relevant rank r over min(avail, 10), and
+    // recall against all available same-label neighbors. Float
+    // discipline: each precision@r = crel/r is rounded to 9 dp and
+    // summed AS DECIMAL (order-free); rr and the final ratios are
+    // single identically-written doubles. A label with no other
+    // members has no relevant set — NULL, not a divide-by-zero.
+    Q("map_mrr_eval", {
+      def duckDot(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i]))"
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+         |lc AS (SELECT label, COUNT(*) AS nl FROM embeddings GROUP BY 1),
+         |p AS (SELECT q.vec_id AS q_id, q.label AS ql, e.vec_id AS n_id, e.label AS nl_,
+         |    round(${duckDot("q", "e")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("e", "e")})), 6) AS cos_sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         |r AS (SELECT q_id, ql, cos_sim, n_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk,
+         |      CASE WHEN nl_ = ql THEN 1 ELSE 0 END AS rel FROM p),
+         |c AS (SELECT q_id, ql, rnk, rel, SUM(rel) OVER (
+         |        PARTITION BY q_id ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS crel
+         |      FROM r WHERE rnk <= $NdcgK),
+         |d AS (SELECT q_id, ql, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         |    SUM(CASE WHEN rel = 1
+         |      THEN CAST(round(CAST(crel AS DOUBLE) / rnk, 9) AS DECIMAL(12,9))
+         |      ELSE CAST(0 AS DECIMAL(12,9)) END) AS psum
+         |  FROM c GROUP BY 1, 2),
+         |i AS (SELECT d.q_id, d.n_rel, d.first_rel, d.psum, lc.nl - 1 AS avail
+         |      FROM d JOIN lc ON d.ql = lc.label)
+         |SELECT q_id, n_rel AS n_rel_at10,
+         |  CASE WHEN first_rel IS NULL THEN 0.0
+         |    ELSE round(1.0 / first_rel, 6) END AS rr,
+         |  CASE WHEN avail > 0
+         |    THEN round(CAST(psum AS DOUBLE) / least(avail, $NdcgK), 6) END AS ap10,
+         |  CASE WHEN avail > 0
+         |    THEN round(CAST(n_rel AS DOUBLE) / avail, 6) END AS recall10
+         |FROM i ORDER BY q_id""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      val lc = e.groupBy("label").agg(count(lit(1)).as("nl"))
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+          col("label").as("nl_"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val cw = Window.partitionBy("q_id").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = n.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("ql"), col("nl_"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"), col("n_id"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("rel",
+          when(col("nl_") === col("ql"), 1).otherwise(0))
+        .filter(col("rnk") <= NdcgK)
+        .withColumn("crel", sum(col("rel")).over(cw))
+      val d = c.groupBy("q_id", "ql")
+        .agg(sum(col("rel")).cast("long").as("n_rel"),
+          min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+          sum(when(col("rel") === 1,
+              round(col("crel").cast("double") / col("rnk"), 9)
+                .cast(DecimalType(12, 9)))
+            .otherwise(lit(0).cast(DecimalType(12, 9)))).as("psum"))
+      d.join(broadcast(lc), col("ql") === col("label"))
+        .select(col("q_id"), col("n_rel").as("n_rel_at10"),
+          when(col("first_rel").isNull, lit(0.0))
+            .otherwise(round(lit(1.0) / col("first_rel"), 6)).as("rr"),
+          when(col("nl") - 1 > 0,
+            round(col("psum").cast("double")
+              / least(col("nl") - 1, lit(NdcgK)), 6)).as("ap10"),
+          when(col("nl") - 1 > 0,
+            round(col("n_rel").cast("double") / (col("nl") - 1), 6))
+            .as("recall10"))
+        .orderBy("q_id")
     }
   )
 }

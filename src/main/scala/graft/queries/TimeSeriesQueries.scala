@@ -511,6 +511,63 @@ object TimeSeriesQueries {
         }
         .toDF("t", "hour", "y_cents", "level", "trend", "seasonal", "fitted")
         .orderBy("t")
+    },
+
+    // CROSS-CORRELATION LEAD-LAG — does one event stream LEAD the
+    // other? Pearson r between daily click counts and purchase counts
+    // shifted by each lag in [-7, 7]: the argmax lag is the
+    // lead time a funnel/attribution model should use, and the
+    // ccf's decay is the standard prewhitening diagnostic. The corpus
+    // reduces to ONE ≤|days| integer census; the lag fan-out is a
+    // broadcast 15-row dim; per lag everything is six BIGINT sums and
+    // one identically-written final double. Fully-tied or sub-2-day
+    // overlaps yield NULL, never a divide-by-zero.
+    Q("ccf_leadlag",
+      """WITH e AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag),
+        |p AS (SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b.y) AS BIGINT) AS sy,
+        |    CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+        |    CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+        |  FROM l JOIN e a ON true JOIN e b ON b.d = a.d + l.lag
+        |  GROUP BY 1)
+        |SELECT lag, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+        |    END AS r
+        |FROM p ORDER BY lag""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L")
+          .as("d"))
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0))
+            .cast("long").as("x"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("long").as("y"))
+      import s.implicits._
+      val lags = (-7L to 7L).toDF("lag")
+      val a = e.toDF("da", "x", "ya").crossJoin(broadcast(lags))
+      val b = e.toDF("db", "xb", "y")
+      val p = a.join(b, col("db") === col("da") + col("lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+      p.select(col("lag"), col("n"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+              col("n") * col("syy") - col("sy") * col("sy") > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+                * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("r"))
+        .orderBy("lag")
     }
   )
 }

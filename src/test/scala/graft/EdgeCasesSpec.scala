@@ -164,7 +164,8 @@ class EdgeCasesSpec extends SparkSpec {
       "psi_drift", "brier_decomposition", "shapley_attribution",
       "er_jaro_winkler", "er_damerau_census",
       "anova_f", "kruskal_wallis", "cohens_kappa", "mcnemar_test",
-      "kendall_tau_daily")
+      "kendall_tau_daily", "t_closeness", "adamic_adar", "ccf_leadlag",
+      "map_mrr_eval")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

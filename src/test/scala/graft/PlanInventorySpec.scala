@@ -91,7 +91,8 @@ class PlanInventorySpec extends SparkSpec {
     "kruskal_wallis",     // rank cumsum over the length census + one-row totals
     "cohens_kappa",       // one-row confusion census
     "mcnemar_test",       // one-row discordant-cell census
-    "kendall_tau_daily")  // one-row pair rollup of the |days| census
+    "kendall_tau_daily",  // one-row pair rollup of the |days| census
+    "t_closeness")        // one-row (nt, m) global census, broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -154,7 +155,10 @@ class PlanInventorySpec extends SparkSpec {
     "shapley_attribution", // 16-row coalition-value table self-paired per channel
     "anova_f",            // one-row moment rollups cross-joined together
     "kruskal_wallis",     // one-row (k, ssum) x (nt, ties) rollups cross-joined
-    "kendall_tau_daily")  // |days|-row census self-paired (a.d < b.d)
+    "kendall_tau_daily",  // |days|-row census self-paired (a.d < b.d)
+    "t_closeness",        // |values|-row (≤5) sensitive census + one-row (nt, m) cross-joined
+    "ccf_leadlag",        // 15-row literal lag dim cross-joined onto the day census
+    "map_mrr_eval")       // broadcast query side (vec_id < 20), like ann_bruteforce
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
