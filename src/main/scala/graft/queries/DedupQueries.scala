@@ -1761,6 +1761,60 @@ object DedupQueries {
           round(col("s").cast("double"), 6).as("aa_score"))
         .orderBy(col("aa_score").desc, col("d1"), col("d2"))
         .limit(50)
+    },
+
+    // SORTED-NEIGHBORHOOD ER BLOCKING (Hernández & Stolfo '95) — the
+    // classic alternative to er_jaro_winkler's attribute blocking and
+    // the LSH banding: sort on a key (p_name), compare only records
+    // within a fixed rank window w=5, verify with Jaro-Winkler. Cost
+    // is LINEAR (n·w comparisons) instead of block-quadratic — the
+    // standard choice when no clean blocking attribute exists. The
+    // global rank uses the watermark_delay_audit two-phase prefix
+    // scan: first-character bucket counts form a tiny census whose
+    // exclusive prefix sum is broadcast back, then each bucket ranks
+    // LOCALLY (the bucket key is a prefix of the sort key, so bucket
+    // order == sort order) — no corpus-wide single-partition window.
+    // Cross-bucket neighborhoods still pair up because ranks are
+    // global and the window join is on rank arithmetic.
+    Q("snm_blocking",
+      """WITH p AS (SELECT p_partkey AS key, p_name AS name FROM part),
+        |r AS (SELECT key, name,
+        |      row_number() OVER (ORDER BY name, key) AS rn FROM p),
+        |d AS (SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS gap),
+        |c AS (SELECT a.key AS key_a, b.key AS key_b,
+        |      a.name AS name_a, b.name AS name_b, d.gap,
+        |      round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |  FROM r a CROSS JOIN d JOIN r b ON b.rn = a.rn + d.gap
+        |  WHERE a.name <> b.name)
+        |SELECT key_a, key_b, name_a, name_b, gap, jw
+        |FROM c WHERE jw >= 0.84 ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("key"), col("p_name").as("name"))
+        .withColumn("bucket", substring(col("name"), 1, 1))
+      val cnt = p.groupBy("bucket").agg(count(lit(1)).as("bc"))
+      val prefix = cnt.select(col("bucket"),
+        sum(col("bc")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("off"))
+      val local = Window.partitionBy("bucket").orderBy("name", "key")
+      val ranked = p.join(broadcast(prefix), "bucket")
+        .withColumn("rn",
+          coalesce(col("off"), lit(0L)) + row_number().over(local))
+        .select("key", "name", "rn")
+      val gaps = explode(array((1L to 5L).map(lit): _*)).as("gap")
+      val probe = ranked.select(col("key").as("key_a"),
+          col("name").as("name_a"), col("rn"), gaps)
+        .withColumn("rnb", col("rn") + col("gap"))
+      // exact-equal neighbors are dedup_exact's job — SNM's value is
+      // the FUZZY band the sort brings adjacent, so report that
+      probe.join(ranked.toDF("key_b", "name_b", "rnb"), "rnb")
+        .filter(col("name_a") =!= col("name_b"))
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+          col("gap"),
+          round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6)
+            .as("jw"))
+        .filter(col("jw") >= 0.84)
+        .orderBy("key_a", "key_b")
     }
   )
 }

@@ -58,6 +58,26 @@ object InferenceQueries {
         when(lit(10) * col("n_chars") >= lit(54) * size(split(col("text"), " ")),
           1).otherwise(0).as("b"))
 
+  /** Three-rater variant for the k-treatment tests: the two rules
+    * above plus a type-token-ratio rule (lexical diversity ≥ 0.7,
+    * integer-exact as 10·distinct ≥ 7·tokens). */
+  private val duckRaters3 =
+    """r AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN 10 * n_chars >= 54 * len(string_split(text, ' '))
+      |    THEN 1 ELSE 0 END AS b,
+      |  CASE WHEN 10 * len(list_distinct(string_split(text, ' ')))
+      |    >= 7 * len(string_split(text, ' ')) THEN 1 ELSE 0 END AS c
+      |FROM documents)""".stripMargin
+
+  private def sparkRaters3(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .select(
+        when(col("n_chars") >= 300, 1).otherwise(0).as("a"),
+        when(lit(10) * col("n_chars") >= lit(54) * size(split(col("text"), " ")),
+          1).otherwise(0).as("b"),
+        when(lit(10) * size(array_distinct(split(col("text"), " ")))
+          >= lit(7) * size(split(col("text"), " ")), 1).otherwise(0).as("c"))
+
   def all: Seq[Q] = Seq(
 
     // ONE-WAY ANOVA F — does mean document length differ ACROSS the
@@ -328,6 +348,94 @@ object InferenceQueries {
           round((col("nc") - col("nd")).cast("double")
             / sqrt((col("n0") - col("n1")).cast("double")
               * (col("n0") - col("n2"))), 6)).as("tau_b"))
+    },
+
+    // COCHRAN'S Q — McNemar's k-treatment generalization: do the
+    // THREE labeling rules (length, word length, type-token ratio)
+    // fire at the same rate on the same documents? Everything reduces
+    // to four integers in one scan — per-rule column totals G_j and
+    // the per-doc row-sum moments ΣL, ΣL² — and Q's numerator and
+    // denominator are both exact integers. The 2-dof survival is
+    // closed-form: p = exp(-Q/2) (even-dof chi-square needs no erf).
+    // Unanimous-per-document corpora (every row sum 0 or 3) have zero
+    // denominator: NULL, never a divide-by-zero.
+    Q("cochrans_q",
+      s"""WITH $duckRaters3,
+        |m AS (SELECT CAST(SUM(a) AS BIGINT) AS g1,
+        |    CAST(SUM(b) AS BIGINT) AS g2, CAST(SUM(c) AS BIGINT) AS g3,
+        |    CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS sl2,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM r)
+        |SELECT n, g1, g2, g3,
+        |  CASE WHEN 3 * (g1 + g2 + g3) - sl2 > 0
+        |    THEN round(2.0 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+        |        - (g1 + g2 + g3) * (g1 + g2 + g3))
+        |      / (3 * (g1 + g2 + g3) - sl2), 6) END AS q_stat,
+        |  CASE WHEN 3 * (g1 + g2 + g3) - sl2 > 0
+        |    THEN round(exp(-(2.0 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+        |        - (g1 + g2 + g3) * (g1 + g2 + g3))
+        |      / (3 * (g1 + g2 + g3) - sl2)) / 2.0), 6) END AS p
+        |FROM m""".stripMargin) { (s, dir) =>
+      val l = col("a") + col("b") + col("c")
+      val m = sparkRaters3(s, dir)
+        .agg(sum(col("a")).cast("long").as("g1"),
+          sum(col("b")).cast("long").as("g2"),
+          sum(col("c")).cast("long").as("g3"),
+          sum(l * l).cast("long").as("sl2"),
+          count(lit(1)).cast("long").as("n"))
+      val sg = col("g1") + col("g2") + col("g3")
+      val den = lit(3) * sg - col("sl2")
+      val qs = lit(2.0) * (lit(3) * (col("g1") * col("g1")
+        + col("g2") * col("g2") + col("g3") * col("g3")) - sg * sg) / den
+      m.select(col("n"), col("g1"), col("g2"), col("g3"),
+        when(den > 0, round(qs, 6)).as("q_stat"),
+        when(den > 0, round(exp(-qs / lit(2.0)), 6)).as("p"))
+    },
+
+    // FLEISS' KAPPA — chance-corrected agreement for ALL THREE rules
+    // at once (cohens_kappa handles exactly two): with n=3 raters and
+    // binary categories the whole computation lives on the 4-cell
+    // row-sum census m_s (how many docs got s of 3 votes). P̄ comes
+    // from the integer T1 = Σ m_s·[s(s−1)+(3−s)(2−s)], the chance
+    // agreement from the integer vote total S — every ratio is ONE
+    // identically-written double over exact integers. A corpus where
+    // every rater votes identically on every doc has P̄e = 1: NULL.
+    Q("fleiss_kappa",
+      s"""WITH $duckRaters3,
+        |cen AS (SELECT a + b + c AS sv, CAST(COUNT(*) AS BIGINT) AS m
+        |        FROM r GROUP BY 1),
+        |t AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+        |    CAST(SUM(sv * m) AS BIGINT) AS s,
+        |    CAST(SUM((sv * (sv - 1) + (3 - sv) * (2 - sv)) * m) AS BIGINT) AS t1
+        |  FROM cen)
+        |SELECT n, s AS n_votes,
+        |  round(CAST(t1 AS DOUBLE) / (6.0 * n), 6) AS pbar,
+        |  round((CAST(s AS DOUBLE) * s + CAST(3 * n - s AS DOUBLE) * (3 * n - s))
+        |    / (9.0 * n * n), 6) AS pe,
+        |  CASE WHEN CAST(s AS DOUBLE) * s + CAST(3 * n - s AS DOUBLE) * (3 * n - s)
+        |      < 9.0 * n * n
+        |    THEN round((CAST(t1 AS DOUBLE) / (6.0 * n)
+        |        - (CAST(s AS DOUBLE) * s + CAST(3 * n - s AS DOUBLE) * (3 * n - s))
+        |          / (9.0 * n * n))
+        |      / (1.0 - (CAST(s AS DOUBLE) * s + CAST(3 * n - s AS DOUBLE) * (3 * n - s))
+        |          / (9.0 * n * n)), 6) END AS kappa
+        |FROM t""".stripMargin) { (s, dir) =>
+      val sv = col("a") + col("b") + col("c")
+      val cen = sparkRaters3(s, dir)
+        .groupBy(sv.as("sv")).agg(count(lit(1)).cast("long").as("m"))
+      val t = cen.agg(sum(col("m")).cast("long").as("n"),
+        sum(col("sv") * col("m")).cast("long").as("s"),
+        sum((col("sv") * (col("sv") - 1)
+          + (lit(3) - col("sv")) * (lit(2) - col("sv"))) * col("m"))
+          .cast("long").as("t1"))
+      val peNum = col("s").cast("double") * col("s") +
+        (lit(3) * col("n") - col("s")).cast("double") *
+          (lit(3) * col("n") - col("s"))
+      val pe = peNum / (lit(9.0) * col("n") * col("n"))
+      val pbar = col("t1").cast("double") / (lit(6.0) * col("n"))
+      t.select(col("n"), col("s").as("n_votes"),
+        round(pbar, 6).as("pbar"), round(pe, 6).as("pe"),
+        when(peNum < lit(9.0) * col("n") * col("n"),
+          round((pbar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
     }
   )
 }

@@ -39,6 +39,18 @@ object VocabQueries {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Word-bigram stream for the GT/Chao1 estimators: zip the token
+    * array against itself shifted by one (same derivation as
+    * bigram_logprob), joined with ' ' to one type string matching the
+    * oracle's `a[i] || ' ' || a[i+1]`. */
+  private def bigrams(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.parallelize(Tables.load(s, dir, "documents").select("text"))
+      .select(split(col("text"), " ").as("a"))
+      .select(explode(arrays_zip(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1))).as("p"))
+      .select(concat_ws(" ", col("p.0"), col("p.1")).as("tok"))
+
   /** Oracle CTE chain for bpe_merges: `rounds` unrolled merge steps.
     * The merge itself is the gaps-and-islands form (marks where
     * (s_i, s_{i+1}) equals the round's best pair; within each maximal
@@ -557,6 +569,80 @@ object VocabQueries {
           col("logpost").cast("double").as("logpost"),
           (col("cand") === col("true_lang")).as("is_match"))
         .orderBy("doc_id")
+    },
+
+    // GOOD-TURING re-estimation (Good '53) — the frequency-of-
+    // frequencies table every LM smoother starts from: for each raw
+    // count r, how many types N_r have it, and the adjusted count
+    // r* = (r+1)·N_{r+1}/N_r that reallocates mass toward unseen
+    // events. Types are word BIGRAMS (the unit bigram_logprob smooths;
+    // the unigram vocabulary here is closed — 31 types, min count 26 —
+    // so GT's low-count head only exists one order up). The corpus
+    // reduces to the bigram census, then the FoF census (ONE row per
+    // distinct count value); r* joins the census to itself at r+1 (a
+    // gap means r* is undefined — NULL, as in the unsmoothed
+    // estimator) and is reported for the dense head r <= 10, where GT
+    // is actually used before switching to raw counts. Integer until
+    // the one final double.
+    Q("good_turing",
+      """WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |t AS (SELECT unnest(list_transform(generate_series(1, len(a)-1),
+        |        i -> a[i] || ' ' || a[i+1])) AS tok FROM arr),
+        |f AS (SELECT tok, COUNT(*) AS r FROM t GROUP BY 1),
+        |fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM f GROUP BY 1)
+        |SELECT a.r, a.n_r,
+        |  CASE WHEN b.n_r IS NOT NULL
+        |    THEN round((a.r + 1.0) * b.n_r / a.n_r, 6) END AS r_star
+        |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+        |WHERE a.r <= 10 ORDER BY a.r""".stripMargin) { (s, dir) =>
+      val f = bigrams(s, dir).groupBy("tok").agg(count(lit(1)).as("r"))
+      val fof = f.groupBy("r").agg(count(lit(1)).cast("long").as("n_r"))
+      val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      fof.join(nxt, Seq("r"), "left")
+        .filter(col("r") <= 10)
+        .select(col("r"), col("n_r"),
+          when(col("n_next").isNotNull,
+            round((col("r") + lit(1.0)) * col("n_next") / col("n_r"), 6))
+            .as("r_star"))
+        .orderBy("r")
+    },
+
+    // CHAO1 RICHNESS + GOOD'S COVERAGE — "how much vocabulary haven't
+    // we seen yet?", the question behind tokenizer sizing and
+    // crawl-more decisions: Chao1's lower-bound estimate of the TRUE
+    // type count V + N1²/(2·N2) from the singleton/doubleton counts,
+    // and Good's coverage 1 − N1/N (the probability mass of seen
+    // types). Bigram types (see good_turing); one-row rollup of the
+    // same FoF census. A corpus with no doubletons leaves Chao1
+    // undefined: NULL.
+    Q("vocab_chao1",
+      """WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |t AS (SELECT unnest(list_transform(generate_series(1, len(a)-1),
+        |        i -> a[i] || ' ' || a[i+1])) AS tok FROM arr),
+        |f AS (SELECT tok, COUNT(*) AS r FROM t GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(r) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM f)
+        |SELECT v, n, n1, n2,
+        |  CASE WHEN n2 > 0
+        |    THEN round(v + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2), 6) END AS chao1,
+        |  CASE WHEN n > 0
+        |    THEN round(1.0 - CAST(n1 AS DOUBLE) / n, 6) END AS coverage
+        |FROM m""".stripMargin) { (s, dir) =>
+      val f = bigrams(s, dir).groupBy("tok").agg(count(lit(1)).as("r"))
+      val m = f.agg(count(lit(1)).cast("long").as("v"),
+        sum(col("r")).cast("long").as("n"),
+        sum(when(col("r") === 1, 1).otherwise(0)).cast("long").as("n1"),
+        sum(when(col("r") === 2, 1).otherwise(0)).cast("long").as("n2"))
+      m.select(col("v"), col("n"), col("n1"), col("n2"),
+        when(col("n2") > 0,
+          round(col("v") + col("n1").cast("double") * col("n1")
+            / (lit(2.0) * col("n2")), 6)).as("chao1"),
+        when(col("n") > 0,
+          round(lit(1.0) - col("n1").cast("double") / col("n"), 6))
+          .as("coverage"))
     }
   )
 

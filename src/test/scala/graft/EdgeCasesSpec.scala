@@ -165,7 +165,8 @@ class EdgeCasesSpec extends SparkSpec {
       "er_jaro_winkler", "er_damerau_census",
       "anova_f", "kruskal_wallis", "cohens_kappa", "mcnemar_test",
       "kendall_tau_daily", "t_closeness", "adamic_adar", "ccf_leadlag",
-      "map_mrr_eval")
+      "map_mrr_eval", "cochrans_q", "fleiss_kappa", "good_turing",
+      "vocab_chao1", "burrows_delta", "snm_blocking")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

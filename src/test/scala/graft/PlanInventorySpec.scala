@@ -92,7 +92,11 @@ class PlanInventorySpec extends SparkSpec {
     "cohens_kappa",       // one-row confusion census
     "mcnemar_test",       // one-row discordant-cell census
     "kendall_tau_daily",  // one-row pair rollup of the |days| census
-    "t_closeness")        // one-row (nt, m) global census, broadcast back
+    "t_closeness",        // one-row (nt, m) global census, broadcast back
+    "cochrans_q",         // one-row five-integer rater census
+    "fleiss_kappa",       // one-row rollup of the 4-cell row-sum census
+    "vocab_chao1",        // one-row FoF-census rollup
+    "snm_blocking")       // exclusive-prefix window over the 26-bucket census
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -158,7 +162,8 @@ class PlanInventorySpec extends SparkSpec {
     "kendall_tau_daily",  // |days|-row census self-paired (a.d < b.d)
     "t_closeness",        // |values|-row (≤5) sensitive census + one-row (nt, m) cross-joined
     "ccf_leadlag",        // 15-row literal lag dim cross-joined onto the day census
-    "map_mrr_eval")       // broadcast query side (vec_id < 20), like ann_bruteforce
+    "map_mrr_eval",       // broadcast query side (vec_id < 20), like ann_bruteforce
+    "burrows_delta")      // 20-row top-token dim cross-joined onto the source census
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
