@@ -69,14 +69,19 @@ object InferenceQueries {
       |    >= 7 * len(string_split(text, ' ')) THEN 1 ELSE 0 END AS c
       |FROM documents)""".stripMargin
 
+  /** The three rule columns over any documents-shaped frame (text,
+    * n_chars) — shared with the StreamAgreement streaming twin so the
+    * streamed census and the batch query can never diverge. */
+  private[graft] def raters3Of(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(
+      when(col("n_chars") >= 300, 1).otherwise(0).as("a"),
+      when(lit(10) * col("n_chars") >= lit(54) * size(split(col("text"), " ")),
+        1).otherwise(0).as("b"),
+      when(lit(10) * size(array_distinct(split(col("text"), " ")))
+        >= lit(7) * size(split(col("text"), " ")), 1).otherwise(0).as("c"))
+
   private def sparkRaters3(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
-      .select(
-        when(col("n_chars") >= 300, 1).otherwise(0).as("a"),
-        when(lit(10) * col("n_chars") >= lit(54) * size(split(col("text"), " ")),
-          1).otherwise(0).as("b"),
-        when(lit(10) * size(array_distinct(split(col("text"), " ")))
-          >= lit(7) * size(split(col("text"), " ")), 1).otherwise(0).as("c"))
+    raters3Of(Tables.load(s, dir, "documents"))
 
   def all: Seq[Q] = Seq(
 

@@ -24,6 +24,10 @@ object TextQueries {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
+  /** Dirichlet smoothing pseudo-count for lmdir_score (the Zhai &
+    * Lafferty recommended magnitude). */
+  val LmDirMu = 2000
+
   def all: Seq[Q] = Seq(
 
     // language-ID heuristic: marker-token scores + deterministic argmax
@@ -763,6 +767,64 @@ object TextQueries {
         .select(Seq(col("doc_id"), col("dl")) ++
           Bm25Query.map(t => col(s"tf_$t")) ++
           Seq(round(score, 6).as("bm25")): _*)
+        .orderBy("doc_id")
+    },
+
+    // DIRICHLET QUERY-LIKELIHOOD SCORING (Zhai & Lafferty '01) — the
+    // language-model retrieval scorer beside bm25_score's
+    // tf-saturation form, same fixed query and census discipline:
+    // score(q,d) = Σ_t ln((tf_td + μ·ctf_t/|C|) / (dl + μ)), μ = 2000.
+    // Collection statistics here are collection TERM frequencies
+    // (ctf), not document frequencies — the one corpus census row
+    // broadcasts and scoring is scan-side math, per-term logs added
+    // in literal written order (order-deterministic double, no
+    // decimal plumbing). 'quux' (ctf = 0) exercises the zero-mass
+    // convention: its smoothed probability is 0 ⇒ ln 0 = -inf, so the
+    // standard practice of restricting to seen-in-collection terms is
+    // applied IN the scorer — a zero-ctf term contributes 0,
+    // identically in both engines.
+    Q("lmdir_score", {
+      val mu = LmDirMu
+      val ctfs = Bm25Query.map(t =>
+        s"CAST(SUM(len(list_filter(string_split(text, ' '), t -> t = '$t'))) AS BIGINT) AS ctf_$t").mkString(",\n  |    ")
+      val tfs = Bm25Query.map(t =>
+        s"len(list_filter(string_split(text, ' '), t -> t = '$t')) AS tf_$t").mkString(",\n  |    ")
+      val terms = Bm25Query.map(t =>
+        s"""(CASE WHEN ctf_$t > 0 THEN ln((tf_$t + $mu * (CAST(ctf_$t AS DOUBLE) / tot_dl))
+           |     / (dl + $mu)) ELSE 0.0 END)""".stripMargin).mkString(" +\n  ")
+      s"""WITH stats AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_dl,
+         |    $ctfs
+         |  FROM documents),
+         |d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfs
+         |  FROM documents)
+         |SELECT doc_id, dl, ${Bm25Query.map(t => s"tf_$t").mkString(", ")},
+         |  round($terms, 6) AS lmdir
+         |FROM d CROSS JOIN stats ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val a = split(col("text"), " ")
+      def tf(t: String) = size(filter(a, x => x === t))
+      val statCols = Seq(count(lit(1)).as("n_docs"),
+        sum(size(a)).cast("long").as("tot_dl")) ++
+        Bm25Query.map(t => sum(tf(t)).cast("long").as(s"ctf_$t"))
+      val stats = Tables.load(s, dir, "documents")
+        .agg(statCols.head, statCols.tail: _*)
+      val d = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        .select(Seq(col("doc_id"), size(a).as("dl")) ++
+          Bm25Query.map(t => tf(t).as(s"tf_$t")): _*)
+      // per-term logs combined in the SAME written order as the oracle
+      val score = Bm25Query.map { t =>
+        when(col(s"ctf_$t") > 0,
+          log((col(s"tf_$t") + lit(LmDirMu) *
+              (col(s"ctf_$t").cast("double") / col("tot_dl")))
+            / (col("dl") + lit(LmDirMu)))).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      d.crossJoin(broadcast(stats))
+        .select(Seq(col("doc_id"), col("dl")) ++
+          Bm25Query.map(t => col(s"tf_$t")) ++
+          Seq(round(score, 6).as("lmdir")): _*)
         .orderBy("doc_id")
     },
 

@@ -96,7 +96,8 @@ class PlanInventorySpec extends SparkSpec {
     "cochrans_q",         // one-row five-integer rater census
     "fleiss_kappa",       // one-row rollup of the 4-cell row-sum census
     "vocab_chao1",        // one-row FoF-census rollup
-    "snm_blocking")       // exclusive-prefix window over the 26-bucket census
+    "snm_blocking",       // exclusive-prefix window over the 26-bucket census
+    "lmdir_score")        // one-row (N, tot_dl, ctfs) census, broadcast back
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -163,7 +164,8 @@ class PlanInventorySpec extends SparkSpec {
     "t_closeness",        // |values|-row (≤5) sensitive census + one-row (nt, m) cross-joined
     "ccf_leadlag",        // 15-row literal lag dim cross-joined onto the day census
     "map_mrr_eval",       // broadcast query side (vec_id < 20), like ann_bruteforce
-    "burrows_delta")      // 20-row top-token dim cross-joined onto the source census
+    "burrows_delta",      // 20-row top-token dim cross-joined onto the source census
+    "lmdir_score")        // one-row stats census cross-joined back, like bm25_score
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized

@@ -1549,6 +1549,53 @@ class StreamingSpec extends SparkSpec {
         "streaming attribution census diverged from the batch as-of query")
     } finally q.stop()
   }
+
+  test("streaming agreement monitor matches the batch Fleiss kappa exactly") {
+    import graft.streaming.StreamAgreement
+    implicit val ctx = spark.sqlContext
+    // the full fixture through the census path must reproduce the
+    // oracled batch query bit-for-bit (shared rule expressions, same
+    // double formula)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("text", "n_chars")
+    val full = StreamAgreement.batchCensus(docs)
+    val cells = Array.tabulate(4)(i => full.getOrElse(i, 0L))
+    val (n, s, pbar, pe, k) = StreamAgreement.kappaOf(cells)
+    val b = SparkEntry.queries("fleiss_kappa")(spark, sf0001).first()
+    assert(n === b.getAs[Long]("n") && s === b.getAs[Long]("n_votes"))
+    assert(pbar === b.getAs[Double]("pbar") && pe === b.getAs[Double]("pe"))
+    val bk = if (b.isNullAt(b.fieldIndex("kappa"))) None
+             else Some(b.getAs[Double]("kappa"))
+    assert(k === bk, s"kappa diverged: stream $k vs batch $bk")
+    // end-to-end: randomized arrival in uneven chunks; census merge is
+    // exact integer addition, so the LAST audit row equals the batch
+    val rows = docs.as[(String, Long)].collect().toVector
+    val rnd = new scala.util.Random(17)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_agree_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double, Option[Double])]
+    val mem = MemoryStream[(String, Long)]
+    val state = new Array[Long](4)
+    val q = StreamAgreement.monitor(
+        mem.toDF().toDF("text", "n_chars"), ckpt, state) { a =>
+      audits.synchronized { audits += a }
+    }.start()
+    try {
+      rnd.shuffle(rows).grouped(7).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val last = audits.synchronized(audits.sortBy(_._1).last)
+    assert(last._2 === n && last._3 === s)
+    assert(last._4 === pbar && last._5 === pe && last._6 === k,
+      s"running kappa diverged after randomized arrival: $last")
+    // monotone census growth sanity: n strictly increases per batch
+    val ns = audits.synchronized(audits.sortBy(_._1).map(_._2).toList)
+    assert(ns === ns.sorted && ns.distinct === ns,
+      s"census size did not strictly grow: $ns")
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
