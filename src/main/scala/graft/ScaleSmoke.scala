@@ -355,6 +355,38 @@ object ScaleSmoke {
       println(s"[smoke]   bootstrap resample census (must stay B): $resamples")
       resamples
     }
+
+    // SNM blocking: the two-phase prefix-scan rank (bucket census +
+    // local windows) and the gap-join candidate expansion are both
+    // LINEAR in n — candidate count must land at ~n·w, and time must
+    // track mult, not mult². Replicated parts are worst-case for the
+    // verify (identical names everywhere), which the name_a <> name_b
+    // guard drops scan-side.
+    time("snm_rank_window_pairs") {
+      import org.apache.spark.sql.expressions.Window
+      val part = replicate(Tables.load(spark, dir, "part"), "p_partkey")
+        .select(col("p_partkey").as("key"), col("p_name").as("name"))
+        .withColumn("bucket", substring(col("name"), 1, 1))
+      val cnt = part.groupBy("bucket").agg(count(lit(1)).as("bc"))
+      val prefix = cnt.select(col("bucket"),
+        sum(col("bc")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("off"))
+      val local = Window.partitionBy("bucket").orderBy("name", "key")
+      val ranked = part.join(broadcast(prefix), "bucket")
+        .withColumn("rn",
+          coalesce(col("off"), lit(0L)) + row_number().over(local))
+        .select("key", "name", "rn")
+      val probe = ranked.select(col("key").as("key_a"),
+          col("name").as("name_a"), col("rn"),
+          explode(array((1L to 5L).map(lit): _*)).as("gap"))
+        .withColumn("rnb", col("rn") + col("gap"))
+      probe.join(ranked.toDF("key_b", "name_b", "rnb"), "rnb")
+        .filter(col("name_a") =!= col("name_b"))
+        .select(graft.functions.JaroWinkler(col("name_a"), col("name_b"))
+          .as("jw"))
+        .filter(col("jw") >= 0.84)
+        .count()
+    }
     spark.stop()
   }
 }

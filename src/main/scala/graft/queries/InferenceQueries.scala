@@ -441,6 +441,211 @@ object InferenceQueries {
         round(pbar, 6).as("pbar"), round(pe, 6).as("pe"),
         when(peNum < lit(9.0) * col("n") * col("n"),
           round((pbar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+    },
+
+    // PAIRWISE WELCH + BH — the post-hoc layer anova_f points at:
+    // WHICH source pairs differ in mean length? Every pair's Welch z
+    // comes from the same per-source integer moment census (large-n
+    // normal approximation of the t reference, the suite's standard —
+    // n=25/source at the gate SF and far larger in production), the
+    // two-sided p via the shared A&S erf polynomial on the 6-dp
+    // ROUNDED z, and the Benjamini–Hochberg step-up controls FDR over
+    // all |k|(|k|−1)/2 comparisons at α = 0.05 — the
+    // benjamini_hochberg machinery applied to the pair family.
+    // Zero-variance or single-row sources: NULL z, excluded from the
+    // family (matching the omnibus guards).
+    {
+      val horner = ErfA.reverse.map(_.toString)
+        .reduce((acc, a) => s"($acc * tv + $a)") + " * tv"
+      val vA = "(CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * sxa / na) / (na - 1)"
+      val vB = "(CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb / nb) / (nb - 1)"
+      Q("pairwise_welch_bh",
+        s"""WITH d AS (SELECT source, n_chars AS x FROM documents),
+          |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+          |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+          |  FROM d GROUP BY 1),
+          |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+          |    a.n1 AS na, a.sx AS sxa, a.sxx AS sxxa,
+          |    b.n1 AS nb, b.sx AS sxb, b.sxx AS sxxb
+          |  FROM t a JOIN t b ON a.source < b.source),
+          |zz AS (SELECT source_a, source_b,
+          |    CASE WHEN na > 1 AND nb > 1 AND $vA / na + $vB / nb > 0
+          |      THEN round((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+          |        / sqrt($vA / na + $vB / nb), 6) END AS z
+          |  FROM pr),
+          |zf AS (SELECT source_a, source_b, z FROM zz WHERE z IS NOT NULL),
+          |x1 AS (SELECT source_a, source_b, z, abs(z) / sqrt(2.0) AS x FROM zf),
+          |x2 AS (SELECT source_a, source_b, z, x,
+          |       1.0 / (1.0 + $ErfP * x) AS tv FROM x1),
+          |pp AS (SELECT source_a, source_b, z,
+          |       round($horner * exp(-x * x), 6) AS p FROM x2),
+          |k AS (SELECT source_a, source_b, z, p,
+          |    CAST(row_number() OVER (ORDER BY p, source_a, source_b) AS BIGINT) AS k,
+          |    COUNT(*) OVER () AS m FROM pp)
+          |SELECT source_a, source_b, z, p, k,
+          |  round(CAST(0.05 AS DOUBLE) * k / m, 6) AS crit,
+          |  k <= MAX(CASE WHEN p <= CAST(0.05 AS DOUBLE) * k / m
+          |    THEN k ELSE 0 END) OVER () AS significant
+          |FROM k ORDER BY k""".stripMargin) { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+          .select(col("source"), col("n_chars").as("x"))
+        val t = d.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n1"),
+            sum(col("x")).cast("long").as("sx"),
+            sum(col("x") * col("x")).cast("long").as("sxx"))
+        val a = t.toDF("source_a", "na", "sxa", "sxxa")
+        val b = t.toDF("source_b", "nb", "sxb", "sxxb")
+        val va = (col("sxxa").cast("double")
+          - col("sxa").cast("double") * col("sxa") / col("na")) / (col("na") - 1)
+        val vb = (col("sxxb").cast("double")
+          - col("sxb").cast("double") * col("sxb") / col("nb")) / (col("nb") - 1)
+        val se2 = va / col("na") + vb / col("nb")
+        val zz = a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            when(col("na") > 1 && col("nb") > 1 && se2 > 0,
+              round((col("sxa").cast("double") / col("na")
+                - col("sxb").cast("double") / col("nb")) / sqrt(se2), 6))
+              .as("z"))
+          .filter(col("z").isNotNull)
+        val x = abs(col("z")) / sqrt(lit(2.0))
+        val tv = lit(1.0) / (lit(1.0) + lit(ErfP) * x)
+        val poly = ErfA.reverse.map(lit).reduce((acc, c) => acc * tv + c) * tv
+        val pp = zz.withColumn("p", round(poly * exp(-x * x), 6))
+        val ord = Window.orderBy("p", "source_a", "source_b")
+        val whole = Window.orderBy("p", "source_a", "source_b")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val kf = pp
+          .withColumn("k", row_number().over(ord).cast("long"))
+          .withColumn("m", count(lit(1)).over(whole))
+        val crit = lit(0.05) * col("k") / col("m")
+        kf.withColumn("kmax",
+            max(when(col("p") <= crit, col("k")).otherwise(0L)).over(whole))
+          .select(col("source_a"), col("source_b"), col("z"), col("p"),
+            col("k"), round(crit, 6).as("crit"),
+            (col("k") <= col("kmax")).as("significant"))
+          .orderBy("k")
+      }
+    },
+
+    // MUTUAL INFORMATION between the two labeling rules — the
+    // information-theoretic complement to cohens_kappa on the SAME
+    // 2×2 confusion census: how many nats does knowing rule A's
+    // verdict buy about rule B's? Reported with both marginal
+    // entropies and the normalized MI = I/√(H(a)·H(b)) (the
+    // feature-redundancy score a labeling-function library dedups
+    // by). Four per-cell terms added in literal written order; empty
+    // cells contribute 0 by the 0·ln 0 = 0 convention, identically in
+    // both engines.
+    {
+      def duckTerm(nij: String, ri: String, cj: String) =
+        s"""CASE WHEN $nij > 0 THEN (CAST($nij AS DOUBLE) / n)
+           |    * ln(CAST($nij AS DOUBLE) * n / (CAST($ri AS DOUBLE) * $cj))
+           |    ELSE 0.0 END""".stripMargin
+      val (r1, r0, c1, c0) = ("(n11 + n10)", "(n01 + n00)", "(n11 + n01)", "(n10 + n00)")
+      def duckEnt(m1: String, m0: String) =
+        s"""-(CASE WHEN $m1 > 0 THEN (CAST($m1 AS DOUBLE) / n) * ln(CAST($m1 AS DOUBLE) / n) ELSE 0.0 END
+           |  + CASE WHEN $m0 > 0 THEN (CAST($m0 AS DOUBLE) / n) * ln(CAST($m0 AS DOUBLE) / n) ELSE 0.0 END)""".stripMargin
+      val miExpr = Seq(
+        duckTerm("n11", r1, c1), duckTerm("n10", r1, c0),
+        duckTerm("n01", r0, c1), duckTerm("n00", r0, c0)).mkString(" +\n  ")
+      Q("mutual_info_rules",
+        s"""WITH $duckRaters,
+          |m AS (SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+          |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+          |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+          |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+          |    CAST(COUNT(*) AS BIGINT) AS n FROM c)
+          |SELECT n11, n10, n01, n00,
+          |  CASE WHEN n > 0 THEN round($miExpr, 6) END AS mi_nats,
+          |  CASE WHEN n > 0 THEN round(${duckEnt(r1, r0)}, 6) END AS h_a,
+          |  CASE WHEN n > 0 THEN round(${duckEnt(c1, c0)}, 6) END AS h_b,
+          |  CASE WHEN n > 0 AND ${duckEnt(r1, r0)} > 0 AND ${duckEnt(c1, c0)} > 0
+          |    THEN round(($miExpr)
+          |      / sqrt((${duckEnt(r1, r0)}) * (${duckEnt(c1, c0)})), 6) END AS nmi
+          |FROM m""".stripMargin) { (s, dir) =>
+        val m = sparkRaters(s, dir)
+          .agg(sum(col("a") * col("b")).cast("long").as("n11"),
+            sum(col("a") * (lit(1) - col("b"))).cast("long").as("n10"),
+            sum((lit(1) - col("a")) * col("b")).cast("long").as("n01"),
+            sum((lit(1) - col("a")) * (lit(1) - col("b"))).cast("long").as("n00"),
+            count(lit(1)).cast("long").as("n"))
+        val rr1 = col("n11") + col("n10"); val rr0 = col("n01") + col("n00")
+        val cc1 = col("n11") + col("n01"); val cc0 = col("n10") + col("n00")
+        def term(nij: Column, ri: Column, cj: Column) =
+          when(nij > 0, (nij.cast("double") / col("n"))
+            * log(nij.cast("double") * col("n") / (ri.cast("double") * cj)))
+            .otherwise(lit(0.0))
+        def ent(m1: Column, m0: Column) =
+          -(when(m1 > 0, (m1.cast("double") / col("n"))
+              * log(m1.cast("double") / col("n"))).otherwise(lit(0.0))
+            + when(m0 > 0, (m0.cast("double") / col("n"))
+              * log(m0.cast("double") / col("n"))).otherwise(lit(0.0)))
+        val mi = term(col("n11"), rr1, cc1) + term(col("n10"), rr1, cc0) +
+          term(col("n01"), rr0, cc1) + term(col("n00"), rr0, cc0)
+        val ha = ent(rr1, rr0); val hb = ent(cc1, cc0)
+        m.select(col("n11"), col("n10"), col("n01"), col("n00"),
+          when(col("n") > 0, round(mi, 6)).as("mi_nats"),
+          when(col("n") > 0, round(ha, 6)).as("h_a"),
+          when(col("n") > 0, round(hb, 6)).as("h_b"),
+          when(col("n") > 0 && ha > 0 && hb > 0,
+            round(mi / sqrt(ha * hb), 6)).as("nmi"))
+      }
+    },
+
+    // CRAMÉR'S V — the effect size chi_square_independence omits: how
+    // STRONGLY are a document's language and source associated
+    // (χ² says only whether; V ∈ [0,1] says how much, comparable
+    // across table shapes)? The (lang, source) contingency census is
+    // completed to the full marginal grid (zero cells still carry
+    // expected mass), each cell's (o−e)²/e is quantized to 9 dp and
+    // decimal-summed (order-free across the grid), and χ² and V are
+    // single double expressions. Degenerate 1×c / r×1 tables: NULL,
+    // never a divide-by-zero.
+    Q("cramers_v",
+      """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rl FROM g GROUP BY 1),
+        |cc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM g GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS nr,
+        |    CAST((SELECT COUNT(*) FROM cc) AS BIGINT) AS nc FROM g),
+        |grid AS (SELECT r.rl, cc.cs, COALESCE(g.o, 0) AS o, nn.n, nn.nr, nn.nc
+        |  FROM r CROSS JOIN cc CROSS JOIN nn
+        |  LEFT JOIN g ON g.lang = r.lang AND g.source = cc.source),
+        |chi AS (SELECT n, nr, nc,
+        |    SUM(CAST(round((CAST(o AS DOUBLE) - CAST(rl AS DOUBLE) * cs / n)
+        |      * (CAST(o AS DOUBLE) - CAST(rl AS DOUBLE) * cs / n)
+        |      / (CAST(rl AS DOUBLE) * cs / n), 9) AS DECIMAL(28,9))) AS x2
+        |  FROM grid GROUP BY 1, 2, 3)
+        |SELECT n, nr AS n_rows, nc AS n_cols,
+        |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+        |  round(CAST(x2 AS DOUBLE), 6) AS chi2,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1
+        |    THEN round(sqrt(CAST(x2 AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      * (least(nr, nc) - 1))), 6) END AS v
+        |FROM chi""".stripMargin) { (s, dir) =>
+      val g = Tables.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).cast("long").as("o"))
+      val r = g.groupBy("lang").agg(sum(col("o")).cast("long").as("rl"))
+      val cgrp = g.groupBy("source").agg(sum(col("o")).cast("long").as("cs"))
+      val nn = g.agg(sum(col("o")).cast("long").as("n"))
+        .crossJoin(r.agg(count(lit(1)).cast("long").as("nr")))
+        .crossJoin(cgrp.agg(count(lit(1)).cast("long").as("nc")))
+      val grid = r.crossJoin(broadcast(cgrp)).crossJoin(broadcast(nn))
+        .join(g, Seq("lang", "source"), "left")
+        .select(col("rl"), col("cs"), coalesce(col("o"), lit(0L)).as("o"),
+          col("n"), col("nr"), col("nc"))
+      val e = col("rl").cast("double") * col("cs") / col("n")
+      val chi = grid.groupBy("n", "nr", "nc")
+        .agg(sum(round((col("o").cast("double") - e)
+            * (col("o").cast("double") - e) / e, 9)
+          .cast(DecimalType(28, 9))).as("x2"))
+      chi.select(col("n"), col("nr").as("n_rows"), col("nc").as("n_cols"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("df"),
+        round(col("x2").cast("double"), 6).as("chi2"),
+        when(col("n") > 0 && least(col("nr"), col("nc")) > 1,
+          round(sqrt(col("x2").cast("double") / (col("n").cast("double")
+            * (least(col("nr"), col("nc")) - 1))), 6)).as("v"))
     }
   )
 }

@@ -139,6 +139,83 @@ object SequenceQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
         .orderBy("k_bucket")
+    },
+
+    // HITS HUBS & AUTHORITIES (Kleinberg '99) over the DIRECTED
+    // event-transition graph — pagerank_dups' directed sibling on the
+    // behavioral side: an event type is a strong HUB when it leads
+    // into types users converge on, a strong AUTHORITY when many
+    // types funnel into it (markov_transitions gives the local
+    // conditional view; HITS gives the global spectral one). Three
+    // mutual-reinforcement iterations on the ≤|types|² transition
+    // census with the pagerank float discipline: every weighted sum
+    // is exact (BIGINT weight × DECIMAL(18,9) score), each iterate is
+    // L1-normalized with ONE identically-written double division and
+    // re-quantized to 9 dp — aggregation-order-free on both engines.
+    // Scale: the corpus collapses to the transition census in one
+    // window pass; all iterations run on that census.
+    Q("hits_scores", {
+      val iterCtes = (1 to 3).map { k =>
+        s"""hr$k AS (SELECT e.u AS n, SUM(e.w * a.a) AS s
+           |  FROM e JOIN a${k - 1} a ON e.v = a.n GROUP BY 1),
+           |hn$k AS (SELECT SUM(s) AS t FROM hr$k),
+           |h$k AS (SELECT n, CAST(round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 9)
+           |    AS DECIMAL(18,9)) AS h FROM hr$k, hn$k),
+           |ar$k AS (SELECT e.v AS n, SUM(e.w * h.h) AS s
+           |  FROM e JOIN h$k h ON e.u = h.n GROUP BY 1),
+           |an$k AS (SELECT SUM(s) AS t FROM ar$k),
+           |a$k AS (SELECT n, CAST(round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 9)
+           |    AS DECIMAL(18,9)) AS a FROM ar$k, an$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (
+         |  SELECT event_type AS next_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_type
+         |  FROM events),
+         |e AS (SELECT prev_type AS u, next_type AS v, CAST(COUNT(*) AS BIGINT) AS w
+         |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+         |a0 AS (SELECT n, CAST(1.0 AS DECIMAL(18,9)) AS a FROM nodes),
+         |$iterCtes
+         |SELECT nodes.n AS event_type,
+         |  COALESCE(CAST(h3.h AS DOUBLE), 0.0) AS hub,
+         |  COALESCE(CAST(a3.a AS DOUBLE), 0.0) AS authority
+         |FROM nodes LEFT JOIN h3 ON nodes.n = h3.n
+         |LEFT JOIN a3 ON nodes.n = a3.n
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("v"))
+        .withColumn("u", lag(col("v"), 1).over(byUser))
+        .filter(col("u").isNotNull)
+        .groupBy("u", "v").agg(count(lit(1)).cast("long").as("w"))
+        .localCheckpoint(true) // the census feeds all 6 iteration joins
+      val nodes = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n"))).distinct()
+      var a = nodes.select(col("n"), lit(1.0).cast(DecimalType(18, 9)).as("a"))
+      var h: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        val hr = e.join(a, e("v") === a("n"))
+          .groupBy(e("u").as("n")).agg(sum(col("w") * col("a")).as("s"))
+        val hn = hr.agg(sum(col("s")).as("t"))
+        h = hr.crossJoin(broadcast(hn)).select(col("n"),
+          round(col("s").cast("double") / col("t").cast("double"), 9)
+            .cast(DecimalType(18, 9)).as("h"))
+        val ar = e.join(h, e("u") === h("n"))
+          .groupBy(e("v").as("n")).agg(sum(col("w") * col("h")).as("s"))
+        val an = ar.agg(sum(col("s")).as("t"))
+        a = ar.crossJoin(broadcast(an)).select(col("n"),
+          round(col("s").cast("double") / col("t").cast("double"), 9)
+            .cast(DecimalType(18, 9)).as("a"))
+      }
+      nodes.join(h.toDF("n", "h"), Seq("n"), "left")
+        .join(a.toDF("n", "a"), Seq("n"), "left")
+        .select(col("n").as("event_type"),
+          coalesce(col("h").cast("double"), lit(0.0)).as("hub"),
+          coalesce(col("a").cast("double"), lit(0.0)).as("authority"))
+        .orderBy("event_type")
     }
   )
 }

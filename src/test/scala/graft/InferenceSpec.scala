@@ -188,6 +188,34 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("hits_scores: L1-normalized nonnegative iterates; MI/V effect sizes bounded; post-hoc family complete") {
+    val h = run("hits_scores", sf001).collect()
+    h.foreach { r =>
+      assert(r.getAs[Double]("hub") >= 0.0 && r.getAs[Double]("authority") >= 0.0)
+    }
+    // each side was L1-normalized then 9-dp-rounded: sums land within
+    // n·5e-10 of 1
+    assert(math.abs(h.map(_.getAs[Double]("hub")).sum - 1.0) < 1e-6)
+    assert(math.abs(h.map(_.getAs[Double]("authority")).sum - 1.0) < 1e-6)
+    val mi = run("mutual_info_rules", sf001).first()
+    assert(mi.getAs[Double]("mi_nats") >= 0.0, "MI is nonnegative")
+    assert(mi.getAs[Double]("nmi") >= 0.0 && mi.getAs[Double]("nmi") <= 1.0)
+    // MI <= min(H(a), H(b))
+    assert(mi.getAs[Double]("mi_nats") <=
+      math.min(mi.getAs[Double]("h_a"), mi.getAs[Double]("h_b")) + 1e-9)
+    val v = run("cramers_v", sf001).first()
+    assert(v.getAs[Double]("v") >= 0.0 && v.getAs[Double]("v") <= 1.0)
+    assert(v.getAs[Long]("df") ===
+      (v.getAs[Long]("n_rows") - 1) * (v.getAs[Long]("n_cols") - 1))
+    // the post-hoc family covers every source pair, and on this
+    // uniform-generator fixture agrees with the non-significant
+    // omnibus F: zero BH discoveries
+    val pw = run("pairwise_welch_bh", sf001).collect()
+    assert(pw.length === 190)
+    assert(!pw.exists(_.getAs[Boolean]("significant")),
+      "uniform sources must yield no BH discovery (omnibus F ~ 0.84)")
+  }
+
   test("ccf_leadlag: r in [-1,1] on every lag; lag 0 row present with the full day overlap") {
     val rows = run("ccf_leadlag", sf001).collect()
     rows.foreach { r =>

@@ -97,7 +97,11 @@ class PlanInventorySpec extends SparkSpec {
     "fleiss_kappa",       // one-row rollup of the 4-cell row-sum census
     "vocab_chao1",        // one-row FoF-census rollup
     "snm_blocking",       // exclusive-prefix window over the 26-bucket census
-    "lmdir_score")        // one-row (N, tot_dl, ctfs) census, broadcast back
+    "lmdir_score",        // one-row (N, tot_dl, ctfs) census, broadcast back
+    "hits_scores",        // one-row L1 normalizers per iteration over the type census
+    "pairwise_welch_bh",  // BH rank/step-up windows over the 190-row pair family
+    "mutual_info_rules",  // one-row confusion census
+    "cramers_v")          // one-row marginal-count rollups onto the (lang x source) grid
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -165,7 +169,10 @@ class PlanInventorySpec extends SparkSpec {
     "ccf_leadlag",        // 15-row literal lag dim cross-joined onto the day census
     "map_mrr_eval",       // broadcast query side (vec_id < 20), like ann_bruteforce
     "burrows_delta",      // 20-row top-token dim cross-joined onto the source census
-    "lmdir_score")        // one-row stats census cross-joined back, like bm25_score
+    "lmdir_score",        // one-row stats census cross-joined back, like bm25_score
+    "hits_scores",        // one-row normalizer cross-joined onto the type census per iteration
+    "pairwise_welch_bh",  // |sources|-row moment census self-paired (a.source < b.source)
+    "cramers_v")          // |langs|x|sources| marginal grid + one-row totals cross-joined
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
