@@ -707,6 +707,114 @@ object StatQueries {
           (max(when(col("state") =!= "continue", 1).otherwise(0)).over(w)
             === 1).as("decided"))
         .orderBy("day")
+    },
+
+    // JARQUE-BERA NORMALITY — the moment-based test the residual
+    // diagnostics were missing: are the hourly revenue totals
+    // compatible with a normal distribution (skewness 0, excess
+    // kurtosis 0)? All four central moments come from the EXACT
+    // integer N-scaled deviations dev = n·c − Σc (the autocorrelation
+    // trick): Σdev^k = n^{k+1}·m_k, so skew and kurtosis are ratios
+    // of exact DECIMAL(38,0) sums with the n-powers dividing out in
+    // ONE double expression each. JB is computed FROM the 6-dp-rounded
+    // skew/kurt (decimals both engines agree on bit-for-bit), and the
+    // 2-dof survival is closed-form exp(−JB/2). Constant series: NULL.
+    Q("jarque_bera",
+      s"""WITH ${duckCents("")},
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc FROM h),
+        |d AS (SELECT CAST(c * s.n - s.sc AS DECIMAL(12,0)) AS dev, n FROM h CROSS JOIN s),
+        |m AS (SELECT n,
+        |    CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(dev * dev AS DECIMAL(25,0)) * dev) AS DECIMAL(38,0)) AS s3,
+        |    CAST(SUM(CAST(dev * dev AS DECIMAL(25,0)) * CAST(dev * dev AS DECIMAL(25,0))) AS DECIMAL(38,0)) AS s4
+        |  FROM d GROUP BY n),
+        |sk AS (SELECT n,
+        |    CASE WHEN s2 > 0 THEN round((CAST(s3 AS DOUBLE) / n / n / n / n)
+        |      / sqrt((CAST(s2 AS DOUBLE) / n / n / n) * (CAST(s2 AS DOUBLE) / n / n / n)
+        |        * (CAST(s2 AS DOUBLE) / n / n / n)), 6) END AS skewness,
+        |    CASE WHEN s2 > 0 THEN round((CAST(s4 AS DOUBLE) / n / n / n / n / n)
+        |      / ((CAST(s2 AS DOUBLE) / n / n / n) * (CAST(s2 AS DOUBLE) / n / n / n))
+        |      - 3.0, 6) END AS kurtosis_excess
+        |  FROM m),
+        |jb AS (SELECT n, skewness, kurtosis_excess,
+        |    CASE WHEN skewness IS NOT NULL THEN round(n / 6.0
+        |      * (skewness * skewness + kurtosis_excess * kurtosis_excess / 4.0), 6)
+        |    END AS jb_stat FROM sk)
+        |SELECT n, skewness, kurtosis_excess, jb_stat,
+        |  CASE WHEN jb_stat IS NOT NULL THEN round(exp(-jb_stat / 2.0), 6) END AS p
+        |FROM jb""".stripMargin) { (s, dir) =>
+      val i = sparkCents(s, dir, Nil)
+      val sCensus = i.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("sc"))
+      val d = i.crossJoin(broadcast(sCensus))
+        .select((col("c") * col("n") - col("sc")).cast(DecimalType(12, 0))
+          .as("dev"), col("n"))
+      val d2 = (col("dev") * col("dev")).cast(DecimalType(25, 0))
+      val m = d.groupBy("n").agg(
+        sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("s2"),
+        sum(d2 * col("dev")).cast(DecimalType(38, 0)).as("s3"),
+        sum(d2 * d2).cast(DecimalType(38, 0)).as("s4"))
+      val m2 = col("s2").cast("double") / col("n") / col("n") / col("n")
+      val skew = (col("s3").cast("double") / col("n") / col("n") / col("n")
+        / col("n")) / sqrt(m2 * m2 * m2)
+      val kurt = (col("s4").cast("double") / col("n") / col("n") / col("n")
+        / col("n") / col("n")) / (m2 * m2) - lit(3.0)
+      val sk = m.select(col("n"),
+        when(col("s2") > 0, round(skew, 6)).as("skewness"),
+        when(col("s2") > 0, round(kurt, 6)).as("kurtosis_excess"))
+      val jb = sk.select(col("n"), col("skewness"), col("kurtosis_excess"),
+        when(col("skewness").isNotNull, round(col("n") / lit(6.0)
+          * (col("skewness") * col("skewness")
+            + col("kurtosis_excess") * col("kurtosis_excess") / lit(4.0)), 6))
+          .as("jb_stat"))
+      jb.select(col("n"), col("skewness"), col("kurtosis_excess"),
+        col("jb_stat"),
+        when(col("jb_stat").isNotNull,
+          round(exp(-col("jb_stat") / lit(2.0)), 6)).as("p"))
+    },
+
+    // DURBIN-WATSON — first-order serial correlation of the hourly
+    // revenue series (the regression-residual diagnostic, here on the
+    // mean-removed series): DW = Σ(devₜ − devₜ₋₁)² / Σdevₜ² with the
+    // same exact N-scaled integer deviations as autocorrelation (the
+    // n² factors cancel). Consecutive hours pair by an equi-join on
+    // the hour index — no corpus-wide ordered window. DW ≈ 2(1−ρ₁):
+    // both reported. Constant series: NULL.
+    Q("durbin_watson",
+      s"""WITH ${duckCents("")},
+        |i AS (SELECT epoch_us(hour) // 3600000000 AS t, c FROM h),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc FROM i),
+        |d AS (SELECT t, CAST(c * s.n - s.sc AS DECIMAL(18,0)) AS dev FROM i CROSS JOIN s),
+        |num AS (SELECT CAST(SUM((a.dev - b.dev) * (a.dev - b.dev)) AS DECIMAL(38,0)) AS nu,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM d a JOIN d b ON a.t = b.t + 1),
+        |den AS (SELECT CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS de FROM d)
+        |SELECT s.n, n_pairs,
+        |  CASE WHEN de > 0 THEN round(CAST(nu AS DOUBLE) / CAST(de AS DOUBLE), 6) END AS dw,
+        |  CASE WHEN de > 0 THEN round(1.0 - (CAST(nu AS DOUBLE) / CAST(de AS DOUBLE)) / 2.0, 6) END AS rho1_approx
+        |FROM num, den, s""".stripMargin) { (s, dir) =>
+      val i = sparkCents(s, dir, Nil)
+        .select(expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+      val sCensus = i.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("sc"))
+      val d = i.crossJoin(broadcast(sCensus))
+        .select(col("t"),
+          (col("c") * col("n") - col("sc")).cast(DecimalType(18, 0)).as("dev"))
+        .localCheckpoint(true) // census; feeds the pair join and both sums
+      val a = d.toDF("ta", "deva")
+      val b = d.toDF("tb", "devb")
+      val num = a.join(b, col("ta") === col("tb") + 1)
+        .agg(sum((col("deva") - col("devb")) * (col("deva") - col("devb")))
+          .cast(DecimalType(38, 0)).as("nu"),
+          count(lit(1)).cast("long").as("n_pairs"))
+      val den = d.agg(sum(col("dev") * col("dev"))
+        .cast(DecimalType(38, 0)).as("de"))
+      val dw = col("nu").cast("double") / col("de").cast("double")
+      num.crossJoin(den).crossJoin(broadcast(sCensus.select("n")))
+        .select(col("n"), col("n_pairs"),
+          when(col("de") > 0, round(dw, 6)).as("dw"),
+          when(col("de") > 0, round(lit(1.0) - dw / lit(2.0), 6))
+            .as("rho1_approx"))
     }
   )
 }

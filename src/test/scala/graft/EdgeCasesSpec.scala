@@ -167,7 +167,8 @@ class EdgeCasesSpec extends SparkSpec {
       "kendall_tau_daily", "t_closeness", "adamic_adar", "ccf_leadlag",
       "map_mrr_eval", "cochrans_q", "fleiss_kappa", "good_turing",
       "vocab_chao1", "burrows_delta", "snm_blocking", "lmdir_score",
-      "hits_scores", "pairwise_welch_bh", "mutual_info_rules", "cramers_v")
+      "hits_scores", "pairwise_welch_bh", "mutual_info_rules", "cramers_v",
+      "jarque_bera", "durbin_watson")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

@@ -101,7 +101,9 @@ class PlanInventorySpec extends SparkSpec {
     "hits_scores",        // one-row L1 normalizers per iteration over the type census
     "pairwise_welch_bh",  // BH rank/step-up windows over the 190-row pair family
     "mutual_info_rules",  // one-row confusion census
-    "cramers_v")          // one-row marginal-count rollups onto the (lang x source) grid
+    "cramers_v",          // one-row marginal-count rollups onto the (lang x source) grid
+    "jarque_bera",        // one-row four-moment rollup of the hour census
+    "durbin_watson")      // one-row (n, sc) census + one-row num/den rollups
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -172,7 +174,9 @@ class PlanInventorySpec extends SparkSpec {
     "lmdir_score",        // one-row stats census cross-joined back, like bm25_score
     "hits_scores",        // one-row normalizer cross-joined onto the type census per iteration
     "pairwise_welch_bh",  // |sources|-row moment census self-paired (a.source < b.source)
-    "cramers_v")          // |langs|x|sources| marginal grid + one-row totals cross-joined
+    "cramers_v",          // |langs|x|sources| marginal grid + one-row totals cross-joined
+    "jarque_bera",        // one-row (n, sc) census cross-joined onto the hour census
+    "durbin_watson")      // one-row num/den/(n, sc) rollups cross-joined together
   // (mmr_rerank's retrieval BNLJ — broadcast query side, like
   // ann_bruteforce — executes EAGERLY at localCheckpoint time, so the
   // final plan the inventory sees starts from the materialized
