@@ -197,14 +197,21 @@ object SequenceQueries {
       var a = nodes.select(col("n"), lit(1.0).cast(DecimalType(18, 9)).as("a"))
       var h: org.apache.spark.sql.DataFrame = null
       for (_ <- 1 to 3) {
+        // each iterate is checkpointed: the normalizer agg and the
+        // next level both consume it, and an uncheckpointed chain
+        // recompiles the whole upstream TWICE per level (2^6 blowup —
+        // measured 4.4 s -> sub-second at sf0.1). The iterate is
+        // |types| rows, so the materialization is free.
         val hr = e.join(a, e("v") === a("n"))
           .groupBy(e("u").as("n")).agg(sum(col("w") * col("a")).as("s"))
+          .localCheckpoint(true)
         val hn = hr.agg(sum(col("s")).as("t"))
         h = hr.crossJoin(broadcast(hn)).select(col("n"),
           round(col("s").cast("double") / col("t").cast("double"), 9)
             .cast(DecimalType(18, 9)).as("h"))
         val ar = e.join(h, e("u") === h("n"))
           .groupBy(e("v").as("n")).agg(sum(col("w") * col("h")).as("s"))
+          .localCheckpoint(true)
         val an = ar.agg(sum(col("s")).as("t"))
         a = ar.crossJoin(broadcast(an)).select(col("n"),
           round(col("s").cast("double") / col("t").cast("double"), 9)

@@ -59,6 +59,14 @@ object StreamAgreement {
   /** Streaming wiring: checkpointed foreachBatch merging each batch's
     * census into `state` (4 cells) and appending one audit row
     * (batchId, n, n_votes, pbar, pe, kappa) through `sink`.
+    *
+    * Restart contract: `state` lives with the caller, NOT in the
+    * checkpoint — after a restart the checkpoint skips already-
+    * processed batches, so the caller must persist the four census
+    * cells alongside each audit row and re-seed `state` from the last
+    * one (the census IS the whole state, four exact integers). Same
+    * discipline as the signature-store queries: tiny exact state
+    * outlives the session in the sink.
     */
   def monitor(docs: DataFrame, checkpointDir: String, state: Array[Long])(
       sink: ((Long, Long, Long, Double, Double, Option[Double])) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
