@@ -643,6 +643,92 @@ object VocabQueries {
         when(col("n") > 0,
           round(lit(1.0) - col("n1").cast("double") / col("n"), 6))
           .as("coverage"))
+    },
+
+    // SKIP-GRAM CONTEXT PAIRS (Mikolov et al. '13) — the actual
+    // training-pair artifact an embedding trainer consumes: for every
+    // token, its contexts within a ±2 window, as a (center, context,
+    // n) census. Pairs derive map-side by zipping each token array
+    // against itself at offsets 1 and 2 (both directions emitted —
+    // NO token-level self-join, the same shifted-zip discipline as
+    // bigram_logprob), then one partial-aggregated count. The census
+    // is vocabulary-bounded (≤V² rows) at any corpus size.
+    Q("w2v_context_pairs",
+      """WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(a)-1),
+        |    i -> [a[i], a[i+1]])) AS pr FROM arr
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, len(a)-1),
+        |    i -> [a[i+1], a[i]])) AS pr FROM arr
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, len(a)-2),
+        |    i -> [a[i], a[i+2]])) AS pr FROM arr
+        |  UNION ALL
+        |  SELECT unnest(list_transform(generate_series(1, len(a)-2),
+        |    i -> [a[i+2], a[i]])) AS pr FROM arr)
+        |SELECT pr[1] AS center, pr[2] AS context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY center, context""".stripMargin) { (s, dir) =>
+      val arr = Tables.parallelize(
+          Tables.load(s, dir, "documents").select("text"))
+        .select(split(col("text"), " ").as("a"))
+      def shifted(d: Int, rev: Boolean) = arr.select(explode(arrays_zip(
+          slice(col("a"), lit(1), size(col("a")) - d),
+          slice(col("a"), lit(1 + d), size(col("a")) - d))).as("p"))
+        .select(
+          (if (rev) col("p.1") else col("p.0")).as("center"),
+          (if (rev) col("p.0") else col("p.1")).as("context"))
+      shifted(1, rev = false).unionAll(shifted(1, rev = true))
+        .unionAll(shifted(2, rev = false)).unionAll(shifted(2, rev = true))
+        .groupBy("center", "context").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("center", "context")
+    },
+
+    // NEGATIVE-SAMPLING TABLE — skip-gram's other input: the
+    // unigram^0.75 distribution (the word2vec smoothing that lifts
+    // rare words) as cumulative ranges a sampler binary-searches.
+    // The 3/4 power is written as sqrt(f·sqrt(f)) — two CORRECTLY-
+    // ROUNDED IEEE sqrts and one product, bit-identical across
+    // engines where a libm pow() would not be — then quantized to
+    // DECIMAL(18,6) so the normalizer and the cumulative ranges are
+    // exact order-free sums. Vocabulary-bounded census throughout.
+    Q("negative_sampling_table",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+        |      WHERE length(tok) > 0 GROUP BY 1),
+        |w AS (SELECT tok, freq,
+        |    CAST(round(sqrt(freq * sqrt(freq)), 6) AS DECIMAL(18,6)) AS w
+        |  FROM f),
+        |z AS (SELECT SUM(w) AS z FROM w),
+        |c AS (SELECT tok, freq, w,
+        |    SUM(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM w)
+        |SELECT tok, freq,
+        |  round(CAST(w AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p_smooth,
+        |  round(CAST(cw - w AS DOUBLE) / CAST(z AS DOUBLE), 6) AS cum_lo,
+        |  round(CAST(cw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS cum_hi
+        |FROM c, z ORDER BY tok""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).cast("long").as("freq"))
+      val w = f.select(col("tok"), col("freq"),
+        round(sqrt(col("freq") * sqrt(col("freq"))), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+      val z = w.agg(sum(col("w")).as("z"))
+      val cum = Window.orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      w.withColumn("cw", sum(col("w")).over(cum))
+        .crossJoin(broadcast(z))
+        .select(col("tok"), col("freq"),
+          round(col("w").cast("double") / col("z").cast("double"), 6)
+            .as("p_smooth"),
+          round((col("cw") - col("w")).cast("double") / col("z").cast("double"), 6)
+            .as("cum_lo"),
+          round(col("cw").cast("double") / col("z").cast("double"), 6)
+            .as("cum_hi"))
+        .orderBy("tok")
     }
   )
 

@@ -168,7 +168,8 @@ class EdgeCasesSpec extends SparkSpec {
       "map_mrr_eval", "cochrans_q", "fleiss_kappa", "good_turing",
       "vocab_chao1", "burrows_delta", "snm_blocking", "lmdir_score",
       "hits_scores", "pairwise_welch_bh", "mutual_info_rules", "cramers_v",
-      "jarque_bera", "durbin_watson")
+      "jarque_bera", "durbin_watson", "w2v_context_pairs",
+      "negative_sampling_table")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>
