@@ -387,6 +387,83 @@ object ScaleSmoke {
         .filter(col("jw") >= 0.84)
         .count()
     }
+    // Theil–Sen at a WIDENED SPAN (theil_sen_sampled): each copy
+    // shifts the hour census by copy·720 h, so the span — the thing
+    // the exact estimator is quadratic in — grows with mult while the
+    // sampled estimator's pair mass stays at 2000 draws per type. The
+    // would-be exact pair mass is computed ARITHMETICALLY from the
+    // census (never materialized); the sampled path actually runs.
+    time("theil_sen_sampled_span") {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PortableHash
+      val hrs = Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+          * 100).cast("long").as("c"))
+        .crossJoin(spark.range(mult).select(col("id").as("cp")))
+        .select(col("event_type"),
+          (expr("unix_micros(hour) div 3600000000L") + col("cp") * 720L).as("t"),
+          col("c"))
+        .localCheckpoint(true)
+      val census = hrs.groupBy("event_type").agg(count(lit(1)).as("nb"))
+        .localCheckpoint(true)
+      val exactPairs = census
+        .agg(sum(col("nb") * (col("nb") - 1))).first().getLong(0) / 2
+      val spanHours = census.agg(max("nb")).first().getLong(0)
+      val r = hrs.withColumn("rk",
+        row_number().over(Window.partitionBy("event_type").orderBy("t")) - 1)
+      val draws = census
+        .select(col("event_type"), col("nb"),
+          explode(sequence(lit(0), lit(1999))).as("s"))
+        .select(col("event_type"), col("s"),
+          (PortableHash.h32(concat(col("event_type"), lit("|"),
+            col("s").cast("string"))) % col("nb")).as("ia"),
+          (PortableHash.h32(concat(col("event_type"), lit("#"),
+            col("s").cast("string"))) % col("nb")).as("ib"))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("event_type"), col("s"),
+          least(col("ia"), col("ib")).as("lo"),
+          greatest(col("ia"), col("ib")).as("hi"))
+      val a = r.select(col("event_type").as("eta"), col("rk").as("rka"),
+        col("t").as("t1"), col("c").as("c1"))
+      val b = r.select(col("event_type").as("etb"), col("rk").as("rkb"),
+        col("t").as("t2"), col("c").as("c2"))
+      val sampled = draws
+        .join(broadcast(a), col("event_type") === col("eta") && col("lo") === col("rka"))
+        .join(broadcast(b), col("event_type") === col("etb") && col("hi") === col("rkb"))
+        .select(col("event_type"),
+          round((col("c2") - col("c1")).cast("double")
+            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"))
+        .count()
+      println(s"[smoke]   span=$spanHours h: exact pair mass would be " +
+        s"$exactPairs (quadratic in span); sampled pair rows: $sampled (bounded)")
+      sampled
+    }
+    // Vocabulary-census growth audit (the Heaps-law worry on the
+    // allowlisted vocab-bounded exchanges): per-copy token suffixing
+    // models NEW vocabulary arriving with corpus growth — the vocab
+    // census grows ~linearly with mult, while the 2-char prefix-bucket
+    // census (the ONLY single-partition exchange under
+    // negative_sampling_table's two-phase shape) stays
+    // alphabet²-bounded. The df-cap/top-k escape hatches for the other
+    // vocab-census queries are recorded per-query in SCALE.md.
+    time("vocab_census_growth") {
+      val toks = Tables.parallelizeByRange(docs, col("doc_id"))
+        .select((col("doc_id") / 10000000L).cast("long").as("cp"),
+          explode(split(col("text"), " ")).as("t0"))
+        .filter(length(col("t0")) > 0)
+        .select(concat(col("t0"), lit("~"), col("cp").cast("string")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true)
+      val v = vocab.count()
+      val buckets = vocab.groupBy(substring(col("tok"), 1, 2).as("b"))
+        .agg(count(lit(1))).count()
+      println(s"[smoke]   vocab census rows (grows with corpus): $v; " +
+        s"prefix-bucket census rows (the single-partition exchange): $buckets")
+      v
+    }
     spark.stop()
   }
 }

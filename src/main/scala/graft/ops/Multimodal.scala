@@ -225,6 +225,198 @@ object Multimodal {
       payload
   }
 
+  // ---- real pixel payload (second step: the IDAT is no longer
+  // synthetic bytes but a genuine zlib stream of filtered scanlines) --
+
+  /** Deterministic pixel field p(i) = (seed + 31·i) mod 256 at raster
+    * index i = y·w + x. 31 is coprime to 256, so every 256-pixel run
+    * is a permutation of 0..255 — full dynamic range, and the DuckDB
+    * oracle recomputes the exact same value per pixel from (seed, i).
+    */
+  def pixelAt(seed: Int, i: Long): Int = (((seed + 31L * i) % 256).toInt)
+
+  /** Spec-valid zlib stream around `raw` using STORED deflate blocks:
+    * 2-byte header (0x78 0x01 — (CMF·256+FLG) % 31 == 0), one 5-byte
+    * stored-block header per ≤65535-byte block, then a REAL Adler-32.
+    * Every inflater accepts it, and — unlike a compressed stream — its
+    * length is closed-form (2 + 5·ceil(m/65535) + m + 4), so the
+    * oracle can recompute container byte counts from first principles.
+    */
+  def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + 16)
+    out.write(0x78); out.write(0x01)
+    var off = 0
+    do {
+      val len = math.min(65535, raw.length - off)
+      out.write(if (off + len >= raw.length) 1 else 0)
+      out.write(len & 0xff); out.write((len >> 8) & 0xff)
+      out.write(~len & 0xff); out.write((~len >> 8) & 0xff)
+      out.write(raw, off, len)
+      off += len
+    } while (off < raw.length)
+    val ad = new java.util.zip.Adler32
+    ad.update(raw, 0, raw.length)
+    out.write(be32(ad.getValue.toInt), 0, 4)
+    out.toByteArray
+  }
+
+  /** Filtered scanline stream for the pixel field: row y carries PNG
+    * filter y%3 (0 None, 1 Sub, 2 Up) — so a decoder only reproduces
+    * the field by genuinely inverting all three filters in order, with
+    * the spec's zero left/prior conventions at the edges.
+    */
+  def scanlines(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (w + 1))
+    var o = 0
+    var y = 0
+    while (y < h) {
+      val f = y % 3
+      raw(o) = f.toByte; o += 1
+      var x = 0
+      while (x < w) {
+        val i = y.toLong * w + x
+        val p = pixelAt(seed, i)
+        val enc = f match {
+          case 0 => p
+          case 1 => (p - (if (x == 0) 0 else pixelAt(seed, i - 1))) & 0xff
+          case _ => (p - (if (y == 0) 0 else pixelAt(seed, i - w))) & 0xff
+        }
+        raw(o) = enc.toByte; o += 1; x += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
+  /** PNG/APNG whose IDAT is the REAL zlib-wrapped filtered scanline
+    * stream of the deterministic pixel field — a fully decodable
+    * grayscale image, not a labeled stub.
+    */
+  def buildPngPixels(w: Int, h: Int, frames: Option[Int], seed: Int): Array[Byte] =
+    buildPng(w, h, frames, zlibStored(scanlines(w, h, seed)))
+
+  /** Concatenated IDAT chunk data (the spec allows splitting the zlib
+    * stream across chunks; decode must join before inflating).
+    */
+  def idatOf(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 8 || !bytes.take(8).sameElements(PngSig))
+      throw new IllegalArgumentException("not a PNG")
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 8
+    while (off + 12 <= bytes.length) {
+      val len = rdBe32(bytes, off).toInt
+      if (len < 0 || off + 12L + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"PNG chunk at $off claims $len data bytes past end of file")
+      if (new String(bytes, off + 4, 4, StandardCharsets.US_ASCII) == "IDAT")
+        out.write(bytes, off + 8, len)
+      off += 12 + len
+    }
+    out.toByteArray
+  }
+
+  /** REAL inflate via java.util.zip.Inflater — the exact decoder any
+    * PNG reader runs; truncated or overlong streams fail loudly.
+    */
+  def inflate(z: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](expected)
+    val probe = new Array[Byte](1)
+    var n = 0
+    while (!inf.finished()) {
+      // once `expected` bytes are out, keep driving with a 1-byte
+      // probe so the inflater consumes the final block header and
+      // Adler trailer (an empty image never enters the first branch
+      // at all) — a probe byte actually ARRIVING means the stream is
+      // overlong, not finished
+      val k =
+        if (n < expected) inf.inflate(out, n, expected - n)
+        else inf.inflate(probe)
+      if (n >= expected && k > 0)
+        throw new IllegalArgumentException(
+          s"zlib stream decodes past the expected $expected bytes")
+      if (k == 0 && !inf.finished()) {
+        if (inf.needsInput())
+          throw new IllegalArgumentException(
+            s"zlib stream truncated: got $n of $expected bytes")
+        if (inf.needsDictionary())
+          throw new IllegalArgumentException("zlib stream wants a preset dictionary")
+      }
+      n += k
+    }
+    if (n != expected)
+      throw new IllegalArgumentException(
+        s"zlib stream decodes to $n bytes, expected $expected")
+    inf.end()
+    out
+  }
+
+  /** Decoded-pixel statistics: the positional checksum px_wsum =
+    * Σ(i+1)·p(i) pins every pixel's VALUE AND POSITION — any filter
+    * inversion or raster-order mistake shifts it.
+    */
+  case class PixelStats(
+      media_id: Long, container: String, width: Int, height: Int,
+      n_pixels: Long, px_sum: Long, px_wsum: Long,
+      px_min: Int, px_max: Int)
+
+  /** Invert the scanline filters (None/Sub/Up per the PNG spec, zero
+    * conventions at the left/top edges) and fold pixel statistics in
+    * one pass. `raw` is the inflated filter-byte + pixel stream.
+    */
+  def defilterStats(raw: Array[Byte], w: Int, h: Int): (Long, Long, Int, Int) = {
+    require(raw.length == h * (w + 1),
+      s"scanline stream is ${raw.length} bytes, expected ${h * (w + 1)}")
+    val prev = new Array[Int](w)
+    var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
+    var o = 0
+    var y = 0
+    while (y < h) {
+      val f = raw(o) & 0xff; o += 1
+      var left = 0
+      var x = 0
+      while (x < w) {
+        val b = raw(o) & 0xff; o += 1
+        val p = f match {
+          case 0 => b
+          case 1 => (b + left) & 0xff
+          case 2 => (b + prev(x)) & 0xff
+          case _ => throw new IllegalArgumentException(s"unsupported PNG filter $f")
+        }
+        left = p; prev(x) = p
+        sum += p
+        wsum += (y.toLong * w + x + 1) * p
+        if (p < mn) mn = p
+        if (p > mx) mx = p
+        x += 1
+      }
+      y += 1
+    }
+    (sum, wsum, mn, mx)
+  }
+
+  /** Full pixel decode over PNG/APNG media: header parse (CRC walk),
+    * IDAT join, REAL zlib inflate, filter inversion, statistics — the
+    * partition-batched decode stage a real image pipeline runs, minus
+    * nothing.
+    */
+  def decodePixelStats(media: Dataset[MediaFile]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hd = parseHeader(m.content)
+        if (hd.container != "png" && hd.container != "apng")
+          throw new IllegalArgumentException(
+            s"pixel decode over non-PNG container ${hd.container}")
+        val raw = inflate(idatOf(m.content), hd.height * (hd.width + 1))
+        val (sum, wsum, mn, mx) = defilterStats(raw, hd.width, hd.height)
+        PixelStats(m.media_id, hd.container, hd.width, hd.height,
+          hd.width.toLong * hd.height, sum, wsum, mn, mx)
+      }
+    }
+  }
+
   /** Parsed header fields. `container` is what the BYTES say (png/
     * apng/jpeg/wav), independent of the envelope `kind` column.
     */
@@ -330,6 +522,17 @@ object Multimodal {
     * [[decodeContainers]], recomputed from first principles by the
     * DuckDB oracle: a single mis-encoded or mis-parsed byte diverges
     * the hash check.
+    *
+    * PNG/APNG rows carry a REAL zlib scanline stream of the
+    * deterministic pixel field ([[buildPngPixels]]) — fully decodable
+    * images, with the seed = h32(text) mod 256 rule the pixel oracle
+    * recomputes. Dimensions are 16 + h32 % 240 (≤255 per side) so the
+    * per-image pixel mass stays ≤64 KB: one stored zlib block, and a
+    * corpus of raster data the sf0.01 oracle can explode per-pixel.
+    * JPEG rows keep the text payload in COM segments (real scanline
+    * data would need a Huffman entropy coder — the one remaining
+    * synthetic payload, loudly labeled); WAV payloads are the real
+    * PCM bytes the audio queries decode.
     */
   def mediaContainers(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._
@@ -337,17 +540,18 @@ object Multimodal {
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
         val payload = text.getBytes(StandardCharsets.UTF_8)
-        val w = (64 + h32jvm(text) % 960).toInt
-        val h = (64 + h32jvm("1|" + text) % 960).toInt
+        val w = (16 + h32jvm(text) % 240).toInt
+        val h = (16 + h32jvm("1|" + text) % 240).toInt
+        val seed = (h32jvm(text) % 256).toInt
         (id % 3) match {
           case 0 =>
-            val bytes = if (id % 2 == 0) buildPng(w, h, None, payload)
+            val bytes = if (id % 2 == 0) buildPngPixels(w, h, None, seed)
                         else buildJpeg(w, h, payload)
             MediaFile(id, "image", bytes, source)
           case 1 => MediaFile(id, "audio", buildWav(payload), source)
           case _ =>
             val frames = (1 + h32jvm("2|" + text) % 240).toInt
-            MediaFile(id, "video", buildPng(w, h, Some(frames), payload), source)
+            MediaFile(id, "video", buildPngPixels(w, h, Some(frames), seed), source)
         }
       }
   }

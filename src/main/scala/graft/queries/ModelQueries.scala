@@ -74,9 +74,16 @@ object ModelQueries {
     // distributed OLS in closed form: regress the hourly cent sum on
     // [1, t, hod] (t = hours since the first bucket). ONE scan reduces
     // to the 10-moment census; the normal equations solve by Cramer's
-    // rule in EXACT integer/decimal arithmetic (every 3x3 determinant
-    // is a sum of six <=36-digit products of exact moments) — the only
-    // doubles are the final beta divisions and the R² expression.
+    // rule in EXACT integer/decimal arithmetic — the only doubles are
+    // the final beta divisions and the R² expression. Moment widths
+    // are bounded by what each actually sums: the t/hod moments are
+    // SPAN-bounded (stt ≤ span³ fits DECIMAL(12,0) through a ~10⁴-hour
+    // span) and stay at 12 digits, while the y-moments grow with
+    // corpus VOLUME and get DECIMAL(20,0) (sty = Σt·y holds hourly
+    // cents up to ~10¹³ over a 720-hour span before its cast fails
+    // loudly) and syy DECIMAL(30,0); the determinant inner products
+    // carry DECIMAL(30,0) so det0's worst case (~10³⁰ at those
+    // ceilings) keeps DECIMAL(38,0) headroom.
     Q("ols_cramer",
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
         |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
@@ -91,16 +98,16 @@ object ModelQueries {
         |    CAST(SUM(t * t) AS DECIMAL(12,0)) AS stt,
         |    CAST(SUM(t * hod) AS DECIMAL(12,0)) AS sth,
         |    CAST(SUM(hod * hod) AS DECIMAL(12,0)) AS shh,
-        |    CAST(SUM(y) AS DECIMAL(12,0)) AS sy,
-        |    CAST(SUM(t * y) AS DECIMAL(12,0)) AS sty,
-        |    CAST(SUM(hod * y) AS DECIMAL(12,0)) AS shy,
-        |    CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(20,0)) AS syy
+        |    CAST(SUM(y) AS DECIMAL(20,0)) AS sy,
+        |    CAST(SUM(CAST(t AS DECIMAL(18,0)) * y) AS DECIMAL(20,0)) AS sty,
+        |    CAST(SUM(CAST(hod AS DECIMAL(18,0)) * y) AS DECIMAL(20,0)) AS shy,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(30,0)) AS syy
         |  FROM i),
         |d AS (SELECT n, sy, sty, shy, syy,
-        |    n*CAST(stt*shh - sth*sth AS DECIMAL(24,0)) - st*CAST(st*shh - sth*sh AS DECIMAL(24,0)) + sh*CAST(st*sth - stt*sh AS DECIMAL(24,0)) AS det,
-        |    sy*CAST(stt*shh - sth*sth AS DECIMAL(24,0)) - st*CAST(sty*shh - sth*shy AS DECIMAL(24,0)) + sh*CAST(sty*sth - stt*shy AS DECIMAL(24,0)) AS det0,
-        |    n*CAST(sty*shh - shy*sth AS DECIMAL(24,0)) - sy*CAST(st*shh - sth*sh AS DECIMAL(24,0)) + sh*CAST(st*shy - sty*sh AS DECIMAL(24,0)) AS det1,
-        |    n*CAST(stt*shy - sth*sty AS DECIMAL(24,0)) - st*CAST(st*shy - sty*sh AS DECIMAL(24,0)) + sy*CAST(st*sth - stt*sh AS DECIMAL(24,0)) AS det2
+        |    n*CAST(stt*shh - sth*sth AS DECIMAL(30,0)) - st*CAST(st*shh - sth*sh AS DECIMAL(30,0)) + sh*CAST(st*sth - stt*sh AS DECIMAL(30,0)) AS det,
+        |    sy*CAST(stt*shh - sth*sth AS DECIMAL(30,0)) - st*CAST(sty*shh - sth*shy AS DECIMAL(30,0)) + sh*CAST(sty*sth - stt*shy AS DECIMAL(30,0)) AS det0,
+        |    n*CAST(sty*shh - shy*sth AS DECIMAL(30,0)) - sy*CAST(st*shh - sth*sh AS DECIMAL(30,0)) + sh*CAST(st*shy - sty*sh AS DECIMAL(30,0)) AS det1,
+        |    n*CAST(stt*shy - sth*sty AS DECIMAL(30,0)) - st*CAST(st*shy - sty*sh AS DECIMAL(30,0)) + sy*CAST(st*sth - stt*sh AS DECIMAL(30,0)) AS det2
         |  FROM m)
         |SELECT CAST(n AS BIGINT) AS n,
         |  CASE WHEN det <> 0 THEN round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) / 100.0, 6) END AS beta0,
@@ -123,15 +130,17 @@ object ModelQueries {
       val i = i0.crossJoin(broadcast(mn))
         .select((col("th") - col("t0")).as("t"), col("hod"), col("y"))
       def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 0))
+      def dec20(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 0))
       val m = i.agg(
         dec(count(lit(1))).as("n"), dec(sum(col("t"))).as("st"),
         dec(sum(col("hod"))).as("sh"), dec(sum(col("t") * col("t"))).as("stt"),
         dec(sum(col("t") * col("hod"))).as("sth"),
         dec(sum(col("hod") * col("hod"))).as("shh"),
-        dec(sum(col("y"))).as("sy"), dec(sum(col("t") * col("y"))).as("sty"),
-        dec(sum(col("hod") * col("y"))).as("shy"),
+        dec20(sum(col("y"))).as("sy"),
+        dec20(sum(col("t").cast(DecimalType(18, 0)) * col("y"))).as("sty"),
+        dec20(sum(col("hod").cast(DecimalType(18, 0)) * col("y"))).as("shy"),
         sum(col("y").cast(DecimalType(18, 0)) * col("y"))
-          .cast(DecimalType(20, 0)).as("syy"))
+          .cast(DecimalType(30, 0)).as("syy"))
       val (nC, st, sh, stt, sth, shh, sy, sty, shy) =
         (col("n"), col("st"), col("sh"), col("stt"), col("sth"),
           col("shh"), col("sy"), col("sty"), col("shy"))

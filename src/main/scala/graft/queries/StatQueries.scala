@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.PortableHash.duckH32
+import graft.functions.PortableHash.{duckH32, h32}
 
 /** Statistical inference over corpus/stream censuses — the hypothesis
   * tests and robust estimators an analyst runs on the monitoring
@@ -293,8 +293,13 @@ object StatQueries {
 
     // Theil–Sen robust trend per event_type: the (lower) median of all
     // pairwise hourly slopes. The pair set is census², bounded by the
-    // TIME SPAN (720 hours) regardless of corpus size; slopes round to
-    // 6 dp before ranking so the order statistic is engine-stable.
+    // TIME SPAN (720 hours → 259k pairs/type) regardless of corpus
+    // size; slopes round to 6 dp before ranking so the order statistic
+    // is engine-stable. SPAN CEILING: census² crosses 10⁹ pairs near a
+    // 45,000-hour (~5-year) span — past that, use theil_sen_sampled
+    // below (index-arithmetic pair draws, O(samples) at any span);
+    // threshold recorded in SCALE.md, bounded-mass behavior pinned by
+    // the ScaleSmoke theil_sen_sampled stage.
     Q("theil_sen",
       s"""WITH ${duckCents("event_type, ")},
         |i AS (SELECT event_type, epoch_us(hour) // 3600000000 AS t, c FROM h),
@@ -327,6 +332,81 @@ object StatQueries {
           Window.partitionBy("event_type").rowsBetween(Long.MinValue, Long.MaxValue)))
       r.filter(col("rn") === expr("(np + 1) div 2"))
         .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope").as("median_slope"))
+        .orderBy("event_type")
+    },
+
+    // THEIL–SEN, SAMPLED — the bounded-pair-mass fallback for spans
+    // where the exact estimator's census² explodes (720 hours → 259k
+    // pairs per type is fine; a multi-year retention window crosses
+    // 10⁹ — see SCALE.md). Instead of gating a self-join (which still
+    // GENERATES n² rows before filtering), pairs are drawn by INDEX
+    // ARITHMETIC: census rows get within-group ranks, 2000 draws per
+    // group pick (h32-derived) rank pairs directly, and two equi-joins
+    // fetch the endpoints — O(samples) pair mass at ANY span, fully
+    // deterministic (hash draws, rank order, draw-index tie-break), so
+    // the oracle replays it bit-for-bit. Duplicated draws stay (with-
+    // replacement sampling keeps the estimator honest and the count
+    // deterministic); same lower-median convention as theil_sen.
+    Q("theil_sen_sampled", {
+      val ia = duckH32("event_type || '|' || CAST(s AS VARCHAR)")
+      val ib = duckH32("event_type || '#' || CAST(s AS VARCHAR)")
+      s"""WITH ${duckCents("event_type, ")},
+        |i AS (SELECT event_type, epoch_us(hour) // 3600000000 AS t, c FROM h),
+        |r AS (SELECT event_type, t, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t) - 1 AS rk FROM i),
+        |nb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb FROM i GROUP BY 1),
+        |s AS (SELECT event_type, s, $ia % nb AS ia, $ib % nb AS ib
+        |  FROM nb, unnest(generate_series(0, 1999)) AS g(s)),
+        |sp AS (SELECT event_type, s, least(ia, ib) AS lo, greatest(ia, ib) AS hi
+        |  FROM s WHERE ia <> ib),
+        |p AS (SELECT sp.event_type, sp.s,
+        |    round(CAST(b.c - a.c AS DOUBLE) / ((b.t - a.t) * 100.0), 6) AS slope
+        |  FROM sp
+        |  JOIN r a ON a.event_type = sp.event_type AND a.rk = sp.lo
+        |  JOIN r b ON b.event_type = sp.event_type AND b.rk = sp.hi),
+        |rr AS (SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, s) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np FROM p)
+        |SELECT event_type, np AS n_sampled_pairs, slope AS median_slope
+        |FROM rr WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+      val i = sparkCents(s, dir, Seq("event_type"))
+        .select(col("event_type"),
+          expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+        .localCheckpoint(true)
+      val r = i.withColumn("rk",
+        row_number().over(Window.partitionBy("event_type").orderBy("t")) - 1)
+      val nb = i.groupBy("event_type").agg(count(lit(1)).cast("long").as("nb"))
+      val draws = nb
+        .select(col("event_type"), col("nb"),
+          explode(sequence(lit(0), lit(1999))).as("s"))
+        .select(col("event_type"), col("s"),
+          (h32(concat(col("event_type"), lit("|"), col("s").cast("string")))
+            % col("nb")).as("ia"),
+          (h32(concat(col("event_type"), lit("#"), col("s").cast("string")))
+            % col("nb")).as("ib"))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("event_type"), col("s"),
+          least(col("ia"), col("ib")).as("lo"),
+          greatest(col("ia"), col("ib")).as("hi"))
+      val a = r.select(col("event_type").as("eta"), col("rk").as("rka"),
+        col("t").as("t1"), col("c").as("c1"))
+      val b = r.select(col("event_type").as("etb"), col("rk").as("rkb"),
+        col("t").as("t2"), col("c").as("c2"))
+      val p = draws
+        .join(broadcast(a), col("event_type") === col("eta") && col("lo") === col("rka"))
+        .join(broadcast(b), col("event_type") === col("etb") && col("hi") === col("rkb"))
+        .select(col("event_type"), col("s"),
+          round((col("c2") - col("c1")).cast("double")
+            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"))
+      val rr = p
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("slope", "s")))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy("event_type").rowsBetween(Long.MinValue, Long.MaxValue)))
+      rr.filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_sampled_pairs"),
           col("slope").as("median_slope"))
         .orderBy("event_type")
     },
@@ -712,30 +792,49 @@ object StatQueries {
     // JARQUE-BERA NORMALITY — the moment-based test the residual
     // diagnostics were missing: are the hourly revenue totals
     // compatible with a normal distribution (skewness 0, excess
-    // kurtosis 0)? All four central moments come from the EXACT
-    // integer N-scaled deviations dev = n·c − Σc (the autocorrelation
-    // trick): Σdev^k = n^{k+1}·m_k, so skew and kurtosis are ratios
-    // of exact DECIMAL(38,0) sums with the n-powers dividing out in
-    // ONE double expression each. JB is computed FROM the 6-dp-rounded
-    // skew/kurt (decimals both engines agree on bit-for-bit), and the
-    // 2-dof survival is closed-form exp(−JB/2). Constant series: NULL.
+    // kurtosis 0)? The raw moments come from EXACT integer deviations
+    // about the FLOORED integer mean mb = Σc div n (both engines
+    // floor identically on the non-negative operands): r = c − mb is
+    // corpus-volume-bounded but — unlike the n-scaled dev = n·c − Σc
+    // of autocorrelation — carries NO wasted n-power, so the bound is
+    // provable: |r| < 10^8 (the DECIMAL(8,0) cast fails LOUDLY at the
+    // cause if an hourly total ever deviates by more than $1M in
+    // cents) gives Σr⁴ ≤ n·10^32, inside DECIMAL(38,0) for any series
+    // up to 10^6 hours (a century). The fractional mean offset
+    // δ = (Σc mod n)/n ∈ [0,1) is corrected exactly in the one-row
+    // census: m_k about the true mean follows from the binomial shift
+    // (m2 = M2/n − δ², m3 = M3/n − 3δM2/n + 2δ³, m4 = M4/n − 4δM3/n +
+    // 6δ²M2/n − 3δ⁴), a fixed double expression written with
+    // identical association in both engines, so skew/kurt still agree
+    // bit-for-bit. JB is computed FROM the 6-dp-rounded skew/kurt,
+    // and the 2-dof survival is closed-form exp(−JB/2). Constant
+    // series: NULL.
     Q("jarque_bera",
       s"""WITH ${duckCents("")},
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc FROM h),
-        |d AS (SELECT CAST(c * s.n - s.sc AS DECIMAL(12,0)) AS dev, n FROM h CROSS JOIN s),
-        |m AS (SELECT n,
-        |    CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS s2,
-        |    CAST(SUM(CAST(dev * dev AS DECIMAL(25,0)) * dev) AS DECIMAL(38,0)) AS s3,
-        |    CAST(SUM(CAST(dev * dev AS DECIMAL(25,0)) * CAST(dev * dev AS DECIMAL(25,0))) AS DECIMAL(38,0)) AS s4
-        |  FROM d GROUP BY n),
-        |sk AS (SELECT n,
-        |    CASE WHEN s2 > 0 THEN round((CAST(s3 AS DOUBLE) / n / n / n / n)
-        |      / sqrt((CAST(s2 AS DOUBLE) / n / n / n) * (CAST(s2 AS DOUBLE) / n / n / n)
-        |        * (CAST(s2 AS DOUBLE) / n / n / n)), 6) END AS skewness,
-        |    CASE WHEN s2 > 0 THEN round((CAST(s4 AS DOUBLE) / n / n / n / n / n)
-        |      / ((CAST(s2 AS DOUBLE) / n / n / n) * (CAST(s2 AS DOUBLE) / n / n / n))
-        |      - 3.0, 6) END AS kurtosis_excess
+        |b AS (SELECT n, sc, sc // n AS mb, sc - n * (sc // n) AS rem FROM s),
+        |d AS (SELECT CAST(c - b.mb AS DECIMAL(8,0)) AS r, n, rem FROM h CROSS JOIN b),
+        |m AS (SELECT n, rem,
+        |    CAST(SUM(r * r) AS DECIMAL(38,0)) AS m2r,
+        |    CAST(SUM(CAST(r * r AS DECIMAL(19,0)) * r) AS DECIMAL(38,0)) AS m3r,
+        |    CAST(SUM(CAST(r * r AS DECIMAL(19,0)) * CAST(r * r AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS m4r
+        |  FROM d GROUP BY n, rem),
+        |c2 AS (SELECT n,
+        |    CAST(rem AS DOUBLE) / n AS del,
+        |    CAST(m2r AS DOUBLE) / n AS a2,
+        |    CAST(m3r AS DOUBLE) / n AS a3,
+        |    CAST(m4r AS DOUBLE) / n AS a4
         |  FROM m),
+        |cm AS (SELECT n,
+        |    a2 - del * del AS m2,
+        |    a3 - 3.0 * del * a2 + 2.0 * del * del * del AS m3,
+        |    a4 - 4.0 * del * a3 + 6.0 * (del * del) * a2
+        |      - 3.0 * ((del * del) * (del * del)) AS m4
+        |  FROM c2),
+        |sk AS (SELECT n,
+        |    CASE WHEN m2 > 0 THEN round(m3 / sqrt(m2 * m2 * m2), 6) END AS skewness,
+        |    CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
+        |  FROM cm),
         |jb AS (SELECT n, skewness, kurtosis_excess,
         |    CASE WHEN skewness IS NOT NULL THEN round(n / 6.0
         |      * (skewness * skewness + kurtosis_excess * kurtosis_excess / 4.0), 6)
@@ -746,22 +845,36 @@ object StatQueries {
       val i = sparkCents(s, dir, Nil)
       val sCensus = i.agg(count(lit(1)).cast("long").as("n"),
         sum(col("c")).cast("long").as("sc"))
+        .select(col("n"), expr("sc div n").as("mb"),
+          (col("sc") - col("n") * expr("sc div n")).as("rem"))
       val d = i.crossJoin(broadcast(sCensus))
-        .select((col("c") * col("n") - col("sc")).cast(DecimalType(12, 0))
-          .as("dev"), col("n"))
-      val d2 = (col("dev") * col("dev")).cast(DecimalType(25, 0))
-      val m = d.groupBy("n").agg(
-        sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("s2"),
-        sum(d2 * col("dev")).cast(DecimalType(38, 0)).as("s3"),
-        sum(d2 * d2).cast(DecimalType(38, 0)).as("s4"))
-      val m2 = col("s2").cast("double") / col("n") / col("n") / col("n")
-      val skew = (col("s3").cast("double") / col("n") / col("n") / col("n")
-        / col("n")) / sqrt(m2 * m2 * m2)
-      val kurt = (col("s4").cast("double") / col("n") / col("n") / col("n")
-        / col("n") / col("n")) / (m2 * m2) - lit(3.0)
-      val sk = m.select(col("n"),
-        when(col("s2") > 0, round(skew, 6)).as("skewness"),
-        when(col("s2") > 0, round(kurt, 6)).as("kurtosis_excess"))
+        .select((col("c") - col("mb")).cast(DecimalType(8, 0)).as("r"),
+          col("n"), col("rem"))
+      val r2 = (col("r") * col("r")).cast(DecimalType(19, 0))
+      val m = d.groupBy("n", "rem").agg(
+        sum(col("r") * col("r")).cast(DecimalType(38, 0)).as("m2r"),
+        sum(r2 * col("r")).cast(DecimalType(38, 0)).as("m3r"),
+        sum(r2 * r2).cast(DecimalType(38, 0)).as("m4r"))
+      val c2 = m.select(col("n"),
+        (col("rem").cast("double") / col("n")).as("del"),
+        (col("m2r").cast("double") / col("n")).as("a2"),
+        (col("m3r").cast("double") / col("n")).as("a3"),
+        (col("m4r").cast("double") / col("n")).as("a4"))
+      val cm = c2.select(col("n"),
+        (col("a2") - col("del") * col("del")).as("m2"),
+        (col("a3") - lit(3.0) * col("del") * col("a2")
+          + lit(2.0) * col("del") * col("del") * col("del")).as("m3"),
+        (col("a4") - lit(4.0) * col("del") * col("a3")
+          + lit(6.0) * (col("del") * col("del")) * col("a2")
+          - lit(3.0) * ((col("del") * col("del"))
+            * (col("del") * col("del")))).as("m4"))
+      val sk = cm.select(col("n"),
+        when(col("m2") > 0,
+          round(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 6))
+          .as("skewness"),
+        when(col("m2") > 0,
+          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6))
+          .as("kurtosis_excess"))
       val jb = sk.select(col("n"), col("skewness"), col("kurtosis_excess"),
         when(col("skewness").isNotNull, round(col("n") / lit(6.0)
           * (col("skewness") * col("skewness")

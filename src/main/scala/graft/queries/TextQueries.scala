@@ -1061,28 +1061,82 @@ object TextQueries {
     // The oracle recomputes every field from first principles — the
     // h32 dimension rules, per-format header overhead for n_bytes,
     // WAV sample frames = payload bytes (mono 8-bit) — so the check
-    // covers the full build->parse round trip byte-exactly.
+    // covers the full build->parse round trip byte-exactly. PNG/APNG
+    // n_bytes now includes the REAL zlib scanline stream: m = h·(w+1)
+    // filtered raster bytes wrapped in stored blocks, so the stream
+    // length is the closed form 2 + 5·ceil(m/65535) + m + 4 (adler)
+    // the oracle writes out — a compressed stream would be opaque to
+    // SQL, which is exactly why the builder uses stored blocks.
     Q("multimodal_decode",
-      s"""SELECT doc_id AS media_id,
+      s"""WITH d AS (SELECT doc_id, text,
+         |    16 + ${duckH32("text")} % 240 AS w,
+         |    16 + ${duckH32(1, "text")} % 240 AS h
+         |  FROM documents),
+         |z AS (SELECT doc_id, text, w, h,
+         |    2 + 5 * CAST(ceil(h * (w + 1) / 65535.0) AS BIGINT)
+         |      + CAST(h AS BIGINT) * (w + 1) + 4 AS zlen
+         |  FROM d)
+         |SELECT doc_id AS media_id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          |  CASE WHEN doc_id % 3 = 1 THEN 'wav' WHEN doc_id % 3 = 2 THEN 'apng'
          |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container,
          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
-         |            WHEN doc_id % 3 = 2 THEN 77 + strlen(text)
-         |            WHEN doc_id % 2 = 0 THEN 57 + strlen(text)
+         |            WHEN doc_id % 3 = 2 THEN 77 + zlen
+         |            WHEN doc_id % 2 = 0 THEN 57 + zlen
          |            ELSE 35 + 4 * CAST(ceil(strlen(text) / 60000.0) AS BIGINT) + strlen(text)
          |       END AS BIGINT) AS n_bytes,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
-         |            ELSE 64 + ${duckH32("text")} % 960 END AS INTEGER) AS width,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
-         |            ELSE 64 + ${duckH32(1, "text")} % 960 END AS INTEGER) AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE h END AS INTEGER) AS height,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
          |            WHEN doc_id % 3 = 1 THEN strlen(text)
          |            ELSE 1 + ${duckH32(2, "text")} % 240 END AS INTEGER) AS n_frames
-         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+         |FROM z ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.decodeContainers(
           Multimodal.mediaContainers(Tables.load(s, dir, "documents")))
         .toDF().orderBy("media_id")
+    },
+
+    // PIXEL DECODE — the end of the multimodal stub story for PNG:
+    // the PNG/APNG containers carry a genuine zlib scanline stream
+    // (stored-block deflate + real Adler-32) of the deterministic
+    // pixel field p(i) = (seed + 31·i) mod 256, filtered per-row with
+    // the PNG spec's None/Sub/Up filters. The ENGINE decodes it the
+    // way any PNG reader would — chunk walk + CRC, IDAT join,
+    // java.util.zip.Inflater, filter inversion — and folds pixel
+    // statistics; the ORACLE rebuilds every pixel from (seed, i) in
+    // SQL and aggregates the same statistics. px_wsum = Σ(i+1)·p(i)
+    // pins value AND raster position of every pixel, so a single
+    // mis-inverted filter byte or swapped scanline diverges the hash.
+    // Scale: decode is narrow/map-side (mapPartitions over the bytes,
+    // no shuffle); the pixel mass never leaves the executor — only
+    // the fixed-width stats row does.
+    Q("png_pixel_stats",
+      s"""WITH md AS (SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 3 = 2 THEN 'apng' ELSE 'png' END AS container,
+         |    16 + ${duckH32("text")} % 240 AS w,
+         |    16 + ${duckH32(1, "text")} % 240 AS h,
+         |    ${duckH32("text")} % 256 AS seed
+         |  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 3 = 2),
+         |px AS (SELECT media_id, container, w, h,
+         |    (seed + 31 * i) % 256 AS p, i
+         |  FROM md, unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i))
+         |SELECT media_id, container,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |  CAST(SUM(p) AS BIGINT) AS px_sum,
+         |  CAST(SUM((i + 1) * p) AS BIGINT) AS px_wsum,
+         |  CAST(MIN(p) AS INTEGER) AS px_min,
+         |  CAST(MAX(p) AS INTEGER) AS px_max,
+         |  round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS px_mean
+         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val pngDocs = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2),
+        col("doc_id"))
+      Multimodal.decodePixelStats(Multimodal.mediaContainers(pngDocs))
+        .toDF()
+        .withColumn("px_mean",
+          round(col("px_sum").cast("double") / col("n_pixels"), 6))
+        .orderBy("media_id")
     },
 
     // AUDIO FRAME ENERGY — the first real signal-processing pass over

@@ -691,7 +691,18 @@ object VocabQueries {
     // ROUNDED IEEE sqrts and one product, bit-identical across
     // engines where a libm pow() would not be — then quantized to
     // DECIMAL(18,6) so the normalizer and the cumulative ranges are
-    // exact order-free sums. Vocabulary-bounded census throughout.
+    // exact order-free sums. The oracle writes the naive global
+    // cumulative window; the ENGINE computes the identical ranges
+    // with the two-phase prefix scan (curriculum_order/snm_blocking
+    // pattern): tokens bucket by their 2-char prefix — an ORDER-
+    // PRESERVING truncation of the lexicographic sort key — bucket
+    // weight subtotals cumsum to offsets over the <=|alphabet|²-row
+    // bucket census, within-bucket cumsums run under a window
+    // PARTITIONED by bucket (hash exchange, no single-partition
+    // vocabulary sort), and cw = offset + within-bucket cw, exact
+    // because every sum is DECIMAL. The vocabulary census grows with
+    // corpus under Heaps' law, so the unpartitioned form the oracle
+    // uses is precisely what we refuse to plan.
     Q("negative_sampling_table",
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t
@@ -715,11 +726,20 @@ object VocabQueries {
         .groupBy("tok").agg(count(lit(1)).cast("long").as("freq"))
       val w = f.select(col("tok"), col("freq"),
         round(sqrt(col("freq") * sqrt(col("freq"))), 6)
-          .cast(DecimalType(18, 6)).as("w"))
+          .cast(DecimalType(18, 6)).as("w"),
+        substring(col("tok"), 1, 2).as("bucket"))
       val z = w.agg(sum(col("w")).as("z"))
-      val cum = Window.orderBy("tok")
+      val offsets = w.groupBy("bucket").agg(sum(col("w")).as("bw"))
+        .withColumn("offset",
+          coalesce(sum(col("bw")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(BigDecimal(0)).cast(DecimalType(18, 6))))
+        .select("bucket", "offset")
+      val wb = Window.partitionBy("bucket").orderBy("tok")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      w.withColumn("cw", sum(col("w")).over(cum))
+      w.withColumn("cw", sum(col("w")).over(wb))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("cw", col("offset") + col("cw"))
         .crossJoin(broadcast(z))
         .select(col("tok"), col("freq"),
           round(col("w").cast("double") / col("z").cast("double"), 6)

@@ -103,6 +103,28 @@ object ModerationStream {
       .start().awaitTermination()
   }
 
+  /** [[run]] with the EOS-v2 TRANSACTIONAL sink instead of the plain
+    * producer: the same moderation pipeline, but every micro-batch
+    * commits atomically (data + batch-ledger marker in one Kafka
+    * transaction, per-partition stable transactional ids for zombie
+    * fencing, ledger-gated replay skip — [[KafkaEos]]). This is the
+    * drop-in seam for a real broker: wrap `new KafkaProducer(props)`
+    * (transactional.id = the id this passes, enable.idempotence on)
+    * in a [[KafkaEos.TxProducerFactory]] and the semantics KafkaEosSpec
+    * pins against the in-memory broker carry over unchanged —
+    * the reference's `exactly_once_v2` contract
+    * (reference KafkaStreamApp.java:124-126).
+    */
+  def runTransactional(spark: SparkSession, bootstrap: String,
+                       blockedPairs: DataFrame, banWords: Seq[String],
+                       checkpointDir: String,
+                       factory: KafkaEos.TxProducerFactory): Unit = {
+    val out = pipeline(fromKafka(spark, bootstrap), blockedPairs, banWords)
+    KafkaEos.toKafkaTransactional(out, "filtered-messages",
+        "filtered-messages-ledger", "moderation-sink", factory, checkpointDir)
+      .start().awaitTermination()
+  }
+
   /** T4 LIVENESS: moderation with a LIVE blocked-pairs dimension —
     * the dimension table directory is re-read at the top of EVERY
     * micro-batch, so an upsert landing between batches applies to all

@@ -67,14 +67,28 @@ object StreamAgreement {
     * one (the census IS the whole state, four exact integers). Same
     * discipline as the signature-store queries: tiny exact state
     * outlives the session in the sink.
+    *
+    * In-RUN retry contract: foreachBatch is at-least-once — a sink or
+    * downstream failure can replay the same batchId within a run. The
+    * merge tracks the last-applied batchId and skips the census
+    * mutation on a replay, so merge-then-sink is idempotent per
+    * batchId (a replayed sink row carries the identical census). The
+    * guard is per-monitor-call state: a fresh run starts at -1, which
+    * is correct because the checkpoint never re-delivers batches a
+    * prior RUN committed — only in-run retries repeat an id.
     */
   def monitor(docs: DataFrame, checkpointDir: String, state: Array[Long])(
-      sink: ((Long, Long, Long, Double, Double, Option[Double])) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      sink: ((Long, Long, Long, Double, Double, Option[Double])) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var lastApplied = -1L
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        batchCensus(b).foreach { case (sv, m) => state(sv) += m }
+        if (id > lastApplied) {
+          batchCensus(b).foreach { case (sv, m) => state(sv) += m }
+          lastApplied = id
+        }
         val (n, s, pbar, pe, k) = kappaOf(state)
         sink((id, n, s, pbar, pe, k))
       }
       .option("checkpointLocation", checkpointDir)
+  }
 }

@@ -49,6 +49,62 @@ object ContainerProps extends Properties("containers") {
         bytes.length == 44 + p.length
     }
 
+  // ---- real pixel payload: zlib + scanline filters ----
+
+  private val genSeed: Gen[Int] = Gen.chooseNum(0, 255)
+  private val genPxDim: Gen[Int] = Gen.chooseNum(1, 300)
+  private val genBig: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 200000).flatMap(n => Gen.const {
+      // deterministic fill is fine — the property is the codec round
+      // trip, and 200k crosses the 65535 stored-block boundary twice
+      Array.tabulate[Byte](n)(i => ((i * 7 + n) & 0xff).toByte)
+    })
+
+  property("zlibStored round-trips through a real Inflater, any size") =
+    forAll(genBig) { raw =>
+      val blocks = math.max(1, (raw.length + 65534) / 65535)
+      val z = zlibStored(raw)
+      z.length == 2 + 5 * blocks + raw.length + 4 &&
+        inflate(z, raw.length).sameElements(raw)
+    }
+
+  property("scanline filters invert exactly: decoded stats == field stats") =
+    forAll(genPxDim, genPxDim, genSeed) { (w, h, seed) =>
+      val raw = inflate(zlibStored(scanlines(w, h, seed)), h * (w + 1))
+      val (sum, wsum, mn, mx) = defilterStats(raw, w, h)
+      var esum = 0L; var ewsum = 0L; var emn = 255; var emx = 0
+      var i = 0L
+      val n = w.toLong * h
+      while (i < n) {
+        val p = pixelAt(seed, i)
+        esum += p; ewsum += (i + 1) * p
+        if (p < emn) emn = p
+        if (p > emx) emx = p
+        i += 1
+      }
+      sum == esum && wsum == ewsum && mn == emn && mx == emx
+    }
+
+  property("buildPngPixels is a fully decodable PNG: header + pixels") =
+    forAll(genPxDim, genPxDim, genSeed) { (w, h, seed) =>
+      val bytes = buildPngPixels(w, h, None, seed)
+      val hd = parseHeader(bytes) // CRC-checked walk
+      val raw = inflate(idatOf(bytes), h * (w + 1))
+      val (sum, _, _, _) = defilterStats(raw, w, h)
+      var esum = 0L
+      var i = 0L
+      while (i < w.toLong * h) { esum += pixelAt(seed, i); i += 1 }
+      hd == MediaHeader("png", w, h, 1) && sum == esum
+    }
+
+  property("a truncated zlib stream fails loudly, never partial stats") =
+    forAll(genPxDim, genPxDim, genSeed) { (w, h, seed) =>
+      val z = zlibStored(scanlines(w, h, seed))
+      val cut = z.take(z.length - 5)
+      try { inflate(cut, h * (w + 1)); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+
   property("a flipped byte anywhere in a PNG header region is detected") =
     forAll(genDim, genDim, Gen.chooseNum(8, 32)) { (w, h, idx) =>
       // positions 8..32 sit inside the IHDR chunk (length/type/data/crc)

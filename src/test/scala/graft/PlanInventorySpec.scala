@@ -97,6 +97,7 @@ class PlanInventorySpec extends SparkSpec {
     "fleiss_kappa",       // one-row rollup of the 4-cell row-sum census
     "vocab_chao1",        // one-row FoF-census rollup
     "snm_blocking",       // exclusive-prefix window over the 26-bucket census
+    "negative_sampling_table", // bucket-offset cumsum over the <=|alphabet|²-row prefix-bucket census
     "lmdir_score",        // one-row (N, tot_dl, ctfs) census, broadcast back
     "hits_scores",        // one-row L1 normalizers per iteration over the type census
     "pairwise_welch_bh",  // BH rank/step-up windows over the 190-row pair family
@@ -115,6 +116,7 @@ class PlanInventorySpec extends SparkSpec {
     "unigram_logprob", "perplexity_buckets", "tfidf_top_terms",
     "q11_important_stock",
     "dsir_select", "mix_temperature", // one-row totals cross-joined back
+    "negative_sampling_table", // one-row normalizer Z cross-joined back
     "hard_negatives", // label-inequality join; broadcast side is the <20-vector query set
     "vocab_topk_mass", // |Ks|-row literal k table cross-joined onto the |langs|-row totals
     "decayed_engagement", // one-row max-ts cross-joined back
