@@ -396,6 +396,76 @@ object Multimodal {
     (sum, wsum, mn, mx)
   }
 
+  /** Invert the scanline filters into an actual pixel buffer (raster
+    * order) — the decode-to-memory path the resampling kernel needs,
+    * sharing the filter semantics of [[defilterStats]].
+    */
+  def defilterPixels(raw: Array[Byte], w: Int, h: Int): Array[Int] = {
+    require(raw.length == h * (w + 1),
+      s"scanline stream is ${raw.length} bytes, expected ${h * (w + 1)}")
+    val px = new Array[Int](w * h)
+    var o = 0
+    var y = 0
+    while (y < h) {
+      val f = raw(o) & 0xff; o += 1
+      var x = 0
+      while (x < w) {
+        val b = raw(o) & 0xff; o += 1
+        val p = f match {
+          case 0 => b
+          case 1 => (b + (if (x == 0) 0 else px(y * w + x - 1))) & 0xff
+          case 2 => (b + (if (y == 0) 0 else px((y - 1) * w + x))) & 0xff
+          case _ => throw new IllegalArgumentException(s"unsupported PNG filter $f")
+        }
+        px(y * w + x) = p
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  case class PooledStats(
+      media_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
+      pooled_sum: Long, pooled_wsum: Long)
+
+  /** REAL resampling kernel over REAL decoded pixels: 2×2 box-filter
+    * (mean-pool, floor division) downsample — the simplest genuine
+    * image resize, run where the bytes live (mapPartitions, narrow).
+    * The positional checksum pooled_wsum = Σ(j+1)·q(j) over the OUTPUT
+    * raster pins the pooled value and position of every output pixel,
+    * so a tap offset or raster-order mistake in the kernel diverges
+    * the oracle hash. Odd trailing rows/columns drop (floor output
+    * dims), matching the oracle's closed-form tap indices.
+    */
+  def downsample2x2Stats(media: Dataset[MediaFile]): Dataset[PooledStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hd = parseHeader(m.content)
+        val px = defilterPixels(
+          inflate(idatOf(m.content), hd.height * (hd.width + 1)),
+          hd.width, hd.height)
+        val w = hd.width
+        val ow = w / 2; val oh = hd.height / 2
+        var sum = 0L; var wsum = 0L
+        var v = 0
+        while (v < oh) {
+          var u = 0
+          while (u < ow) {
+            val q = (px(2 * v * w + 2 * u) + px(2 * v * w + 2 * u + 1)
+              + px((2 * v + 1) * w + 2 * u) + px((2 * v + 1) * w + 2 * u + 1)) / 4
+            sum += q
+            wsum += (v.toLong * ow + u + 1) * q
+            u += 1
+          }
+          v += 1
+        }
+        PooledStats(m.media_id, hd.width, hd.height, ow, oh, sum, wsum)
+      }
+    }
+  }
+
   /** Full pixel decode over PNG/APNG media: header parse (CRC walk),
     * IDAT join, REAL zlib inflate, filter inversion, statistics — the
     * partition-batched decode stage a real image pipeline runs, minus
@@ -413,6 +483,55 @@ object Multimodal {
         val (sum, wsum, mn, mx) = defilterStats(raw, hd.width, hd.height)
         PixelStats(m.media_id, hd.container, hd.width, hd.height,
           hd.width.toLong * hd.height, sum, wsum, mn, mx)
+      }
+    }
+  }
+
+  /** JPEG media with REAL entropy-coded pixels ([[JpegCodec]]): one
+    * even value per 8×8 block from the deterministic rule
+    * v(b) = 2·((seed + 31·b) mod 128), b = by·bw + bx — flat blocks
+    * are the content class the baseline DCT path represents
+    * losslessly, so the full encode (Huffman + DC prediction + byte
+    * stuffing) → decode (Huffman + dequant + IDCT) round trip is
+    * exact and a SQL oracle predicts every decoded pixel. Dims are
+    * multiples of 8 (16..248 per side).
+    */
+  def jpegPixelMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val w = (8 * (2 + h32jvm(text) % 30)).toInt
+        val h = (8 * (2 + h32jvm("1|" + text) % 30)).toInt
+        val seed = (h32jvm(text) % 128).toInt
+        val bw = w / 8
+        val blocks = Array.tabulate(h / 8, bw) { (by, bx) =>
+          2 * ((seed + 31 * (by * bw + bx)) % 128)
+        }
+        MediaFile(id, "image", JpegCodec.encodeFlatBlocks(w, h, blocks), source)
+      }
+  }
+
+  /** Pixel statistics from a REAL JPEG decode — generic over the
+    * decoded raster (the decoder does not know the content is flat);
+    * the positional checksum pins every pixel like the PNG path.
+    */
+  def decodeJpegStats(media: Dataset[MediaFile]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val d = JpegCodec.decode(m.content)
+        var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < d.pixels.length) {
+          val p = d.pixels(i)
+          sum += p; wsum += (i + 1L) * p
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          i += 1
+        }
+        PixelStats(m.media_id, "jpeg", d.w, d.h,
+          d.w.toLong * d.h, sum, wsum, mn, mx)
       }
     }
   }

@@ -266,6 +266,52 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // kNN LABEL-NOISE DETECTION — the embedding-space data-quality
+    // check a labeled training set gets before training: for each
+    // audited vector, the fraction of its k=10 exact cosine neighbors
+    // sharing its label; low agreement (<0.3) flags the label as
+    // likely noise (the kNN-agreement core of confident-learning
+    // pipelines). Same broadcast-queries/stream-corpus shape as
+    // ann_bruteforce — the audited subset ships to the corpus
+    // partitions, cosines and the top-k window do the work, the
+    // output is |audited| fixed-width rows. At 100 TB the audited
+    // sample is bounded by construction and the corpus side streams.
+    Q("knn_label_noise",
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    e.label AS n_label, e.vec_id AS n_id,
+         |    round(${duckDot("q", "e")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("e", "e")})), 6) AS cos_sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         |r AS (SELECT q_id, q_label, n_label, cos_sim, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM p)
+         |SELECT q_id, q_label AS label,
+         |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  round(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / 10.0, 6) AS agreement,
+         |  SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) < 3 AS noisy
+         |FROM r WHERE rnk <= 10 GROUP BY 1, 2 ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("qe"))
+      val n = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+          col("embedding").as("ne"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+      val agree = sum(when(col("n_label") === col("q_label"), 1).otherwise(0))
+      n.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("n_label"), col("n_id"),
+          Similarity.cosine(col("qe"), col("ne")).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .groupBy("q_id", "q_label")
+        .agg(agree.cast("long").as("n_agree"))
+        .select(col("q_id"), col("q_label").as("label"), col("n_agree"),
+          round(col("n_agree") / 10.0, 6).as("agreement"),
+          (col("n_agree") < 3).as("noisy"))
+        .orderBy("q_id")
+    },
+
     // LSH-bucketed ANN: probe only the query's own hyperplane bucket
     Q("ann_lsh",
       s"""WITH e AS (SELECT vec_id, embedding, ${duckBucket("embeddings")} AS bucket

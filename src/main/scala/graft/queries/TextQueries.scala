@@ -1139,6 +1139,87 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // REAL JPEG ENTROPY DECODE — the last synthetic payload made
+    // real: spec-conforming baseline JPEGs (Annex K quant + Huffman
+    // tables, genuine entropy-coded scan with DC prediction, EXTEND,
+    // EOB, 0xFF stuffing) built from one even value per 8×8 block —
+    // the content class the DCT path represents LOSSLESSLY (flat
+    // block → DC-only, DC = 8(v−128) divisible by the quantizer 16),
+    // so the full Huffman-encode → Huffman-decode → dequant → IDCT
+    // round trip is exact and the oracle predicts every decoded pixel
+    // from the block rule. The decoder is general baseline (any DC
+    // category, full AC run/size alphabet) — flatness is a property
+    // of the streams, not a decoder assumption. The oracle explodes
+    // BLOCKS (≤961/image), using the closed-form positional sum per
+    // block; the engine folds over the actual decoded raster — a
+    // one-bit Huffman error moves a block's DC and diverges the
+    // hash. Narrow/map-side like the PNG path.
+    Q("jpeg_pixel_stats",
+      s"""WITH md AS (SELECT doc_id AS media_id,
+         |    8 * (2 + ${duckH32("text")} % 30) AS w,
+         |    8 * (2 + ${duckH32(1, "text")} % 30) AS h,
+         |    ${duckH32("text")} % 128 AS seed
+         |  FROM documents WHERE doc_id % 6 = 3),
+         |b AS (SELECT media_id, w, h, seed, w // 8 AS bw, j
+         |  FROM md, unnest(generate_series(0,
+         |    (CAST(w AS BIGINT) // 8) * (h // 8) - 1)) AS t(j)),
+         |v AS (SELECT media_id, w, h, j % bw AS bx, j // bw AS by,
+         |    2 * ((seed + 31 * j) % 128) AS v
+         |  FROM b)
+         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(CAST(w AS BIGINT) * h AS BIGINT) AS n_pixels,
+         |  CAST(SUM(64 * v) AS BIGINT) AS px_sum,
+         |  CAST(SUM(v * (64 * (8 * by * w + 8 * bx + 1) + 224 * (w + 1))) AS BIGINT) AS px_wsum,
+         |  CAST(MIN(v) AS INTEGER) AS px_min,
+         |  CAST(MAX(v) AS INTEGER) AS px_max
+         |FROM v GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val jpegDocs = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 3), col("doc_id"))
+      Multimodal.decodeJpegStats(Multimodal.jpegPixelMedia(jpegDocs))
+        .toDF().drop("container")
+        .orderBy("media_id")
+    },
+
+    // REAL IMAGE RESIZE — 2×2 box-filter (mean-pool) downsample over
+    // the DECODED pixel buffer: decode (inflate + defilter into a
+    // raster array), then the pooling kernel q(u,v) = ⌊(4 taps)/4⌋ —
+    // the genuine resampling pass `resizePlan` only planned. The
+    // oracle rebuilds each OUTPUT pixel from the pixel rule's four tap
+    // indices in SQL; pooled_wsum pins every output pixel's value and
+    // position, so a tap offset, a swapped raster order, or a filter
+    // inversion bug upstream all diverge the hash. Odd trailing
+    // rows/cols drop (floor dims) in both engines. Scale: decode+pool
+    // is narrow (mapPartitions where the bytes live); only the
+    // fixed-width stats row leaves the executor.
+    Q("png_downsample_stats",
+      s"""WITH md AS (SELECT doc_id AS media_id,
+         |    16 + ${duckH32("text")} % 240 AS w,
+         |    16 + ${duckH32(1, "text")} % 240 AS h,
+         |    ${duckH32("text")} % 256 AS seed
+         |  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 3 = 2),
+         |op AS (SELECT media_id, w, h, w // 2 AS ow, h // 2 AS oh, seed
+         |  FROM md),
+         |px AS (SELECT media_id, w, h, ow, oh,
+         |    (j // ow) AS v, (j % ow) AS u, seed, j
+         |  FROM op, unnest(generate_series(0, CAST(ow AS BIGINT) * oh - 1)) AS t(j)),
+         |q AS (SELECT media_id, w, h, ow, oh, j,
+         |    ((seed + 31 * (2*v*w + 2*u)) % 256
+         |     + (seed + 31 * (2*v*w + 2*u + 1)) % 256
+         |     + (seed + 31 * ((2*v+1)*w + 2*u)) % 256
+         |     + (seed + 31 * ((2*v+1)*w + 2*u + 1)) % 256) // 4 AS q
+         |  FROM px)
+         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+         |  CAST(SUM(q) AS BIGINT) AS pooled_sum,
+         |  CAST(SUM((j + 1) * q) AS BIGINT) AS pooled_wsum
+         |FROM q GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val pngDocs = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2),
+        col("doc_id"))
+      Multimodal.downsample2x2Stats(Multimodal.mediaContainers(pngDocs))
+        .toDF().orderBy("media_id")
+    },
+
     // AUDIO FRAME ENERGY — the first real signal-processing pass over
     // the audio modality: the WAV containers multimodal_decode builds
     // store the payload as mono 8-bit PCM (data chunk == the utf-8
@@ -1179,6 +1260,77 @@ object TextQueries {
           round(sqrt(col("energy_sq").cast("double") / col("n_samples")), 6)
             .as("rms"))
         .orderBy("media_id", "frame")
+    },
+
+    // AUDIO SPECTRAL BINS — DFT power at three fixed frequency bins
+    // over the real PCM frames (the spectral sibling of
+    // audio_frame_energy — together they are the energy+spectrum
+    // front end of an audio curation pass). Determinism follows the
+    // suite's literal-table pattern (poissonCdf, planeCoefs): the
+    // cos/sin basis is quantized ONCE in Scala to integer micro-units
+    // and inlined into BOTH engines, so each bin's power
+    // (Σv·c)² + (Σv·s)² is EXACT integer/decimal arithmetic — no
+    // cross-engine libm trig in the hot path; the only double is the
+    // final log compression. Frames are exactly 200 samples (ragged
+    // tail dropped — the basis is per-offset, so a shorter frame
+    // would need its own table). Scan-side explode + one broadcast
+    // basis join + census aggregation — the tokenize_explode shape.
+    Q("audio_spectral_bins", {
+      val bins = Seq(1, 4, 16)
+      val n = 200
+      def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      val table = for (k <- bins; j <- 0 until n) yield
+        (k, j, q6(math.cos(2 * math.Pi * k * j / n)),
+          q6(math.sin(2 * math.Pi * k * j / n)))
+      val values = table.map { case (k, j, c, s) => s"($k,$j,$c,$s)" }
+        .mkString(", ")
+      s"""WITH au AS (SELECT doc_id AS media_id, text FROM documents
+         |       WHERE doc_id % 3 = 1 AND strlen(text) >= 200),
+         |sm AS (SELECT media_id, (i - 1) // 200 AS frame, (i - 1) % 200 AS j,
+         |         ord(substr(text, CAST(i AS INTEGER), 1)) - 128 AS v
+         |       FROM au, unnest(generate_series(1, (strlen(text) // 200) * 200)) AS t(i)),
+         |ct(k, j, c, s) AS (VALUES $values),
+         |a AS (SELECT media_id, frame, k,
+         |    CAST(SUM(v * c) AS BIGINT) AS re, CAST(SUM(v * s) AS BIGINT) AS im
+         |  FROM sm JOIN ct ON sm.j = ct.j GROUP BY 1, 2, 3)
+         |SELECT media_id, CAST(frame AS BIGINT) AS frame, CAST(k AS INTEGER) AS bin,
+         |  round(ln(1.0 + CAST(CAST(re AS DECIMAL(20,0)) * re
+         |    + CAST(im AS DECIMAL(20,0)) * im AS DOUBLE)), 6) AS log_power
+         |FROM a ORDER BY media_id, frame, bin""".stripMargin
+    }) { (s, dir) =>
+      val bins = Seq(1, 4, 16)
+      val n = 200
+      def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      import s.implicits._
+      val basis = (for (k <- bins; j <- 0 until n) yield
+        (k, j, q6(math.cos(2 * math.Pi * k * j / n)),
+          q6(math.sin(2 * math.Pi * k * j / n))))
+        .toDF("k", "j", "c", "sn")
+      val au = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+          // the < 200-char guard matters in BOTH engines, but for
+          // different reasons: DuckDB's generate_series(1, 0) is
+          // empty while Spark's sequence(1, 0) DESCENDS
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 200)
+          .select(col("doc_id").as("media_id"), col("text")),
+        col("media_id"))
+      val sm = au
+        .select(col("media_id"),
+          explode(sequence(lit(1),
+            expr("(length(text) div 200) * 200"))).as("i"),
+          col("text"))
+        .select(col("media_id"), expr("(i - 1) div 200").as("frame"),
+          expr("(i - 1) % 200").as("j"),
+          (ascii(col("text").substr(col("i"), lit(1))) - 128).as("v"))
+      sm.join(broadcast(basis), "j")
+        .groupBy("media_id", "frame", "k")
+        .agg(sum(col("v") * col("c")).cast("long").as("re"),
+          sum(col("v") * col("sn")).cast("long").as("im"))
+        .select(col("media_id"), col("frame").cast("long").as("frame"),
+          col("k").cast("int").as("bin"),
+          round(log(lit(1.0) + (col("re").cast(DecimalType(20, 0)) * col("re")
+            + col("im").cast(DecimalType(20, 0)) * col("im")).cast("double")), 6)
+            .as("log_power"))
+        .orderBy("media_id", "frame", "bin")
     },
 
     // Frame-sample PLANNING — the step between video metadata and the

@@ -568,6 +568,146 @@ object TimeSeriesQueries {
                 * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
             .as("r"))
         .orderBy("lag")
+    },
+
+    // SAX SYMBOLIZATION (Lin et al. '03) — the time-series indexing
+    // primitive: each (event_type, day) compresses to an 8-symbol
+    // word over a 4-letter alphabet via piecewise aggregate
+    // approximation (3-hour segment means) z-scored against the
+    // type's global moments and cut at the normal quartile
+    // breakpoints ±0.6745. Determinism: the census and the moment
+    // sums are exact integers; μ, σ and each segment z are ONE
+    // identically-written double expression; symbols are CASE cuts on
+    // those doubles, and the word assembles in explicit segment order
+    // (sort_array, never collect order). Missing hours shrink a
+    // segment's mean (COUNT-present divisor) identically in both
+    // engines; a constant series (σ=0) yields NULL words. Scale: one
+    // scan to the hourly census; moments are a |types|-row broadcast;
+    // words group census rows by (type, day).
+    Q("sax_words",
+      s"""WITH $duckHourly,
+        |i AS (SELECT event_type, epoch_us(hour) // 3600000000 AS t,
+        |    CAST(v * 100 AS BIGINT) AS c FROM h),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(30,0)) AS sq
+        |  FROM i GROUP BY 1),
+        |paa AS (SELECT event_type, t // 24 AS day, (t % 24) // 3 AS seg,
+        |    CAST(SUM(c) AS DOUBLE) / COUNT(*) AS paa
+        |  FROM i GROUP BY 1, 2, 3),
+        |z AS (SELECT p.event_type, day, seg,
+        |    CASE WHEN CAST(sq AS DOUBLE) / n
+        |           - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n) > 0
+        |      THEN (paa - CAST(sc AS DOUBLE) / n)
+        |        / sqrt(CAST(sq AS DOUBLE) / n
+        |           - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+        |      END AS z
+        |  FROM paa p JOIN m ON p.event_type = m.event_type),
+        |sym AS (SELECT event_type, day, seg,
+        |    CASE WHEN z IS NULL THEN NULL
+        |         WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS s
+        |  FROM z)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CASE WHEN COUNT(*) = COUNT(s)
+        |    THEN string_agg(s, '' ORDER BY seg) END AS sax_word
+        |FROM sym GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val i = hourly(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(hour) div 3600000000L").as("t"),
+          (col("v") * 100).cast("long").as("c"))
+      val m = i.groupBy("event_type").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("sc"),
+        sum(col("c").cast(DecimalType(19, 0)) * col("c"))
+          .cast(DecimalType(30, 0)).as("sq"))
+      val paa = i.groupBy(col("event_type"),
+          expr("t div 24").as("day"), expr("(t % 24) div 3").as("seg"))
+        .agg((sum(col("c")).cast("double") / count(lit(1))).as("paa"))
+      val mu = col("sc").cast("double") / col("n")
+      val varExpr = col("sq").cast("double") / col("n") - mu * mu
+      val z = paa.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("day"), col("seg"),
+          when(varExpr > 0, (col("paa") - mu) / sqrt(varExpr)).as("z"))
+      val sym = z.select(col("event_type"), col("day"), col("seg"),
+        when(col("z").isNull, lit(null).cast("string"))
+          .when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d").as("s"))
+      sym.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("nseg"), count(col("s")).as("nsym"),
+          array_join(expr("transform(array_sort(collect_list(struct(seg, s))), x -> x.s)"),
+            "").as("w"))
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          when(col("nseg") === col("nsym"), col("w")).as("sax_word"))
+        .orderBy("event_type", "day")
+    },
+
+    // SPLIT-CONFORMAL FORECAST INTERVAL — distribution-free
+    // uncertainty quantification for the seasonal-naive forecaster
+    // (predict this hour = same hour last week): calibration
+    // residuals on EVEN days give the (1−α) conformal radius as the
+    // ⌈(n_cal+1)·0.9⌉-th smallest |residual| (an EXACT integer order
+    // statistic — the forecast, the residuals, and the rank selection
+    // never touch a double), and the ODD-day half reports empirical
+    // coverage at that radius. Guarantees ≥ 90% marginal coverage
+    // under exchangeability — the honest error bar a forecast
+    // consumer wants. Scale: the residual set is a census self-join
+    // on (type, t−168) — span-bounded; the rank window is PARTITIONED
+    // by event_type, so no single-partition exchange anywhere.
+    Q("conformal_interval",
+      s"""WITH $duckHourly,
+        |i AS (SELECT event_type, epoch_us(hour) // 3600000000 AS t,
+        |    CAST(v * 100 AS BIGINT) AS c FROM h),
+        |r AS (SELECT a.event_type, a.t, (a.t // 24) % 2 AS odd,
+        |    abs(a.c - b.c) AS ar
+        |  FROM i a JOIN i b ON a.event_type = b.event_type AND b.t = a.t - 168),
+        |cal AS (SELECT event_type, ar,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ar, ar) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ncal
+        |  FROM r WHERE odd = 0),
+        |rad AS (SELECT event_type, ncal, ar AS radius
+        |  FROM cal WHERE rn = (9 * (ncal + 1) + 9) // 10),
+        |tst AS (SELECT r.event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS ntest,
+        |    CAST(SUM(CASE WHEN ar <= radius THEN 1 ELSE 0 END) AS BIGINT) AS cov
+        |  FROM r JOIN rad ON r.event_type = rad.event_type
+        |  WHERE odd = 1 GROUP BY 1)
+        |SELECT rad.event_type, CAST(ncal AS BIGINT) AS n_cal, ntest AS n_test,
+        |  CAST(radius AS BIGINT) AS radius_cents,
+        |  round(CAST(cov AS DOUBLE) / ntest, 6) AS coverage
+        |FROM rad JOIN tst ON rad.event_type = tst.event_type
+        |ORDER BY rad.event_type""".stripMargin) { (s, dir) =>
+      val i = hourly(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(hour) div 3600000000L").as("t"),
+          (col("v") * 100).cast("long").as("c"))
+        .localCheckpoint(true)
+      val b = i.select(col("event_type").as("etb"), col("t").as("tb"),
+        col("c").as("cb"))
+      val r = i.join(b, col("event_type") === col("etb")
+          && col("tb") === col("t") - 168)
+        .select(col("event_type"), col("t"),
+          (expr("t div 24") % 2).as("odd"),
+          abs(col("c") - col("cb")).as("ar"))
+      val cal = r.filter(col("odd") === 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("ar")))
+        .withColumn("ncal", count(lit(1)).over(
+          Window.partitionBy("event_type").rowsBetween(Long.MinValue, Long.MaxValue)))
+      val rad = cal
+        .filter(col("rn") === expr("(9 * (ncal + 1) + 9) div 10"))
+        .select(col("event_type"), col("ncal"), col("ar").as("radius"))
+      val tst = r.filter(col("odd") === 1)
+        .join(broadcast(rad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("ntest"),
+          sum(when(col("ar") <= col("radius"), 1).otherwise(0))
+            .cast("long").as("cov"))
+      rad.join(tst, "event_type")
+        .select(col("event_type"), col("ncal").cast("long").as("n_cal"),
+          col("ntest").as("n_test"), col("radius").cast("long").as("radius_cents"),
+          round(col("cov").cast("double") / col("ntest"), 6).as("coverage"))
+        .orderBy("event_type")
     }
   )
 }

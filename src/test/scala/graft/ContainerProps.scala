@@ -105,6 +105,46 @@ object ContainerProps extends Properties("containers") {
       catch { case _: IllegalArgumentException => true }
     }
 
+  // ---- real JPEG entropy layer ----
+
+  private val genBlocks: Gen[(Int, Int, Array[Array[Int]])] =
+    for {
+      bw <- Gen.chooseNum(1, 12)
+      bh <- Gen.chooseNum(1, 12)
+      seedB <- Gen.chooseNum(0, 1 << 20)
+    } yield (bw * 8, bh * 8,
+      // any even values 0..254, varying fast enough to cross every DC
+      // category including sign flips between neighbors
+      Array.tabulate(bh, bw)((by, bx) =>
+        2 * ((seedB + 89 * (by * bw + bx)) % 128)))
+
+  property("jpeg flat-block encode->decode round trip is exact") =
+    forAll(genBlocks) { case (w, h, blocks) =>
+      val d = graft.ops.JpegCodec.decode(
+        graft.ops.JpegCodec.encodeFlatBlocks(w, h, blocks))
+      d.w == w && d.h == h && {
+        val bw = w / 8
+        (0 until h).forall(y => (0 until w).forall(x =>
+          d.pixels(y * w + x) == blocks(y / 8)(x / 8)))
+      }
+    }
+
+  property("jpeg DC category/EXTEND is an involution on diffs") =
+    forAll(Gen.chooseNum(-2047, 2047)) { diff =>
+      import graft.ops.JpegCodec.{category, extend}
+      val t = category(diff)
+      val mag = if (diff < 0) diff + (1 << t) - 1 else diff
+      (t == 0 && diff == 0) || extend(mag, t) == diff
+    }
+
+  property("a truncated jpeg entropy segment fails loudly") =
+    forAll(genBlocks) { case (w, h, blocks) =>
+      val bytes = graft.ops.JpegCodec.encodeFlatBlocks(w, h, blocks)
+      val cut = bytes.take(bytes.length - 3) // into the entropy data
+      try { graft.ops.JpegCodec.decode(cut); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+
   property("a flipped byte anywhere in a PNG header region is detected") =
     forAll(genDim, genDim, Gen.chooseNum(8, 32)) { (w, h, idx) =>
       // positions 8..32 sit inside the IHDR chunk (length/type/data/crc)

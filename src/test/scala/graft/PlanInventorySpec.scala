@@ -112,6 +112,7 @@ class PlanInventorySpec extends SparkSpec {
     */
   private val bnljOk = Set(
     "ann_bruteforce", "ann_quantized", "ann_pq",
+    "knn_label_noise", // broadcast audited subset (vec_id < 50), like ann_bruteforce
     "dup_triangles",
     "unigram_logprob", "perplexity_buckets", "tfidf_top_terms",
     "q11_important_stock",

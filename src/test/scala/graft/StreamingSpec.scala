@@ -1596,6 +1596,58 @@ class StreamingSpec extends SparkSpec {
     assert(ns === ns.sorted && ns.distinct === ns,
       s"census size did not strictly grow: $ns")
   }
+
+  test("streaming conformal radius matches the batch interval exactly") {
+    import graft.streaming.StreamConformal
+    implicit val ctx = spark.sqlContext
+    // the calibration residuals the batch query ranks: seasonal-naive
+    // |c(t) - c(t-168)| on EVEN days (same derivation as the query)
+    val i = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(12, 2)))
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+        * 100).cast("long").as("c"))
+      .select(col("event_type"),
+        expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+    val b = i.select(col("event_type").as("etb"), col("t").as("tb"),
+      col("c").as("cb"))
+    val resid = i.join(b, col("event_type") === col("etb")
+        && col("tb") === col("t") - 168)
+      .filter(expr("t div 24") % 2 === 0)
+      .select(col("event_type"), abs(col("c") - col("cb")).as("ar"))
+      .as[(String, Long)].collect().toVector
+    val expect = SparkEntry.queries("conformal_interval")(spark, sf0001)
+      .select("event_type", "n_cal", "radius_cents")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // randomized arrival in uneven chunks; the census merge is exact
+    // integer addition, so the final radii equal the batch query's
+    val rnd = new scala.util.Random(23)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_conformal_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Option[Long])]
+    val mem = MemoryStream[(String, Long)]
+    val state = collection.mutable.Map.empty[(String, Long), Long]
+    val q = StreamConformal.monitor(
+        mem.toDF().toDF("event_type", "ar"), ckpt, state) { a =>
+      audits.synchronized { audits += a }
+    }.start()
+    try {
+      rnd.shuffle(resid).grouped(97).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val lastBatch = audits.synchronized(audits.map(_._1).max)
+    val got = audits.synchronized(
+      audits.filter(_._1 == lastBatch)
+        .collect { case (_, tpe, n, Some(r)) => tpe -> (n, r) }.toMap)
+    assert(got === expect,
+      s"streaming conformal radii diverged from the batch query: " +
+        s"stream $got vs batch $expect")
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
