@@ -441,6 +441,22 @@ object ScaleSmoke {
         s"$exactPairs (quadratic in span); sampled pair rows: $sampled (bounded)")
       sampled
     }
+    // Media decode at scale (png_pixel_stats / jpeg_pixel_stats): the
+    // decode stage is NARROW — encode+decode run inside mapPartitions
+    // where the bytes live, per-image cost is bounded by the dims
+    // cap, so total time must track mult linearly with zero shuffle
+    // growth. Replicated doc_ids keep per-image work identical.
+    time("media_decode_png_jpeg") {
+      import graft.ops.Multimodal
+      val pngDocs = docs.filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2)
+      val jpgDocs = docs.filter(col("doc_id") % 6 === 3)
+      val a = Multimodal.decodePixelStats(Multimodal.mediaContainers(
+        Tables.parallelizeByRange(pngDocs, col("doc_id")))).count()
+      val b = Multimodal.decodeJpegStats(Multimodal.jpegPixelMedia(
+        Tables.parallelizeByRange(jpgDocs, col("doc_id")))).count()
+      println(s"[smoke]   decoded $a png/apng + $b jpeg rasters")
+      a + b
+    }
     // Vocabulary-census growth audit (the Heaps-law worry on the
     // allowlisted vocab-bounded exchanges): per-copy token suffixing
     // models NEW vocabulary arriving with corpus growth — the vocab
