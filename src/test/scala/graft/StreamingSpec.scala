@@ -1648,6 +1648,50 @@ class StreamingSpec extends SparkSpec {
       s"streaming conformal radii diverged from the batch query: " +
         s"stream $got vs batch $expect")
   }
+
+  test("streaming SAX words match the batch symbolization exactly") {
+    import graft.streaming.StreamSax
+    implicit val ctx = spark.sqlContext
+    // the hourly cent census the batch query symbolizes
+    val hrs = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(12, 2)))
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+        * 100).cast("long").as("c"))
+      .select(col("event_type"),
+        expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+      .as[(String, Long, Long)].collect().toVector
+    val expect = SparkEntry.queries("sax_words")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
+    val rnd = new scala.util.Random(31)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sax_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Option[String])]
+    val mem = MemoryStream[(String, Long, Long)]
+    val state = collection.mutable
+      .Map.empty[(String, Long, Long), (Long, Long, BigInt)]
+    val q = StreamSax.monitor(
+        mem.toDF().toDF("event_type", "t", "c"), ckpt, state) { a =>
+      audits.synchronized { audits += a }
+    }.start()
+    try {
+      rnd.shuffle(hrs).grouped(211).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val lastBatch = audits.synchronized(audits.map(_._1).max)
+    val got = audits.synchronized(
+      audits.filter(_._1 == lastBatch)
+        .map(a => (a._2, a._3) -> a._4).toMap)
+    assert(got === expect,
+      s"streaming SAX words diverged from the batch query after " +
+        s"randomized arrival (got ${got.size} keys, batch ${expect.size})")
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
