@@ -394,8 +394,6 @@ object ScaleSmoke {
     // would-be exact pair mass is computed ARITHMETICALLY from the
     // census (never materialized); the sampled path actually runs.
     time("theil_sen_sampled_span") {
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.PortableHash
       val hrs = Tables.load(spark, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg((sum(col("value").cast(
@@ -412,31 +410,9 @@ object ScaleSmoke {
       val exactPairs = census
         .agg(sum(col("nb") * (col("nb") - 1))).first().getLong(0) / 2
       val spanHours = census.agg(max("nb")).first().getLong(0)
-      val r = hrs.withColumn("rk",
-        row_number().over(Window.partitionBy("event_type").orderBy("t")) - 1)
-      val draws = census
-        .select(col("event_type"), col("nb"),
-          explode(sequence(lit(0), lit(1999))).as("s"))
-        .select(col("event_type"), col("s"),
-          (PortableHash.h32(concat(col("event_type"), lit("|"),
-            col("s").cast("string"))) % col("nb")).as("ia"),
-          (PortableHash.h32(concat(col("event_type"), lit("#"),
-            col("s").cast("string"))) % col("nb")).as("ib"))
-        .filter(col("ia") =!= col("ib"))
-        .select(col("event_type"), col("s"),
-          least(col("ia"), col("ib")).as("lo"),
-          greatest(col("ia"), col("ib")).as("hi"))
-      val a = r.select(col("event_type").as("eta"), col("rk").as("rka"),
-        col("t").as("t1"), col("c").as("c1"))
-      val b = r.select(col("event_type").as("etb"), col("rk").as("rkb"),
-        col("t").as("t2"), col("c").as("c2"))
-      val sampled = draws
-        .join(broadcast(a), col("event_type") === col("eta") && col("lo") === col("rka"))
-        .join(broadcast(b), col("event_type") === col("etb") && col("hi") === col("rkb"))
-        .select(col("event_type"),
-          round((col("c2") - col("c1")).cast("double")
-            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"))
-        .count()
+      // the SHARED production core (graft.ops.RobustTrend) — the smoke
+      // measures exactly the pipeline the oracle pins, not a copy
+      val sampled = graft.ops.RobustTrend.sampledSlopes(hrs, 2000).count()
       println(s"[smoke]   span=$spanHours h: exact pair mass would be " +
         s"$exactPairs (quadratic in span); sampled pair rows: $sampled (bounded)")
       sampled

@@ -320,36 +320,41 @@ object Multimodal {
     */
   def inflate(z: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(z)
-    val out = new Array[Byte](expected)
-    val probe = new Array[Byte](1)
-    var n = 0
-    while (!inf.finished()) {
-      // once `expected` bytes are out, keep driving with a 1-byte
-      // probe so the inflater consumes the final block header and
-      // Adler trailer (an empty image never enters the first branch
-      // at all) — a probe byte actually ARRIVING means the stream is
-      // overlong, not finished
-      val k =
-        if (n < expected) inf.inflate(out, n, expected - n)
-        else inf.inflate(probe)
-      if (n >= expected && k > 0)
-        throw new IllegalArgumentException(
-          s"zlib stream decodes past the expected $expected bytes")
-      if (k == 0 && !inf.finished()) {
-        if (inf.needsInput())
+    // end() in finally: the error paths are the NORMAL mode for a
+    // corpus containing corrupt media, and each leaked Inflater holds
+    // native zlib buffers until GC — a long-lived executor decoding
+    // bad files must not accumulate off-heap memory between GCs
+    try {
+      inf.setInput(z)
+      val out = new Array[Byte](expected)
+      val probe = new Array[Byte](1)
+      var n = 0
+      while (!inf.finished()) {
+        // once `expected` bytes are out, keep driving with a 1-byte
+        // probe so the inflater consumes the final block header and
+        // Adler trailer (an empty image never enters the first branch
+        // at all) — a probe byte actually ARRIVING means the stream is
+        // overlong, not finished
+        val k =
+          if (n < expected) inf.inflate(out, n, expected - n)
+          else inf.inflate(probe)
+        if (n >= expected && k > 0)
           throw new IllegalArgumentException(
-            s"zlib stream truncated: got $n of $expected bytes")
-        if (inf.needsDictionary())
-          throw new IllegalArgumentException("zlib stream wants a preset dictionary")
+            s"zlib stream decodes past the expected $expected bytes")
+        if (k == 0 && !inf.finished()) {
+          if (inf.needsInput())
+            throw new IllegalArgumentException(
+              s"zlib stream truncated: got $n of $expected bytes")
+          if (inf.needsDictionary())
+            throw new IllegalArgumentException("zlib stream wants a preset dictionary")
+        }
+        n += k
       }
-      n += k
-    }
-    if (n != expected)
-      throw new IllegalArgumentException(
-        s"zlib stream decodes to $n bytes, expected $expected")
-    inf.end()
-    out
+      if (n != expected)
+        throw new IllegalArgumentException(
+          s"zlib stream decodes to $n bytes, expected $expected")
+      out
+    } finally inf.end()
   }
 
   /** Decoded-pixel statistics: the positional checksum px_wsum =
@@ -552,36 +557,59 @@ object Multimodal {
     * video curation pass runs first.
     */
   /** The per-frame zlib streams of a multi-frame APNG, in frame
-    * order: IDAT is frame 0, each fdAT's post-sequence-number data is
-    * one later frame. VALIDATES the fcTL/fdAT sequence numbering
-    * (strictly increasing) and the acTL count — a reordered chunk or
-    * a frame-count lie fails loudly here, before any inflate.
+    * order: the (possibly chunk-split, spec-legal) IDAT concatenation
+    * is frame 0, each later frame is its fdAT chunks' post-sequence-
+    * number data concatenated. VALIDATES, before any inflate: chunk
+    * lengths stay in-bounds, sequence numbers strictly increase, and
+    * the spec's fcTL/fdAT PAIRING — a frame's first fdAT must carry
+    * exactly its fcTL's sequence + 1, and later fdATs of the same
+    * frame continue consecutively. A reordered chunk, a gap in the
+    * numbering, or a frame-count lie fails loudly.
     */
   def frameStreamsOf(bytes: Array[Byte], declaredFrames: Int): Seq[Array[Byte]] = {
-    val streams = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var idat: Array[Byte] = null
+    val streams = scala.collection.mutable.ArrayBuffer
+      .empty[java.io.ByteArrayOutputStream]
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIdat = false
     var lastSeq = -1
     var off = 8
     while (off + 12 <= bytes.length) {
       val len = rdBe32(bytes, off).toInt
+      if (len < 0 || off + 12L + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"PNG chunk at $off claims $len data bytes past end of file")
       val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
       typ match {
         case "IDAT" =>
-          idat = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
-        case "fcTL" | "fdAT" =>
+          idat.write(bytes, off + 8, len)
+          sawIdat = true
+        case "fcTL" =>
+          if (len < 4) throw new IllegalArgumentException(
+            s"APNG fcTL needs a sequence number, chunk has $len bytes")
           val seq = rdBe32(bytes, off + 8).toInt
           if (seq <= lastSeq) throw new IllegalArgumentException(
             s"APNG sequence number $seq out of order after $lastSeq")
           lastSeq = seq
-          if (typ == "fdAT")
-            streams += java.util.Arrays.copyOfRange(
-              bytes, off + 12, off + 8 + len)
+          if (sawIdat) streams += new java.io.ByteArrayOutputStream()
+        case "fdAT" =>
+          if (len < 4) throw new IllegalArgumentException(
+            s"APNG fdAT needs a sequence number, chunk has $len bytes")
+          val seq = rdBe32(bytes, off + 8).toInt
+          // pairing per the APNG spec: a frame's first fdAT is its
+          // fcTL's sequence + 1; continuation fdATs stay consecutive
+          if (seq != lastSeq + 1) throw new IllegalArgumentException(
+            s"APNG fdAT sequence $seq does not follow $lastSeq " +
+              s"(fcTL/fdAT pairing broken)")
+          if (streams.isEmpty)
+            throw new IllegalArgumentException("APNG fdAT before any fcTL")
+          lastSeq = seq
+          streams.last.write(bytes, off + 12, len - 4)
         case _ => ()
       }
       off += 12 + len
     }
-    if (idat == null) throw new IllegalArgumentException("APNG without IDAT")
-    val all = idat +: streams.toSeq
+    if (!sawIdat) throw new IllegalArgumentException("APNG without IDAT")
+    val all = idat.toByteArray +: streams.map(_.toByteArray).toSeq
     if (all.length != declaredFrames) throw new IllegalArgumentException(
       s"acTL declares $declaredFrames frames, found ${all.length}")
     all
@@ -773,10 +801,12 @@ object Multimodal {
     * recomputes. Dimensions are 16 + h32 % 240 (≤255 per side) so the
     * per-image pixel mass stays ≤64 KB: one stored zlib block, and a
     * corpus of raster data the sf0.01 oracle can explode per-pixel.
-    * JPEG rows keep the text payload in COM segments (real scanline
-    * data would need a Huffman entropy coder — the one remaining
-    * synthetic payload, loudly labeled); WAV payloads are the real
-    * PCM bytes the audio queries decode.
+    * JPEG rows here INTENTIONALLY keep the text payload in COM
+    * segments — this table's contract is header-parse + closed-form
+    * n_bytes (a Huffman bitstream's length is not SQL-predictable);
+    * the real entropy-coded JPEG variant lives in [[jpegPixelMedia]]
+    * (via [[JpegCodec]]) and is what jpeg_pixel_stats decodes. WAV
+    * payloads are the real PCM bytes the audio queries decode.
     */
   def mediaContainers(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._

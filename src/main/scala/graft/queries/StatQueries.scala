@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.PortableHash.{duckH32, h32}
+import graft.functions.PortableHash.duckH32
 
 /** Statistical inference over corpus/stream censuses — the hypothesis
   * tests and robust estimators an analyst runs on the monitoring
@@ -375,31 +375,7 @@ object StatQueries {
         .select(col("event_type"),
           expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
         .localCheckpoint(true)
-      val r = i.withColumn("rk",
-        row_number().over(Window.partitionBy("event_type").orderBy("t")) - 1)
-      val nb = i.groupBy("event_type").agg(count(lit(1)).cast("long").as("nb"))
-      val draws = nb
-        .select(col("event_type"), col("nb"),
-          explode(sequence(lit(0), lit(1999))).as("s"))
-        .select(col("event_type"), col("s"),
-          (h32(concat(col("event_type"), lit("|"), col("s").cast("string")))
-            % col("nb")).as("ia"),
-          (h32(concat(col("event_type"), lit("#"), col("s").cast("string")))
-            % col("nb")).as("ib"))
-        .filter(col("ia") =!= col("ib"))
-        .select(col("event_type"), col("s"),
-          least(col("ia"), col("ib")).as("lo"),
-          greatest(col("ia"), col("ib")).as("hi"))
-      val a = r.select(col("event_type").as("eta"), col("rk").as("rka"),
-        col("t").as("t1"), col("c").as("c1"))
-      val b = r.select(col("event_type").as("etb"), col("rk").as("rkb"),
-        col("t").as("t2"), col("c").as("c2"))
-      val p = draws
-        .join(broadcast(a), col("event_type") === col("eta") && col("lo") === col("rka"))
-        .join(broadcast(b), col("event_type") === col("etb") && col("hi") === col("rkb"))
-        .select(col("event_type"), col("s"),
-          round((col("c2") - col("c1")).cast("double")
-            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"))
+      val p = graft.ops.RobustTrend.sampledSlopes(i, 2000)
       val rr = p
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("slope", "s")))

@@ -68,18 +68,21 @@ object StreamAgreement {
     * discipline as the signature-store queries: tiny exact state
     * outlives the session in the sink.
     *
-    * In-RUN retry contract: foreachBatch is at-least-once — a sink or
-    * downstream failure can replay the same batchId within a run. The
-    * merge tracks the last-applied batchId and skips the census
-    * mutation on a replay, so merge-then-sink is idempotent per
-    * batchId (a replayed sink row carries the identical census). The
-    * guard is per-monitor-call state: a fresh run starts at -1, which
-    * is correct because the checkpoint never re-delivers batches a
-    * prior RUN committed — only in-run retries repeat an id.
+    * Replay contract: foreachBatch is at-least-once in TWO windows.
+    * (1) In-run retries repeat a batchId within one run; the merge
+    * tracks the last-applied id and skips the mutation, so
+    * merge-then-sink is idempotent per batchId. (2) A crash BETWEEN
+    * the census mutation and the checkpoint commit makes the NEXT run
+    * re-deliver that batch — a caller re-seeding `state` from the
+    * last persisted audit row must therefore also pass that row's
+    * batchId as `startAfter` (the id is on every audit row for
+    * exactly this purpose), or the replayed batch double-counts. A
+    * fresh run with zeroed cells keeps the default -1.
     */
-  def monitor(docs: DataFrame, checkpointDir: String, state: Array[Long])(
+  def monitor(docs: DataFrame, checkpointDir: String, state: Array[Long],
+              startAfter: Long = -1L)(
       sink: ((Long, Long, Long, Double, Double, Option[Double])) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var lastApplied = -1L
+    var lastApplied = startAfter
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (id > lastApplied) {

@@ -54,11 +54,22 @@ object StreamConformal {
   /** Streaming wiring: checkpointed foreachBatch merging each batch's
     * census into caller-owned `state` and emitting one
     * (batchId, event_type, n_cal, radius) row per type per batch.
+    *
+    * Restart contract: after a crash BETWEEN census mutation and the
+    * checkpoint commit, Spark re-delivers the last batch — so a
+    * caller that re-seeds `state` from persisted census cells MUST
+    * also pass the batchId those cells include as `startAfter`, or
+    * the replayed batch double-counts. The batchId rides on every
+    * sink row for exactly this purpose; persist it next to the
+    * census cells (the same tiny-exact-state discipline as
+    * StreamAgreement's audit rows). A fresh run with empty state
+    * keeps the default -1.
     */
   def monitor(residuals: DataFrame, checkpointDir: String,
-              state: scala.collection.mutable.Map[(String, Long), Long])(
+              state: scala.collection.mutable.Map[(String, Long), Long],
+              startAfter: Long = -1L)(
       sink: ((Long, String, Long, Option[Long])) => Unit): DataStreamWriter[Row] = {
-    var lastApplied = -1L
+    var lastApplied = startAfter
     residuals.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (id > lastApplied) {
@@ -67,10 +78,9 @@ object StreamConformal {
           }
           lastApplied = id
         }
-        state.keys.map(_._1).toSeq.distinct.sorted.foreach { tpe =>
-          val c = state.collect { case ((t, ar), m) if t == tpe => ar -> m }
-            .toMap
-          val (n, r) = radiusOf(c)
+        // ONE pass over the census map, not one per type
+        state.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (tpe, cells) =>
+          val (n, r) = radiusOf(cells.map { case ((_, ar), m) => ar -> m }.toMap)
           sink((id, tpe, n, r))
         }
       }

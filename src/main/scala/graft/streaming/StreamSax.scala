@@ -68,11 +68,17 @@ object StreamSax {
   /** Streaming wiring: checkpointed foreachBatch merging each batch's
     * census into caller-owned `state` (idempotent per batchId against
     * in-run retries) and emitting (batchId, type, day, word) rows.
+    *
+    * Restart contract (as in StreamConformal): a caller re-seeding
+    * `state` from persisted census cells must pass the batchId those
+    * cells include as `startAfter` — the checkpoint re-delivers the
+    * last uncommitted batch, and without the id it double-counts.
     */
   def monitor(hours: DataFrame, checkpointDir: String,
-              state: scala.collection.mutable.Map[(String, Long, Long), (Long, Long, BigInt)])(
+              state: scala.collection.mutable.Map[(String, Long, Long), (Long, Long, BigInt)],
+              startAfter: Long = -1L)(
       sink: ((Long, String, Long, Option[String])) => Unit): DataStreamWriter[Row] = {
-    var lastApplied = -1L
+    var lastApplied = startAfter
     hours.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (id > lastApplied) {
