@@ -401,6 +401,69 @@ object Multimodal {
     (sum, wsum, mn, mx)
   }
 
+  case class AHash(media_id: Long, width: Int, height: Int,
+                   ahash: String, bits_on: Long)
+
+  /** Average-hash perceptual fingerprint over the DECODED raster —
+    * the classic image-dedup primitive: the image folds onto an 8×8
+    * grid of cell means (cell of pixel (x,y) is (⌊8y/h⌋, ⌊8x/w⌋)),
+    * each cell turns into one bit by comparing against the global
+    * mean, and near-duplicate images land at small Hamming distance.
+    * EXACT everywhere: the mean comparison cs/cn > S/N is evaluated
+    * as the integer cross product cs·N > S·cn (no doubles, no
+    * rounding edge), and the fingerprint ships as a 64-char '0'/'1'
+    * string in (v,u) order — trivially SQL-recomputable and
+    * readability-friendly. Narrow map-side decode like every media
+    * stage; at 100 TB the fingerprints then feed the same banded /
+    * bucketed dedup machinery the text path uses.
+    */
+  def ahashOf(px: Array[Int], w: Int, h: Int): (String, Long) = {
+    val cs = new Array[Long](64)
+    val cn = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val v = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = v * 8 + x * 8 / w
+        cs(cell) += px(y * w + x)
+        cn(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += cs(i); i += 1 }
+    val n = w.toLong * h
+    val sb = new java.lang.StringBuilder(64)
+    var on = 0L
+    i = 0
+    while (i < 64) {
+      // cell mean > global mean, exactly: cs/cn > S/N <=> cs·N > S·cn
+      val bit = cs(i) * n > s * cn(i)
+      sb.append(if (bit) '1' else '0')
+      if (bit) on += 1
+      i += 1
+    }
+    (sb.toString, on)
+  }
+
+  /** Fingerprint PNG/APNG media through the full real decode. */
+  def decodeAHash(media: Dataset[MediaFile]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hd = parseHeader(m.content)
+        val px = defilterPixels(
+          inflate(idatOf(m.content), hd.height * (hd.width + 1)),
+          hd.width, hd.height)
+        val (hash, on) = ahashOf(px, hd.width, hd.height)
+        AHash(m.media_id, hd.width, hd.height, hash, on)
+      }
+    }
+  }
+
   /** Invert the scanline filters into an actual pixel buffer (raster
     * order) — the decode-to-memory path the resampling kernel needs,
     * sharing the filter semantics of [[defilterStats]].

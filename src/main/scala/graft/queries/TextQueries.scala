@@ -1262,6 +1262,47 @@ object TextQueries {
         .orderBy("media_id", "frame")
     },
 
+    // PERCEPTUAL FINGERPRINT (average hash) — the image-dedup
+    // primitive, over the REAL decoded raster: fold each image onto
+    // an 8×8 grid of cell means (cell of (x,y) = (⌊8y/h⌋, ⌊8x/w⌋)),
+    // one bit per cell by comparison against the global mean,
+    // near-dups land at small Hamming distance. EXACT end-to-end:
+    // the comparison is the integer cross product cs·N > S·cn — no
+    // doubles anywhere — and the fingerprint is a 64-char bit string
+    // both engines assemble in (v,u) order. The oracle rebuilds the
+    // grid per-pixel from the field rule; the engine only gets there
+    // through inflate + filter inversion, so the fingerprint doubles
+    // as one more end-to-end decode pin. At 100 TB the fingerprints
+    // feed the same banded dedup machinery as text (64-bit keys,
+    // pigeonhole bands for Hamming ≤ k).
+    Q("image_ahash",
+      s"""WITH md AS (SELECT doc_id AS media_id,
+         |    16 + ${duckH32("text")} % 240 AS w,
+         |    16 + ${duckH32(1, "text")} % 240 AS h,
+         |    ${duckH32("text")} % 256 AS seed
+         |  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 3 = 2),
+         |px AS (SELECT media_id, w, h,
+         |    ((i % w) * 8) // w AS u, ((i // w) * 8) // h AS v,
+         |    (seed + 31 * i) % 256 AS p
+         |  FROM md, unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i)),
+         |cells AS (SELECT media_id, w, h, v, u,
+         |    CAST(SUM(p) AS BIGINT) AS cs, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM px GROUP BY 1, 2, 3, 4, 5),
+         |tot AS (SELECT media_id, CAST(SUM(cs) AS BIGINT) AS s FROM cells GROUP BY 1),
+         |bits AS (SELECT c.media_id, w, h, v, u,
+         |    CASE WHEN cs * (CAST(w AS BIGINT) * h) > s * cn THEN 1 ELSE 0 END AS b
+         |  FROM cells c JOIN tot ON c.media_id = tot.media_id)
+         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  string_agg(CAST(b AS VARCHAR), '' ORDER BY v, u) AS ahash,
+         |  CAST(SUM(b) AS BIGINT) AS bits_on
+         |FROM bits GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val pngDocs = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2),
+        col("doc_id"))
+      Multimodal.decodeAHash(Multimodal.mediaContainers(pngDocs))
+        .toDF().orderBy("media_id")
+    },
+
     // REAL VIDEO FRAME DECODE — the video modality gains actual frame
     // payloads: spec-valid multi-frame APNG (acTL count == real frame
     // count, fcTL/fdAT with correct sequence numbering, one zlib
