@@ -456,6 +456,36 @@ object ScaleSmoke {
         s"prefix-bucket census rows (the single-partition exchange): $buckets")
       v
     }
+    // Vocab-window escape hatch audit (round 10): the last two
+    // vocabulary-sized single-partition windows are gone —
+    // token_burstiness' global top-30 window consumes only the
+    // per-bucket survivor union (≤ 30·B rows at ANY vocab size) and
+    // key_skew_gini's prefix window only the COUNT-VALUE census
+    // (distinct counts ≤ √(2·total)). Under the same Heaps growth
+    // model as above, the vocab census grows ~mult while both window
+    // inputs must stay bounded.
+    time("vocab_window_escape_hatch") {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.parallelizeByRange(docs, col("doc_id"))
+        .select((col("doc_id") / 10000000L).cast("long").as("cp"),
+          explode(split(col("text"), " ")).as("t0"))
+        .filter(length(col("t0")) > 0)
+        .select(concat(col("t0"), lit("~"), col("cp").cast("string")).as("tok"))
+      val census = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val v = census.count()
+      val survivors = census
+        .withColumn("bkt", pmod(hash(col("tok")), lit(32)))
+        .withColumn("brnk", row_number().over(
+          Window.partitionBy("bkt").orderBy(col("tf").desc, col("tok"))))
+        .filter(col("brnk") <= 30)
+        .count()
+      val countValues = census.groupBy("tf").count().count()
+      println(s"[smoke]   vocab census $v (grows ~mult) -> top-30 window " +
+        s"input $survivors (<= 960); count-value census $countValues " +
+        s"(<= sqrt(2 tokens))")
+      survivors
+    }
     spark.stop()
   }
 }

@@ -253,6 +253,81 @@ object JpegCodec {
       bw2.finish() ++ Array(0xff.toByte, 0xd9.toByte)
   }
 
+  /** Encode a grayscale baseline JPEG from QUANTIZED coefficients:
+    * per block a DC level (quantized, i.e. the value the decoder's
+    * DC prediction chain reproduces) plus a sparse list of nonzero AC
+    * levels as (zigzagIndex 1..63, level != 0) pairs in ascending
+    * zigzag order. This is the general sequential-DCT entropy encoder
+    * — zero runs split into ZRL (0xF0) symbols per T.81 F.1.2.2.3,
+    * run/size composite symbols, magnitude bits with the negative
+    * EXTEND convention, EOB only when the tail is zero — so streams
+    * built here exercise the decoder's full AC alphabet (runs, ZRL,
+    * AC EXTEND), unlike [[encodeFlatBlocks]]'s DC+EOB-only scans.
+    * Callers pick coefficient sets whose dequant+IDCT is exact (see
+    * `Multimodal.jpegAcMedia`); the encoder itself is content-generic.
+    */
+  def encodeBlocks(
+      w: Int, h: Int,
+      dcq: Array[Array[Int]],
+      ac: Array[Array[Seq[(Int, Int)]]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"dims ${w}x$h not multiples of 8")
+    val bw = w / 8; val bh = h / 8
+    require(dcq.length == bh && dcq.forall(_.length == bw))
+    require(ac.length == bh && ac.forall(_.length == bw))
+    val dcEnc = buildEncodeTable(DcBits, DcVals)
+    val acEnc = buildEncodeTable(AcBits, AcVals)
+    val dqt = seg(0xdb, Array(0x00.toByte) ++
+      (0 until 64).map(z => QuantLum(Zigzag(z)).toByte))
+    val sof = seg(0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](1, 1, 0x11, 0))
+    val dht = seg(0xc4,
+      Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte) ++
+      Array(0x10.toByte) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val out = new BitWriter
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val diff = dcq(by)(bx) - pred
+        pred = dcq(by)(bx)
+        val t = category(diff)
+        val (c, l) = dcEnc(t)
+        out.write(c, l)
+        if (t > 0) {
+          val mag = if (diff < 0) diff + (1 << t) - 1 else diff
+          out.write(mag, t)
+        }
+        var z = 1
+        ac(by)(bx).foreach { case (zz, lvl) =>
+          require(zz >= z && zz <= 63, s"AC zigzag $zz out of order/range")
+          require(lvl != 0, "AC level must be nonzero (zeros are runs)")
+          var run = zz - z
+          while (run >= 16) { // ZRL covers 16 zeros
+            val (zc, zl) = acEnc(0xf0)
+            out.write(zc, zl)
+            run -= 16
+          }
+          val s = category(lvl)
+          val (rc, rl) = acEnc((run << 4) | s)
+          out.write(rc, rl)
+          val mag = if (lvl < 0) lvl + (1 << s) - 1 else lvl
+          out.write(mag, s)
+          z = zz + 1
+        }
+        if (z <= 63) {
+          val (ec, el) = acEnc(0x00) // EOB for the zero tail
+          out.write(ec, el)
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ sos ++
+      out.finish() ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
   /** EXTEND (T.81 F.2.2.1): map `mag` read as `t` magnitude bits back
     * to the signed coefficient.
     */

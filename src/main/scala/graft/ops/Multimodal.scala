@@ -728,6 +728,59 @@ object Multimodal {
       }
   }
 
+  /** JPEG media whose scans carry NONZERO AC COEFFICIENTS — the
+    * content class that exercises the decoder's full AC alphabet
+    * (run/size symbols with nonzero runs, ZRL, AC EXTEND for negative
+    * levels) under an exact pixel oracle. Each 8×8 block gets three
+    * quantized coefficients chosen so dequant+IDCT is EXACT integer
+    * arithmetic:
+    *
+    *  - DC level (v−128)/2 with v = 2·((seed+31·b) mod 128) — the
+    *    flat-block rule; contributes v to every pixel.
+    *  - zigzag 14 = natural (v=0,u=4), quantizer 24, level l1 with
+    *    |l1| ∈ 1..4: basis cos((2x+1)π/4) = (√2/2)·sx with the sign
+    *    wave sx = +1 for x mod 4 ∈ {0,3}, −1 otherwise, and
+    *    cu·cv = √2/2, so the pixel term is 24·l1·(1/2)·sx/4 = 3·l1·sx
+    *    — exact for any integer l1.
+    *  - zigzag 39 = natural (4,4), quantizer 68, level 2·m with
+    *    |m| ∈ 1..3: both basis factors are (√2/2)·s, cu=cv=1, so the
+    *    term is 68·2m·(1/2)·sx·sy/4 = 17·m·sx·sy — exact because the
+    *    level is even.
+    *
+    * Decoded pixel = clamp(v + 3·l1·sx + 17·m·sx·sy): a closed form a
+    * SQL oracle evaluates per pixel (jpeg_ac_stats), while the engine
+    * only gets there through the genuine Huffman scan — runs of 13
+    * and 8 zeros, one ZRL per block, EXTEND on every negative level.
+    * Level rules (all mods of non-negative operands, so both engines
+    * agree): l1 = (1+(seed+7b) mod 4)·sgn₁, sgn₁ = +1 iff (seed+3b)
+    * even; m = (1+(seed+5b) mod 3)·sgn₂, sgn₂ = +1 iff (seed+11b)
+    * even. Dims are multiples of 8 (16..120 per side) to keep the
+    * oracle's per-pixel explode bounded.
+    */
+  def jpegAcMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val w = (8 * (2 + h32jvm(text) % 14)).toInt
+        val h = (8 * (2 + h32jvm("1|" + text) % 14)).toInt
+        val seed = (h32jvm(text) % 128).toInt
+        val bw = w / 8
+        val dcq = Array.tabulate(h / 8, bw) { (by, bx) =>
+          ((seed + 31 * (by * bw + bx)) % 128) - 64
+        }
+        val ac = Array.tabulate(h / 8, bw) { (by, bx) =>
+          val b = by * bw + bx
+          val l1 = (1 + (seed + 7 * b) % 4) *
+            (if ((seed + 3 * b) % 2 == 0) 1 else -1)
+          val m = (1 + (seed + 5 * b) % 3) *
+            (if ((seed + 11 * b) % 2 == 0) 1 else -1)
+          Seq((14, l1), (39, 2 * m))
+        }
+        MediaFile(id, "image", JpegCodec.encodeBlocks(w, h, dcq, ac), source)
+      }
+  }
+
   /** Pixel statistics from a REAL JPEG decode — generic over the
     * decoded raster (the decoder does not know the content is flat);
     * the positional checksum pins every pixel like the PNG path.
@@ -870,6 +923,18 @@ object Multimodal {
     * the real entropy-coded JPEG variant lives in [[jpegPixelMedia]]
     * (via [[JpegCodec]]) and is what jpeg_pixel_stats decodes. WAV
     * payloads are the real PCM bytes the audio queries decode.
+    *
+    * Video rows are HEADER-LEVEL APNG only: the acTL declares the
+    * h32-derived frame count (up to 240) but the file carries a
+    * single IDAT raster and no fcTL/fdAT chunks — decodable by
+    * [[decodePixelStats]] (which reads the default image) and by
+    * [[decodeContainers]] (which reads acTL), but deliberately NOT by
+    * [[frameStreamsOf]], whose frame-count cross-check would reject
+    * them. This table's contract is header-parse + closed-form
+    * n_bytes (emitting 240 real frames would make n_bytes
+    * frame-mass-dependent and blow the per-row byte budget); the
+    * spec-complete multi-frame APNGs that [[decodeVideoFrames]]
+    * consumes live in [[videoFrameMedia]].
     */
   def mediaContainers(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._

@@ -434,10 +434,19 @@ object EvalQueries {
     // needs salting (ops/Skew.scala) or an AQE skew join. Gini uses
     // the rank formulation 2·Σi·cᵢ/(n·Σc) − (n+1)/n over counts
     // ranked ascending (ties broken by key — fully deterministic).
-    // The ranking windows run on the KEY CENSUS (one row per user),
-    // orders of magnitude smaller than the event stream; integer
-    // rank·count products sum exactly, and the three output doubles
-    // are single fixed-order expressions over those integers.
+    // SCALE: the Spark side never ranks individual keys. Within a
+    // tie group (all keys sharing count v) every key contributes the
+    // same c = v, so the uid tiebreak cancels out of the SUM:
+    //   Σᵢ i·cᵢ = Σᵥ v · ( mᵥ·Bᵥ + mᵥ(mᵥ+1)/2 )
+    // where mᵥ = #keys with count v and Bᵥ = #keys with count < v.
+    // That prefix scan runs over the COUNT-VALUE census — distinct
+    // positive integers summing to ≤ total events, hence ≤ √(2·total)
+    // rows at ANY scale (10¹² events → ≤ 1.4M census rows) — a
+    // provably bounded single-partition window, unlike the key census
+    // it replaces (which grows with the key population). The top-1 /
+    // top-10 head uses the two-level top-k: per-hash-bucket top-10
+    // (hash-partitioned over the key census) feeds a global window of
+    // ≤ 10·B rows. This is the SCALE.md escape hatch, implemented.
     Q("key_skew_gini",
       """WITH kc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
         |rk AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM kc),
@@ -454,12 +463,27 @@ object EvalQueries {
       import org.apache.spark.sql.expressions.Window
       val kc = Tables.load(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("c"))
-      val rk = kc.withColumn("i",
-        row_number().over(Window.orderBy(col("c"), col("user_id"))))
-      val hd = kc.withColumn("j",
-        row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
-      val t = rk.agg(count(lit(1)).as("n"), sum("c").as("total"),
-        sum(col("i") * col("c")).as("ic"))
+      // count-VALUE census (≤ √(2·total) rows): hash-aggregated, then
+      // the bounded prefix window gives Bᵥ = keys with smaller count
+      val vc = kc.groupBy("c").agg(count(lit(1)).as("m"))
+        .withColumn("bv",
+          sum(col("m")).over(Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("m"))
+      // m·(m+1) is always even, so `div 2` is exact integer arithmetic;
+      // each census term equals the exact Σ i·c over its tie group
+      val t = vc.agg(sum("m").as("n"), sum(col("c") * col("m")).as("total"),
+        sum(col("c") * (col("m") * col("bv") +
+          expr("(m * (m + 1)) div 2"))).as("ic"))
+      // two-level top-k head: per-bucket top-10 spreads the key census
+      // over B hash partitions; the global window sees ≤ 10·B rows
+      val hd = kc
+        .withColumn("bkt", pmod(hash(col("user_id")), lit(32)))
+        .withColumn("bj", row_number().over(
+          Window.partitionBy("bkt").orderBy(col("c").desc, col("user_id"))))
+        .filter(col("bj") <= 10)
+        .withColumn("j",
+          row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
       val h = hd.agg(
         sum(when(col("j") === 1, col("c")).otherwise(0)).as("c1"),
         sum(when(col("j") <= 10, col("c")).otherwise(0)).as("c10"))

@@ -80,8 +80,10 @@ object ModelQueries {
     // SPAN-bounded (stt ≤ span³ fits DECIMAL(12,0) through a ~10⁴-hour
     // span) and stay at 12 digits, while the y-moments grow with
     // corpus VOLUME and get DECIMAL(20,0) (sty = Σt·y holds hourly
-    // cents up to ~10¹³ over a 720-hour span before its cast fails
-    // loudly) and syy DECIMAL(30,0); the determinant inner products
+    // cents up to ~10¹³ over a 720-hour span; the narrowing is
+    // loudCast-wrapped so an overflow raises in BOTH engines instead
+    // of silently NULLing on the Spark side) and syy DECIMAL(30,0)
+    // (also loudCast-wrapped); the determinant inner products
     // carry DECIMAL(30,0) so det0's worst case (~10³⁰ at those
     // ceilings) keeps DECIMAL(38,0) headroom.
     Q("ols_cramer",
@@ -129,8 +131,13 @@ object ModelQueries {
       val mn = i0.agg(min(col("th")).as("t0"))
       val i = i0.crossJoin(broadcast(mn))
         .select((col("th") - col("t0")).as("t"), col("hod"), col("y"))
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 0))
-      def dec20(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 0))
+      // loud narrowing (see package.loudCast): these widths are the
+      // documented ceilings — blowing one must raise in BOTH engines,
+      // not silently NULL the moment on the Spark side
+      def dec(c: org.apache.spark.sql.Column) =
+        loudCast(c, DecimalType(12, 0), "ols_cramer span moment")
+      def dec20(c: org.apache.spark.sql.Column) =
+        loudCast(c, DecimalType(20, 0), "ols_cramer y-moment")
       val m = i.agg(
         dec(count(lit(1))).as("n"), dec(sum(col("t"))).as("st"),
         dec(sum(col("hod"))).as("sh"), dec(sum(col("t") * col("t"))).as("stt"),
@@ -139,8 +146,8 @@ object ModelQueries {
         dec20(sum(col("y"))).as("sy"),
         dec20(sum(col("t").cast(DecimalType(18, 0)) * col("y"))).as("sty"),
         dec20(sum(col("hod").cast(DecimalType(18, 0)) * col("y"))).as("shy"),
-        sum(col("y").cast(DecimalType(18, 0)) * col("y"))
-          .cast(DecimalType(30, 0)).as("syy"))
+        loudCast(sum(col("y").cast(DecimalType(18, 0)) * col("y")),
+          DecimalType(30, 0), "ols_cramer syy").as("syy"))
       val (nC, st, sh, stt, sth, shh, sy, sty, shy) =
         (col("n"), col("st"), col("sh"), col("stt"), col("sth"),
           col("shh"), col("sy"), col("sty"), col("shy"))

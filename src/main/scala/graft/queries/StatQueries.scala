@@ -773,10 +773,12 @@ object StatQueries {
     // floor identically on the non-negative operands): r = c − mb is
     // corpus-volume-bounded but — unlike the n-scaled dev = n·c − Σc
     // of autocorrelation — carries NO wasted n-power, so the bound is
-    // provable: |r| < 10^8 (the DECIMAL(8,0) cast fails LOUDLY at the
-    // cause if an hourly total ever deviates by more than $1M in
-    // cents) gives Σr⁴ ≤ n·10^32, inside DECIMAL(38,0) for any series
-    // up to 10^6 hours (a century). The fractional mean offset
+    // provable: |r| < 10^8 (the DECIMAL(8,0) narrowing is wrapped in
+    // loudCast, so an hourly total deviating by more than $1M in
+    // cents raises at the cause in BOTH engines — DuckDB's ANSI cast
+    // throws; Spark's non-ANSI cast would have NULLed silently) gives
+    // Σr⁴ ≤ n·10^32, inside DECIMAL(38,0) for any series up to 10^6
+    // hours (a century). The fractional mean offset
     // δ = (Σc mod n)/n ∈ [0,1) is corrected exactly in the one-row
     // census: m_k about the true mean follows from the binomial shift
     // (m2 = M2/n − δ², m3 = M3/n − 3δM2/n + 2δ³, m4 = M4/n − 4δM3/n +
@@ -824,7 +826,8 @@ object StatQueries {
         .select(col("n"), expr("sc div n").as("mb"),
           (col("sc") - col("n") * expr("sc div n")).as("rem"))
       val d = i.crossJoin(broadcast(sCensus))
-        .select((col("c") - col("mb")).cast(DecimalType(8, 0)).as("r"),
+        .select(loudCast(col("c") - col("mb"), DecimalType(8, 0),
+            "jarque_bera hourly deviation r").as("r"),
           col("n"), col("rem"))
       val r2 = (col("r") * col("r")).cast(DecimalType(19, 0))
       val m = d.groupBy("n", "rem").agg(

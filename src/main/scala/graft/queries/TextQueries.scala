@@ -530,7 +530,13 @@ object TextQueries {
     // three integer sums per token (Σ1, Σc, Σc² over containing
     // docs) — vocabulary-bounded aggregates, one corpus scan, and
     // the deterministic doubles the suite's determinism rules
-    // require. The top-30 window runs on the vocabulary census.
+    // require. The top-30 select is TWO-LEVEL: a per-hash-bucket
+    // top-30 window (hash-partitioned — spreads however large the
+    // vocabulary grows under Heaps' law) feeds the global ranking
+    // window with <= 30·B rows, because every global top-30 token is
+    // necessarily in its own bucket's top-30. The single-partition
+    // exchange therefore carries <= 30·B rows at ANY corpus size —
+    // the SCALE.md vocab-window escape hatch, implemented.
     Q("token_burstiness",
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT w, doc_id, COUNT(*) AS c FROM tk GROUP BY 1, 2),
@@ -551,12 +557,22 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val c = tk.groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
       val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("nd"))
-      val r = c.groupBy("w")
+      val sums = c.groupBy("w")
         .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
           sum(col("c") * col("c")).as("s2"))
+      // two-level top-k: bucket ranks run hash-partitioned (parallel,
+      // vocab-sized input spread over B buckets); only the <= 30·B
+      // bucket winners reach the global ranking window
+      val bucketTop = sums
+        .withColumn("bkt", pmod(hash(col("w")), lit(32)))
+        .withColumn("brnk", row_number().over(
+          Window.partitionBy("bkt").orderBy(col("tf").desc, col("w"))))
+        .filter(col("brnk") <= 30)
+      val r = bucketTop
         .withColumn("rnk",
           row_number().over(Window.orderBy(col("tf").desc, col("w"))))
         .filter(col("rnk") <= 30)
+        .drop("bkt", "brnk")
       val mu = col("tf").cast("double") / col("nd")
       r.crossJoin(broadcast(n))
         .select(col("rnk"), col("w").as("token"), col("df"), col("tf"),
@@ -1180,6 +1196,57 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // JPEG AC-COEFFICIENT DECODE — closes the one untested seam in
+    // the entropy layer: jpeg_pixel_stats' flat blocks are DC+EOB
+    // only, so the AC run/size alphabet (nonzero runs, ZRL, AC
+    // EXTEND) was exercised only by unit properties. These streams
+    // put THREE quantized coefficients in every block (DC + zigzag 14
+    // + zigzag 39 — runs of 13 and 8 zeros and one ZRL per block,
+    // negative levels on both ACs), chosen so dequant+IDCT stays
+    // EXACT integer arithmetic (basis values ±√2/2, levels sized so
+    // every pixel term is an integer — see Multimodal.jpegAcMedia).
+    // The oracle evaluates the closed-form pixel
+    // clamp(v + 3·l1·sx + 17·m·sx·sy) per raster position; the engine
+    // only gets there through the genuine Huffman scan, so one
+    // misread run length, one wrong EXTEND sign, or one swallowed ZRL
+    // moves px_wsum and diverges the hash. Narrow/map-side decode
+    // like the other media paths.
+    Q("jpeg_ac_stats",
+      s"""WITH md AS (SELECT doc_id AS media_id,
+         |    8 * (2 + ${duckH32("text")} % 14) AS w,
+         |    8 * (2 + ${duckH32(1, "text")} % 14) AS h,
+         |    ${duckH32("text")} % 128 AS seed
+         |  FROM documents WHERE doc_id % 6 = 5),
+         |px AS (SELECT media_id, w, h, seed, i,
+         |    i % w AS x, i // w AS y
+         |  FROM md, unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i)),
+         |c AS (SELECT media_id, w, h, i,
+         |    (y // 8) * (w // 8) + (x // 8) AS b,
+         |    CASE WHEN (x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END AS sx,
+         |    CASE WHEN (y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END AS sy,
+         |    seed FROM px),
+         |v AS (SELECT media_id, w, h, i, LEAST(255, GREATEST(0,
+         |    2 * ((seed + 31 * b) % 128)
+         |    + 3 * (1 + (seed + 7 * b) % 4)
+         |        * (CASE WHEN (seed + 3 * b) % 2 = 0 THEN 1 ELSE -1 END) * sx
+         |    + 17 * (1 + (seed + 5 * b) % 3)
+         |        * (CASE WHEN (seed + 11 * b) % 2 = 0 THEN 1 ELSE -1 END)
+         |        * sx * sy)) AS p
+         |  FROM c)
+         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |  CAST(SUM(p) AS BIGINT) AS px_sum,
+         |  CAST(SUM((i + 1) * p) AS BIGINT) AS px_wsum,
+         |  CAST(MIN(p) AS INTEGER) AS px_min,
+         |  CAST(MAX(p) AS INTEGER) AS px_max
+         |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val acDocs = Tables.parallelizeByRange(Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 6 === 5), col("doc_id"))
+      Multimodal.decodeJpegStats(Multimodal.jpegAcMedia(acDocs))
+        .toDF().drop("container")
+        .orderBy("media_id")
+    },
+
     // REAL IMAGE RESIZE — 2×2 box-filter (mean-pool) downsample over
     // the DECODED pixel buffer: decode (inflate + defilter into a
     // raster array), then the pooling kernel q(u,v) = ⌊(4 taps)/4⌋ —
@@ -1228,10 +1295,13 @@ object TextQueries {
     // sample frames, per-frame mean-square amplitude around the
     // unsigned-PCM midpoint (v-128), plus RMS — the voice-activity /
     // silence-trim primitive an audio curation pipeline runs first.
-    // The fixture payload is ASCII, so byte == codepoint and both
-    // engines read samples as ord/ascii of 1-char substrings; energy
-    // sums are exact integers (deterministic), RMS is one
-    // int-derived double. Scan-side explode + one (media, frame)
+    // Both engines index the CODEPOINT series — DuckDB length()/
+    // substr()/ord() and Spark length()/substr()/ascii() are all
+    // character-based, so the sample sets agree for ANY corpus text,
+    // not just the ASCII fixture (where codepoint == byte == PCM
+    // sample; for non-ASCII the codepoint series is a consistent
+    // cross-engine proxy for the byte stream). Energy sums are exact
+    // integers (deterministic), RMS is one int-derived double. Scan-side explode + one (media, frame)
     // aggregation with map-side partials — the tokenize_explode
     // shape; at 100 TB frames aggregate where the bytes live and
     // only (media_id, frame, ints) move.
@@ -1239,7 +1309,7 @@ object TextQueries {
       """WITH au AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
         |sm AS (SELECT media_id, (i - 1) // 200 AS frame,
         |         ord(substr(text, CAST(i AS INTEGER), 1)) - 128 AS v
-        |       FROM au, unnest(generate_series(1, strlen(text))) AS t(i))
+        |       FROM au, unnest(generate_series(1, length(text))) AS t(i))
         |SELECT media_id, CAST(frame AS BIGINT) AS frame,
         |  COUNT(*) AS n_samples,
         |  CAST(SUM(v * v) AS BIGINT) AS energy_sq,
@@ -1364,10 +1434,10 @@ object TextQueries {
       val values = table.map { case (k, j, c, s) => s"($k,$j,$c,$s)" }
         .mkString(", ")
       s"""WITH au AS (SELECT doc_id AS media_id, text FROM documents
-         |       WHERE doc_id % 3 = 1 AND strlen(text) >= 200),
+         |       WHERE doc_id % 3 = 1 AND length(text) >= 200),
          |sm AS (SELECT media_id, (i - 1) // 200 AS frame, (i - 1) % 200 AS j,
          |         ord(substr(text, CAST(i AS INTEGER), 1)) - 128 AS v
-         |       FROM au, unnest(generate_series(1, (strlen(text) // 200) * 200)) AS t(i)),
+         |       FROM au, unnest(generate_series(1, (length(text) // 200) * 200)) AS t(i)),
          |ct(k, j, c, s) AS (VALUES $values),
          |a AS (SELECT media_id, frame, k,
          |    CAST(SUM(v * c) AS BIGINT) AS re, CAST(SUM(v * s) AS BIGINT) AS im

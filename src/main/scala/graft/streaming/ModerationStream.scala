@@ -118,11 +118,29 @@ object ModerationStream {
   def runTransactional(spark: SparkSession, bootstrap: String,
                        blockedPairs: DataFrame, banWords: Seq[String],
                        checkpointDir: String,
-                       factory: KafkaEos.TxProducerFactory): Unit = {
-    val out = pipeline(fromKafka(spark, bootstrap), blockedPairs, banWords)
-    KafkaEos.toKafkaTransactional(out, "filtered-messages",
-        "filtered-messages-ledger", "moderation-sink", factory, checkpointDir)
-      .start().awaitTermination()
+                       factory: KafkaEos.TxProducerFactory): Unit =
+    transactionalQuery(spark, bootstrap, blockedPairs, banWords,
+      checkpointDir, factory).start().awaitTermination()
+
+  /** [[runTransactional]]'s query, unstarted — the seam a harness
+    * (KafkaWireSpec against a real broker) drives with
+    * processAllAvailable/stop instead of awaitTermination, and a
+    * deployment wraps in its own lifecycle. Topic names are
+    * parameterized so concurrent test runs don't collide; the
+    * defaults are the reference's.
+    */
+  def transactionalQuery(spark: SparkSession, bootstrap: String,
+                         blockedPairs: DataFrame, banWords: Seq[String],
+                         checkpointDir: String,
+                         factory: KafkaEos.TxProducerFactory,
+                         inTopic: String = "messages",
+                         outTopic: String = "filtered-messages",
+                         ledgerTopic: String = "filtered-messages-ledger",
+                         sinkId: String = "moderation-sink"): DataStreamWriter[Row] = {
+    val out = pipeline(fromKafka(spark, bootstrap, inTopic),
+      blockedPairs, banWords)
+    KafkaEos.toKafkaTransactional(out, outTopic, ledgerTopic, sinkId,
+      factory, checkpointDir)
   }
 
   /** T4 LIVENESS: moderation with a LIVE blocked-pairs dimension —

@@ -199,6 +199,117 @@ object ContainerProps extends Properties("containers") {
       catch { case _: IllegalArgumentException => true }
     }
 
+  // ---- cross-decoder validation: javax.imageio (an INDEPENDENT,
+  // JDK-bundled implementation) must read the same pixels our codecs
+  // produce/decode — proving the PNG zlib/filter streams and the JPEG
+  // entropy bitstreams are spec-valid to a decoder that shares no
+  // code with this repo, not merely self-round-trip-consistent. ----
+
+  /** Decode any image bytes through javax.imageio into (w, h, gray
+    * samples in raster order). Fails the property loudly (null read)
+    * if ImageIO rejects the stream.
+    */
+  private def imageIoGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO rejected the stream")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  private val genIoDim: Gen[Int] = Gen.chooseNum(1, 128)
+
+  property("ImageIO cross-decodes buildPngPixels to the exact pixel field") =
+    forAll(genIoDim, genIoDim, genSeed) { (w, h, seed) =>
+      val (dw, dh, px) = imageIoGray(buildPngPixels(w, h, None, seed))
+      dw == w && dh == h && {
+        var i = 0L; var ok = true
+        while (ok && i < w.toLong * h) {
+          ok = px(i.toInt) == pixelAt(seed, i); i += 1
+        }
+        ok
+      }
+    }
+
+  property("ImageIO reads the header-level APNG's default image (acTL ignored)") =
+    forAll(Gen.chooseNum(8, 64), Gen.chooseNum(8, 64), genSeed,
+        Gen.chooseNum(2, 240)) { (w, h, seed, frames) =>
+      // mediaContainers' video rows: acTL declares N frames, one IDAT
+      // raster — a PNG reader ignores the unknown acTL chunk and
+      // decodes the default image
+      val (dw, dh, px) = imageIoGray(buildPngPixels(w, h, Some(frames), seed))
+      dw == w && dh == h && px(0) == pixelAt(seed, 0) &&
+        px(px.length - 1) == pixelAt(seed, w.toLong * h - 1)
+    }
+
+  property("ImageIO cross-decodes flat-block JPEG pixel-identically") =
+    forAll(genBlocks) { case (w, h, blocks) =>
+      val bytes = graft.ops.JpegCodec.encodeFlatBlocks(w, h, blocks)
+      val ours = graft.ops.JpegCodec.decode(bytes)
+      val (dw, dh, px) = imageIoGray(bytes)
+      // DC-only blocks dequantize to exactly flat rasters in ANY
+      // conforming IDCT (including ImageIO's fixed-point one), so the
+      // cross-decoder compare is EXACT here
+      dw == w && dh == h && px.sameElements(ours.pixels)
+    }
+
+  /** The jpegAcMedia coefficient rules, reproduced for a given block
+    * index — kept in lockstep with Multimodal.jpegAcMedia.
+    */
+  private def acLevels(seed: Int, b: Int): (Int, Int, Int) = {
+    val v = 2 * ((seed + 31 * b) % 128)
+    val l1 = (1 + (seed + 7 * b) % 4) * (if ((seed + 3 * b) % 2 == 0) 1 else -1)
+    val m = (1 + (seed + 5 * b) % 3) * (if ((seed + 11 * b) % 2 == 0) 1 else -1)
+    (v, l1, m)
+  }
+
+  private def acJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val bw = w / 8
+    val dcq = Array.tabulate(h / 8, bw)((by, bx) =>
+      ((seed + 31 * (by * bw + bx)) % 128) - 64)
+    val ac = Array.tabulate(h / 8, bw) { (by, bx) =>
+      val (_, l1, m) = acLevels(seed, by * bw + bx)
+      Seq((14, l1), (39, 2 * m))
+    }
+    graft.ops.JpegCodec.encodeBlocks(w, h, dcq, ac)
+  }
+
+  private val genAcDims: Gen[(Int, Int)] =
+    for (bw <- Gen.chooseNum(1, 10); bh <- Gen.chooseNum(1, 10))
+      yield (bw * 8, bh * 8)
+
+  property("jpeg AC encode->decode matches the closed-form pixel rule exactly") =
+    forAll(genAcDims, Gen.chooseNum(0, 127)) { case ((w, h), seed) =>
+      val d = graft.ops.JpegCodec.decode(acJpeg(w, h, seed))
+      def sgn(t: Int) = if (t % 4 == 0 || t % 4 == 3) 1 else -1
+      d.w == w && d.h == h && (0 until h).forall { y =>
+        (0 until w).forall { x =>
+          val (v, l1, m) = acLevels(seed, (y / 8) * (w / 8) + x / 8)
+          val p = v + 3 * l1 * sgn(x % 8) + 17 * m * sgn(x % 8) * sgn(y % 8)
+          d.pixels(y * w + x) == math.max(0, math.min(255, p))
+        }
+      }
+    }
+
+  property("ImageIO agrees with JpegCodec.decode on AC streams within IDCT tolerance") =
+    forAll(genAcDims, Gen.chooseNum(0, 127)) { case ((w, h), seed) =>
+      // non-DC-only blocks engage ImageIO's fixed-point IDCT, whose
+      // conformance bound allows small per-pixel deviation from the
+      // ideal inverse transform — assert agreement within ±1
+      val bytes = acJpeg(w, h, seed)
+      val ours = graft.ops.JpegCodec.decode(bytes)
+      val (dw, dh, px) = imageIoGray(bytes)
+      dw == w && dh == h &&
+        px.indices.forall(i => math.abs(px(i) - ours.pixels(i)) <= 1)
+    }
+
   property("a flipped byte anywhere in a PNG header region is detected") =
     forAll(genDim, genDim, Gen.chooseNum(8, 32)) { (w, h, idx) =>
       // positions 8..32 sit inside the IHDR chunk (length/type/data/crc)

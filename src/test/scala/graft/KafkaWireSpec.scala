@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{KafkaWire, ModerationStream}
+
+/** The REAL-WIRE golden test — the one seam no in-memory twin can
+  * cover: [[ModerationStream.runTransactional]]'s query moving actual
+  * bytes through an actual Kafka broker with EOS-v2 transactions,
+  * reproducing the reference's README flow (reference README.md:53-54:
+  * four fixture messages in, `login4 -> Java` and
+  * `login5 -> ******** React` out) over real topics.
+  *
+  * GATING — this spec CANCELS (assume()) unless all three hold:
+  *
+  *  1. `spark-sql-kafka-0-10_2.13-<sparkVer>.jar` (+ its companion
+  *     `spark-token-provider-kafka-0-10_2.13`) on the classpath —
+  *     enables Spark's `format("kafka")` source/sink. Probe class:
+  *     `org.apache.spark.sql.kafka010.KafkaSourceProvider`.
+  *  2. `kafka-clients-<ver>.jar` on the classpath — enables the
+  *     reflective producer/consumer/admin binding ([[KafkaWire]]).
+  *     Probe class: `org.apache.kafka.clients.producer.KafkaProducer`.
+  *  3. env `GRAFT_KAFKA_BOOTSTRAP=host:port` naming a reachable
+  *     broker — e.g. the reference's docker-compose broker
+  *     (reference docker/docker-compose.yml:13-33) or any KRaft
+  *     single node (`kafka-server-start.sh config/kraft/server.properties`).
+  *
+  * In this sandbox 1 and 2 are absent (`/opt/spark/jars` ships no
+  * kafka artifacts; coursier runs offline), so the spec skips cleanly
+  * — the EOS semantics stay pinned by KafkaEosSpec's in-memory broker
+  * (abort invisibility, replay ledger, zombie fencing) and the wire
+  * format by StreamingSpec's round-trip test. Drop the two jars into
+  * the classpath, start a broker, set the env var, and this test
+  * executes with no code change.
+  */
+class KafkaWireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+
+  test("EOS-v2 moderation end-to-end over a real Kafka broker (gated)") {
+    assume(KafkaWire.wireAvailable,
+      "kafka jars absent: need spark-sql-kafka-0-10_2.13 (+ token-provider) " +
+        "and kafka-clients on the classpath")
+    assume(bootstrap.isDefined,
+      "no broker: set GRAFT_KAFKA_BOOTSTRAP=host:port (e.g. the reference's " +
+        "docker-compose broker)")
+    val bs = bootstrap.get
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val inT = s"messages-$run"
+    val outT = s"filtered-messages-$run"
+    val ledgerT = s"$outT-ledger"
+    KafkaWire.createTopics(bs, Seq(inT, outT, ledgerT))
+
+    // the reference README's fixture: four messages, one blocked pair,
+    // one censored word
+    Seq(
+      ("login2", """{"text":"Spring","receiver":"login1"}"""),
+      ("login3", """{"text":"1С","receiver":"login1"}"""),
+      ("login4", """{"text":"Java","receiver":"login1"}"""),
+      ("login5", """{"text":"Политика React","receiver":"login1"}"""))
+      .toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bs)
+      .option("topic", inT)
+      .save()
+
+    val blocked = Seq("login1:login2", "login1:login3", "login2:login4")
+      .toDF("bk")
+    val words = Seq("Политика", "1C", "Алкоголь")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_kafka_wire_ckpt").toString
+    val q = ModerationStream.transactionalQuery(
+        spark, bs, blocked, words, ckpt,
+        new KafkaWire.ReflectiveKafkaFactory(bs),
+        inTopic = inT, outTopic = outT, ledgerTopic = ledgerT,
+        sinkId = s"moderation-sink-$run")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // read back COMMITTED data only — aborted transactions invisible
+    val got = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bs)
+      .option("subscribe", outT)
+      .option("kafka.isolation.level", "read_committed")
+      .load()
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      ("login4", """{"text":"Java","receiver":"login1"}"""),
+      ("login5", """{"text":"******** React","receiver":"login1"}""")),
+      s"real-wire moderation output diverged: ${got.mkString(", ")}")
+
+    // the ledger carries exactly the committed batch markers
+    val factory = new KafkaWire.ReflectiveKafkaFactory(bs)
+    val lastBatch = (0 until spark.sparkContext.defaultParallelism)
+      .map(p => factory.lastCommittedBatch(s"moderation-sink-$run-p$p", ledgerT))
+      .max
+    assert(lastBatch >= 0L, "no committed ledger marker found")
+  }
+}

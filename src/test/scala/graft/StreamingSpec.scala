@@ -1692,6 +1692,52 @@ class StreamingSpec extends SparkSpec {
       s"streaming SAX words diverged from the batch query after " +
         s"randomized arrival (got ${got.size} keys, batch ${expect.size})")
   }
+
+  test("streaming media decode matches the batch pixel stats exactly") {
+    import graft.streaming.StreamMedia
+    import graft.ops.Multimodal
+    implicit val ctx = spark.sqlContext
+    // the PNG/APNG subset png_pixel_stats decodes, as (id, bytes)
+    val pngDocs = Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2)
+    val files = Multimodal.mediaContainers(pngDocs)
+      .collect().map(m => (m.media_id, m.content)).toVector
+    val expect = Multimodal
+      .decodePixelStats(Multimodal.mediaContainers(pngDocs))
+      .collect()
+      .map(p => p.media_id -> StreamMedia.ImageStats(p.width, p.height,
+        p.n_pixels, p.px_sum, p.px_wsum, p.px_min, p.px_max))
+      .toMap
+    val rnd = new scala.util.Random(41)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_media_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Int, Int)]
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val state = collection.mutable.Map.empty[Long, StreamMedia.ImageStats]
+    val q = StreamMedia.monitor(
+        mem.toDF().toDF("media_id", "content"), ckpt, state) { a =>
+      audits.synchronized { audits += a }
+    }.start()
+    try {
+      rnd.shuffle(files).grouped(37).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // per-image parity: the streamed ledger IS the batch decode
+    assert(state.toMap === expect,
+      s"streamed per-image stats diverged (got ${state.size} images, " +
+        s"batch ${expect.size})")
+    // rollup parity + monotone growth of the image count across batches
+    val ns = audits.synchronized(audits.sortBy(_._1).map(_._2).toList)
+    assert(ns === ns.sorted, s"image count shrank across batches: $ns")
+    val last = audits.synchronized(audits.maxBy(_._1))
+    val (en, enp, es, emn, emx) = StreamMedia.rollup(expect)
+    assert((last._2, last._3, last._4, last._5, last._6) ===
+      ((en, enp, es, emn, emx)),
+      "final streamed rollup diverged from the batch rollup")
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
