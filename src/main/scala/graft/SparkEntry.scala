@@ -18,7 +18,8 @@ object SparkEntry {
       EvalQueries.all ++ TimeSeriesQueries.all ++ GovernanceQueries.all ++
       ProseQueries.all ++ LinAlgQueries.all ++ StatQueries.all ++
       ModelQueries.all ++ RankStatQueries.all ++ RetrievalQueries.all ++
-      AttributionQueries.all ++ MixtureQueries.all ++ InferenceQueries.all
+      AttributionQueries.all ++ MixtureQueries.all ++ InferenceQueries.all ++
+      TestBatteryQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

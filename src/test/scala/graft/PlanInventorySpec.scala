@@ -39,7 +39,7 @@ class PlanInventorySpec extends SparkSpec {
     "bm25_score",         // one census row (N, tot_dl, per-term dfs), broadcast back
     "kneser_ney_bigram",  // train totals (Nbt, Vc): one row, broadcast back
     "compaction_plan",    // cumsum window over the manifest-sized file census
-    "key_skew_gini",      // rank windows over the KEY census (one row per key)
+    "key_skew_gini",      // prefix window over the COUNT-VALUE census (≤ √(2·total) rows) + two-level top-10 head (≤ 10·B rows)
     "bloom_fpr_audit",    // four one-row censuses cross-joined into the answer
     "join_cardinality_audit", // four one-row profile/count aggregates
     "quantile_normalize", // cumsum window over the VALUE census (distinct lengths)
@@ -48,7 +48,7 @@ class PlanInventorySpec extends SparkSpec {
     "graph_modularity",   // one-row edge census (m) broadcast back
     "rfm_segments",       // ntile windows over the USER census
     "event_type_lift",    // basket total nu: one row, broadcast back
-    "token_burstiness",   // top-30 window over the vocabulary census
+    "token_burstiness",   // two-level top-30: global window sees ≤ 30·B bucket winners, never the vocab
     "table_stats",        // one-row ANALYZE-wide aggregate, unpivoted
     "benford_audit",      // whole-frame window over the 9-digit census
     "pca_power_iteration",// renormalizer windows over the 64-row iterate
@@ -104,7 +104,13 @@ class PlanInventorySpec extends SparkSpec {
     "mutual_info_rules",  // one-row confusion census
     "cramers_v",          // one-row marginal-count rollups onto the (lang x source) grid
     "jarque_bera",        // one-row four-moment rollup of the hour census
-    "durbin_watson")      // one-row (n, sc) census + one-row num/den rollups
+    "durbin_watson",      // one-row (n, sc) census + one-row num/den rollups
+    "wilcoxon_signed_rank", // rank cumsum over the |distinct diffs| census (≤ |days|)
+    "runs_test",          // median/lag windows over the |days| census
+    "friedman_test",      // one-row k-type rollup (day windows are day-partitioned)
+    "bartlett_test",      // one-row k-group moment rollup
+    "cohens_d",           // one-row two-group moment census
+    "granger_causality")  // one-row ten-moment census of the lag-joined days
 
   /** Broadcast nested-loop joins that are CORRECT because the
     * broadcast side is tiny by construction: ANN query sets (vec_id <
@@ -153,6 +159,7 @@ class PlanInventorySpec extends SparkSpec {
     "var_es", // one-row VaR/tail censuses cross-joined together
     "ttest_welch", // one-row corpus-moment census cross-joined back
     "mad_outliers", // one-row median/MAD censuses cross-joined back
+    "runs_test", // one-row median census cross-joined onto the |days| census
     "did_estimate", // one-row split-day census cross-joined onto the purchase scan
     "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
     "logrank_test", // one-row horizon census cross-joined onto the user census
