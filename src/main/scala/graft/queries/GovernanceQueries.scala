@@ -26,7 +26,67 @@ import graft.Tables
   */
 object GovernanceQueries {
 
+  /** The columns table_stats / table_stats_sketch profile. */
+  private[queries] val StatCols = Seq("l_orderkey" -> true,
+    "l_partkey" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_returnflag" -> false, "l_shipdate" -> false)
+
+  /** The Expand-FREE ANALYZE pass: one aggregation computing every
+    * column's count/min/max plus a mergeable DataSketches HLL (lgK=12)
+    * instead of exact NDV — the plan a 100 TB ANALYZE actually runs
+    * (multi-`count_distinct` plans an Expand that replicates every
+    * row once per column; sketches fold map-side with no row
+    * multiplication). Exposed so GovernanceSpec can assert the
+    * no-Expand plan shape directly.
+    */
+  private[graft] def sketchStats(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val aggs = StatCols.flatMap { case (c, numeric) =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        hll_sketch_agg(col(c).cast("string"), 12).as(s"sk_$c")) ++
+        (if (numeric) Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))
+        else Nil)
+    }
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   def all: Seq[Q] = Seq(
+
+    // ANALYZE AT SCALE — table_stats' documented 100 TB swap-in made
+    // REAL: per-column NDV from a mergeable HLL sketch in ONE
+    // Expand-free pass ([[sketchStats]]; the multi-count_distinct
+    // plan replicates every row once per profiled column — the
+    // classic ANALYZE cost this removes), audited against the exact
+    // NDV with the suite's tolerance-oracle contract (hll_windowed /
+    // approx_distinct pattern): the output carries the EXACT values
+    // plus a boolean asserting the estimate landed within 3σ
+    // (lgK=12 → rse ≈ 1.04/√4096; 3σ ≈ 4.9%) + 16 of exact, and the
+    // oracle expects exact + TRUE. The exact branch exists only to
+    // VERIFY the sketch — production ANALYZE ships the sketch branch
+    // alone (and the sketches merge across partitions/days for free).
+    Q("table_stats_sketch", {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(DISTINCT $c) AS ndv,
+           |  TRUE AS within_bound FROM lineitem""".stripMargin
+      StatCols.map(p => one(p._1))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val sk = sketchStats(li)
+      val exactAggs = StatCols.map { case (c, _) =>
+        count_distinct(col(c)).as(s"ndv_$c")
+      }
+      val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+      val rows = StatCols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col(s"ndv_$c").as("ndv"),
+          (abs(hll_sketch_estimate(col(s"sk_$c")) - col(s"ndv_$c"))
+            <= lit(0.05) * col(s"ndv_$c") + 16).as("within_bound"))
+      }
+      sk.crossJoin(broadcast(exact))
+        .select(explode(array(rows: _*)).as("s"))
+        .select(col("s.*")).orderBy("col_name")
+    },
 
     // k-anonymity census over the quasi-identifier (nation, segment,
     // acctbal-band-1000): how many equivalence classes exist at each

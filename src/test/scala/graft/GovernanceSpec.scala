@@ -109,6 +109,27 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("table_stats_sketch: the sketch ANALYZE pass plans no Expand; bounds hold") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    // the production branch: one aggregation, NO row replication
+    val sketchPlan = graft.queries.GovernanceQueries.sketchStats(li)
+      .queryExecution.executedPlan.toString
+    assert(!sketchPlan.contains("Expand"),
+      "sketch ANALYZE must not plan an Expand (that is the cost it removes)")
+    // the exact multi-count_distinct plan DOES Expand — the contrast
+    // this query exists to demonstrate
+    val exactPlan = li.agg(count_distinct(col("l_orderkey")),
+        count_distinct(col("l_partkey")), count_distinct(col("l_returnflag")))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "multi-count_distinct no longer plans Expand — revisit the scale story")
+    // and the estimates actually land inside the stated 3-sigma bound
+    val rows = run("table_stats_sketch", sf001).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getBoolean(2)),
+      s"sketch NDV out of bound: ${rows.mkString(", ")}")
+  }
+
   test("benford_audit: digits 1..9, probabilities sum to 1") {
     val rows = run("benford_audit", sf001).collect()
     assert(rows.map(_.getInt(0)).toSeq === (1 to 9))

@@ -50,6 +50,7 @@ class PlanInventorySpec extends SparkSpec {
     "event_type_lift",    // basket total nu: one row, broadcast back
     "token_burstiness",   // two-level top-30: global window sees ≤ 30·B bucket winners, never the vocab
     "table_stats",        // one-row ANALYZE-wide aggregate, unpivoted
+    "table_stats_sketch", // two one-row aggregates (sketch + exact audit branch), unpivoted
     "benford_audit",      // whole-frame window over the 9-digit census
     "pca_power_iteration",// renormalizer windows over the 64-row iterate
     "mann_whitney",       // rank cumsum over the length census + one-row totals
@@ -160,6 +161,7 @@ class PlanInventorySpec extends SparkSpec {
     "ttest_welch", // one-row corpus-moment census cross-joined back
     "mad_outliers", // one-row median/MAD censuses cross-joined back
     "runs_test", // one-row median census cross-joined onto the |days| census
+    "table_stats_sketch", // two one-row profile aggregates cross-joined
     "did_estimate", // one-row split-day census cross-joined onto the purchase scan
     "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
     "logrank_test", // one-row horizon census cross-joined onto the user census

@@ -1738,6 +1738,77 @@ class StreamingSpec extends SparkSpec {
       ((en, enp, es, emn, emx)),
       "final streamed rollup diverged from the batch rollup")
   }
+
+  test("streaming ANALYZE: exact counts/extrema, order-invariant sketches, in-band NDV") {
+    import graft.streaming.StreamAnalyze
+    implicit val ctx = spark.sqlContext
+    val cols = Seq("l_orderkey" -> true, "l_quantity" -> true,
+      "l_returnflag" -> false)
+    val names = cols.map(_._1)
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").cast("long"),
+        col("l_quantity").cast("double"), col("l_returnflag"))
+    val rows = li.as[(Long, Double, String)].collect().toVector
+    // the batch truth: counts/extrema must be bit-exact; the NDV
+    // estimate must land inside the lgK=12 3-sigma band of exact
+    val batchProf = StreamAnalyze.batchProfile(li.toDF(names: _*), cols)
+    val exactNdv = names.map(c =>
+      c -> li.toDF(names: _*).select(c).distinct().count()).toMap
+
+    // ONE fixed chunking, delivered in two different ORDERS: the
+    // register-max invariance claim is about arrival order of the
+    // same micro-batches, so the batch contents must be held fixed
+    val chunks = new scala.util.Random(47).shuffle(rows)
+      .grouped(311).toVector
+
+    def streamOnce(order: Vector[Vector[(Long, Double, String)]])
+        : (Map[String, StreamAnalyze.ColProfile],
+           Vector[(Long, String, Long, Long, Double)]) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_analyze_ckpt").toString
+      val audits = collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long, Double)]
+      val mem = MemoryStream[(Long, Double, String)]
+      val state = collection.mutable.Map.empty[String, StreamAnalyze.ColProfile]
+      val q = StreamAnalyze.monitor(
+          mem.toDF().toDF(names: _*), cols, ckpt, state) { a =>
+        audits.synchronized { audits += a }
+      }.start()
+      try {
+        order.foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      (state.toMap, audits.synchronized(audits.toVector))
+    }
+
+    val (run1, audits1) = streamOnce(chunks)
+    val (run2, _) = streamOnce(new scala.util.Random(93).shuffle(chunks))
+    names.foreach { c =>
+      val got = run1(c)
+      val exp = batchProf(c)
+      // counts and extrema: bit-exact against batch
+      assert(got.n === exp.n && got.nonNull === exp.nonNull, c)
+      assert(got.mn === exp.mn && got.mx === exp.mx, c)
+      // register-max invariance: BOTH arrival orders reproduce the
+      // one-pass batch registers bit-exactly
+      assert(got.registers.sameElements(exp.registers),
+        s"$c: streamed registers diverged from the batch census")
+      assert(run2(c).registers.sameElements(exp.registers),
+        s"$c: registers depended on arrival order")
+      // and the estimate sits inside the stated 3-sigma band of exact
+      val est = StreamAnalyze.estimate(got)
+      assert(est === StreamAnalyze.estimate(exp))
+      assert(math.abs(est - exactNdv(c)) <= 0.05 * exactNdv(c) + 16,
+        s"$c: streamed NDV $est out of band of exact ${exactNdv(c)}")
+    }
+    // the running NDV estimate never decreases across batches
+    names.foreach { c =>
+      val series = audits1.filter(_._2 == c).sortBy(_._1).map(_._5).toList
+      assert(series === series.sorted, s"$c NDV estimate shrank: $series")
+    }
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
