@@ -486,6 +486,35 @@ object ScaleSmoke {
         s"(<= sqrt(2 tokens))")
       survivors
     }
+    // Curation funnel at scale: the end-to-end composite must track
+    // mult linearly — its only exchanges are the fingerprint hash
+    // shuffle (dedup window) and the 8-shard packing shuffle; the
+    // replicated corpus is the worst case for the dedup window
+    // (every copy set lands in one fingerprint partition's tie group).
+    time("curation_funnel_composite") {
+      import org.apache.spark.sql.expressions.Window
+      val a = split(col("text"), " ")
+      val f = Tables.parallelizeByRange(docs, col("doc_id"))
+        .select(col("doc_id"), col("lang"), size(a).as("n_tokens"),
+          md5(concat_ws(" ", array_sort(array_distinct(a))).cast("binary"))
+            .as("fp"))
+      val kept = f.withColumn("kd", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")) === 1)
+        .filter(col("kd") && col("n_tokens").between(5, 200) &&
+          col("lang").isin("en", "de"))
+      val packed = kept
+        .select(col("doc_id"), col("n_tokens"),
+          (graft.functions.PortableHash.h32(col("doc_id").cast("string"))
+            % 8).as("shard"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("shard"), expr("(cum - n_tokens) div 2048").as("seq"))
+        .distinct().count()
+      println(s"[smoke]   funnel survivors -> $packed packed sequences " +
+        s"(dedup window spread over fingerprint partitions)")
+      packed
+    }
     spark.stop()
   }
 }

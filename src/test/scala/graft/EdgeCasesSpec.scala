@@ -169,7 +169,15 @@ class EdgeCasesSpec extends SparkSpec {
       "vocab_chao1", "burrows_delta", "snm_blocking", "lmdir_score",
       "hits_scores", "pairwise_welch_bh", "mutual_info_rules", "cramers_v",
       "jarque_bera", "durbin_watson", "w2v_context_pairs",
-      "negative_sampling_table")
+      "negative_sampling_table",
+      // round-10 additions: 1-2 days of events means empty pair sets,
+      // all-tied medians, incomplete Friedman blocks, single-member
+      // variance groups, and an empty lag join — each must yield
+      // 0 rows or a NULL-stat row, never a throw
+      "wilcoxon_signed_rank", "runs_test", "friedman_test",
+      "bartlett_test", "cohens_d", "granger_causality",
+      "jpeg_ac_stats", "table_stats_sketch", "curation_funnel",
+      "token_burstiness", "key_skew_gini")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

@@ -1809,6 +1809,54 @@ class StreamingSpec extends SparkSpec {
       assert(series === series.sorted, s"$c NDV estimate shrank: $series")
     }
   }
+
+  test("twin redelivery contracts: StreamMedia overwrite and StreamAnalyze register idempotency") {
+    import graft.streaming.{StreamAnalyze, StreamMedia}
+    import graft.ops.Multimodal
+    implicit val ctx = spark.sqlContext
+    // StreamAnalyze: the sketch/extrema components are IDEMPOTENT
+    // under self-merge (only the additive counts need the batchId
+    // guard) — the exact claim the scaladoc makes
+    val cols = Seq("l_orderkey" -> true, "l_returnflag" -> false)
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_returnflag"))
+    val prof = StreamAnalyze.batchProfile(li.toDF("l_orderkey", "l_returnflag"), cols)
+    cols.map(_._1).foreach { c =>
+      val p = prof(c)
+      val m = StreamAnalyze.merge(p, p)
+      assert(m.registers.sameElements(p.registers), s"$c registers not idempotent")
+      assert(m.mn === p.mn && m.mx === p.mx, s"$c extrema not idempotent")
+      assert(m.n === 2 * p.n, s"$c counts must be additive (guard covers them)")
+    }
+    // StreamMedia: redelivering EVERY batch through a second stream
+    // (fresh checkpoint, same caller-owned ledger — worst-case full
+    // replay) leaves the ledger bit-identical: overwrite merge of a
+    // pure decode is structurally idempotent, no guard needed
+    val files = Multimodal.mediaContainers(
+        Tables.load(spark, sf0001, "documents")
+          .filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2)
+          .limit(40))
+      .collect().map(m => (m.media_id, m.content)).toVector
+    val state = collection.mutable.Map.empty[Long, StreamMedia.ImageStats]
+    def deliver(): Unit = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_media_redeliver").toString
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val q = StreamMedia.monitor(
+        mem.toDF().toDF("media_id", "content"), ckpt, state)(_ => ()).start()
+      try {
+        files.grouped(13).foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    deliver()
+    val first = state.toMap
+    deliver() // full redelivery
+    assert(state.toMap === first,
+      "full redelivery changed the StreamMedia ledger — overwrite merge broken")
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
