@@ -235,4 +235,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"nothing in this chain should sort-merge at test scale:\n$p")
   }
+
+  test("token_burstiness: the vocab-sized rank runs HASH-PARTITIONED before the global window") {
+    // the round-10 escape hatch, pinned positively (the inventory
+    // allowlist alone would mask a regression that reintroduces the
+    // vocabulary-sized single-partition window): the plan must carry
+    // a bucket-partitioned window (vocab-sized input, parallel) and
+    // the unpartitioned top-30 window must sit ABOVE it, consuming
+    // only the bucket survivors
+    val p = plan("token_burstiness")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    val bucketed = windows.filter(w =>
+      w.contains("windowspecdefinition(bkt"))
+    assert(bucketed.nonEmpty,
+      s"no bucket-partitioned window in the plan — vocab rank no longer spreads:\n$p")
+    val globalIdx = windows.indexWhere(w =>
+      !w.contains("windowspecdefinition(bkt") && w.contains("row_number"))
+    assert(globalIdx >= 0, s"global ranking window missing:\n$p")
+    // plan strings print top-down: the global window (consumer) must
+    // appear BEFORE the bucketed window (producer) in the tree dump
+    assert(windows.indexWhere(_.contains("windowspecdefinition(bkt")) > globalIdx,
+      s"global window does not consume the bucketed survivors:\n$windows")
+  }
+
+  test("key_skew_gini: no window partitions over raw keys; head rank is bucket-partitioned") {
+    val p = plan("key_skew_gini")
+    // the Gini prefix window runs over the count-VALUE census (ordered
+    // by c), the head windows over hash buckets — NOTHING may window
+    // over user_id-sized data unpartitioned
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.exists(_.contains("windowspecdefinition(bkt")),
+      s"two-level head rank lost its bucket partitioning:\n$p")
+    // the unpartitioned windows are the count-value prefix sum and the
+    // <=10·B-row head rank: both must order by aggregated columns (c /
+    // count-derived), never appear below the per-key aggregate
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"key census must map-side combine before any window:\n$p")
+  }
 }
