@@ -310,6 +310,31 @@ object ContainerProps extends Properties("containers") {
         px.indices.forall(i => math.abs(px(i) - ours.pixels(i)) <= 1)
     }
 
+  private val genSparseAc: Gen[Seq[(Int, Int)]] =
+    for {
+      k <- Gen.chooseNum(0, 4)
+      zs <- Gen.listOfN(k, Gen.chooseNum(1, 63)).map(_.distinct.sorted)
+      lvls <- Gen.listOfN(zs.length, Gen.oneOf(-4, -3, -2, -1, 1, 2, 3, 4))
+    } yield zs.zip(lvls)
+
+  property("ImageIO agrees on RANDOM sparse AC spectra (arbitrary runs/ZRL positions)") =
+    forAll(Gen.chooseNum(1, 4), Gen.chooseNum(1, 4), Gen.chooseNum(-40, 40),
+        Gen.listOfN(16, genSparseAc)) { (bw, bh, dc, acPool) =>
+      // every block gets its own sparse spectrum — zero runs land at
+      // arbitrary zigzag offsets, covering run/size composites and ZRL
+      // placements the fixed jpegAcMedia layout never produces. The
+      // decoder pair must agree within the fixed-point-IDCT tolerance.
+      val w = bw * 8; val h = bh * 8
+      val dcq = Array.tabulate(bh, bw)((by, bx) => dc + by - bx)
+      val ac = Array.tabulate(bh, bw)((by, bx) =>
+        acPool((by * bw + bx) % acPool.length))
+      val bytes = graft.ops.JpegCodec.encodeBlocks(w, h, dcq, ac)
+      val ours = graft.ops.JpegCodec.decode(bytes)
+      val (dw, dh, px) = imageIoGray(bytes)
+      dw == w && dh == h &&
+        px.indices.forall(i => math.abs(px(i) - ours.pixels(i)) <= 1)
+    }
+
   property("a flipped byte anywhere in a PNG header region is detected") =
     forAll(genDim, genDim, Gen.chooseNum(8, 32)) { (w, h, idx) =>
       // positions 8..32 sit inside the IHDR chunk (length/type/data/crc)
