@@ -216,6 +216,94 @@ object GovernanceQueries {
         .select(col("s.*")).orderBy("col_name")
     },
 
+    // PROFILE DRIFT — the ingest gate that compares a new data
+    // window's per-column profile against the established one BEFORE
+    // appending it: events split at the calendar midpoint (first 15
+    // days = baseline A, rest = candidate B), each half profiled
+    // (rows, NDV, numeric range) and compared — NDV ratio, range
+    // expansion, and a per-column verdict (ratio within [0.5, 2] and
+    // no range blow-out beyond 3x the baseline span). psi_drift/
+    // ks_drift test one column's DISTRIBUTION; this audits the
+    // SCHEMA-level shape of every column at once — the cheap first
+    // tripwire that catches an upstream type regression, an ID-space
+    // reset, or a unit change (cents vs dollars moves max 100x).
+    // Scale: two grouped profile aggregates over one scan (split flag
+    // is a map-side expression); exact NDV here because the oracle
+    // compares values — production swaps the table_stats_sketch HLL
+    // branch in per half and the comparison logic is unchanged.
+    Q("profile_drift",
+      """WITH b AS (SELECT *, epoch_us(date_trunc('day', ts)) // 86400000000 AS d FROM events),
+        |m AS (SELECT MIN(d) AS d0 FROM b),
+        |s AS (SELECT CASE WHEN d < d0 + 15 THEN 'a' ELSE 'b' END AS half,
+        |    user_id, event_type, CAST(value AS DOUBLE) AS value
+        |  FROM b CROSS JOIN m),
+        |p AS (SELECT half, col_name, n, ndv, mn, mx FROM (
+        |  SELECT half, 'user_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv,
+        |      CAST(MIN(user_id) AS DOUBLE) AS mn, CAST(MAX(user_id) AS DOUBLE) AS mx
+        |    FROM s GROUP BY half
+        |  UNION ALL SELECT half, 'event_type', CAST(COUNT(*) AS BIGINT),
+        |      CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        |      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |    FROM s GROUP BY half
+        |  UNION ALL SELECT half, 'value', CAST(COUNT(*) AS BIGINT),
+        |      CAST(COUNT(DISTINCT value) AS BIGINT),
+        |      MIN(value), MAX(value)
+        |    FROM s GROUP BY half)),
+        |j AS (SELECT a.col_name, a.n AS n_a, b2.n AS n_b,
+        |    a.ndv AS ndv_a, b2.ndv AS ndv_b,
+        |    a.mn AS min_a, a.mx AS max_a, b2.mn AS min_b, b2.mx AS max_b
+        |  FROM p a JOIN p b2 ON a.col_name = b2.col_name
+        |    AND a.half = 'a' AND b2.half = 'b')
+        |SELECT col_name, n_a, n_b, ndv_a, ndv_b,
+        |  round(CAST(ndv_b AS DOUBLE) / ndv_a, 6) AS ndv_ratio,
+        |  CASE WHEN min_a IS NOT NULL
+        |    THEN min_b < min_a OR max_b > max_a END AS range_expanded,
+        |  (CAST(ndv_b AS DOUBLE) / ndv_a BETWEEN 0.5 AND 2.0)
+        |    AND (min_a IS NULL OR (
+        |      max_b - min_b <= 3.0 * (max_a - min_a))) AS ok
+        |FROM j ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val b = Tables.load(s, dir, "events")
+        .withColumn("d",
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000L"))
+      val m = b.agg(min(col("d")).as("d0"))
+      val sHalf = b.crossJoin(broadcast(m))
+        .select(when(col("d") < col("d0") + 15, "a").otherwise("b").as("half"),
+          col("user_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .localCheckpoint(true) // feeds all three per-column profiles
+      def prof(c: String, numeric: Boolean) =
+        sHalf.groupBy("half").agg(
+          count(lit(1)).cast("long").as("n"),
+          count_distinct(col(c)).cast("long").as("ndv"),
+          (if (numeric) min(col(c)).cast("double")
+           else lit(null).cast("double")).as("mn"),
+          (if (numeric) max(col(c)).cast("double")
+           else lit(null).cast("double")).as("mx"))
+          .select(col("half"), lit(c).as("col_name"), col("n"), col("ndv"),
+            col("mn"), col("mx"))
+      val p = prof("user_id", numeric = true)
+        .unionAll(prof("event_type", numeric = false))
+        .unionAll(prof("value", numeric = true))
+      val a = p.filter(col("half") === "a").drop("half")
+        .toDF("col_name", "n_a", "ndv_a", "min_a", "max_a")
+      val b2 = p.filter(col("half") === "b").drop("half")
+        .toDF("col_name2", "n_b", "ndv_b", "min_b", "max_b")
+      a.join(broadcast(b2), col("col_name") === col("col_name2"))
+        .select(col("col_name"), col("n_a"), col("n_b"),
+          col("ndv_a"), col("ndv_b"),
+          round(col("ndv_b").cast("double") / col("ndv_a"), 6).as("ndv_ratio"),
+          when(col("min_a").isNotNull,
+            col("min_b") < col("min_a") || col("max_b") > col("max_a"))
+            .as("range_expanded"),
+          ((col("ndv_b").cast("double") / col("ndv_a"))
+            .between(0.5, 2.0) &&
+            (col("min_a").isNull ||
+              (col("max_b") - col("min_b") <=
+                lit(3.0) * (col("max_a") - col("min_a"))))).as("ok"))
+        .orderBy("col_name")
+    },
+
     // Benford first-digit audit of l_extendedprice: observed digit
     // frequencies vs the Benford expectation, with per-digit chi-square
     // terms. The digit is extracted in EXACT integer arithmetic
