@@ -447,6 +447,58 @@ object EvalQueries {
     // top-10 head uses the two-level top-k: per-hash-bucket top-10
     // (hash-partitioned over the key census) feeds a global window of
     // ≤ 10·B rows. This is the SCALE.md escape hatch, implemented.
+    // HASH-UNIFORMITY AUDIT — the validity check under EVERYTHING
+    // this suite hash-partitions (bucket joins, LSH bands, salting,
+    // the two-level top-k, compaction file assignment): does the
+    // portable h32 spread the corpus uniformly over 256 buckets? The
+    // chi-square uniformity statistic in exact integer algebra —
+    // Σ(c−e)²/e with e = n/256 collapses to 256·Σc²/n − n, so the
+    // only doubles are that one expression and the normal
+    // approximation z = (χ² − k)/√(2k) (dof k = 255; the documented
+    // approximation — the suite's closed-form p machinery covers
+    // even dof only). A failing audit (p ≈ 0) means hot buckets:
+    // every "spread by hash" claim in SCALE.md inherits this check.
+    // Census shape: 256 bucket counts from one scan, one-row rollup.
+    Q("hash_uniformity_chi2", {
+      val h = duckH32("text")
+      s"""WITH b AS (SELECT $h % 256 AS bkt, COUNT(*) AS c
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(SUM(c * c) AS BIGINT) AS s2,
+         |    CAST(MAX(c) AS BIGINT) AS max_bucket FROM b),
+         |st AS (SELECT n, n_buckets, max_bucket,
+         |    round(256.0 * s2 / n - n, 6) AS chi2 FROM t),
+         |z AS (SELECT n, n_buckets, max_bucket, chi2,
+         |    (chi2 - 255.0) / sqrt(510.0) AS zs FROM st),
+         |e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * (ABS(zs) / sqrt(2.0))) AS tv FROM z)
+         |SELECT n AS n_docs, n_buckets, max_bucket, chi2, round(zs, 6) AS z,
+         |  round((((((1.061405429 * tv + -1.453152027) * tv + 1.421413741)
+         |    * tv + -0.284496736) * tv + 0.254829592) * tv)
+         |    * exp(-((ABS(zs)) / sqrt(2.0)) * ((ABS(zs)) / sqrt(2.0))), 6) AS p_two_sided
+         |FROM e""".stripMargin
+    }) { (s, dir) =>
+      val b = Tables.load(s, dir, "documents")
+        .groupBy((h32(col("text")) % 256).as("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val t = b.agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        sum(col("c") * col("c")).cast("long").as("s2"),
+        max(col("c")).cast("long").as("max_bucket"))
+      val st = t.select(col("n"), col("n_buckets"), col("max_bucket"),
+        round(lit(256.0) * col("s2") / col("n") - col("n"), 6).as("chi2"))
+      val z = st.withColumn("zs",
+        (col("chi2") - lit(255.0)) / sqrt(lit(510.0)))
+      val z0 = abs(col("zs")) / lit(math.sqrt(2.0))
+      val tv = lit(1.0) / (lit(1.0) + lit(0.3275911) * z0)
+      val poly = Seq(0.254829592, -0.284496736, 1.421413741,
+        -1.453152027, 1.061405429)
+        .reverse.map(lit).reduce((acc, a) => acc * tv + a) * tv
+      z.select(col("n").as("n_docs"), col("n_buckets"), col("max_bucket"),
+        col("chi2"), round(col("zs"), 6).as("z"),
+        round(poly * exp(-z0 * z0), 6).as("p_two_sided"))
+    },
+
     Q("key_skew_gini",
       """WITH kc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
         |rk AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM kc),

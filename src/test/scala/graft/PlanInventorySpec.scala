@@ -52,6 +52,7 @@ class PlanInventorySpec extends SparkSpec {
     "table_stats",        // one-row ANALYZE-wide aggregate, unpivoted
     "table_stats_sketch", // two one-row aggregates (sketch + exact audit branch), unpivoted
     "curation_funnel",    // one-row stage census + one-row sequence count, unpivoted to 4 rows
+    "hash_uniformity_chi2", // one-row rollup of the 256-bucket census
     "benford_audit",      // whole-frame window over the 9-digit census
     "pca_power_iteration",// renormalizer windows over the 64-row iterate
     "mann_whitney",       // rank cumsum over the length census + one-row totals
