@@ -27,7 +27,7 @@ import graft.Tables
 object GovernanceQueries {
 
   /** The columns table_stats / table_stats_sketch profile. */
-  private[queries] val StatCols = Seq("l_orderkey" -> true,
+  private[graft] val StatCols = Seq("l_orderkey" -> true,
     "l_partkey" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
     "l_returnflag" -> false, "l_shipdate" -> false)
 
@@ -60,11 +60,16 @@ object GovernanceQueries {
     // classic ANALYZE cost this removes), audited against the exact
     // NDV with the suite's tolerance-oracle contract (hll_windowed /
     // approx_distinct pattern): the output carries the EXACT values
-    // plus a boolean asserting the estimate landed within 3σ
-    // (lgK=12 → rse ≈ 1.04/√4096; 3σ ≈ 4.9%) + 16 of exact, and the
-    // oracle expects exact + TRUE. The exact branch exists only to
-    // VERIFY the sketch — production ANALYZE ships the sketch branch
-    // alone (and the sketches merge across partitions/days for free).
+    // plus a boolean asserting the estimate landed within 5σ
+    // (lgK=12 → rse ≈ 1.04/√4096 ≈ 1.625%; 5σ ≈ 8.1%) + 16 of exact,
+    // and the oracle expects exact + TRUE. 5σ, not 3σ, because this
+    // boolean feeds the CROSS-ENGINE gate where a probabilistic trip
+    // (~1-in-370 per column at 3σ under ideal behavior) would read as
+    // a correctness failure — the tight 3σ statistical check lives in
+    // GovernanceSpec, where a trip is a diagnosable test failure. The
+    // exact branch exists only to VERIFY the sketch — production
+    // ANALYZE ships the sketch branch alone (and the sketches merge
+    // across partitions/days for free).
     Q("table_stats_sketch", {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, COUNT(DISTINCT $c) AS ndv,
@@ -81,7 +86,7 @@ object GovernanceQueries {
       val rows = StatCols.map { case (c, _) =>
         struct(lit(c).as("col_name"), col(s"ndv_$c").as("ndv"),
           (abs(hll_sketch_estimate(col(s"sk_$c")) - col(s"ndv_$c"))
-            <= lit(0.05) * col(s"ndv_$c") + 16).as("within_bound"))
+            <= lit(0.081) * col(s"ndv_$c") + 16).as("within_bound"))
       }
       sk.crossJoin(broadcast(exact))
         .select(explode(array(rows: _*)).as("s"))

@@ -287,13 +287,14 @@ object TestBatteryQueries {
       val h = Tables.load(s, dir, "events")
         .groupBy(col("event_type"),
           expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
-        .agg((sum(col("value").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        .agg((loudCast(sum(col("value").cast(DecimalType(12, 2))),
+          DecimalType(18, 2), "bartlett daily sum") * 100).cast("long").as("c"))
       val g = h.groupBy("event_type")
         .agg(count(lit(1)).cast("long").as("nj"),
-          sum(col("c")).cast(DecimalType(20, 0)).as("sx"),
-          sum(col("c").cast(DecimalType(18, 0)) * col("c"))
-            .cast(DecimalType(38, 0)).as("sxx"))
+          loudCast(sum(col("c")), DecimalType(20, 0),
+            "bartlett sx moment").as("sx"),
+          loudCast(sum(col("c").cast(DecimalType(18, 0)) * col("c")),
+            DecimalType(38, 0), "bartlett sxx moment").as("sxx"))
       val v = g.filter(col("nj") > 1)
         .select(col("nj"),
           ((col("nj") * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -351,19 +352,21 @@ object TestBatteryQueries {
         .filter(col("event_type").isin("purchase", "view"))
         .groupBy(col("event_type"),
           expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
-        .agg((sum(col("value").cast(DecimalType(12, 2)))
-          .cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        .agg((loudCast(sum(col("value").cast(DecimalType(12, 2))),
+          DecimalType(18, 2), "cohens_d daily sum") * 100).cast("long").as("c"))
       def w(t: String, e: Column) =
         sum(when(col("event_type") === t, e).otherwise(lit(0)))
       val g = h.agg(
         w("purchase", lit(1)).cast("long").as("n1"),
         w("view", lit(1)).cast("long").as("n2"),
-        w("purchase", col("c")).cast(DecimalType(20, 0)).as("s1"),
-        w("view", col("c")).cast(DecimalType(20, 0)).as("s2"),
-        w("purchase", col("c").cast(DecimalType(18, 0)) * col("c"))
-          .cast(DecimalType(38, 0)).as("q1"),
-        w("view", col("c").cast(DecimalType(18, 0)) * col("c"))
-          .cast(DecimalType(38, 0)).as("q2"))
+        loudCast(w("purchase", col("c")), DecimalType(20, 0),
+          "cohens_d s1 moment").as("s1"),
+        loudCast(w("view", col("c")), DecimalType(20, 0),
+          "cohens_d s2 moment").as("s2"),
+        loudCast(w("purchase", col("c").cast(DecimalType(18, 0)) * col("c")),
+          DecimalType(38, 0), "cohens_d q1 moment").as("q1"),
+        loudCast(w("view", col("c").cast(DecimalType(18, 0)) * col("c")),
+          DecimalType(38, 0), "cohens_d q2 moment").as("q2"))
       val e = g.filter(col("n1") > 1 && col("n2") > 1)
         .select(col("n1"), col("n2"),
           (col("s1").cast("double") / col("n1")).as("m1"),
@@ -396,7 +399,10 @@ object TestBatteryQueries {
     // products at DECIMAL(38,0) (probed; exact while values fit), so
     // the saa·sbb inner products are exact through daily counts
     // ~5·10^8 (30·c² ≤ 10^19 each side); beyond that, split the
-    // widths the way ols_cramer splits span- vs volume-moments. Reported: F(1, n−3), both RSS, and the
+    // widths the way ols_cramer splits span- vs volume-moments —
+    // and the ceiling is ENFORCED, not just documented: every
+    // narrowing moment cast is loudCast-wrapped so Spark raises
+    // exactly where DuckDB would. Reported: F(1, n−3), both RSS, and the
     // incremental R². (The F p-value needs the incomplete beta — out
     // of closed-form scope; the statistic itself is the contract.)
     Q("granger_causality", {
@@ -464,17 +470,25 @@ object TestBatteryQueries {
         .join(broadcast(cx), col("dx") === col("d") - 1)
         .select(col("yt"), col("ya"), col("xc").as("xa"))
       def d16(c: Column) = c.cast(DecimalType(16, 0))
+      // every narrowing moment cast loudCast-wrapped (ols_cramer's
+      // discipline): past the documented ~5·10^8 daily-count ceiling
+      // BOTH engines now raise instead of Spark silently NULLing the
+      // moment and emitting an empty result where DuckDB throws
+      def m16(c: Column, what: String) =
+        loudCast(c, DecimalType(16, 0), s"granger $what moment")
+      def m24(c: Column, what: String) =
+        loudCast(c, DecimalType(24, 0), s"granger $what moment")
       val m = j.agg(
         count(lit(1)).cast(DecimalType(12, 0)).as("n"),
-        sum(col("ya")).cast(DecimalType(16, 0)).as("sa"),
-        sum(col("xa")).cast(DecimalType(16, 0)).as("sb"),
-        sum(col("yt")).cast(DecimalType(16, 0)).as("sy"),
-        sum(d16(col("ya")) * col("ya")).cast(DecimalType(24, 0)).as("saa"),
-        sum(d16(col("ya")) * col("xa")).cast(DecimalType(24, 0)).as("sab"),
-        sum(d16(col("xa")) * col("xa")).cast(DecimalType(24, 0)).as("sbb"),
-        sum(d16(col("ya")) * col("yt")).cast(DecimalType(24, 0)).as("say"),
-        sum(d16(col("xa")) * col("yt")).cast(DecimalType(24, 0)).as("sby"),
-        sum(d16(col("yt")) * col("yt")).cast(DecimalType(24, 0)).as("syy"))
+        m16(sum(col("ya")), "sa").as("sa"),
+        m16(sum(col("xa")), "sb").as("sb"),
+        m16(sum(col("yt")), "sy").as("sy"),
+        m24(sum(d16(col("ya")) * col("ya")), "saa").as("saa"),
+        m24(sum(d16(col("ya")) * col("xa")), "sab").as("sab"),
+        m24(sum(d16(col("xa")) * col("xa")), "sbb").as("sbb"),
+        m24(sum(d16(col("ya")) * col("yt")), "say").as("say"),
+        m24(sum(d16(col("xa")) * col("yt")), "sby").as("sby"),
+        m24(sum(d16(col("yt")) * col("yt")), "syy").as("syy"))
       def d38(c: Column) = c.cast(DecimalType(38, 0))
       val (n, sa, sb, sy, saa, sab, sbb, say, sby) =
         (col("n"), col("sa"), col("sb"), col("sy"), col("saa"), col("sab"),

@@ -41,28 +41,63 @@ object KafkaWire {
     classPresent("org.apache.spark.sql.kafka010.KafkaSourceProvider") &&
       classPresent("org.apache.kafka.clients.producer.KafkaProducer")
 
-  /** Invoke `name` on `obj` picking the unique method with matching
-    * arity whose parameter types accept the given args (reflection
-    * keeps this file compilable without the kafka classes; overload
-    * ambiguity would be a bug here, not a runtime surprise).
+  /** Reflection's invoke() auto-unboxes, so a primitive parameter is
+    * satisfied exactly by its box — NOT by any argument. The old
+    * `t.isPrimitive → accept anything` shortcut made `poll` ambiguous
+    * between `poll(Duration)` and kafka-clients 3.x's deprecated
+    * `poll(long)`, with getMethods order deciding which ran.
     */
-  private def call(obj: AnyRef, name: String, args: AnyRef*): AnyRef = {
-    val ms = obj.getClass.getMethods.filter(m =>
+  private val boxOf: Map[Class[_], Class[_]] = Map(
+    java.lang.Boolean.TYPE -> classOf[java.lang.Boolean],
+    java.lang.Byte.TYPE -> classOf[java.lang.Byte],
+    java.lang.Character.TYPE -> classOf[java.lang.Character],
+    java.lang.Short.TYPE -> classOf[java.lang.Short],
+    java.lang.Integer.TYPE -> classOf[java.lang.Integer],
+    java.lang.Long.TYPE -> classOf[java.lang.Long],
+    java.lang.Float.TYPE -> classOf[java.lang.Float],
+    java.lang.Double.TYPE -> classOf[java.lang.Double])
+
+  private def accepts(t: Class[_], a: AnyRef): Boolean =
+    if (a == null) !t.isPrimitive
+    else if (t.isPrimitive) boxOf(t).isInstance(a)
+    else t.isInstance(a)
+
+  /** Invoke `name` on `obj` picking the UNIQUE method with matching
+    * arity whose every parameter accepts its argument (boxed-primitive
+    * aware). getMethods may list one signature several times (interface
+    * + bridge copies), so uniqueness is judged on parameter-type lists;
+    * a genuinely ambiguous overload set fails loudly instead of letting
+    * unspecified getMethods order pick (reflection keeps this file
+    * compilable without the kafka classes).
+    */
+  private[graft] def call(obj: AnyRef, name: String, args: AnyRef*): AnyRef = {
+    val sigs = obj.getClass.getMethods.filter(m =>
       m.getName == name && m.getParameterCount == args.length &&
-        m.getParameterTypes.zip(args).forall { case (t, a) =>
-          a == null || t.isInstance(a) || t.isPrimitive
-        })
-    require(ms.nonEmpty, s"no ${obj.getClass.getName}.$name/${args.length}")
-    ms.head.setAccessible(true)
-    ms.head.invoke(obj, args: _*)
+        m.getParameterTypes.zip(args).forall { case (t, a) => accepts(t, a) })
+      .groupBy(_.getParameterTypes.toSeq)
+    require(sigs.size == 1,
+      s"${obj.getClass.getName}.$name/${args.length}: " + (
+        if (sigs.isEmpty) "no matching overload"
+        else "ambiguous overloads " + sigs.keys.map(
+          _.map(_.getSimpleName).mkString("(", ",", ")")).mkString(" vs ")))
+    val m = sigs.head._2.head
+    m.setAccessible(true)
+    m.invoke(obj, args: _*)
   }
 
+  /** Constructor lookup with the same boxed-primitive matcher; when
+    * several ctors accept (e.g. KafkaConsumer(Properties) vs
+    * KafkaConsumer(Map) — Properties IS a Map), the exact-class match
+    * wins deterministically.
+    */
   private def newInstance(cls: String, args: AnyRef*): AnyRef = {
-    val c = Class.forName(cls).getConstructors.find(k =>
+    val cands = Class.forName(cls).getConstructors.filter(k =>
       k.getParameterCount == args.length &&
-        k.getParameterTypes.zip(args).forall { case (t, a) =>
-          a == null || t.isInstance(a) || t.isPrimitive
-        }).getOrElse(throw new IllegalStateException(s"no ctor $cls/${args.length}"))
+        k.getParameterTypes.zip(args).forall { case (t, a) => accepts(t, a) })
+    val exact = cands.filter(_.getParameterTypes.zip(args).forall {
+      case (t, a) => a != null && t == a.getClass })
+    val c = (if (exact.nonEmpty) exact else cands).headOption
+      .getOrElse(throw new IllegalStateException(s"no ctor $cls/${args.length}"))
     c.newInstance(args: _*).asInstanceOf[AnyRef]
   }
 

@@ -123,11 +123,24 @@ class GovernanceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"),
       "multi-count_distinct no longer plans Expand — revisit the scale story")
-    // and the estimates actually land inside the stated 3-sigma bound
+    // the query's oracle-coupled boolean is the WIDE 5-sigma band
     val rows = run("table_stats_sketch", sf001).collect()
     assert(rows.length === 6)
     assert(rows.forall(_.getBoolean(2)),
-      s"sketch NDV out of bound: ${rows.mkString(", ")}")
+      s"sketch NDV out of 5-sigma bound: ${rows.mkString(", ")}")
+    // the TIGHT 3-sigma statistical check lives HERE, where a trip is
+    // a diagnosable test failure rather than a cross-engine hash
+    // mismatch (lgK=12 → rse ≈ 1.625%; 3σ ≈ 4.875%) — decoupling the
+    // correctness gate from a ~1-in-370-per-column probabilistic bound
+    val sk = graft.queries.GovernanceQueries.sketchStats(li).collect()(0)
+    graft.queries.GovernanceQueries.StatCols.foreach { case (c, _) =>
+      val exact = li.select(c).na.drop().distinct().count().toDouble
+      val est = spark.range(1).select(
+        hll_sketch_estimate(lit(sk.getAs[Array[Byte]](s"sk_$c"))))
+        .collect()(0).getLong(0).toDouble
+      assert(math.abs(est - exact) <= 0.0488 * exact + 16,
+        s"$c: sketch NDV $est vs exact $exact breaks the 3-sigma bound")
+    }
   }
 
   test("benford_audit: digits 1..9, probabilities sum to 1") {

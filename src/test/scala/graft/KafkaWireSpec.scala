@@ -33,10 +33,38 @@ import graft.streaming.{KafkaWire, ModerationStream}
   * the classpath, start a broker, set the env var, and this test
   * executes with no code change.
   */
+/** Broker-free fixture reproducing kafka-clients 3.x's `poll` overload
+  * pair — the shape that made reflective dispatch order-dependent.
+  */
+class OverloadFixture {
+  var last: String = ""
+  def poll(d: java.time.Duration): String = { last = s"duration:${d.toMillis}"; last }
+  def poll(ms: Long): String = { last = s"long:$ms"; last }
+  def f(s: CharSequence): String = "cs"
+  def f(s: String): String = "string"
+}
+
 class KafkaWireSpec extends SparkSpec {
   import spark.implicits._
 
   private val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+
+  test("reflective call resolves overloads by boxed-primitive match, not getMethods order") {
+    val o = new OverloadFixture
+    // Duration arg must bind poll(Duration) — never the poll(long) twin
+    // (auto-unboxing made the old primitive wildcard accept it).
+    assert(KafkaWire.call(o, "poll", java.time.Duration.ofMillis(250)) === "duration:250")
+    // a boxed Long binds the primitive-long overload
+    assert(KafkaWire.call(o, "poll", java.lang.Long.valueOf(7L)) === "long:7")
+    // genuinely ambiguous sets (String satisfies BOTH f overloads) fail
+    // loudly instead of letting reflection order pick
+    val e = intercept[IllegalArgumentException](KafkaWire.call(o, "f", "x"))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // and a miss names the method rather than invoking something wrong
+    val miss = intercept[IllegalArgumentException](
+      KafkaWire.call(o, "poll", "not-a-duration"))
+    assert(miss.getMessage.contains("no matching overload"), miss.getMessage)
+  }
 
   test("EOS-v2 moderation end-to-end over a real Kafka broker (gated)") {
     assume(KafkaWire.wireAvailable,

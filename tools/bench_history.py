@@ -101,12 +101,18 @@ def tail_fragment(tail):
     end = tail.find("}")
     if end < 0:
         end = len(tail)
-    pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', tail[:end + 1])
-    # drop a first pair that may be torn at the front (name cut short):
-    # detectable only when the fragment starts mid-token, i.e. the
-    # character before the first match is not a separator
+    matches = list(re.finditer(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)',
+                               tail[:end + 1]))
+    # drop a first pair that may be torn at the front (name cut short,
+    # e.g. a truncation landing just after a quote leaves '"ame":1.23'):
+    # keep it only when the character before the match is a separator
+    # (',' or '{'), proving the opening quote was the real pair start
+    if matches and (matches[0].start() == 0
+                    or tail[matches[0].start() - 1] not in ",{"):
+        matches = matches[1:]
     out = {}
-    for name, sec in pairs:
+    for m in matches:
+        name, sec = m.group(1), m.group(2)
         if name in ("metric", "value", "sf", "n"):
             continue
         out[name] = float(sec)
