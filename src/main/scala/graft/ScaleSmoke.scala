@@ -487,22 +487,37 @@ object ScaleSmoke {
       survivors
     }
     // Curation funnel at scale: the end-to-end composite must track
-    // mult linearly — its only exchanges are the fingerprint hash
-    // shuffle (dedup window) and the 8-shard packing shuffle; the
+    // mult linearly — its exchanges are the fingerprint hash shuffle
+    // (dedup window), the (domain, salt) + domain rank shuffles of the
+    // round-11 web-curation gate, and the 8-shard packing shuffle; the
     // replicated corpus is the worst case for the dedup window
-    // (every copy set lands in one fingerprint partition's tie group).
+    // (every copy set lands in one fingerprint partition's tie group)
+    // AND for the domain windows (the hot hub domain grows with mult,
+    // which is exactly what the 16-way salt level absorbs).
     time("curation_funnel_composite") {
       import org.apache.spark.sql.expressions.Window
+      import graft.queries.WebCuration
       val a = split(col("text"), " ")
       val f = Tables.parallelizeByRange(docs, col("doc_id"))
         .select(col("doc_id"), col("lang"), size(a).as("n_tokens"),
           md5(concat_ws(" ", array_sort(array_distinct(a))).cast("binary"))
-            .as("fp"))
+            .as("fp"),
+          WebCuration.domainCol(WebCuration.hostCol(WebCuration.urlCol))
+            .as("domain"))
       val kept = f.withColumn("kd", row_number().over(
           Window.partitionBy("fp").orderBy("doc_id")) === 1)
         .filter(col("kd") && col("n_tokens").between(5, 200) &&
           col("lang").isin("en", "de"))
-      val packed = kept
+      val gated = kept
+        .filter(!col("domain").isin(WebCuration.Blocklist: _*))
+        .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+        .withColumn("brnk", row_number().over(
+          Window.partitionBy("domain", "bkt").orderBy("doc_id")))
+        .filter(col("brnk") <= 8)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("domain").orderBy("doc_id")))
+        .filter(col("rnk") <= 8)
+      val packed = gated
         .select(col("doc_id"), col("n_tokens"),
           (graft.functions.PortableHash.h32(col("doc_id").cast("string"))
             % 8).as("shard"))
@@ -512,7 +527,8 @@ object ScaleSmoke {
         .select(col("shard"), expr("(cum - n_tokens) div 2048").as("seq"))
         .distinct().count()
       println(s"[smoke]   funnel survivors -> $packed packed sequences " +
-        s"(dedup window spread over fingerprint partitions)")
+        s"(dedup window spread over fingerprint partitions; domain gate " +
+        s"salt-bucketed 16-way)")
       packed
     }
     spark.stop()

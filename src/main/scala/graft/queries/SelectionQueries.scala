@@ -112,49 +112,160 @@ object SelectionQueries {
     dsirLam(dsirCounts(s, dir)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Per-document curation PROFILE — one row per document carrying
+    * every stage-flag input the funnel needs: token count, Gopher
+    * quality inputs (mean word length, stopword hits, top-token
+    * fraction), the bag-of-words dedup fingerprint, the language, and
+    * the registrable web domain (the full WebCuration parse chain:
+    * synthesized URL -> parse_url host -> public-suffix fold). The
+    * TEXT is parsed exactly once, here — the streaming twin
+    * ([[graft.streaming.StreamCuration]]) runs this same projection
+    * on each arriving micro-batch and never re-reads a document; the
+    * downstream census sees only these compact integer/flag rows.
+    */
+  private[graft] def curationProfiles(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = split(col("text"), " ")
+    docs.select(col("doc_id"), col("lang"), size(a).as("n_tokens"),
+      ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
+      (size(filter(a, t => t === "the")) +
+        size(filter(a, t => t === "a"))).as("stop_hits"),
+      (array_max(transform(array_distinct(a),
+        w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"),
+      md5(array_join(array_sort(array_distinct(a)), " ").cast("binary"))
+        .as("fp"),
+      WebCuration.domainCol(WebCuration.hostCol(WebCuration.urlCol))
+        .as("domain"))
+  }
+
+  /** The 5-row funnel census over a profile frame — shared verbatim
+    * by the batch query below and the streaming twin's per-batch
+    * recount, so their parity is structural. Stage flags are
+    * cumulative ANDs; stage 4 (domain) is the web-curation gate:
+    * blocklisted registrable domains drop, then each domain keeps at
+    * most 8 documents (lowest doc_id — the keep-list convention) via
+    * the TWO-LEVEL rank (level 1 inside (domain, salt-bucket-of-16),
+    * level 2 over the <= 16·8 bucket winners), so the hot hub domain
+    * never serializes a window partition. Packing is pack_sequences'
+    * shard-partitioned greedy cumsum (8 portable-hash shards x
+    * 2048-token budget) over the stage-4 survivors.
+    */
+  private[graft] def funnelCensus(
+      profiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = profiles.withColumn("kd", row_number().over(
+      Window.partitionBy("fp").orderBy("doc_id")) === 1)
+    val q = col("kd") && col("n_tokens").between(20, 90) &&
+      col("mwl") >= 4.0 && col("stop_hits") >= 2 && col("topf") <= 0.125
+    val fl = k.select(col("doc_id"), col("n_tokens"), col("domain"),
+        col("kd"), q.as("kq"), (q && col("lang").isin("en", "de")).as("kl"))
+      .localCheckpoint(true) // feeds the census AND the domain gate
+    val cens = fl.agg(count(lit(1)).cast("long").as("n0"),
+      sum(when(col("kd"), 1).otherwise(0)).cast("long").as("n1"),
+      sum(when(col("kq"), 1).otherwise(0)).cast("long").as("n2"),
+      sum(when(col("kl"), 1).otherwise(0)).cast("long").as("n3"))
+    val cand = fl
+      .filter(col("kl") && !col("domain").isin(WebCuration.Blocklist: _*))
+      .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+      .withColumn("brnk", row_number().over(
+        Window.partitionBy("domain", "bkt").orderBy("doc_id")))
+      .filter(col("brnk") <= 8)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id")))
+      .filter(col("rnk") <= 8)
+      .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint(true) // feeds the stage-4 census AND the packing
+    val c4 = cand.agg(count(lit(1)).cast("long").as("n4"),
+      sum(col("n_tokens")).cast("long").as("tok"))
+    val pk = cand
+      .select(col("doc_id"), col("n_tokens"),
+        (h32(col("doc_id").cast("string")) % 8).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sq = pk.agg(countDistinct(col("shard"),
+      expr("(cum - n_tokens) div 2048")).cast("long").as("ns"))
+    val nullL = lit(null).cast("long")
+    val wide = cens.crossJoin(broadcast(c4)).crossJoin(broadcast(sq))
+    val rows = Seq(
+      struct(lit(1).as("stage_no"), lit("dedup").as("stage"),
+        col("n0").as("docs_in"), col("n1").as("docs_out"),
+        (col("n0") - col("n1")).as("dropped"),
+        nullL.as("tokens_out"), nullL.as("n_sequences")),
+      struct(lit(2).as("stage_no"), lit("quality").as("stage"),
+        col("n1").as("docs_in"), col("n2").as("docs_out"),
+        (col("n1") - col("n2")).as("dropped"),
+        nullL.as("tokens_out"), nullL.as("n_sequences")),
+      struct(lit(3).as("stage_no"), lit("language").as("stage"),
+        col("n2").as("docs_in"), col("n3").as("docs_out"),
+        (col("n2") - col("n3")).as("dropped"),
+        nullL.as("tokens_out"), nullL.as("n_sequences")),
+      struct(lit(4).as("stage_no"), lit("domain").as("stage"),
+        col("n3").as("docs_in"), col("n4").as("docs_out"),
+        (col("n3") - col("n4")).as("dropped"),
+        nullL.as("tokens_out"), nullL.as("n_sequences")),
+      struct(lit(5).as("stage_no"), lit("pack").as("stage"),
+        col("n4").as("docs_in"), col("n4").as("docs_out"),
+        lit(0L).as("dropped"), col("tok").as("tokens_out"),
+        col("ns").as("n_sequences")))
+    wide.select(explode(array(rows: _*)).as("s"))
+      .select(col("s.*")).orderBy("stage_no")
+  }
+
   def all: Seq[Q] = Seq(
 
     // CURATION FUNNEL — the END-TO-END composite a user of this
     // library actually ships: dedup → quality gate → language filter
-    // → sequence packing as ONE query, reported as the stage-by-stage
+    // → DOMAIN GATE (web-curation: blocklist + per-domain caps) →
+    // sequence packing as ONE query, reported as the stage-by-stage
     // drop census every curation run is judged by. Each stage reuses
     // the suite's own primitives verbatim: dedup keys on the
     // BAG-OF-WORDS fingerprint (md5 of the sorted distinct token set
     // — catches word-shuffled copies exact dedup misses; lowest
     // doc_id survives, the dedup_keep_list convention), quality is
     // the gopher_rules conjunction, language keeps the en/de subset,
-    // and packing is pack_sequences' shard-partitioned greedy cumsum
+    // the domain stage is WebCurationQueries' gate (registrable-
+    // domain blocklist + cap 8 docs/domain, two-level rank), and
+    // packing is pack_sequences' shard-partitioned greedy cumsum
     // (8 portable-hash shards × 2048-token budget). SCALE: the dedup
-    // window hash-partitions on the fingerprint, the packing window
-    // on the shard — both parallel; the only single-partition data is
-    // the 4-row funnel itself. One corpus scan feeds every stage flag
-    // (the flags are cumulative ANDs, so the census is one aggregate),
-    // and the sequence count is a distinct-count over the survivors.
+    // window hash-partitions on the fingerprint, the domain ranks on
+    // (domain, salt) then domain, the packing window on the shard —
+    // all parallel; the only single-partition data is the 5-row
+    // funnel itself. One corpus scan feeds every stage flag, and the
+    // sequence count is a distinct-count over the survivors.
     Q("curation_funnel", {
       val h = duckH32("CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS a,
+      s"""WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
          |    length(text) AS nch FROM documents),
-         |f AS (SELECT doc_id, lang, len(a) AS n_tokens,
+         |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
          |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
          |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
          |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf,
          |    md5(array_to_string(list_sort(list_distinct(a)), ' ')) AS fp
          |  FROM d),
          |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kd FROM f),
-         |fl AS (SELECT doc_id, n_tokens, kd,
+         |fl AS (SELECT doc_id, source, n_tokens, kd,
          |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
          |      AND stop_hits >= 2 AND topf <= 0.125 AS kq,
          |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
          |      AND stop_hits >= 2 AND topf <= 0.125
          |      AND lang IN ('en', 'de') AS kl
          |  FROM k),
+         |fh AS (SELECT doc_id, n_tokens, kd, kq, kl,
+         |    ${WebCuration.duckHost(s"(${WebCuration.duckUrl})")} AS host FROM fl),
+         |fd AS (SELECT doc_id, n_tokens, kd, kq, kl,
+         |    ${WebCuration.duckDomain("host")} AS domain FROM fh),
+         |cand AS (SELECT doc_id, n_tokens, row_number() OVER (
+         |    PARTITION BY domain ORDER BY doc_id) AS rnk
+         |  FROM fd WHERE kl AND domain NOT IN ${WebCuration.duckBlocklist}),
          |cens AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
          |    CAST(SUM(CASE WHEN kd THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          |    CAST(SUM(CASE WHEN kq THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         |    CAST(SUM(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-         |    CAST(SUM(CASE WHEN kl THEN n_tokens ELSE 0 END) AS BIGINT) AS tok
-         |  FROM fl),
-         |surv AS (SELECT doc_id, n_tokens, $h % 8 AS shard FROM fl WHERE kl),
+         |    CAST(SUM(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |  FROM fd),
+         |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n4,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tok FROM cand WHERE rnk <= 8),
+         |surv AS (SELECT doc_id, n_tokens, $h % 8 AS shard
+         |  FROM cand WHERE rnk <= 8),
          |pk AS (SELECT shard, n_tokens,
          |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -170,63 +281,16 @@ object SelectionQueries {
          |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cens
          |  UNION ALL SELECT 3, 'language', n2, n3, n2 - n3,
          |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cens
-         |  UNION ALL SELECT 4, 'pack', n3, n3, 0, tok, ns
-         |    FROM cens CROSS JOIN sq
+         |  UNION ALL SELECT 4, 'domain', n3, n4, n3 - n4,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |    FROM cens CROSS JOIN c4
+         |  UNION ALL SELECT 5, 'pack', n4, n4, 0, tok, ns
+         |    FROM c4 CROSS JOIN sq
          |) ORDER BY stage_no""".stripMargin
     }) { (s, dir) =>
-      val a = split(col("text"), " ")
-      val f = Tables.parallelize(Tables.load(s, dir, "documents")
-          .select("doc_id", "lang", "text"))
-        .select(col("doc_id"), col("lang"), size(a).as("n_tokens"),
-          ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
-          (size(filter(a, t => t === "the")) +
-            size(filter(a, t => t === "a"))).as("stop_hits"),
-          (array_max(transform(array_distinct(a),
-            w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"),
-          md5(array_join(array_sort(array_distinct(a)), " ").cast("binary"))
-            .as("fp"))
-      val k = f.withColumn("kd", row_number().over(
-        Window.partitionBy("fp").orderBy("doc_id")) === 1)
-      val q = col("kd") && col("n_tokens").between(20, 90) &&
-        col("mwl") >= 4.0 && col("stop_hits") >= 2 && col("topf") <= 0.125
-      val fl = k.select(col("doc_id"), col("n_tokens"), col("kd"),
-          q.as("kq"), (q && col("lang").isin("en", "de")).as("kl"))
-        .localCheckpoint(true) // feeds the census AND the packing
-      val cens = fl.agg(count(lit(1)).cast("long").as("n0"),
-        sum(when(col("kd"), 1).otherwise(0)).cast("long").as("n1"),
-        sum(when(col("kq"), 1).otherwise(0)).cast("long").as("n2"),
-        sum(when(col("kl"), 1).otherwise(0)).cast("long").as("n3"),
-        sum(when(col("kl"), col("n_tokens")).otherwise(0)).cast("long")
-          .as("tok"))
-      val pk = fl.filter(col("kl"))
-        .select(col("doc_id"), col("n_tokens"),
-          (h32(col("doc_id").cast("string")) % 8).as("shard"))
-        .withColumn("cum", sum(col("n_tokens")).over(
-          Window.partitionBy("shard").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val sq = pk.agg(countDistinct(col("shard"),
-        expr("(cum - n_tokens) div 2048")).cast("long").as("ns"))
-      val nullL = lit(null).cast("long")
-      val wide = cens.crossJoin(broadcast(sq))
-      val rows = Seq(
-        struct(lit(1).as("stage_no"), lit("dedup").as("stage"),
-          col("n0").as("docs_in"), col("n1").as("docs_out"),
-          (col("n0") - col("n1")).as("dropped"),
-          nullL.as("tokens_out"), nullL.as("n_sequences")),
-        struct(lit(2).as("stage_no"), lit("quality").as("stage"),
-          col("n1").as("docs_in"), col("n2").as("docs_out"),
-          (col("n1") - col("n2")).as("dropped"),
-          nullL.as("tokens_out"), nullL.as("n_sequences")),
-        struct(lit(3).as("stage_no"), lit("language").as("stage"),
-          col("n2").as("docs_in"), col("n3").as("docs_out"),
-          (col("n2") - col("n3")).as("dropped"),
-          nullL.as("tokens_out"), nullL.as("n_sequences")),
-        struct(lit(4).as("stage_no"), lit("pack").as("stage"),
-          col("n3").as("docs_in"), col("n3").as("docs_out"),
-          lit(0L).as("dropped"), col("tok").as("tokens_out"),
-          col("ns").as("n_sequences")))
-      wide.select(explode(array(rows: _*)).as("s"))
-        .select(col("s.*")).orderBy("stage_no")
+      funnelCensus(curationProfiles(Tables.parallelize(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text"))))
     },
 
     // DSIR importance resampling. Features are hashed unigram buckets

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Domain/URL-level WEB-CURATION gate — the standard web-corpus stage
+  * (C4, RefinedWeb, Gopher/MassiveWeb) between raw crawl and text
+  * cleaning: extract each document's host from its URL, reduce the
+  * host to its REGISTRABLE domain (public-suffix aware), drop
+  * documents from blocklisted domains, and cap how many documents any
+  * single domain may contribute (hot hubs otherwise dominate the
+  * corpus).
+  *
+  * The driver's `documents` table carries no URL column, so the suite
+  * derives one DETERMINISTICALLY from (doc_id, source) — the same
+  * expression verbatim in Spark and in the DuckDB oracle — with the
+  * variation a real crawl shows: both schemes, www/cdn/m subdomains,
+  * multi-label public suffixes (`co.uk`), explicit ports, query
+  * strings, and one deliberately HOT hub domain holding ~25% of the
+  * corpus (the skew case the capping machinery exists for).
+  *
+  * SCALE SHAPES (each asserted by PlanShapeSpec):
+  *  - host/domain extraction is a narrow per-row projection fused
+  *    into the scan — nothing shuffles a URL string except the
+  *    dimension-bounded host census itself;
+  *  - the blocklist gate is a BROADCAST LEFT ANTI join against a
+  *    dimension-sized blocklist (the reference's GlobalKTable
+  *    leftJoin-as-anti-join shape — Moderation.scala — at corpus
+  *    scale; a 100 TB run broadcasts the blocklist to every executor
+  *    and never shuffles the corpus);
+  *  - per-domain caps run the TWO-LEVEL top-k (TextQueries
+  *    token_burstiness machinery applied per key): rank inside
+  *    (domain, salt-bucket) first — 16-way parallel even when one
+  *    domain holds a quarter of the corpus — then rank the <= 16·K
+  *    bucket winners per domain. No single-partition window anywhere.
+  *
+  * Production note: the registrable-domain step here handles the one
+  * multi-label suffix the synthetic URLs produce (`co.uk`); a real
+  * deployment swaps the CASE for a broadcast join against the full
+  * Mozilla Public Suffix List keyed by reversed suffix — same shape,
+  * bigger dimension.
+  */
+object WebCuration {
+
+  /** Deterministic synthetic URL from (doc_id, source) — Spark side.
+    * ~25% of docs land on the hot `hub.*` site (doc_id % 4 == 0).
+    */
+  private[graft] def urlCol: Column = {
+    def d(m: Int) = pmod(col("doc_id"), lit(m))
+    val scheme = when(d(7) === 0, lit("http")).otherwise(lit("https"))
+    val sub = when(d(5) === 0, lit("www."))
+      .when(d(5) === 1, lit("cdn."))
+      .when(d(5) === 2, lit("m."))
+      .otherwise(lit(""))
+    val site = when(d(4) === 0, lit("hub"))
+      .otherwise(concat(col("source"), lit("-"), d(3).cast("string")))
+    val tld = when(d(11) === 0, lit("co.uk"))
+      .when(d(3) === 1, lit("org"))
+      .otherwise(lit("com"))
+    val port = when(d(13) === 0, lit(":8080")).otherwise(lit(""))
+    val qs = when(d(6) === 0, concat(lit("?ref=r"), d(2).cast("string")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), sub, site, lit("."), tld, port,
+      lit("/p/"), col("doc_id").cast("string"), qs)
+  }
+
+  /** The same URL, DuckDB-side (column names doc_id/source in scope). */
+  private[graft] val duckUrl: String =
+    """(CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+      |(CASE WHEN doc_id % 5 = 0 THEN 'www.' WHEN doc_id % 5 = 1 THEN 'cdn.'
+      |      WHEN doc_id % 5 = 2 THEN 'm.' ELSE '' END) ||
+      |(CASE WHEN doc_id % 4 = 0 THEN 'hub'
+      |      ELSE source || '-' || CAST(doc_id % 3 AS VARCHAR) END) || '.' ||
+      |(CASE WHEN doc_id % 11 = 0 THEN 'co.uk'
+      |      WHEN doc_id % 3 = 1 THEN 'org' ELSE 'com' END) ||
+      |(CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END) ||
+      |'/p/' || CAST(doc_id AS VARCHAR) ||
+      |(CASE WHEN doc_id % 6 = 0 THEN '?ref=r' || CAST(doc_id % 2 AS VARCHAR)
+      |      ELSE '' END)""".stripMargin.replace('\n', ' ')
+
+  /** Hostname from a URL — Spark's codegen'd built-in (strips scheme,
+    * userinfo, port, path, query).
+    */
+  private[graft] def hostCol(url: Column): Column = parse_url(url, lit("HOST"))
+
+  /** DuckDB equivalent of [[hostCol]] for the URL shapes above. */
+  private[graft] def duckHost(url: String): String =
+    s"regexp_extract($url, '^[a-z]+://([^/:?#]+)', 1)"
+
+  /** Registrable domain: one label above the public suffix. The
+    * synthetic corpus produces exactly one multi-label suffix
+    * (`co.uk`); see the object doc for the PSL-dim production swap.
+    */
+  private[graft] def domainCol(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(host.endsWith(".co.uk"), concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+
+  /** DuckDB equivalent of [[domainCol]] (expects a host EXPRESSION —
+    * evaluate it in a prior CTE so it is a plain column name here).
+    */
+  private[graft] def duckDomain(host: String): String =
+    s"""(CASE WHEN $host LIKE '%.co.uk'
+       | THEN array_to_string(string_split($host, '.')[len(string_split($host, '.')) - 2 :], '.')
+       | ELSE array_to_string(string_split($host, '.')[len(string_split($host, '.')) - 1 :], '.')
+       | END)""".stripMargin.replace('\n', ' ')
+
+  /** The blocklisted registrable domains — the dimension the gate
+    * broadcasts. Includes the hot hub's .org variant, one domain per
+    * suffix shape, and one entry matching nothing (a blocklist is
+    * curated against the open web, not against this corpus).
+    */
+  private[graft] val Blocklist: Seq[String] =
+    Seq("hub.org", "src1-0.com", "src4-2.com", "src7-1.org",
+      "src2-0.co.uk", "nothere-9.com")
+
+  private[graft] def duckBlocklist: String =
+    Blocklist.map(d => s"'$d'").mkString("(", ", ", ")")
+
+  /** docs frame with url/host/domain attached — the shared scan-stage
+    * projection every web-curation query starts from.
+    */
+  private[graft] def withDomain(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val host = hostCol(col("url"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), urlCol.as("url"))
+      .withColumn("host", host)
+      .withColumn("domain", domainCol(col("host")))
+  }
+
+  /** Shared DuckDB CTE producing the same frame (named `u`). */
+  private[graft] val duckWithDomain: String =
+    s"""w AS (SELECT doc_id, source, n_chars, $duckUrl AS url FROM documents),
+       |h AS (SELECT doc_id, source, n_chars, url,
+       |    ${duckHost("url")} AS host FROM w),
+       |u AS (SELECT doc_id, source, n_chars, url, host,
+       |    ${duckDomain("host")} AS domain FROM h)""".stripMargin
+}
+
+object WebCurationQueries {
+  import WebCuration._
+
+  def all: Seq[Q] = Seq(
+
+    // URL PARSING census — pins the host/registrable-domain extraction
+    // chain cross-engine before anything gates on it: per host, the
+    // registrable domain it folds into, how many docs, how many over
+    // plain http, how many carrying a query string. Output is
+    // dimension-bounded (the host space is a fixed formula over
+    // subdomain x site x suffix, NOT corpus-sized), so the census
+    // aggregate is the only exchange.
+    Q("url_host_parse",
+      s"""WITH $duckWithDomain
+         |SELECT host, domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN url LIKE 'http://%' THEN 1 ELSE 0 END) AS BIGINT) AS n_http,
+         |  CAST(SUM(CASE WHEN contains(url, '?') THEN 1 ELSE 0 END) AS BIGINT) AS n_query
+         |FROM u GROUP BY host, domain ORDER BY host""".stripMargin) { (s, dir) =>
+      withDomain(s, dir)
+        .groupBy("host", "domain")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(parse_url(col("url"), lit("PROTOCOL")) === "http", 1)
+            .otherwise(0)).cast("long").as("n_http"),
+          sum(when(parse_url(col("url"), lit("QUERY")).isNotNull, 1)
+            .otherwise(0)).cast("long").as("n_query"))
+        .orderBy("host")
+    },
+
+    // DOMAIN BLOCKLIST GATE — the J1 anti-join shape at corpus scale:
+    // survivors = documents LEFT ANTI (broadcast) blocklist on the
+    // registrable domain; reported as the per-source in/kept/blocked
+    // census a curation run is audited by. The corpus never shuffles:
+    // the anti-join is broadcast, and the two source censuses are
+    // 10-row dimension aggregates.
+    Q("domain_blocklist_gate",
+      s"""WITH $duckWithDomain,
+         |k AS (SELECT * FROM u WHERE domain NOT IN $duckBlocklist),
+         |i AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in FROM u GROUP BY 1),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_kept FROM k GROUP BY 1)
+         |SELECT i.source, docs_in,
+         |  CAST(COALESCE(docs_kept, 0) AS BIGINT) AS docs_kept,
+         |  CAST(docs_in - COALESCE(docs_kept, 0) AS BIGINT) AS docs_blocked,
+         |  CAST(COALESCE(chars_kept, 0) AS BIGINT) AS chars_kept
+         |FROM i LEFT JOIN g USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = withDomain(s, dir)
+      val bl = Blocklist.toDF("domain")
+      val kept = docs.join(broadcast(bl), Seq("domain"), "left_anti")
+      val inC = docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("docs_in"))
+      val keptC = kept.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("docs_kept"),
+          sum("n_chars").cast("long").as("chars_kept"))
+      inC.join(broadcast(keptC), Seq("source"), "left")
+        .select(col("source"), col("docs_in"),
+          coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+          (col("docs_in") - coalesce(col("docs_kept"), lit(0L)))
+            .cast("long").as("docs_blocked"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy("source")
+    },
+
+    // PER-DOMAIN DOCUMENT CAPS — RefinedWeb/C4's hot-host guard: keep
+    // at most K=4 documents per registrable domain, best-first
+    // (n_chars DESC as the quality proxy, doc_id tiebreak). The rank
+    // runs as a TWO-LEVEL top-k per key: level 1 ranks inside
+    // (domain, salt-bucket-of-16) — so the hot hub domain's quarter
+    // of the corpus is ranked 16-way parallel — and only the <= 16·K
+    // bucket winners reach the level-2 per-domain rank. top-K of a
+    // domain == top-K of the union of its per-bucket top-Ks, so the
+    // salt never changes the answer (bucket ids stay oracle-invisible
+    // and use Spark's native hash).
+    Q("domain_caps",
+      s"""WITH $duckWithDomain,
+         |r AS (SELECT domain, n_chars, row_number() OVER (
+         |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rnk FROM u)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS docs_in,
+         |  CAST(SUM(CASE WHEN rnk <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |  CAST(SUM(CASE WHEN rnk <= 4 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM r GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      val docs = withDomain(s, dir)
+      val byQuality = Seq(col("n_chars").desc, col("doc_id"))
+      val kept = docs
+        .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+        .withColumn("brnk", row_number().over(
+          Window.partitionBy("domain", "bkt").orderBy(byQuality: _*)))
+        .filter(col("brnk") <= 4)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("domain").orderBy(byQuality: _*)))
+        .filter(col("rnk") <= 4)
+      val inC = docs.groupBy("domain")
+        .agg(count(lit(1)).cast("long").as("docs_in"))
+      val keptC = kept.groupBy("domain")
+        .agg(count(lit(1)).cast("long").as("docs_kept"),
+          sum("n_chars").cast("long").as("chars_kept"))
+      // every domain keeps >= 1 doc (K >= 1), so the join is inner;
+      // both sides are dimension-bounded domain censuses
+      inC.join(broadcast(keptC), Seq("domain")).orderBy("domain")
+    })
+}

@@ -177,7 +177,10 @@ class EdgeCasesSpec extends SparkSpec {
       "wilcoxon_signed_rank", "runs_test", "friedman_test",
       "bartlett_test", "cohens_d", "granger_causality",
       "jpeg_ac_stats", "table_stats_sketch", "curation_funnel",
-      "token_burstiness", "key_skew_gini")
+      "token_burstiness", "key_skew_gini",
+      // round-11 additions: the web-curation gate on a tiny corpus
+      // (single-doc domains, blocklist matching nothing)
+      "url_host_parse", "domain_blocklist_gate", "domain_caps")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

@@ -51,7 +51,7 @@ class PlanInventorySpec extends SparkSpec {
     "token_burstiness",   // two-level top-30: global window sees ≤ 30·B bucket winners, never the vocab
     "table_stats",        // one-row ANALYZE-wide aggregate, unpivoted
     "table_stats_sketch", // two one-row aggregates (sketch + exact audit branch), unpivoted
-    "curation_funnel",    // one-row stage census + one-row sequence count, unpivoted to 4 rows
+    "curation_funnel",    // one-row stage/domain censuses + one-row sequence count, unpivoted to 5 rows
     "hash_uniformity_chi2", // one-row rollup of the 256-bucket census
     "benford_audit",      // whole-frame window over the 9-digit census
     "pca_power_iteration",// renormalizer windows over the 64-row iterate
@@ -164,7 +164,7 @@ class PlanInventorySpec extends SparkSpec {
     "mad_outliers", // one-row median/MAD censuses cross-joined back
     "runs_test", // one-row median census cross-joined onto the |days| census
     "table_stats_sketch", // two one-row profile aggregates cross-joined
-    "curation_funnel", // one-row census x one-row sequence count
+    "curation_funnel", // one-row stage census x one-row domain census x one-row sequence count
     "did_estimate", // one-row split-day census cross-joined onto the purchase scan
     "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
     "logrank_test", // one-row horizon census cross-joined onto the user census

@@ -258,6 +258,30 @@ class PlanShapeSpec extends SparkSpec {
       s"global window does not consume the bucketed survivors:\n$windows")
   }
 
+  test("web-curation gate: blocklist broadcasts LEFT ANTI; per-domain caps salt-bucket first") {
+    // the J1 anti-join shape at corpus scale: the corpus side must
+    // never shuffle for the blocklist gate
+    val g = plan("domain_blocklist_gate")
+    assert(g.contains("BroadcastHashJoin") && g.contains("LeftAnti"),
+      s"domain_blocklist_gate: expected broadcast LEFT ANTI:\n$g")
+    assert(!g.contains("SortMergeJoin"),
+      s"domain_blocklist_gate: blocklist join shuffled the corpus:\n$g")
+    // per-domain caps: level-1 rank inside (domain, salt-bucket) so a
+    // hot domain (hub.* holds ~25% of the corpus) stays 16-way
+    // parallel; level-2 consumes only bucket winners. Both windows
+    // hash-partitioned — no single-partition exchange anywhere.
+    val c = plan("domain_caps")
+    val windows = c.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.exists(w =>
+        w.contains("windowspecdefinition(domain") && w.contains("bkt")),
+      s"domain_caps: level-1 (domain, salt-bucket) rank missing:\n$c")
+    assert(windows.exists(w =>
+        w.contains("windowspecdefinition(domain") && !w.contains("bkt")),
+      s"domain_caps: level-2 per-domain rank missing:\n$c")
+    assert(!c.contains("SinglePartition"),
+      s"domain_caps funnels through one partition:\n$c")
+  }
+
   test("key_skew_gini: no window partitions over raw keys; head rank is bucket-partitioned") {
     val p = plan("key_skew_gini")
     // the Gini prefix window runs over the count-VALUE census (ordered
