@@ -1857,10 +1857,60 @@ class StreamingSpec extends SparkSpec {
     assert(state.toMap === first,
       "full redelivery changed the StreamMedia ledger — overwrite merge broken")
   }
+
+  test("streaming curation funnel: live 5-row census equals batch bit-exactly under randomized arrival") {
+    import graft.streaming.StreamCuration
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val expect = SparkEntry.queries("curation_funnel")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val rnd = new scala.util.Random(47)
+    val ckpt = Files.createTempDirectory("graft_curation_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val mem = MemoryStream[WebDoc]
+    val q = StreamCuration.monitor(mem.toDF(), ckpt) { (id, rows) =>
+      audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    try {
+      rnd.shuffle(docs).grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // final census == the batch query, every value bit-exact (incl.
+    // the domain-gate and packing stages, both retroactive under the
+    // shuffled arrival this test feeds)
+    val last = audits.synchronized(audits.maxBy(_._1)._2).map(_.toSeq).toSeq
+    assert(last === expect,
+      s"streaming funnel census diverged from batch:\n$last\nvs\n$expect")
+    // every INTERMEDIATE census is a valid funnel over the docs seen
+    // so far: 5 rows, out + dropped = in, stages chain
+    audits.synchronized(audits.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      rows.foreach(r => assert(r.getLong(3) + r.getLong(4) === r.getLong(2)))
+      (0 until 4).foreach(i =>
+        assert(rows(i + 1).getLong(2) === rows(i).getLong(3),
+          s"stage ${i + 2} docs_in != stage ${i + 1} docs_out"))
+    })
+    // structural idempotency (the StreamMedia ledger contract): a FULL
+    // redelivery through the overwrite merge changes nothing
+    val b1 = docs.take(20).toDF()
+    val (l1, c1) = StreamCuration.funnelBatch(
+      b1, StreamCuration.emptyLedger(spark))
+    val (l2, c2) = StreamCuration.funnelBatch(b1, l1)
+    assert(l2.count() === l1.count(), "redelivery grew the ledger")
+    assert(c2.collect().map(_.toSeq).toSeq === c1.collect().map(_.toSeq).toSeq,
+      "redelivery changed the census — overwrite merge broken")
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
 object StreamingSpec {
   case class Doc(doc_id: Long, lang: String, text: String)
   case class Vec(vec_id: Long, embedding: Array[Float])
+  case class WebDoc(doc_id: Long, lang: String, source: String, text: String)
 }
