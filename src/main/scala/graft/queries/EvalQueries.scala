@@ -441,12 +441,19 @@ object EvalQueries {
     // where mᵥ = #keys with count v and Bᵥ = #keys with count < v.
     // That prefix scan runs over the COUNT-VALUE census — distinct
     // positive integers summing to ≤ total events, hence ≤ √(2·total)
-    // rows at ANY scale (10¹² events → ≤ 1.4M census rows) — a
-    // provably bounded single-partition window, unlike the key census
-    // it replaces (which grows with the key population). The top-1 /
-    // top-10 head uses the two-level top-k: per-hash-bucket top-10
-    // (hash-partitioned over the key census) feeds a global window of
-    // ≤ 10·B rows. This is the SCALE.md escape hatch, implemented.
+    // rows at ANY scale (10¹² events → ≤ 1.4M census rows) — and as
+    // of round 11 even THAT bounded window is TWO-PHASE (the
+    // negative_sampling_table / curriculum_order shape): census rows
+    // bucket by bit-length of v (length(bin(v)) — an ORDER-PRESERVING
+    // integer truncation, ≤ 64 buckets, exact with no float log),
+    // the within-bucket cumsum runs under a window PARTITIONED by
+    // bit-length (hash exchange, parallel), and Bᵥ = bucket offset +
+    // within-bucket prefix − mᵥ. The only unpartitioned windows left
+    // are the ≤ 64-row bucket-offset cumsum and the ≤ 10·B-row
+    // two-level head: per-hash-bucket top-10 (hash-partitioned over
+    // the key census) feeds the global top-10 window. Every
+    // single-partition exchange in this plan is now CONSTANT-bounded,
+    // not corpus-growth-bounded.
     // HASH-UNIFORMITY AUDIT — the validity check under EVERYTHING
     // this suite hash-partitions (bucket joins, LSH bands, salting,
     // the two-level top-k, compaction file assignment): does the
@@ -515,13 +522,29 @@ object EvalQueries {
       import org.apache.spark.sql.expressions.Window
       val kc = Tables.load(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("c"))
-      // count-VALUE census (≤ √(2·total) rows): hash-aggregated, then
-      // the bounded prefix window gives Bᵥ = keys with smaller count
-      val vc = kc.groupBy("c").agg(count(lit(1)).as("m"))
-        .withColumn("bv",
-          sum(col("m")).over(Window.orderBy("c")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("m"))
+      // count-VALUE census (≤ √(2·total) rows), prefix-scanned in TWO
+      // PHASES: bucket by bit-length of c (order-preserving, ≤ 64
+      // buckets), offsets cumsum over the bucket census, within-bucket
+      // cumsum hash-partitioned; Bᵥ = offset + prefix − mᵥ. All sums
+      // are integer, so the phase split is exact by associativity.
+      // materialized once (≤ √(2·total) rows): both the offset census
+      // and the within-bucket cumsum read it, and without the
+      // checkpoint the offs branch would re-run the events scan + key
+      // census a second time
+      val vc0 = kc.groupBy("c").agg(count(lit(1)).as("m"))
+        .withColumn("bl", length(bin(col("c"))))
+        .localCheckpoint(true)
+      val offs = vc0.groupBy("bl").agg(sum(col("m")).as("bm"))
+        .withColumn("offset",
+          coalesce(sum(col("bm")).over(Window.orderBy("bl")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bl", "offset")
+      val vc = vc0
+        .withColumn("pm", sum(col("m")).over(
+          Window.partitionBy("bl").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offs), "bl")
+        .withColumn("bv", col("offset") + col("pm") - col("m"))
       // m·(m+1) is always even, so `div 2` is exact integer arithmetic;
       // each census term equals the exact Σ i·c over its tie group
       val t = vc.agg(sum("m").as("n"), sum(col("c") * col("m")).as("total"),

@@ -39,7 +39,7 @@ class PlanInventorySpec extends SparkSpec {
     "bm25_score",         // one census row (N, tot_dl, per-term dfs), broadcast back
     "kneser_ney_bigram",  // train totals (Nbt, Vc): one row, broadcast back
     "compaction_plan",    // cumsum window over the manifest-sized file census
-    "key_skew_gini",      // prefix window over the COUNT-VALUE census (≤ √(2·total) rows) + two-level top-10 head (≤ 10·B rows)
+    "key_skew_gini",      // ≤64-row bit-length bucket-offset cumsum + two-level top-10 head (≤ 10·B rows) — both CONSTANT-bounded (census cumsum is bl-partitioned since r11)
     "bloom_fpr_audit",    // four one-row censuses cross-joined into the answer
     "join_cardinality_audit", // four one-row profile/count aggregates
     "quantile_normalize", // cumsum window over the VALUE census (distinct lengths)

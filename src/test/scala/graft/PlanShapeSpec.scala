@@ -282,17 +282,18 @@ class PlanShapeSpec extends SparkSpec {
       s"domain_caps funnels through one partition:\n$c")
   }
 
-  test("key_skew_gini: no window partitions over raw keys; head rank is bucket-partitioned") {
+  test("key_skew_gini: no window partitions over raw keys; census cumsum and head rank both bucketed") {
     val p = plan("key_skew_gini")
-    // the Gini prefix window runs over the count-VALUE census (ordered
-    // by c), the head windows over hash buckets — NOTHING may window
-    // over user_id-sized data unpartitioned
+    // the Gini prefix runs TWO-PHASE over the count-VALUE census: the
+    // within-bucket cumsum must be PARTITIONED by bit-length (bl) and
+    // the head rank by hash bucket (bkt) — NOTHING may window over
+    // user_id-sized or census-sized data unpartitioned except the
+    // ≤64-row bucket-offset cumsum
     val windows = p.linesIterator.filter(_.contains("Window ")).toList
     assert(windows.exists(_.contains("windowspecdefinition(bkt")),
       s"two-level head rank lost its bucket partitioning:\n$p")
-    // the unpartitioned windows are the count-value prefix sum and the
-    // <=10·B-row head rank: both must order by aggregated columns (c /
-    // count-derived), never appear below the per-key aggregate
+    assert(windows.exists(_.contains("windowspecdefinition(bl")),
+      s"census prefix cumsum lost its bit-length partitioning:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"key census must map-side combine before any window:\n$p")
   }
