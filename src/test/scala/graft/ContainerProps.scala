@@ -335,6 +335,35 @@ object ContainerProps extends Properties("containers") {
         px.indices.forall(i => math.abs(px(i) - ours.pixels(i)) <= 1)
     }
 
+  // ---- WAV cross-decoder: javax.sound.sampled (the JDK's own audio
+  // reader, sharing no code with this repo) must read the containers
+  // buildWav produces — closing the last self-round-trip-only codec
+  // the way ImageIO closed PNG/JPEG. ----
+
+  property("AudioSystem cross-decodes buildWav: format fields and PCM bytes exact") =
+    forAll(genPayload) { p =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(buildWav(p)))
+      try {
+        val f = in.getFormat
+        // the canonical header: mono, 8-bit, 8 kHz, unsigned PCM
+        // (8-bit WAV is unsigned by spec), blockAlign 1 — and the
+        // reader's frame count equals mediaContainers' parse
+        f.getChannels == 1 && f.getSampleSizeInBits == 8 &&
+          f.getSampleRate == 8000f && f.getFrameSize == 1 &&
+          f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+          in.getFrameLength == p.length.toLong &&
+          in.getFrameLength == parseHeader(buildWav(p)).nFrames.toLong && {
+            // the PCM samples the JDK returns are byte-for-byte the
+            // data-chunk payload our decode (and the audio_frame_energy
+            // oracle) reads
+            val got = in.readAllBytes()
+            java.util.Arrays.equals(got, p)
+          }
+      } finally in.close()
+    }
+
   property("a flipped byte anywhere in a PNG header region is detected") =
     forAll(genDim, genDim, Gen.chooseNum(8, 32)) { (w, h, idx) =>
       // positions 8..32 sit inside the IHDR chunk (length/type/data/crc)
