@@ -121,6 +121,75 @@ object WebCuration {
   private[graft] def duckBlocklist: String =
     Blocklist.map(d => s"'$d'").mkString("(", ", ", ")")
 
+  /** URL canonicalization — the normalize-before-dedup step every web
+    * pipeline runs (lowercase scheme+host, strip a default port for
+    * the scheme, fold one leading `www.`, drop the trailing slash,
+    * drop tracking-only query strings) — Spark side. Each step is a
+    * plain string expression so the whole canon stays inside
+    * whole-stage codegen; the DuckDB twin below uses the same
+    * regexes verbatim.
+    */
+  private[graft] def canonUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?(.*)$", 1)
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val noWww = regexp_replace(noPort, "^www\\.", "")
+    val noSlash = regexp_replace(path, "/$", "")
+    val keptQ = when(query === "" ||
+        query.rlike("^(ref|utm_[a-z0-9_]+)=[^&]*$"), lit(""))
+      .otherwise(concat(lit("?"), query))
+    concat(scheme, lit("://"), noWww, noSlash, keptQ)
+  }
+
+  /** DuckDB twin of [[canonUrl]] (expects a plain `url` column name). */
+  private[graft] def duckCanon(url: String): String =
+    s"""(lower(regexp_extract($url, '^([A-Za-z]+)://', 1)) || '://' ||
+       | regexp_replace(
+       |   CASE WHEN lower(regexp_extract($url, '^([A-Za-z]+)://', 1)) = 'http'
+       |     THEN regexp_replace(lower(regexp_extract($url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$$', '')
+       |   WHEN lower(regexp_extract($url, '^([A-Za-z]+)://', 1)) = 'https'
+       |     THEN regexp_replace(lower(regexp_extract($url, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$$', '')
+       |   ELSE lower(regexp_extract($url, '^[A-Za-z]+://([^/?#]+)', 1)) END,
+       |   '^www\\.', '') ||
+       | regexp_replace(regexp_extract($url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$$', '') ||
+       | CASE WHEN regexp_extract($url, '\\?(.*)$$', 1) = ''
+       |     OR regexp_matches(regexp_extract($url, '\\?(.*)$$', 1), '^(ref|utm_[a-z0-9_]+)=[^&]*$$')
+       |   THEN '' ELSE '?' || regexp_extract($url, '\\?(.*)$$', 1) END)""".stripMargin
+      .replace('\n', ' ')
+
+  /** Superficially-different MIRROR of a document's URL (docs with
+    * doc_id % 3 == 0 get one): uppercased scheme+host, a `www.`
+    * prefix when the host lacks one, the scheme's default port when
+    * the original carried none, a trailing slash, and a tracking
+    * query — every difference [[canonUrl]] must fold. Canonical
+    * equality of (url, mirror) pairs is what url_canonicalize's dup
+    * census pins.
+    */
+  private[graft] def mirrorUrl: Column = {
+    def d(m: Int) = pmod(col("doc_id"), lit(m))
+    val scheme = when(d(7) === 0, lit("HTTP")).otherwise(lit("HTTPS"))
+    val hostM = when(col("host").startsWith("www."), upper(col("host")))
+      .otherwise(concat(lit("WWW."), upper(col("host"))))
+    val portM = when(d(13) === 0, lit(":8080"))
+      .otherwise(when(d(7) === 0, lit(":80")).otherwise(lit(":443")))
+    concat(scheme, lit("://"), hostM, portM,
+      lit("/p/"), col("doc_id").cast("string"), lit("/?utm_source=m"))
+  }
+
+  /** DuckDB twin of [[mirrorUrl]] (expects doc_id and host columns). */
+  private[graft] val duckMirror: String =
+    """((CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'HTTPS' END) || '://' ||
+      | (CASE WHEN host LIKE 'www.%' THEN upper(host)
+      |       ELSE 'WWW.' || upper(host) END) ||
+      | (CASE WHEN doc_id % 13 = 0 THEN ':8080'
+      |       WHEN doc_id % 7 = 0 THEN ':80' ELSE ':443' END) ||
+      | '/p/' || CAST(doc_id AS VARCHAR) || '/?utm_source=m')""".stripMargin
+      .replace('\n', ' ')
+
   /** docs frame with url/host/domain attached — the shared scan-stage
     * projection every web-curation query starts from.
     */
@@ -241,5 +310,96 @@ object WebCurationQueries {
       // every domain keeps >= 1 doc (K >= 1), so the join is inner;
       // both sides are dimension-bounded domain censuses
       inC.join(broadcast(keptC), Seq("domain")).orderBy("domain")
+    },
+
+    // URL CANONICALIZATION + URL-LEVEL DEDUP CENSUS — the normalize
+    // step that runs BEFORE content dedup in a web pipeline: fold
+    // case, default ports, a leading www., trailing slashes, and
+    // tracking-only query strings, then group by the canonical form.
+    // Every third document gets a MIRROR URL differing in all five
+    // superficial ways at once ([[WebCuration.mirrorUrl]]), so the
+    // expected canonical-group census is exactly {size 1: docs
+    // without a mirror, size 2: (url, mirror) pairs} — any
+    // canonicalization defect splits a pair (or, worse, merges
+    // strangers) and flips the hash. SCALE: canon is a per-row
+    // codegen'd string fold; the only corpus-sized exchange is the
+    // canonical-key aggregate — the same key a production URL dedup
+    // shuffles on; the census-of-sizes rollup is bounded by the
+    // largest group (2 here).
+    Q("url_canonicalize", {
+      val canon = WebCuration.duckCanon("url")
+      s"""WITH ${WebCuration.duckWithDomain},
+         |m AS (SELECT doc_id, ${WebCuration.duckMirror} AS url FROM u
+         |  WHERE doc_id % 3 = 0),
+         |alls AS (SELECT doc_id, url FROM u UNION ALL SELECT doc_id, url FROM m),
+         |c AS (SELECT $canon AS curl FROM alls),
+         |g AS (SELECT curl, CAST(COUNT(*) AS BIGINT) AS sz FROM c GROUP BY 1)
+         |SELECT sz AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(sz * COUNT(*) AS BIGINT) AS n_urls
+         |FROM g GROUP BY sz ORDER BY sz""".stripMargin
+    }) { (s, dir) =>
+      val u = withDomain(s, dir)
+      val alls = u.select(col("doc_id"), col("url"))
+        .unionByName(u.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), mirrorUrl.as("url")))
+      val g = alls.select(canonUrl(col("url")).as("curl"))
+        .groupBy("curl").agg(count(lit(1)).cast("long").as("sz"))
+      g.groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).cast("long").as("n_groups"))
+        .select(col("group_size"), col("n_groups"),
+          (col("group_size") * col("n_groups")).cast("long").as("n_urls"))
+        .orderBy("group_size")
+    },
+
+    // PER-DOMAIN QUALITY PROFILE — the reputation table a curator
+    // ships next to the blocklist: per registrable domain, document
+    // count, Gopher-quality pass rate inputs (the funnel's exact
+    // stage-2 conjunction, minus the dedup flag), token volume, mean
+    // document length, language diversity, and whether the domain is
+    // currently blocklisted. At 100 TB this is ONE hash aggregate on
+    // the domain key over scan-fused per-doc stats ([[SelectionQueries
+    // .curationProfiles]] reused verbatim — the text is parsed once,
+    // the aggregate sees integers), and the output is bounded by the
+    // domain population. The census that DECIDES the next round's
+    // blocklist and caps.
+    Q("domain_quality_profile", {
+      s"""WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
+         |    length(text) AS nch FROM documents),
+         |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
+         |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
+         |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
+         |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf
+         |  FROM d),
+         |fh AS (SELECT *, ${WebCuration.duckHost(s"(${WebCuration.duckUrl})")} AS host FROM f),
+         |fd AS (SELECT doc_id, lang, n_tokens,
+         |    (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
+         |      AND stop_hits >= 2 AND topf <= 0.125 AS q,
+         |    ${WebCuration.duckDomain("host")} AS domain FROM fh)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  domain IN ${WebCuration.duckBlocklist} AS blocked
+         |FROM fd GROUP BY domain ORDER BY domain""".stripMargin
+    }) { (s, dir) =>
+      val profiles = SelectionQueries.curationProfiles(
+        Tables.parallelize(Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text")))
+      val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
+        col("stop_hits") >= 2 && col("topf") <= 0.125
+      profiles
+        .groupBy("domain")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(q, 1).otherwise(0)).cast("long").as("n_quality"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).cast("long").as("n_langs"))
+        .select(col("domain"), col("n_docs"), col("n_quality"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6)
+            .as("mean_tokens"),
+          col("n_langs"),
+          col("domain").isin(Blocklist: _*).as("blocked"))
+        .orderBy("domain")
     })
 }

@@ -180,7 +180,8 @@ class EdgeCasesSpec extends SparkSpec {
       "token_burstiness", "key_skew_gini",
       // round-11 additions: the web-curation gate on a tiny corpus
       // (single-doc domains, blocklist matching nothing)
-      "url_host_parse", "domain_blocklist_gate", "domain_caps")
+      "url_host_parse", "domain_blocklist_gate", "domain_caps",
+      "url_canonicalize", "domain_quality_profile")
     round8.foreach { name =>
       try SparkEntry.queries(name)(spark, dir).collect()
       catch { case e: Throwable =>

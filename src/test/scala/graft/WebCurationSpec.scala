@@ -54,6 +54,62 @@ class WebCurationSpec extends SparkSpec {
       rows.map(_.getLong(2)).sum + expectBlocked, "in = kept + blocked")
   }
 
+  test("canonUrl folds exactly the superficial differences — and nothing semantic") {
+    import spark.implicits._
+    val got = Seq(
+      // every fold at once: case, www., default port, slash, tracking
+      "HTTPS://WWW.Hub.COM:443/p/9/?utm_source=m",
+      // the same URL already canonical: identity
+      "https://hub.com/p/9",
+      // :8080 is NOT a default port — must survive (and ':80$' must
+      // not eat the tail of ':8080')
+      "http://hub.com:8080/p/1",
+      // a second www label is semantic: only ONE leading www. folds
+      "https://www.www.hub.com/p/2",
+      // a non-tracking query survives; a tracking-only one does not
+      "https://hub.com/p/3?page=2",
+      "https://hub.com/p/3?ref=r1",
+      // scheme-mismatched default port is semantic: :443 on http stays
+      "http://hub.com:443/p/4")
+      .toDF("url").select(WebCuration.canonUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(got(0) === "https://hub.com/p/9")
+    assert(got(1) === "https://hub.com/p/9")
+    assert(got(2) === "http://hub.com:8080/p/1")
+    assert(got(3) === "https://www.hub.com/p/2")
+    assert(got(4) === "https://hub.com/p/3?page=2")
+    assert(got(5) === "https://hub.com/p/3")
+    assert(got(6) === "http://hub.com:443/p/4")
+  }
+
+  test("url_canonicalize census: mirrors pair exactly, nothing else merges") {
+    val rows = run("url_canonicalize").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = spark.read.parquet(s"$sf001/documents.parquet").count()
+    val mirrored = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).count()
+    // exactly two group sizes: unmirrored singletons and (url, mirror)
+    // pairs — a canonicalization defect would split a pair (extra
+    // singletons) or merge strangers (a size > 2 appears)
+    assert(rows.keySet === Set(1L, 2L), s"unexpected group sizes: $rows")
+    assert(rows(2L) === ((mirrored, 2 * mirrored)))
+    assert(rows(1L) === ((total - mirrored, total - mirrored)))
+  }
+
+  test("domain_quality_profile: counts conserve and blocked flags match the blocklist") {
+    val rows = run("domain_quality_profile").collect()
+    val total = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "quality docs exceed docs")
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(3).toDouble / r.getLong(1)) < 1e-6)
+      assert(r.getBoolean(6) ===
+        WebCuration.Blocklist.contains(r.getString(0)))
+    }
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+  }
+
   test("domain_caps: the hot domain is capped at 4; two-level == naive single-window rank") {
     val rows = run("domain_caps").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
