@@ -1906,6 +1906,50 @@ class StreamingSpec extends SparkSpec {
     assert(c2.collect().map(_.toSeq).toSeq === c1.collect().map(_.toSeq).toSeq,
       "redelivery changed the census — overwrite merge broken")
   }
+
+  test("durable streaming funnel: crash + restart replays the batch into an unchanged ledger") {
+    import graft.streaming.StreamCuration
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val expect = SparkEntry.queries("curation_funnel")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val ckpt = Files.createTempDirectory("graft_curation_d_ckpt").toString
+    val ledger = Files.createTempDirectory("graft_curation_ledger").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val mem = MemoryStream[WebDoc]
+    def start() = StreamCuration.monitorDurable(mem.toDF(), ckpt, ledger) {
+      (id, rows) => audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    val (first, rest) =
+      new scala.util.Random(53).shuffle(docs).splitAt(docs.length / 2)
+    val q1 = start()
+    try {
+      first.grouped(11).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash
+    // restart from the SAME checkpoint: Structured Streaming replays
+    // the last batch into foreachBatch with the SAME batchId — the
+    // versioned ledger must absorb it (rewrite v<id> bit-identically)
+    val q2 = start()
+    try {
+      rest.grouped(17).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val last = audits.synchronized(audits.maxBy(_._1)._2).map(_.toSeq).toSeq
+    assert(last === expect,
+      s"durable funnel census diverged after crash/replay:\n$last\nvs\n$expect")
+    // the persisted ledger itself must hold exactly one profile per doc
+    val versions = new java.io.File(ledger).list().map(_.drop(1).toLong)
+    val finalLedger = spark.read.parquet(s"$ledger/v${versions.max}")
+    assert(finalLedger.count() === docs.length.toLong)
+    assert(finalLedger.select("doc_id").distinct().count() === docs.length.toLong)
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
