@@ -1950,6 +1950,56 @@ class StreamingSpec extends SparkSpec {
     assert(finalLedger.count() === docs.length.toLong)
     assert(finalLedger.select("doc_id").distinct().count() === docs.length.toLong)
   }
+
+  test("streaming domain reputation: additive cells match batch bit-exactly; replay guard holds across restart") {
+    import graft.streaming.StreamReputation
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val expect = SparkEntry.queries("domain_quality_profile")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6))).toSeq
+    val ckpt = Files.createTempDirectory("graft_rep_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long, Double, Long, Boolean)])]
+    val state = collection.mutable.Map.empty[String, StreamReputation.DomainCell]
+    val mem = MemoryStream[WebDoc]
+    def start(after: Long) = StreamReputation.monitor(
+        mem.toDF(), ckpt, state, after) { (id, rows) =>
+      audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    val rnd = new scala.util.Random(59)
+    val (first, rest) = rnd.shuffle(docs).splitAt(docs.length / 2)
+    val q1 = start(-1L)
+    try {
+      first.grouped(7).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash
+    // restart from the SAME checkpoint: the last batch REPLAYS with
+    // the same batchId — the additive merge must skip it (the batchId
+    // guard), else every replayed domain double-counts
+    val afterCrash = audits.synchronized(audits.map(_._1).max)
+    val q2 = start(afterCrash)
+    try {
+      rest.grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val last = audits.synchronized(audits.maxBy(_._1)._2)
+    assert(last === expect,
+      s"streaming reputation diverged from batch:\n$last\nvs\n$expect")
+    // every intermediate table is internally consistent
+    audits.synchronized(audits.foreach { case (_, rows) =>
+      rows.foreach { case (_, nd, nq, nt, mean, nl, _) =>
+        assert(nq <= nd && nl >= 1 && nt > 0)
+        assert(math.abs(mean - nt.toDouble / nd) < 1e-6)
+      }
+    })
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
