@@ -82,6 +82,57 @@ class WebCurationSpec extends SparkSpec {
     assert(got(6) === "http://hub.com:443/p/4")
   }
 
+  test("canonUrl is idempotent and order-stable over 300 generated URLs (one Spark pass)") {
+    import spark.implicits._
+    // seeded generator spanning the whole input grammar: mixed-case
+    // schemes, 1-3 host labels (optionally www-prefixed — but never
+    // www.www, where the documented fold-ONE rule is legitimately
+    // non-idempotent), default/semantic/absent ports, 0-2 path
+    // segments with optional trailing slash, tracking / semantic /
+    // mixed-case-key queries
+    val rnd = new scala.util.Random(97)
+    def mixCase(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    val urls = (1 to 300).map { i =>
+      val scheme = mixCase(Seq("http", "https", "ftp")(rnd.nextInt(3)))
+      val labels = (1 to 1 + rnd.nextInt(2))
+        .map(_ => Seq("alpha", "beta", "gx7", "hub")(rnd.nextInt(4)))
+      val host0 = (if (rnd.nextBoolean()) Seq("www") else Nil) ++
+        labels :+ Seq("com", "org", "co", "uk")(rnd.nextInt(4))
+      val host = mixCase(host0.mkString("."))
+      val port = Seq("", ":80", ":443", ":8080", ":8443")(rnd.nextInt(5))
+      val segs = (1 to rnd.nextInt(3)).map(_ => s"p$i")
+      val path = (if (segs.isEmpty) "" else segs.mkString("/", "/", "")) +
+        (if (rnd.nextBoolean()) "/" else "")
+      val query = Seq("", "?ref=r1", "?utm_campaign=x", "?page=2",
+        "?q=a&page=2")(rnd.nextInt(5))
+      s"$scheme://$host$port$path$query"
+    }
+    val rows = urls.toDF("url")
+      .select(col("url"), WebCuration.canonUrl(col("url")).as("c1"))
+      .select(col("url"), col("c1"), WebCuration.canonUrl(col("c1")).as("c2"))
+      .as[(String, String, String)].collect()
+    rows.foreach { case (u, c1, c2) =>
+      assert(c1 === c2, s"canon not idempotent on $u: $c1 -> $c2")
+      // folds only lowered/stripped material: canonical is never longer
+      assert(c1.length <= u.length, s"canon grew $u -> $c1")
+      val hostPart = c1.drop(c1.indexOf("://") + 3).takeWhile(c => c != '/' && c != '?')
+      assert(!hostPart.startsWith("www."), s"www survived in $c1")
+      assert(hostPart == hostPart.toLowerCase, s"case survived in $c1")
+      // default ports stripped iff they match the scheme; others kept
+      val scheme = c1.takeWhile(_ != ':')
+      if (scheme == "http") assert(!hostPart.endsWith(":80"), c1)
+      if (scheme == "https") assert(!hostPart.endsWith(":443"), c1)
+      if (u.contains(":8080")) assert(hostPart.endsWith(":8080"), c1)
+      // tracking-only queries die; semantic ones survive verbatim
+      if (u.endsWith("?page=2")) assert(c1.endsWith("?page=2"), c1)
+      if (u.endsWith("?q=a&page=2")) assert(c1.endsWith("?q=a&page=2"), c1)
+      if (u.toLowerCase.endsWith("?ref=r1") ||
+          u.toLowerCase.endsWith("?utm_campaign=x"))
+        assert(!c1.contains("?"), s"tracking query survived in $c1")
+    }
+  }
+
   test("url_canonicalize census: mirrors pair exactly, nothing else merges") {
     val rows = run("url_canonicalize").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
