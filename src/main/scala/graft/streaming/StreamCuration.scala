@@ -116,10 +116,16 @@ object StreamCuration {
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         val spark = b.sparkSession
-        val prior = Option(new java.io.File(ledgerDir).list())
-          .getOrElse(Array.empty[String])
-          .collect { case s if s.startsWith("v") => s.drop(1).toLong }
-          .filter(_ < id)
+        // version listing through the Hadoop FileSystem API, so the
+        // ledger lives wherever the cluster's storage does (HDFS, s3a,
+        // local) — not only on the driver's local disk
+        val dir = new org.apache.hadoop.fs.Path(ledgerDir)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val prior =
+          if (!fs.exists(dir)) Array.empty[Long]
+          else fs.listStatus(dir).map(_.getPath.getName)
+            .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+            .filter(_ < id)
         val base =
           if (prior.isEmpty) emptyLedger(spark)
           else spark.read.parquet(s"$ledgerDir/v${prior.max}")
