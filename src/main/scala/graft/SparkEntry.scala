@@ -19,7 +19,7 @@ object SparkEntry {
       ProseQueries.all ++ LinAlgQueries.all ++ StatQueries.all ++
       ModelQueries.all ++ RankStatQueries.all ++ RetrievalQueries.all ++
       AttributionQueries.all ++ MixtureQueries.all ++ InferenceQueries.all ++
-      TestBatteryQueries.all ++ WebCurationQueries.all
+      TestBatteryQueries.all ++ WebCurationQueries.all ++ HtmlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,381 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** HTML CONTENT EXTRACTION — the inbound web-pipeline stage that
+  * round 11's URL gate presupposes: between "crawl responses" and
+  * "clean text" sits tag stripping, entity decoding, outlink
+  * extraction, and boilerplate removal (C4 strips lines; jusText /
+  * Readability classify blocks by link density; RefinedWeb runs
+  * trafilatura — all public recipes). The reference has no HTML
+  * operator (its one pipeline moderates chat messages,
+  * `/root/reference/src/main/java/ru/kafka/KafkaStreamApp.java`), so
+  * this family is north-star widening on the same discipline as
+  * [[WebCuration]]: the corpus carries no HTML column, so each
+  * document's page is synthesized DETERMINISTICALLY from (doc_id,
+  * text, domain) — the same expression verbatim in Spark and DuckDB —
+  * and every extraction result is oracle-checked against DuckDB
+  * computing the extraction (not the synthesis shortcut) on its own
+  * engine.
+  *
+  * The synthesized page exercises what real extraction must handle:
+  * a head/title whose text must surface, nav and footer boilerplate
+  * made of anchors, heading + paragraph content blocks, named
+  * (`&quot; &amp;`) and numeric (`&#39;`) entities, and three
+  * distinct outlink classes (a global hub, the page's own site root,
+  * a deterministic cross-site link).
+  *
+  * SCALE SHAPES: synthesis + strip + decode + collapse is one narrow
+  * per-row string projection fused into the scan (whole-stage
+  * codegen; no UDF); the outlink explode is bounded at 4 rows per
+  * document; every aggregate is keyed on the registrable-domain
+  * space, which is FORMULA-bounded (site x suffix combinations), not
+  * corpus-sized — so the only corpus-wide exchanges here carry
+  * map-side-combined partial aggregates. The link-graph pagerank runs
+  * on the domain-level edge CENSUS (dimension-bounded), never on
+  * per-page edges — the standard host-graph contraction that makes
+  * web-graph centrality tractable at 100 TB.
+  */
+object Html {
+
+  /** Deterministic cross-link target id — a pure doc_id formula so
+    * the link graph is reproducible in both engines (the target page
+    * need not exist; dead outlinks are normal in a crawl).
+    */
+  private def tgt: Column = pmod(col("doc_id") * 31 + 7, lit(97))
+
+  private def crossDomain(t: Column): Column = concat(
+    when(pmod(t, lit(4)) === 0, lit("hub"))
+      .otherwise(concat(lit("site-"), pmod(t, lit(7)).cast("string"))),
+    when(pmod(t, lit(5)) === 0, lit(".org")).otherwise(lit(".com")))
+
+  /** documents + (domain, a, n, mid, html): the synthesized page and
+    * the word-split bookkeeping both the extraction queries and the
+    * expected-text pin reuse. `mid` splits the words after the
+    * title/quote prefix into the two paragraph bodies. Shared
+    * verbatim by the batch queries and the [[graft.streaming
+    * .StreamLinkGraph]] twin (input: doc_id, source, text).
+    */
+  private[graft] def pageProjection(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        WebCuration.domainCol(WebCuration.hostCol(WebCuration.urlCol))
+          .as("domain"))
+    val a = split(col("text"), " ")
+    val n = size(a)
+    val mid = (lit(4) + floor((n - lit(4)) / lit(2))).cast("int")
+    base
+      .withColumn("a", a)
+      .withColumn("n", n)
+      .withColumn("mid", mid)
+      .withColumn("html", {
+        val t = tgt
+        val head3 = concat_ws(" ", slice(col("a"), 1, 3))
+        val w4 = element_at(col("a"), 4)
+        val restA = concat_ws(" ",
+          slice(col("a"), lit(5), (col("mid") - lit(4)).cast("int")))
+        val restB = concat_ws(" ",
+          slice(col("a"), col("mid") + lit(1), (col("n") - col("mid")).cast("int")))
+        val cross = concat(lit("https://"), crossDomain(t),
+          lit("/p/"), t.cast("string"))
+        concat_ws("\n",
+          concat(lit("<html><head><title>Doc "),
+            col("doc_id").cast("string"), lit("</title></head><body>")),
+          concat(lit("<nav><a href=\"https://hub.com/\">home</a> <a href=\"https://"),
+            col("domain"), lit("/\">self</a></nav>")),
+          concat(lit("<h1>"), head3, lit("</h1>")),
+          concat(lit("<p>&quot;"), w4, lit("&quot;&#39;s &amp; "), restA,
+            lit("</p>")),
+          concat(lit("<p>"), restB, lit(" <a href=\""), cross,
+            lit("\">more</a></p>")),
+          lit("<footer><a href=\"https://hub.com/about\">about</a> end</footer>"),
+          lit("</body></html>"))
+      })
+  }
+
+  private[graft] def withHtml(s: SparkSession, dir: String): DataFrame =
+    pageProjection(Tables.load(s, dir, "documents"))
+
+  /** DuckDB twin of [[withHtml]] — CTE chain ending in `hdoc` with
+    * (doc_id, source, domain, a, n, mid, html).
+    */
+  private[graft] val duckWithHtml: String =
+    s"""w AS (SELECT doc_id, source, text, ${WebCuration.duckUrl} AS url FROM documents),
+       |h0 AS (SELECT doc_id, source, text, ${WebCuration.duckHost("url")} AS host FROM w),
+       |b AS (SELECT doc_id, source, ${WebCuration.duckDomain("host")} AS domain,
+       |      string_split(text, ' ') AS a FROM h0),
+       |hx AS (SELECT doc_id, source, domain, a, len(a) AS n,
+       |      4 + (len(a) - 4) // 2 AS mid,
+       |      ((doc_id * 31 + 7) % 97) AS t FROM b),
+       |hdoc AS (SELECT doc_id, source, domain, a, n, mid,
+       |   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' || chr(10) ||
+       |   '<nav><a href="https://hub.com/">home</a> <a href="https://' || domain || '/">self</a></nav>' || chr(10) ||
+       |   '<h1>' || array_to_string(a[1:3], ' ') || '</h1>' || chr(10) ||
+       |   '<p>&quot;' || a[4] || '&quot;&#39;s &amp; ' || array_to_string(a[5:mid], ' ') || '</p>' || chr(10) ||
+       |   '<p>' || array_to_string(a[mid+1:n], ' ') || ' <a href="https://' ||
+       |     (CASE WHEN t % 4 = 0 THEN 'hub' ELSE 'site-' || CAST(t % 7 AS VARCHAR) END) ||
+       |     (CASE WHEN t % 5 = 0 THEN '.org' ELSE '.com' END) ||
+       |     '/p/' || CAST(t AS VARCHAR) || '">more</a></p>' || chr(10) ||
+       |   '<footer><a href="https://hub.com/about">about</a> end</footer>' || chr(10) ||
+       |   '</body></html>' AS html
+       | FROM hx)""".stripMargin
+
+  /** Visible text of an HTML fragment: strip tags, collapse all
+    * whitespace runs (incl. the line joints) to one space, decode the
+    * five entities the page inventory uses (`&amp;` LAST so decoded
+    * ampersands can't cascade into a second decode — the standard
+    * ordering bug), trim. Every step is a codegen'd string op.
+    */
+  private[graft] def visibleText(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", "")
+    val oneLine = trim(regexp_replace(noTags, "\\s+", " "))
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(oneLine,
+        "&quot;", "\""), "&#39;", "'"), "&lt;", "<"), "&gt;", ">"),
+      "&amp;", "&")
+  }
+
+  /** DuckDB twin of [[visibleText]] (same order; plain `replace` for
+    * the fixed entity strings, regexes only where Spark uses them).
+    */
+  private[graft] def duckVisible(html: String): String =
+    s"""replace(replace(replace(replace(replace(
+       | trim(regexp_replace(regexp_replace($html, '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')),
+       | '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&')""".stripMargin
+      .replace('\n', ' ')
+
+  /** The page's visible text BY CONSTRUCTION — what a correct
+    * extractor must recover. Built from the word array, NOT by
+    * running the extractor, so comparing the two exercises the
+    * strip/collapse/decode path end to end.
+    */
+  private[graft] def expectedText: Column = {
+    val head3 = concat_ws(" ", slice(col("a"), 1, 3))
+    val w4 = element_at(col("a"), 4)
+    val restA = concat_ws(" ",
+      slice(col("a"), lit(5), (col("mid") - lit(4)).cast("int")))
+    val restB = concat_ws(" ",
+      slice(col("a"), col("mid") + lit(1), (col("n") - col("mid")).cast("int")))
+    concat(lit("Doc "), col("doc_id").cast("string"), lit(" home self "),
+      head3, lit(" \""), w4, lit("\"'s & "), restA, lit(" "), restB,
+      lit(" more about end"))
+  }
+
+  private[graft] val duckExpected: String =
+    """('Doc ' || CAST(doc_id AS VARCHAR) || ' home self ' ||
+      | array_to_string(a[1:3], ' ') || ' "' || a[4] || '"''s & ' ||
+      | array_to_string(a[5:mid], ' ') || ' ' ||
+      | array_to_string(a[mid+1:n], ' ') || ' more about end')""".stripMargin
+      .replace('\n', ' ')
+
+  /** href extraction — attribute-anchored, group 1 = the URL. */
+  private[graft] val HrefPattern = "<a href=\"([^\"]*)\""
+
+  /** Domain-level outlink edge census (src_domain, dst_domain,
+    * n_links, n_docs) — shared verbatim by the batch query and the
+    * streaming twin so their parity is structural. Input must carry
+    * (doc_id, domain, html).
+    */
+  private[graft] def outlinkEdges(pages: DataFrame): DataFrame = {
+    val links = pages
+      .select(col("doc_id"), col("domain").as("src_domain"),
+        explode(regexp_extract_all(col("html"), lit(HrefPattern), lit(1)))
+          .as("link"))
+    val hosts = links.select(col("doc_id"), col("src_domain"),
+      regexp_extract(col("link"), "^[a-z]+://([^/:?#]+)", 1).as("dhost"))
+    hosts
+      .select(col("doc_id"), col("src_domain"),
+        WebCuration.domainCol(col("dhost")).as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).cast("long").as("n_links"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"))
+  }
+
+  /** DuckDB twin of [[outlinkEdges]] — CTE chain ending in `edges`
+    * (expects `hdoc` in scope).
+    */
+  private[graft] val duckEdges: String = {
+    val dd = WebCuration.duckDomain("dhost")
+    s"""links AS (SELECT doc_id, domain AS src_domain,
+       |    unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS link FROM hdoc),
+       |lh AS (SELECT doc_id, src_domain,
+       |    regexp_extract(link, '^[a-z]+://([^/:?#]+)', 1) AS dhost FROM links),
+       |edges AS (SELECT src_domain, $dd AS dst_domain,
+       |    CAST(COUNT(*) AS BIGINT) AS n_links,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM lh GROUP BY 1, 2)""".stripMargin
+  }
+}
+
+object HtmlQueries {
+  import Html._
+
+  def all: Seq[Q] = Seq(
+
+    // TEXT EXTRACTION census — strip tags, collapse whitespace,
+    // decode entities; per source, how many pages round-trip to
+    // EXACTLY the text the page was built to show (independent
+    // construction of the expected string — a defect anywhere in the
+    // strip/collapse/decode chain breaks equality), plus the visible
+    // character volume. SCALE: one narrow codegen'd projection per
+    // row; the census is a 10-row source aggregate.
+    Q("html_text_extract", {
+      val vis = duckVisible("html")
+      s"""WITH $duckWithHtml,
+         |v AS (SELECT source, $vis AS visible, $duckExpected AS expected FROM hdoc)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN visible = expected THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(length(visible)) AS BIGINT) AS chars_visible
+         |FROM v GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      withHtml(s, dir)
+        .select(col("source"), visibleText(col("html")).as("visible"),
+          expectedText.as("expected"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("visible") === col("expected"), 1).otherwise(0))
+            .cast("long").as("n_exact"),
+          sum(length(col("visible"))).cast("long").as("chars_visible"))
+        .orderBy("source")
+    },
+
+    // OUTLINK EXTRACTION -> domain-level link graph: every href,
+    // folded to its registrable target domain, aggregated to the
+    // (src_domain, dst_domain) edge census with link and
+    // distinct-page counts — the host-graph contraction crawl
+    // schedulers and spam-graph audits run. SCALE: the explode is
+    // bounded (4 links/page), the aggregate key space is the
+    // formula-bounded domain grid, and partial aggregation combines
+    // map-side before the one shuffle.
+    Q("html_outlinks",
+      s"""WITH $duckWithHtml,
+         |$duckEdges
+         |SELECT src_domain, dst_domain, n_links, n_docs
+         |FROM edges ORDER BY src_domain, dst_domain""".stripMargin) { (s, dir) =>
+      outlinkEdges(withHtml(s, dir))
+        .orderBy("src_domain", "dst_domain")
+    },
+
+    // HOST-GRAPH PAGERANK — weighted, directed, 3 fixed power
+    // iterations at damping 0.85 over the domain edge census. Float
+    // discipline: rank lives in FIXED-POINT NANO-UNITS (BIGINT) — the
+    // dsir_select quantization, not pagerank_dups' round-to-decimal
+    // (a DECIMAL round of a double differs between engines at the
+    // last ulp; measured here as a 7e-9 drift on the hub after three
+    // iterations). Every per-edge contribution is floor(r*w/ow + 0.5)
+    // nanos and every damped sum floor(0.85*Σc + 0.5) — each float op
+    // runs on IDENTICAL inputs in both engines (integers and exact
+    // integer sums), so the outputs are bit-equal with no rounding
+    // boundary to disagree on. Dangling mass is NOT redistributed
+    // (documented variant: domains with no outlinks leak their mass;
+    // every node still receives the 0.15 floor via the node-census
+    // left join). SCALE: the iteration runs entirely on the
+    // dimension-bounded edge census — localCheckpoint collapses the
+    // one corpus pass so three iterations do not re-scan the corpus;
+    // a production run persists the edge table and this query becomes
+    // census-only.
+    Q("host_link_rank", {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst_domain,
+           |  CAST(floor(CAST(r.r AS DOUBLE) * e.n_links / o.ow + 0.5) AS BIGINT) AS c
+           |  FROM edges e JOIN r${k - 1} r ON e.src_domain = r.d
+           |  JOIN outw o ON e.src_domain = o.d),
+           |r$k AS (SELECT n.d,
+           |  150000000 + CAST(floor(0.85 * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) + 0.5) AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$k c ON c.dst_domain = n.d GROUP BY n.d)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckWithHtml,
+         |$duckEdges,
+         |nodes AS (SELECT src_domain AS d FROM edges UNION SELECT dst_domain FROM edges),
+         |outw AS (SELECT src_domain AS d, SUM(n_links) AS ow FROM edges GROUP BY 1),
+         |inw AS (SELECT dst_domain AS d, SUM(n_links) AS inl FROM edges GROUP BY 1),
+         |r0 AS (SELECT d, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$iterCtes
+         |SELECT r3.d AS domain, CAST(r3.r AS DOUBLE) / 1000000000 AS pagerank,
+         |  CAST(COALESCE(inw.inl, 0) AS BIGINT) AS in_links,
+         |  CAST(COALESCE(outw.ow, 0) AS BIGINT) AS out_links
+         |FROM r3 LEFT JOIN inw ON r3.d = inw.d LEFT JOIN outw ON r3.d = outw.d
+         |ORDER BY domain""".stripMargin
+    }) { (s, dir) =>
+      // dimension-bounded census (domain-grid rows); the eager
+      // localCheckpoint spends the single corpus pass ONCE so the
+      // three iterations below iterate over local rows, not lineage
+      val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
+      val nodes = edges.select(col("src_domain").as("d"))
+        .union(edges.select(col("dst_domain"))).distinct()
+      val outw = edges.groupBy(col("src_domain").as("od"))
+        .agg(sum("n_links").as("ow"))
+      val inw = edges.groupBy(col("dst_domain").as("id"))
+        .agg(sum("n_links").as("inl"))
+      var r = nodes.select(col("d"), lit(1000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val c = edges.join(r, edges("src_domain") === r("d"))
+          .join(outw, edges("src_domain") === outw("od"))
+          .select(col("dst_domain"),
+            floor(col("r").cast("double") * col("n_links") / col("ow") + lit(0.5))
+              .as("c"))
+        r = nodes.join(c, nodes("d") === c("dst_domain"), "left")
+          .groupBy(col("d"))
+          .agg((lit(150000000L) +
+            floor(lit(0.85) * coalesce(sum(col("c")), lit(0L)).cast("double") + lit(0.5)))
+            .as("r"))
+      }
+      r.join(inw, r("d") === inw("id"), "left")
+        .join(outw, r("d") === outw("od"), "left")
+        .select(col("d").as("domain"),
+          (col("r").cast("double") / lit(1000000000L)).as("pagerank"),
+          coalesce(col("inl"), lit(0L)).cast("long").as("in_links"),
+          coalesce(col("ow"), lit(0L)).cast("long").as("out_links"))
+        .orderBy("domain")
+    },
+
+    // BOILERPLATE BLOCK CLASSIFICATION — jusText/Readability's core
+    // signal: split the page into block elements, compute each
+    // block's anchor-text share of its visible text (link density),
+    // and classify content (< 0.5) vs boilerplate. On this page
+    // inventory the decision is provably stable: nav is 8/9 anchor
+    // chars, footer 5/9, headings 0, and the link-bearing paragraph
+    // at most 4/(5+5) — so the census pins exactly {h1, p} content
+    // and {nav, footer} boilerplate with their character volumes.
+    // SCALE: explode is bounded (5 blocks/page); the aggregate key is
+    // (tag, flag) — 4 cells.
+    Q("boilerplate_blocks", {
+      val vis = duckVisible("line")
+      s"""WITH $duckWithHtml,
+         |ln AS (SELECT unnest(string_split(html, chr(10))) AS line FROM hdoc),
+         |tg AS (SELECT line, regexp_extract(line, '^<([a-z0-9]+)', 1) AS tag FROM ln),
+         |bl AS (SELECT tag, $vis AS visible,
+         |    COALESCE(list_sum(list_transform(
+         |      regexp_extract_all(line, '>([^<]*)</a>', 1), x -> length(x))), 0) AS anchor_chars
+         |  FROM tg WHERE tag IN ('nav', 'h1', 'p', 'footer')),
+         |cl AS (SELECT tag, length(visible) AS vc, anchor_chars,
+         |    CAST(anchor_chars AS DOUBLE) / length(visible) < 0.5 AS is_content FROM bl)
+         |SELECT tag, is_content, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(vc) AS BIGINT) AS chars_visible,
+         |  CAST(SUM(anchor_chars) AS BIGINT) AS chars_anchor
+         |FROM cl GROUP BY tag, is_content ORDER BY tag, is_content""".stripMargin
+    }) { (s, dir) =>
+      val lines = withHtml(s, dir)
+        .select(explode(split(col("html"), "\n")).as("line"))
+        .withColumn("tag", regexp_extract(col("line"), "^<([a-z0-9]+)", 1))
+        .filter(col("tag").isin("nav", "h1", "p", "footer"))
+      val blocks = lines.select(col("tag"),
+        visibleText(col("line")).as("visible"),
+        coalesce(aggregate(
+          regexp_extract_all(col("line"), lit(">([^<]*)</a>"), lit(1)),
+          lit(0), (acc, x) => acc + length(x)), lit(0)).as("anchor_chars"))
+      blocks
+        .select(col("tag"), length(col("visible")).as("vc"),
+          col("anchor_chars"),
+          (col("anchor_chars").cast("double") / length(col("visible")) < 0.5)
+            .as("is_content"))
+        .groupBy("tag", "is_content")
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          sum(col("vc")).cast("long").as("chars_visible"),
+          sum(col("anchor_chars")).cast("long").as("chars_anchor"))
+        .orderBy("tag", "is_content")
+    })
+}

@@ -2000,6 +2000,56 @@ class StreamingSpec extends SparkSpec {
       }
     })
   }
+
+  test("streaming link graph: edge census matches batch bit-exactly; replay guard holds across restart") {
+    import graft.streaming.StreamLinkGraph
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val expect = SparkEntry.queries("html_outlinks")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val ckpt = Files.createTempDirectory("graft_lg_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, String, Long, Long)])]
+    val state = collection.mutable
+      .Map.empty[(String, String), StreamLinkGraph.EdgeCell]
+    val mem = MemoryStream[WebDoc]
+    def start(after: Long) = StreamLinkGraph.monitor(
+        mem.toDF(), ckpt, state, after) { (id, rows) =>
+      audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    val rnd = new scala.util.Random(61)
+    val (first, rest) = rnd.shuffle(docs).splitAt(docs.length / 2)
+    val q1 = start(-1L)
+    try {
+      first.grouped(11).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash
+    // restart from the SAME checkpoint: the last batch REPLAYS with
+    // the same batchId — the additive merge must skip it, else every
+    // replayed page double-counts its 4 links
+    val afterCrash = audits.synchronized(audits.map(_._1).max)
+    val q2 = start(afterCrash)
+    try {
+      rest.grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val last = audits.synchronized(audits.maxBy(_._1)._2)
+    assert(last === expect,
+      s"streaming link graph diverged from batch:\n$last\nvs\n$expect")
+    // every intermediate census conserves the 4-links-per-page invariant
+    audits.synchronized(audits.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum % 4 === 0,
+        "link totals must always be a whole number of 4-link pages")
+      rows.foreach { case (_, _, nl, ndc) => assert(ndc <= nl) }
+    })
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
