@@ -531,6 +531,29 @@ object ScaleSmoke {
         s"salt-bucketed 16-way)")
       packed
     }
+    // HTML extraction at scale: synthesis + strip + decode is a
+    // per-row projection (must track mult linearly with NO new
+    // exchange), the href explode is bounded 4/page, and the link
+    // graph contracts onto the FORMULA-bounded domain grid — the
+    // replicated corpus multiplies pages but CANNOT grow the domain
+    // population (the url/cross-link formulas map ANY doc_id onto the
+    // fixed site x suffix grid — mods of 3/4/5/7/11/97 over 10 source
+    // values), which is exactly the host-graph contraction claim:
+    // edge-census rows must stay FLAT while pages grow ~mult.
+    time("html_extract_linkgraph") {
+      import graft.queries.Html
+      val pages = Html.pageProjection(
+        Tables.parallelizeByRange(docs, col("doc_id")))
+      val vis = pages.agg(
+        sum(length(graft.queries.Html.visibleText(col("html"))))).first()
+      val edges = Html.outlinkEdges(pages).localCheckpoint(true)
+      val eRows = edges.count()
+      val links = edges.agg(sum("n_links")).first().getLong(0)
+      println(s"[smoke]   visible chars ${vis.getLong(0)} (grows ~mult); " +
+        s"links $links = 4 x pages; edge census rows $eRows (must stay " +
+        s"FLAT vs mult — the domain grid is formula-bounded)")
+      eRows
+    }
     spark.stop()
   }
 }

@@ -208,6 +208,51 @@ object Html {
        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |  FROM lh GROUP BY 1, 2)""".stripMargin
   }
+
+  /** 3-iteration damped pagerank in fixed-point BIGINT nano-units over
+    * a domain edge census — see host_link_rank's header for the float
+    * discipline. Returns (d, r) for every node; shared by
+    * host_link_rank and crawl_frontier.
+    */
+  private[graft] def rankNanos(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src_domain").as("d"))
+      .union(edges.select(col("dst_domain"))).distinct()
+    val outw = edges.groupBy(col("src_domain").as("od"))
+      .agg(sum("n_links").as("ow"))
+    var r = nodes.select(col("d"), lit(1000000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val c = edges.join(r, edges("src_domain") === r("d"))
+        .join(outw, edges("src_domain") === outw("od"))
+        .select(col("dst_domain"),
+          floor(col("r").cast("double") * col("n_links") / col("ow") + lit(0.5))
+            .as("c"))
+      r = nodes.join(c, nodes("d") === c("dst_domain"), "left")
+        .groupBy(col("d"))
+        .agg((lit(150000000L) +
+          floor(lit(0.85) * coalesce(sum(col("c")), lit(0L)).cast("double") + lit(0.5)))
+          .as("r"))
+    }
+    r
+  }
+
+  /** DuckDB twin of [[rankNanos]]: CTE chain (expects `edges`) ending
+    * in `r3` (d, r), with `nodes` and `outw` also in scope.
+    */
+  private[graft] val duckRankCtes: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (SELECT e.dst_domain,
+         |  CAST(floor(CAST(r.r AS DOUBLE) * e.n_links / o.ow + 0.5) AS BIGINT) AS c
+         |  FROM edges e JOIN r${k - 1} r ON e.src_domain = r.d
+         |  JOIN outw o ON e.src_domain = o.d),
+         |r$k AS (SELECT n.d,
+         |  150000000 + CAST(floor(0.85 * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) + 0.5) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k c ON c.dst_domain = n.d GROUP BY n.d)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT src_domain AS d FROM edges UNION SELECT dst_domain FROM edges),
+       |outw AS (SELECT src_domain AS d, SUM(n_links) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT d, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |$iters""".stripMargin
+  }
 }
 
 object HtmlQueries {
@@ -277,52 +322,26 @@ object HtmlQueries {
     // one corpus pass so three iterations do not re-scan the corpus;
     // a production run persists the edge table and this query becomes
     // census-only.
-    Q("host_link_rank", {
-      val iterCtes = (1 to 3).map { k =>
-        s"""c$k AS (SELECT e.dst_domain,
-           |  CAST(floor(CAST(r.r AS DOUBLE) * e.n_links / o.ow + 0.5) AS BIGINT) AS c
-           |  FROM edges e JOIN r${k - 1} r ON e.src_domain = r.d
-           |  JOIN outw o ON e.src_domain = o.d),
-           |r$k AS (SELECT n.d,
-           |  150000000 + CAST(floor(0.85 * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) + 0.5) AS BIGINT) AS r
-           |  FROM nodes n LEFT JOIN c$k c ON c.dst_domain = n.d GROUP BY n.d)""".stripMargin
-      }.mkString(",\n")
+    Q("host_link_rank",
       s"""WITH $duckWithHtml,
          |$duckEdges,
-         |nodes AS (SELECT src_domain AS d FROM edges UNION SELECT dst_domain FROM edges),
-         |outw AS (SELECT src_domain AS d, SUM(n_links) AS ow FROM edges GROUP BY 1),
-         |inw AS (SELECT dst_domain AS d, SUM(n_links) AS inl FROM edges GROUP BY 1),
-         |r0 AS (SELECT d, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-         |$iterCtes
+         |$duckRankCtes,
+         |inw AS (SELECT dst_domain AS d, SUM(n_links) AS inl FROM edges GROUP BY 1)
          |SELECT r3.d AS domain, CAST(r3.r AS DOUBLE) / 1000000000 AS pagerank,
          |  CAST(COALESCE(inw.inl, 0) AS BIGINT) AS in_links,
          |  CAST(COALESCE(outw.ow, 0) AS BIGINT) AS out_links
          |FROM r3 LEFT JOIN inw ON r3.d = inw.d LEFT JOIN outw ON r3.d = outw.d
-         |ORDER BY domain""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY domain""".stripMargin) { (s, dir) =>
       // dimension-bounded census (domain-grid rows); the eager
       // localCheckpoint spends the single corpus pass ONCE so the
-      // three iterations below iterate over local rows, not lineage
+      // three iterations inside rankNanos iterate over local rows,
+      // not lineage
       val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
-      val nodes = edges.select(col("src_domain").as("d"))
-        .union(edges.select(col("dst_domain"))).distinct()
       val outw = edges.groupBy(col("src_domain").as("od"))
         .agg(sum("n_links").as("ow"))
       val inw = edges.groupBy(col("dst_domain").as("id"))
         .agg(sum("n_links").as("inl"))
-      var r = nodes.select(col("d"), lit(1000000000L).as("r"))
-      for (_ <- 1 to 3) {
-        val c = edges.join(r, edges("src_domain") === r("d"))
-          .join(outw, edges("src_domain") === outw("od"))
-          .select(col("dst_domain"),
-            floor(col("r").cast("double") * col("n_links") / col("ow") + lit(0.5))
-              .as("c"))
-        r = nodes.join(c, nodes("d") === c("dst_domain"), "left")
-          .groupBy(col("d"))
-          .agg((lit(150000000L) +
-            floor(lit(0.85) * coalesce(sum(col("c")), lit(0L)).cast("double") + lit(0.5)))
-            .as("r"))
-      }
+      val r = rankNanos(edges)
       r.join(inw, r("d") === inw("id"), "left")
         .join(outw, r("d") === outw("od"), "left")
         .select(col("d").as("domain"),
@@ -377,5 +396,79 @@ object HtmlQueries {
           sum(col("vc")).cast("long").as("chars_visible"),
           sum(col("anchor_chars")).cast("long").as("chars_anchor"))
         .orderBy("tag", "is_content")
+    },
+
+    // CRAWL FRONTIER — the composite the web family exists to feed: a
+    // crawl scheduler's per-domain priority table, joining host-graph
+    // centrality (rankNanos over the outlink census) with the
+    // reputation profile (curationProfiles), Laplace-smoothed so
+    // domains DISCOVERED via outlinks but never crawled get the
+    // neutral (0+1)/(0+2) prior instead of dividing by zero — the
+    // explore/exploit seam every frontier has to handle. priority =
+    // floor(rank_nanos * (nq+1) / (nd+2)): the product runs EXACT
+    // (Spark DECIMAL(38,0) / DuckDB HUGEINT — both engines convert
+    // the same exact integer to double before the one division), so
+    // the score is deterministic cross-engine; blocklisted domains
+    // get budget 0, everyone else min(8, 1 + priority/0.5-rank-units).
+    // SCALE: both inputs are dimension-bounded censuses (domain grid);
+    // the join, smoothing, and budget math never touch a corpus-sized
+    // row — at 100 TB the frontier refresh reads the persisted edge
+    // and profile tables and is census-only.
+    Q("crawl_frontier",
+      s"""WITH $duckWithHtml,
+         |$duckEdges,
+         |$duckRankCtes,
+         |${WebCuration.duckProfiles},
+         |prof AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS nq
+         |  FROM fd GROUP BY domain),
+         |fr AS (SELECT r3.d AS domain, r3.r AS rn,
+         |    prof.domain IS NOT NULL AS visited,
+         |    COALESCE(prof.nd, 0) AS nd2, COALESCE(prof.nq, 0) AS nq2
+         |  FROM r3 LEFT JOIN prof ON r3.d = prof.domain),
+         |py AS (SELECT domain, rn, visited, nd2, nq2,
+         |    CAST(floor(CAST(CAST(rn AS HUGEINT) * (nq2 + 1) AS DOUBLE)
+         |      / (nd2 + 2)) AS BIGINT) AS priority,
+         |    domain IN ${WebCuration.duckBlocklist} AS blocked FROM fr)
+         |SELECT domain, CAST(rn AS DOUBLE) / 1000000000 AS pagerank, visited,
+         |  CAST(nd2 AS BIGINT) AS n_docs,
+         |  CAST(nq2 + 1 AS DOUBLE) / (nd2 + 2) AS quality_rate,
+         |  blocked, priority,
+         |  CAST(CASE WHEN blocked THEN 0
+         |    ELSE least(8, 1 + CAST(floor(priority / 500000000.0) AS BIGINT))
+         |  END AS BIGINT) AS crawl_budget
+         |FROM py ORDER BY priority DESC, domain""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
+      val r = rankNanos(edges)
+      val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
+        col("stop_hits") >= 2 && col("topf") <= 0.125
+      val prof = SelectionQueries.curationProfiles(
+          Tables.parallelize(Tables.load(s, dir, "documents")
+            .select("doc_id", "lang", "source", "text")))
+        .groupBy(col("domain").as("pd"))
+        .agg(count(lit(1)).cast("long").as("nd"),
+          sum(when(q, 1).otherwise(0)).cast("long").as("nq"))
+      val fr = r.join(broadcast(prof), r("d") === prof("pd"), "left")
+        .select(col("d").as("domain"), col("r").as("rn"),
+          col("pd").isNotNull.as("visited"),
+          coalesce(col("nd"), lit(0L)).as("nd2"),
+          coalesce(col("nq"), lit(0L)).as("nq2"))
+      fr
+        .withColumn("priority",
+          floor((col("rn").cast(DecimalType(38, 0)) * (col("nq2") + lit(1L)))
+            .cast("double") / (col("nd2") + lit(2L))).cast("long"))
+        .withColumn("blocked", col("domain").isin(WebCuration.Blocklist: _*))
+        .select(col("domain"),
+          (col("rn").cast("double") / lit(1000000000L)).as("pagerank"),
+          col("visited"), col("nd2").as("n_docs"),
+          ((col("nq2") + lit(1L)).cast("double") / (col("nd2") + lit(2L)))
+            .as("quality_rate"),
+          col("blocked"), col("priority"),
+          when(col("blocked"), lit(0L))
+            .otherwise(least(lit(8L),
+              lit(1L) + floor(col("priority") / lit(5.0e8)).cast("long")))
+            .cast("long").as("crawl_budget"))
+        .orderBy(col("priority").desc, col("domain"))
     })
 }

@@ -209,6 +209,25 @@ object WebCuration {
        |    ${duckHost("url")} AS host FROM w),
        |u AS (SELECT doc_id, source, n_chars, url, host,
        |    ${duckDomain("host")} AS domain FROM h)""".stripMargin
+
+  /** Shared DuckDB CTE chain ending in `fd` (doc_id, lang, n_tokens,
+    * q, domain) — the DuckDB twin of [[SelectionQueries
+    * .curationProfiles]] + the Gopher-quality conjunction, used by
+    * domain_quality_profile and crawl_frontier.
+    */
+  private[graft] val duckProfiles: String =
+    s"""d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
+       |    length(text) AS nch FROM documents),
+       |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
+       |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
+       |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
+       |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf
+       |  FROM d),
+       |fh AS (SELECT *, ${duckHost(s"($duckUrl)")} AS host FROM f),
+       |fd AS (SELECT doc_id, lang, n_tokens,
+       |    (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
+       |      AND stop_hits >= 2 AND topf <= 0.125 AS q,
+       |    ${duckDomain("host")} AS domain FROM fh)""".stripMargin
 }
 
 object WebCurationQueries {
@@ -363,18 +382,7 @@ object WebCurationQueries {
     // domain population. The census that DECIDES the next round's
     // blocklist and caps.
     Q("domain_quality_profile", {
-      s"""WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
-         |    length(text) AS nch FROM documents),
-         |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
-         |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
-         |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
-         |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf
-         |  FROM d),
-         |fh AS (SELECT *, ${WebCuration.duckHost(s"(${WebCuration.duckUrl})")} AS host FROM f),
-         |fd AS (SELECT doc_id, lang, n_tokens,
-         |    (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
-         |      AND stop_hits >= 2 AND topf <= 0.125 AS q,
-         |    ${WebCuration.duckDomain("host")} AS domain FROM fh)
+      s"""WITH ${WebCuration.duckProfiles}
          |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,

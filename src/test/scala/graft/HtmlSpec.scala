@@ -107,4 +107,36 @@ class HtmlSpec extends SparkSpec {
     assert(byTag("nav").getLong(4) === 8L * nDocs, "'home'+'self'")
     assert(byTag("footer").getLong(4) === 5L * nDocs, "'about'")
   }
+
+  test("crawl_frontier: explore/exploit seam, blocklist zeroing, budget bounds") {
+    val rows = run("crawl_frontier").collect()
+    val rank = run("host_link_rank").collect()
+    val prof = run("domain_quality_profile").collect()
+    // one frontier row per link-graph node; visited == profiled
+    assert(rows.length === rank.length)
+    assert(rows.count(_.getBoolean(2)) === prof.length,
+      "visited rows must be exactly the profiled domains")
+    val unvisited = rows.filter(!_.getBoolean(2))
+    assert(unvisited.nonEmpty,
+      "the fixture must discover domains it never crawled (cross-links)")
+    unvisited.foreach { r =>
+      assert(r.getLong(3) === 0L)
+      assert(r.getDouble(4) === 0.5,
+        "never-crawled domains get the Laplace (0+1)/(0+2) prior")
+    }
+    rows.foreach { r =>
+      val budget = r.getLong(7)
+      if (r.getBoolean(5)) assert(budget === 0L, "blocked ⇒ zero budget")
+      else assert(budget >= 1L && budget <= 8L)
+      // priority == floor(rank_nanos * smoothed quality)
+      val nanos = math.round(r.getDouble(1) * 1e9)
+      val expect = math.floor(nanos.toDouble * (r.getDouble(4))).toLong
+      // quality_rate = (nq+1)/(nd+2) is the exact multiplier
+      assert(math.abs(r.getLong(6) - expect) <= 1L,
+        s"priority drifted from rank x smoothed quality: $r")
+    }
+    // the frontier is priority-ordered
+    val ps = rows.map(_.getLong(6))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -297,4 +297,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"key census must map-side combine before any window:\n$p")
   }
+
+  test("html extraction: scan-fused projections, bounded explodes, broadcast-only census joins") {
+    // text extraction is a pure per-row string fold + a 10-row source
+    // census: no join, no window, and the census must map-side combine
+    val t = plan("html_text_extract")
+    assert(!t.contains("Join"), s"html_text_extract grew a join:\n$t")
+    assert(!t.contains("Window "), s"html_text_extract grew a window:\n$t")
+    assert(t.contains("partial_count") || t.contains("partial_sum"),
+      s"source census must partial-aggregate map-side:\n$t")
+    // outlinks: ONE bounded Generate (4 hrefs/page), then the
+    // domain-pair aggregate — partial map-side, never sort-merge
+    val o = plan("html_outlinks")
+    assert(o.linesIterator.count(_.contains("Generate ")) === 1,
+      s"html_outlinks: expected exactly one explode:\n$o")
+    assert(!o.contains("SortMergeJoin"), s"html_outlinks shuffled a join:\n$o")
+    assert(o.contains("partial_count"),
+      s"edge census must partial-aggregate map-side:\n$o")
+    // block classification: one bounded Generate (5 blocks/page), no join
+    val b = plan("boilerplate_blocks")
+    assert(b.linesIterator.count(_.contains("Generate ")) === 1,
+      s"boilerplate_blocks: expected exactly one explode:\n$b")
+    assert(!b.contains("Join"), s"boilerplate_blocks grew a join:\n$b")
+    // pagerank: every iteration join is on the dimension-bounded edge
+    // census — broadcast joins only, nothing sort-merges or cartesians
+    val r = plan("host_link_rank")
+    assert(!r.contains("SortMergeJoin") && !r.contains("CartesianProduct"),
+      s"host_link_rank: census-sized joins must broadcast:\n$r")
+  }
 }
