@@ -19,7 +19,8 @@ object SparkEntry {
       ProseQueries.all ++ LinAlgQueries.all ++ StatQueries.all ++
       ModelQueries.all ++ RankStatQueries.all ++ RetrievalQueries.all ++
       AttributionQueries.all ++ MixtureQueries.all ++ InferenceQueries.all ++
-      TestBatteryQueries.all ++ WebCurationQueries.all ++ HtmlQueries.all
+      TestBatteryQueries.all ++ WebCurationQueries.all ++ HtmlQueries.all ++
+      PreferenceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

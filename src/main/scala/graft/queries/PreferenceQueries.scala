@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PREFERENCE-DATA PREP — the reward-modeling stage of an LLM
+  * pipeline (RLHF / DPO): construct (chosen, rejected) preference
+  * pairs from ranked candidate groups, fit a Bradley–Terry strength
+  * per competitor from the pairwise-win census (the preference model
+  * reward modeling rests on; Hunter 2004's MM algorithm), and audit
+  * the pairwise win-rate matrix with a Wilson lower bound (the
+  * annotator/policy comparison grid). The reference has no analogue
+  * (single moderation topology); this is north-star widening.
+  *
+  * The corpus carries no prompt/candidate structure, so it is derived
+  * DETERMINISTICALLY: documents bucket into prompt groups of 8 by
+  * doc_id, and a candidate's score is the integer quality proxy
+  * (Gopher-pass bonus + token count) computed by the suite's shared
+  * scan-fused profile projection ([[SelectionQueries
+  * .curationProfiles]] — text parsed once). Same expressions verbatim
+  * in DuckDB.
+  *
+  * SCALE SHAPES: the in-group rank/self-join is keyed on the prompt
+  * group (corpus-wide exchanges hash-partition on pg; groups are 8
+  * wide, so the match explode is a bounded 28 pairs/group); every
+  * downstream censusis keyed on the 10-source grid. The
+  * Bradley–Terry MM iteration runs entirely on the |sources|²-bounded
+  * win/match census — census-only at 100 TB once the match census is
+  * persisted. Float discipline: strengths live in fixed-point BIGINT
+  * nano-units (the host_link_rank discipline); each MM term is
+  * quantized to an integer micro-unit BEFORE summation, so both
+  * engines sum exact integers and every float op runs on identical
+  * inputs.
+  */
+object Preference {
+
+  /** Candidates: (doc_id, source, pg, score) — prompt group of 8,
+    * integer quality score (Gopher-pass bonus 1000 + token count).
+    */
+  private[graft] def candidates(s: SparkSession, dir: String): DataFrame = {
+    val prof = SelectionQueries.curationProfiles(
+      Tables.parallelize(Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text")))
+    val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
+      col("stop_hits") >= 2 && col("topf") <= 0.125
+    prof.select(col("doc_id"), col("source"),
+      floor(col("doc_id") / lit(8)).cast("long").as("pg"),
+      (when(q, lit(1000L)).otherwise(lit(0L)) + col("n_tokens")).as("score"))
+  }
+
+  /** DuckDB twin — CTE chain (expects [[WebCuration.duckProfiles]]'
+    * `fd` in scope) ending in `sc` (doc_id, source, pg, score).
+    */
+  private[graft] val duckCandidates: String =
+    """sc AS (SELECT doc_id, source, doc_id // 8 AS pg,
+      |    (CASE WHEN q THEN 1000 ELSE 0 END + n_tokens) AS score FROM fd)""".stripMargin
+
+  /** Unordered-pair win census between sources: one row per source
+    * pair {s1 < s2} with total matches and s1's wins. A match is any
+    * two candidates sharing a prompt group (bounded 28/group); the
+    * winner is the higher score, doc_id ascending on ties. Self-pairs
+    * (both candidates from one source) are uninformative for
+    * cross-source strength and are excluded.
+    */
+  private[graft] def matchCensus(cand: DataFrame): DataFrame = {
+    val a = cand.select(col("pg"), col("doc_id").as("da"),
+      col("source").as("sa"), col("score").as("ka"))
+    val b = cand.select(col("pg"), col("doc_id").as("db"),
+      col("source").as("sb"), col("score").as("kb"))
+    val wsrc = when(col("ka") > col("kb") ||
+      (col("ka") === col("kb") && col("da") < col("db")), col("sa"))
+      .otherwise(col("sb"))
+    a.join(b, Seq("pg")).filter(col("da") < col("db"))
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"),
+        wsrc.as("wsrc"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(when(col("wsrc") === col("s1"), 1).otherwise(0))
+          .cast("long").as("w1"))
+  }
+
+  /** DuckDB twin of [[matchCensus]] — ends in `mc` (s1, s2, m, w1);
+    * expects `sc`.
+    */
+  private[graft] val duckMatchCensus: String =
+    """mt AS (SELECT least(a.source, b.source) AS s1,
+      |    greatest(a.source, b.source) AS s2,
+      |    CASE WHEN a.score > b.score
+      |        OR (a.score = b.score AND a.doc_id < b.doc_id)
+      |      THEN a.source ELSE b.source END AS wsrc
+      |  FROM sc a JOIN sc b ON a.pg = b.pg AND a.doc_id < b.doc_id
+      |  WHERE a.source <> b.source),
+      |mc AS MATERIALIZED (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(CASE WHEN wsrc = s1 THEN 1 ELSE 0 END) AS BIGINT) AS w1
+      |  FROM mt GROUP BY s1, s2)""".stripMargin
+}
+
+object PreferenceQueries {
+  import Preference._
+
+  private val BtIters = 8
+
+  def all: Seq[Q] = Seq(
+
+    // PREFERENCE PAIRS — the DPO/RLHF dataset constructor: per prompt
+    // group, chosen = best candidate (score DESC, doc_id ASC) and
+    // rejected = worst (score ASC, doc_id DESC — the exact mirror, so
+    // a one-candidate group picks the same doc and is dropped by the
+    // inequality filter). Census: per (chosen_source, rejected_source)
+    // pair count and mean score margin — the grid a data curator
+    // reads to spot source-level preference bias before training a
+    // reward model on the pairs. SCALE: both ranks hash-partition on
+    // the prompt group; the census is |sources|²-bounded.
+    Q("preference_pairs",
+      s"""WITH ${WebCuration.duckProfiles},
+         |$duckCandidates,
+         |rb AS (SELECT *, row_number() OVER (PARTITION BY pg
+         |    ORDER BY score DESC, doc_id) AS r FROM sc),
+         |rw AS (SELECT *, row_number() OVER (PARTITION BY pg
+         |    ORDER BY score ASC, doc_id DESC) AS r FROM sc),
+         |pr AS (SELECT c.source AS chosen_source, j.source AS rejected_source,
+         |    c.score - j.score AS margin
+         |  FROM rb c JOIN rw j ON c.pg = j.pg
+         |  WHERE c.r = 1 AND j.r = 1 AND c.doc_id <> j.doc_id)
+         |SELECT chosen_source, rejected_source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+         |  CAST(SUM(margin) AS DOUBLE) / COUNT(*) AS mean_margin
+         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val cand = candidates(s, dir)
+      val best = cand.withColumn("r", row_number().over(
+          Window.partitionBy("pg").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("r") === 1)
+        .select(col("pg"), col("doc_id").as("cd"),
+          col("source").as("chosen_source"), col("score").as("cs"))
+      val worst = cand.withColumn("r", row_number().over(
+          Window.partitionBy("pg").orderBy(col("score").asc, col("doc_id").desc)))
+        .filter(col("r") === 1)
+        .select(col("pg"), col("doc_id").as("jd"),
+          col("source").as("rejected_source"), col("score").as("js"))
+      best.join(worst, Seq("pg")).filter(col("cd") =!= col("jd"))
+        .select(col("chosen_source"), col("rejected_source"),
+          (col("cs") - col("js")).as("margin"))
+        .groupBy("chosen_source", "rejected_source")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("margin")).cast("long").as("sum_margin"))
+        .select(col("chosen_source"), col("rejected_source"),
+          col("n_pairs"), col("sum_margin"),
+          (col("sum_margin").cast("double") / col("n_pairs"))
+            .as("mean_margin"))
+        .orderBy("chosen_source", "rejected_source")
+    },
+
+    // BRADLEY–TERRY STRENGTHS — Hunter (2004) MM iterations on the
+    // pairwise-win census: r_i <- W_i / Σ_j m_ij/(r_i+r_j), then
+    // normalize to mean 1. Strengths in BIGINT nanos; each pair term
+    // m_ij/(r_i+r_j) is quantized to integer micro-units BEFORE the
+    // per-source sum (exact integer aggregation, order-independent);
+    // the guard GREATEST(r_i+r_j, 1) keeps a theoretical
+    // zero-strength pairing finite in both engines identically.
+    // SCALE: the iteration input is the |sources|²-bounded census —
+    // the corpus is touched once, for the match census. Both engines
+    // need the iterate's lineage CUT (each step reads r twice):
+    // Spark localCheckpoints the |sources|-row frame per step, and
+    // the oracle marks mc/u_k/r_k MATERIALIZED — inlined CTEs would
+    // otherwise expand 2^k and re-open the corpus per expansion.
+    Q("bradley_terry_rank", {
+      val iters = (1 to BtIters).map { k =>
+        s"""t$k AS (SELECT mm.i,
+           |  CAST(floor(mm.m * 1.0e15 / greatest(ri.r + rj.r, 1) + 0.5) AS BIGINT) AS tq
+           |  FROM mm JOIN r${k - 1} ri ON mm.i = ri.i
+           |  JOIN r${k - 1} rj ON mm.j = rj.i),
+           |d$k AS (SELECT i, SUM(tq) AS d FROM t$k GROUP BY i),
+           |u$k AS MATERIALIZED (SELECT w.i, CAST(floor(w.W * 1.0e15 / greatest(d.d, 1) + 0.5) AS BIGINT) AS r
+           |  FROM wins w JOIN d$k d ON w.i = d.i),
+           |n$k AS (SELECT SUM(r) AS sr, COUNT(*) AS nk FROM u$k),
+           |r$k AS MATERIALIZED (SELECT u.i,
+           |  CAST(floor(u.r * n.nk * 1.0e9 / n.sr + 0.5) AS BIGINT) AS r
+           |  FROM u$k u, n$k n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${WebCuration.duckProfiles},
+         |$duckCandidates,
+         |$duckMatchCensus,
+         |mm AS (SELECT s1 AS i, s2 AS j, m FROM mc
+         |       UNION ALL SELECT s2, s1, m FROM mc),
+         |wins AS (SELECT i, CAST(SUM(w) AS BIGINT) AS W FROM
+         |    (SELECT s1 AS i, w1 AS w FROM mc
+         |     UNION ALL SELECT s2, m - w1 FROM mc)
+         |  GROUP BY i),
+         |mtot AS (SELECT i, CAST(SUM(m) AS BIGINT) AS M FROM mm GROUP BY i),
+         |r0 AS (SELECT i, CAST(1000000000 AS BIGINT) AS r FROM wins),
+         |$iters
+         |SELECT r$BtIters.i AS source,
+         |  CAST(r$BtIters.r AS DOUBLE) / 1000000000 AS strength,
+         |  wins.W AS wins, mtot.M AS matches
+         |FROM r$BtIters JOIN wins ON r$BtIters.i = wins.i
+         |JOIN mtot ON r$BtIters.i = mtot.i
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      // |sources|²-bounded census; localCheckpoint spends the one
+      // corpus pass so the MM iterations iterate over local rows
+      val mc = matchCensus(candidates(s, dir)).localCheckpoint(true)
+      val mm = mc.select(col("s1").as("i"), col("s2").as("j"), col("m"))
+        .unionAll(mc.select(col("s2"), col("s1"), col("m")))
+      val wins = mc.select(col("s1").as("i"), col("w1").as("w"))
+        .unionAll(mc.select(col("s2"), (col("m") - col("w1")).as("w")))
+        .groupBy("i").agg(sum("w").cast("long").as("W"))
+      val mtot = mm.groupBy("i").agg(sum("m").cast("long").as("M"))
+      var r = wins.select(col("i"), lit(1000000000L).as("r"))
+      for (_ <- 1 to BtIters) {
+        val ri = r.select(col("i").as("ii"), col("r").as("rI"))
+        val rj = r.select(col("i").as("jj"), col("r").as("rJ"))
+        val t = mm.join(ri, mm("i") === ri("ii"))
+          .join(rj, mm("j") === rj("jj"))
+          .select(col("i"),
+            floor(col("m") * lit(1.0e15) /
+              greatest(col("rI") + col("rJ"), lit(1L)) + lit(0.5))
+              .cast("long").as("tq"))
+        val d = t.groupBy("i").agg(sum("tq").as("d"))
+        val u = wins.join(d, "i")
+          .select(col("i"),
+            floor(col("W") * lit(1.0e15) /
+              greatest(col("d"), lit(1L)) + lit(0.5)).cast("long").as("r"))
+        val n = u.agg(sum("r").as("sr"), count(lit(1)).as("nk"))
+        // each step reads r TWICE (both match sides) and u twice (sum
+        // + rescale): without a lineage cut the plan doubles per
+        // iteration (2^k compile blowup), so pin the census-sized
+        // iterate — |sources| rows — after every step
+        r = u.crossJoin(n)
+          .select(col("i"),
+            floor(col("r") * col("nk") * lit(1.0e9) / col("sr") + lit(0.5))
+              .cast("long").as("r"))
+          .localCheckpoint(true)
+      }
+      // post-checkpoint Spark no longer knows these are census-sized —
+      // state the broadcast explicitly rather than sort-merging 20 rows
+      r.join(broadcast(wins), "i").join(broadcast(mtot), "i")
+        .select(col("i").as("source"),
+          (col("r").cast("double") / lit(1000000000L)).as("strength"),
+          col("W").as("wins"), col("M").as("matches"))
+        .orderBy("source")
+    },
+
+    // PAIRWISE WIN-RATE MATRIX with Wilson lower bound — the
+    // head-to-head grid (policy/annotator comparisons ship exactly
+    // this table): per source pair, matches, s1's wins, the raw win
+    // rate, and the 95% Wilson score lower bound (the ranking-safe
+    // statistic when match counts differ wildly across cells). Pure
+    // double arithmetic on the integer census — identical IEEE ops in
+    // both engines, no rounding step to disagree on.
+    Q("pairwise_winrate_matrix",
+      s"""WITH ${WebCuration.duckProfiles},
+         |$duckCandidates,
+         |$duckMatchCensus
+         |SELECT s1 AS source_a, s2 AS source_b, m AS matches, w1 AS wins_a,
+         |  CAST(w1 AS DOUBLE) / m AS winrate_a,
+         |  (CAST(w1 AS DOUBLE) / m + 1.9208 / m
+         |    - 1.96 * sqrt((CAST(w1 AS DOUBLE) / m) * (1 - CAST(w1 AS DOUBLE) / m) / m
+         |        + 0.9604 / (m * m)))
+         |    / (1 + 3.8416 / m) AS wilson_lo
+         |FROM mc ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val mc = matchCensus(candidates(s, dir))
+      val p = col("w1").cast("double") / col("m")
+      mc.select(col("s1").as("source_a"), col("s2").as("source_b"),
+          col("m").as("matches"), col("w1").as("wins_a"),
+          p.as("winrate_a"),
+          ((p + lit(1.9208) / col("m") -
+            lit(1.96) * sqrt(p * (lit(1) - p) / col("m") +
+              lit(0.9604) / (col("m") * col("m")))) /
+            (lit(1) + lit(3.8416) / col("m"))).as("wilson_lo"))
+        .orderBy("source_a", "source_b")
+    })
+}

@@ -126,7 +126,8 @@ object SelectionQueries {
   private[graft] def curationProfiles(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val a = split(col("text"), " ")
-    docs.select(col("doc_id"), col("lang"), size(a).as("n_tokens"),
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      size(a).as("n_tokens"),
       ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
       (size(filter(a, t => t === "the")) +
         size(filter(a, t => t === "a"))).as("stop_hits"),

@@ -224,7 +224,7 @@ object WebCuration {
        |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf
        |  FROM d),
        |fh AS (SELECT *, ${duckHost(s"($duckUrl)")} AS host FROM f),
-       |fd AS (SELECT doc_id, lang, n_tokens,
+       |fd AS (SELECT doc_id, lang, source, n_tokens,
        |    (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
        |      AND stop_hits >= 2 AND topf <= 0.125 AS q,
        |    ${duckDomain("host")} AS domain FROM fh)""".stripMargin
