@@ -39,17 +39,22 @@ object Preference {
 
   /** Candidates: (doc_id, source, pg, score) — prompt group of 8,
     * integer quality score (Gopher-pass bonus 1000 + token count).
+    * Works on any frame carrying (doc_id, lang, source, text) — incl.
+    * a streaming one ([[graft.streaming.StreamPreference]] applies it
+    * per micro-batch; narrow ops only, so it is streaming-legal).
     */
-  private[graft] def candidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def candidatesOf(docs: DataFrame): DataFrame = {
     val prof = SelectionQueries.curationProfiles(
-      Tables.parallelize(Tables.load(s, dir, "documents")
-        .select("doc_id", "lang", "source", "text")))
+      docs.select("doc_id", "lang", "source", "text"))
     val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
       col("stop_hits") >= 2 && col("topf") <= 0.125
     prof.select(col("doc_id"), col("source"),
       floor(col("doc_id") / lit(8)).cast("long").as("pg"),
       (when(q, lit(1000L)).otherwise(lit(0L)) + col("n_tokens")).as("score"))
   }
+
+  private[graft] def candidates(s: SparkSession, dir: String): DataFrame =
+    candidatesOf(Tables.parallelize(Tables.load(s, dir, "documents")))
 
   /** DuckDB twin — CTE chain (expects [[WebCuration.duckProfiles]]'
     * `fd` in scope) ending in `sc` (doc_id, source, pg, score).

@@ -2050,6 +2050,62 @@ class StreamingSpec extends SparkSpec {
       rows.foreach { case (_, _, nl, ndc) => assert(ndc <= nl) }
     })
   }
+
+  test("streaming preference census: keyed rosters emit each pair once; census matches batch across restart") {
+    import graft.streaming.StreamPreference
+    import graft.queries.Preference
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val expect = Preference.matchCensus(Preference.candidates(spark, sf0001))
+      .orderBy("s1", "s2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val ckpt = Files.createTempDirectory("graft_pref_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, String, Long, Long)])]
+    val census = collection.mutable.Map.empty[(String, String), (Long, Long)]
+    val mem = MemoryStream[WebDoc]
+    def start(after: Long) = StreamPreference.monitor(
+        mem.toDF(), ckpt, census, after) { (id, rows) =>
+      audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    val rnd = new scala.util.Random(67)
+    // shuffled arrival: group members land in different batches, so
+    // most pairs only decide when their SECOND member shows up — the
+    // exact seam the keyed roster state exists for
+    val (first, rest) = rnd.shuffle(docs).splitAt(docs.length / 2)
+    val q1 = start(-1L)
+    try {
+      first.grouped(9).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash
+    // restart from the SAME checkpoint: the state store rolls back
+    // with the replayed batch, which re-emits IDENTICAL pairs — the
+    // sink guard must drop them or every replayed pair double-counts
+    val afterCrash = audits.synchronized(audits.map(_._1).max)
+    val q2 = start(afterCrash)
+    try {
+      rest.grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val last = audits.synchronized(audits.maxBy(_._1)._2)
+    assert(last === expect,
+      s"streaming preference census diverged from batch:\n$last\nvs\n$expect")
+    // monotone construction: every intermediate census is a prefix in
+    // the match partial order (wins never exceed matches; totals only
+    // grow batch over batch)
+    val totals = audits.synchronized(audits.sortBy(_._1)
+      .map(_._2.map(_._3).sum))
+    assert(totals.zip(totals.tail).forall { case (a, b) => b >= a })
+    audits.synchronized(audits.foreach { case (_, rows) =>
+      rows.foreach { case (_, _, m, w) => assert(w >= 0 && w <= m) }
+    })
+  }
 }
 
 /** Top-level (encoder-friendly) fixture types. */
