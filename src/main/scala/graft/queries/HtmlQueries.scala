@@ -52,12 +52,32 @@ object Html {
       .otherwise(concat(lit("site-"), pmod(t, lit(7)).cast("string"))),
     when(pmod(t, lit(5)) === 0, lit(".org")).otherwise(lit(".com")))
 
+  /** The four word-array pieces the page is typeset from — ONE
+    * definition shared by the synthesis and the expected-text pin
+    * (the pin's independence lives in the strip/decode path, not in
+    * re-typing the slices). All expect the a/n/mid columns.
+    */
+  private def head3: Column = concat_ws(" ", slice(col("a"), 1, 3))
+  private def w4: Column = element_at(col("a"), 4)
+  private def restA: Column = concat_ws(" ",
+    slice(col("a"), lit(5), (col("mid") - lit(4)).cast("int")))
+  private def restB: Column = concat_ws(" ",
+    slice(col("a"), col("mid") + lit(1), (col("n") - col("mid")).cast("int")))
+
   /** documents + (domain, a, n, mid, html): the synthesized page and
     * the word-split bookkeeping both the extraction queries and the
     * expected-text pin reuse. `mid` splits the words after the
     * title/quote prefix into the two paragraph bodies. Shared
     * verbatim by the batch queries and the [[graft.streaming
     * .StreamLinkGraph]] twin (input: doc_id, source, text).
+    *
+    * CORPUS CONTRACT: documents must carry >= 6 words (the driver
+    * fixture holds 10-99, verified at sf0.001/sf0.01/sf0.1). Below 4
+    * words the engines would even diverge structurally — a NULL
+    * `a[4]` makes Spark's concat_ws skip one LINE while DuckDB's ||
+    * chain nulls the whole page — and at 4-5 words the empty
+    * restA/restB would double-space expectedText; either way the
+    * n_exact == n_docs pin fails loudly rather than silently.
     */
   private[graft] def pageProjection(docs: DataFrame): DataFrame = {
     val base = docs
@@ -73,12 +93,6 @@ object Html {
       .withColumn("mid", mid)
       .withColumn("html", {
         val t = tgt
-        val head3 = concat_ws(" ", slice(col("a"), 1, 3))
-        val w4 = element_at(col("a"), 4)
-        val restA = concat_ws(" ",
-          slice(col("a"), lit(5), (col("mid") - lit(4)).cast("int")))
-        val restB = concat_ws(" ",
-          slice(col("a"), col("mid") + lit(1), (col("n") - col("mid")).cast("int")))
         val cross = concat(lit("https://"), crossDomain(t),
           lit("/p/"), t.cast("string"))
         concat_ws("\n",
@@ -153,12 +167,6 @@ object Html {
     * strip/collapse/decode path end to end.
     */
   private[graft] def expectedText: Column = {
-    val head3 = concat_ws(" ", slice(col("a"), 1, 3))
-    val w4 = element_at(col("a"), 4)
-    val restA = concat_ws(" ",
-      slice(col("a"), lit(5), (col("mid") - lit(4)).cast("int")))
-    val restB = concat_ws(" ",
-      slice(col("a"), col("mid") + lit(1), (col("n") - col("mid")).cast("int")))
     concat(lit("Doc "), col("doc_id").cast("string"), lit(" home self "),
       head3, lit(" \""), w4, lit("\"'s & "), restA, lit(" "), restB,
       lit(" more about end"))
@@ -209,6 +217,13 @@ object Html {
        |  FROM lh GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Per-source-domain outgoing link weight (od, ow) — ONE definition
+    * for the iteration divisor and host_link_rank's out_links column
+    * (a weighting change must move both together).
+    */
+  private[graft] def outWeights(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src_domain").as("od")).agg(sum("n_links").as("ow"))
+
   /** 3-iteration damped pagerank in fixed-point BIGINT nano-units over
     * a domain edge census — see host_link_rank's header for the float
     * discipline. Returns (d, r) for every node; shared by
@@ -217,8 +232,7 @@ object Html {
   private[graft] def rankNanos(edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("src_domain").as("d"))
       .union(edges.select(col("dst_domain"))).distinct()
-    val outw = edges.groupBy(col("src_domain").as("od"))
-      .agg(sum("n_links").as("ow"))
+    val outw = outWeights(edges)
     var r = nodes.select(col("d"), lit(1000000000L).as("r"))
     for (_ <- 1 to 3) {
       val c = edges.join(r, edges("src_domain") === r("d"))
@@ -337,8 +351,7 @@ object HtmlQueries {
       // three iterations inside rankNanos iterate over local rows,
       // not lineage
       val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
-      val outw = edges.groupBy(col("src_domain").as("od"))
-        .agg(sum("n_links").as("ow"))
+      val outw = outWeights(edges)
       val inw = edges.groupBy(col("dst_domain").as("id"))
         .agg(sum("n_links").as("inl"))
       val r = rankNanos(edges)
@@ -441,8 +454,7 @@ object HtmlQueries {
       import org.apache.spark.sql.types.DecimalType
       val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
       val r = rankNanos(edges)
-      val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
-        col("stop_hits") >= 2 && col("topf") <= 0.125
+      val q = SelectionQueries.gopherQuality
       val prof = SelectionQueries.curationProfiles(
           Tables.parallelize(Tables.load(s, dir, "documents")
             .select("doc_id", "lang", "source", "text")))

@@ -46,8 +46,7 @@ object Preference {
   private[graft] def candidatesOf(docs: DataFrame): DataFrame = {
     val prof = SelectionQueries.curationProfiles(
       docs.select("doc_id", "lang", "source", "text"))
-    val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
-      col("stop_hits") >= 2 && col("topf") <= 0.125
+    val q = SelectionQueries.gopherQuality
     prof.select(col("doc_id"), col("source"),
       floor(col("doc_id") / lit(8)).cast("long").as("pg"),
       (when(q, lit(1000L)).otherwise(lit(0L)) + col("n_tokens")).as("score"))
@@ -266,17 +265,21 @@ object PreferenceQueries {
          |  CAST(w1 AS DOUBLE) / m AS winrate_a,
          |  (CAST(w1 AS DOUBLE) / m + 1.9208 / m
          |    - 1.96 * sqrt((CAST(w1 AS DOUBLE) / m) * (1 - CAST(w1 AS DOUBLE) / m) / m
-         |        + 0.9604 / (m * m)))
+         |        + 0.9604 / m / m))
          |    / (1 + 3.8416 / m) AS wilson_lo
          |FROM mc ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
       val mc = matchCensus(candidates(s, dir))
       val p = col("w1").cast("double") / col("m")
+      // z²/4m² as two double divisions, NOT 0.9604/(m*m): the BIGINT
+      // square wraps past m ~ 3e9 (Spark silently, to a negative
+      // divisor -> NaN; DuckDB raises) — the sequential form is
+      // overflow-free and IEEE-identical in both engines
       mc.select(col("s1").as("source_a"), col("s2").as("source_b"),
           col("m").as("matches"), col("w1").as("wins_a"),
           p.as("winrate_a"),
           ((p + lit(1.9208) / col("m") -
             lit(1.96) * sqrt(p * (lit(1) - p) / col("m") +
-              lit(0.9604) / (col("m") * col("m")))) /
+              lit(0.9604) / col("m") / col("m"))) /
             (lit(1) + lit(3.8416) / col("m"))).as("wilson_lo"))
         .orderBy("source_a", "source_b")
     })

@@ -123,6 +123,16 @@ object SelectionQueries {
     * on each arriving micro-batch and never re-reads a document; the
     * downstream census sees only these compact integer/flag rows.
     */
+  /** The Gopher-style quality conjunction over [[curationProfiles]]
+    * columns — ONE Spark definition for every consumer
+    * (domain_quality_profile, crawl_frontier, the preference
+    * candidates, StreamReputation, and the funnel below); the DuckDB
+    * twin is the `q` column [[WebCuration.duckProfiles]] emits.
+    */
+  private[graft] def gopherQuality: org.apache.spark.sql.Column =
+    col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
+      col("stop_hits") >= 2 && col("topf") <= 0.125
+
   private[graft] def curationProfiles(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val a = split(col("text"), " ")
@@ -155,8 +165,7 @@ object SelectionQueries {
       profiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k = profiles.withColumn("kd", row_number().over(
       Window.partitionBy("fp").orderBy("doc_id")) === 1)
-    val q = col("kd") && col("n_tokens").between(20, 90) &&
-      col("mwl") >= 4.0 && col("stop_hits") >= 2 && col("topf") <= 0.125
+    val q = col("kd") && gopherQuality
     val fl = k.select(col("doc_id"), col("n_tokens"), col("domain"),
         col("kd"), q.as("kq"), (q && col("lang").isin("en", "de")).as("kl"))
       .localCheckpoint(true) // feeds the census AND the domain gate

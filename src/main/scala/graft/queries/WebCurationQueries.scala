@@ -394,8 +394,7 @@ object WebCurationQueries {
       val profiles = SelectionQueries.curationProfiles(
         Tables.parallelize(Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "text")))
-      val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
-        col("stop_hits") >= 2 && col("topf") <= 0.125
+      val q = SelectionQueries.gopherQuality
       profiles
         .groupBy("domain")
         .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -46,8 +46,7 @@ object StreamReputation {
   def batchCensus(batch: DataFrame): Map[String, DomainCell] = {
     val profiles = SelectionQueries.curationProfiles(
       batch.select(col("doc_id"), col("lang"), col("source"), col("text")))
-    val q = col("n_tokens").between(20, 90) && col("mwl") >= 4.0 &&
-      col("stop_hits") >= 2 && col("topf") <= 0.125
+    val q = SelectionQueries.gopherQuality
     profiles.groupBy("domain")
       .agg(count(lit(1)).as("nd"),
         sum(when(q, 1).otherwise(0)).as("nq"),
