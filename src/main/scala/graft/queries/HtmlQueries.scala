@@ -137,47 +137,133 @@ object Html {
        |   '</body></html>' AS html
        | FROM hx)""".stripMargin
 
-  /** Visible text of an HTML fragment: strip tags, collapse all
-    * whitespace runs (incl. the line joints) to one space, decode the
-    * five entities the page inventory uses (`&amp;` LAST so decoded
-    * ampersands can't cascade into a second decode — the standard
-    * ordering bug), trim. Every step is a codegen'd string op.
+  /** Visible text of an HTML fragment, hardened for real crawl pages:
+    * (1) DROP the CONTENT of `<script>`/`<style>` elements (code, not
+    * text — and style selectors legally contain '>' which would
+    * corrupt a naive tag strip) and HTML comments (which may wrap
+    * markup); (2) strip tags; (3) collapse all whitespace runs (incl.
+    * the line joints) to one space and trim; (4) decode entities —
+    * named + full-Unicode numeric (`&#NNN;`/`&#xHH;`) — in ONE
+    * left-to-right scan via the native codegen'd
+    * [[graft.functions.DecodeHtmlEntities]] (single pass, never
+    * re-reads its own output, so decode cascades are structurally
+    * impossible; Spark's built-in `chr` would wrap code points mod
+    * 256, corrupting anything past Latin-1). Steps 1-3 are codegen'd
+    * regexp ops, step 4 a codegen'd native expression — the whole
+    * extraction stays one fused projection.
     */
   private[graft] def visibleText(html: Column): Column = {
-    val noTags = regexp_replace(html, "<[^>]*>", "")
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val noTags = regexp_replace(noComment, "<[^>]*>", "")
     val oneLine = trim(regexp_replace(noTags, "\\s+", " "))
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(oneLine,
-        "&quot;", "\""), "&#39;", "'"), "&lt;", "<"), "&gt;", ">"),
-      "&amp;", "&")
+    graft.functions.DecodeHtmlEntities(oneLine)
   }
 
-  /** DuckDB twin of [[visibleText]] (same order; plain `replace` for
-    * the fixed entity strings, regexes only where Spark uses them).
+  /** DuckDB twin of [[visibleText]] — same removal order, same
+    * regexes (RE2 accepts the identical inline-flag patterns), and
+    * the same no-rescan decode: numeric entities are bracketed with a
+    * \x01 sentinel (outside the corpus alphabet), the string splits
+    * on it, and each piece decodes EXACTLY once — entity pieces (even
+    * 1-based index) by code point with the native expression's exact
+    * guards (7-char cap, surrogate/beyond-Unicode verbatim), literal
+    * pieces by the named-entity replaces (`&amp;` last) — then joins
+    * without re-scanning, so cascades are impossible here too.
     */
-  private[graft] def duckVisible(html: String): String =
-    s"""replace(replace(replace(replace(replace(
-       | trim(regexp_replace(regexp_replace($html, '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')),
-       | '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&')""".stripMargin
-      .replace('\n', ' ')
+  private[graft] def duckVisible(html: String): String = {
+    val base =
+      s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |$html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         | '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         | '(?s)<!--.*?-->', '', 'g'),
+         | '<[^>]*>', '', 'g'), '\\s+', ' ', 'g'))""".stripMargin.replace('\n', ' ')
+    val named = """replace(replace(replace(replace(replace(x,
+      | '&quot;', '"'), '&apos;', ''''), '&lt;', '<'), '&gt;', '>'),
+      | '&amp;', '&')""".stripMargin.replace('\n', ' ')
+    val hexval = "list_reduce(list_transform(range(2, length(x) + 1), " +
+      "j -> strpos('0123456789abcdef', substr(lower(x), CAST(j AS INT), 1)) - 1), " +
+      "(a, b) -> a * 16 + b)"
+    s"""array_to_string(list_transform(
+       | string_split(regexp_replace($base, '&#(x[0-9a-fA-F]+|[0-9]+);', chr(1) || '\\1' || chr(1), 'g'), chr(1)),
+       | (x, i) -> CASE
+       |   WHEN i % 2 = 1 THEN $named
+       |   WHEN length(x) > 7 THEN '&#' || x || ';'
+       |   WHEN x LIKE 'x%' THEN
+       |     CASE WHEN $hexval BETWEEN 55296 AND 57343 OR $hexval > 1114111
+       |       THEN '&#' || x || ';' ELSE chr(CAST($hexval AS INT)) END
+       |   ELSE
+       |     CASE WHEN CAST(x AS BIGINT) BETWEEN 55296 AND 57343 OR CAST(x AS BIGINT) > 1114111
+       |       THEN '&#' || x || ';' ELSE chr(CAST(x AS INT)) END
+       | END), '')""".stripMargin.replace('\n', ' ')
+  }
 
   /** The page's visible text BY CONSTRUCTION — what a correct
     * extractor must recover. Built from the word array, NOT by
     * running the extractor, so comparing the two exercises the
-    * strip/collapse/decode path end to end.
+    * strip/collapse/decode path end to end. The prefix (everything
+    * before the footer) is shared with the hostile variant below.
     */
-  private[graft] def expectedText: Column = {
+  private[graft] def expectedPrefix: Column =
     concat(lit("Doc "), col("doc_id").cast("string"), lit(" home self "),
       head3, lit(" \""), w4, lit("\"'s & "), restA, lit(" "), restB,
-      lit(" more about end"))
-  }
+      lit(" more"))
 
-  private[graft] val duckExpected: String =
+  private[graft] def expectedText: Column =
+    concat(expectedPrefix, lit(" about end"))
+
+  private[graft] val duckExpectedPrefix: String =
     """('Doc ' || CAST(doc_id AS VARCHAR) || ' home self ' ||
       | array_to_string(a[1:3], ' ') || ' "' || a[4] || '"''s & ' ||
       | array_to_string(a[5:mid], ' ') || ' ' ||
-      | array_to_string(a[mid+1:n], ' ') || ' more about end')""".stripMargin
+      | array_to_string(a[mid+1:n], ' ') || ' more')""".stripMargin
       .replace('\n', ' ')
+
+  private[graft] val duckExpected: String =
+    s"($duckExpectedPrefix || ' about end')"
+
+  /** HOSTILE page: the base page with four real-crawl hazards
+    * injected just above the footer — a multiline `<script>` whose
+    * body carries `<`, `>`, quotes AND an entity (all must be DROPPED,
+    * not surfaced or decoded), an HTML comment wrapping markup, a
+    * `<style>` whose selector contains `>` (which corrupts any tag
+    * strip that does not remove style CONTENT first), and a paragraph
+    * of numeric entities — decimal, lowercase-x hex, and a
+    * beyond-Latin-1 code point (`&#8217;`, the curly apostrophe that
+    * Spark's mod-256 `chr` would corrupt — the reason
+    * [[graft.functions.DecodeHtmlEntities]] exists) next to a
+    * malformed entity that must stay verbatim. Injection replaces the
+    * constant `<footer>` open tag, so the construction stays one
+    * codegen'd projection.
+    */
+  private val HostileInject: String =
+    "<script type=\"text/javascript\">\nif (a < b && c > d) { emit(\"&#88;\"); }\n</script>\n" +
+      "<!-- hidden <p>not text</p> -->\n" +
+      "<style>p>a{color:#fff}</style>\n" +
+      "<p>ch &#72;&#x41;&#8217; &#xZZ; end</p>\n"
+
+  private[graft] def hostileHtml(html: Column): Column =
+    regexp_replace(html, "<footer>", HostileInject + "<footer>")
+
+  /** DuckDB twin of [[hostileHtml]] (plain replace of the constant
+    * open tag; newlines via chr(10) so the SQL stays one line).
+    */
+  private[graft] def duckHostileHtml(html: String): String = {
+    val inject = HostileInject.split("\n").map(l =>
+      "'" + l.replace("'", "''") + "'").mkString(" || chr(10) || ")
+    s"replace($html, '<footer>', $inject || chr(10) || '<footer>')"
+  }
+
+  /** What the hostile page must extract to: the shared prefix, then
+    * the entity paragraph decoded (H A ’ from &#72; &#x41; &#8217;;
+    * the malformed &#xZZ; VERBATIM), then the footer text — and
+    * nothing from the script/comment/style blocks.
+    */
+  private[graft] def expectedHostileText: Column =
+    concat(expectedPrefix, lit(" ch HA’ &#xZZ; end about end"))
+
+  private[graft] val duckExpectedHostile: String =
+    s"($duckExpectedPrefix || ' ch HA' || chr(8217) || ' &#xZZ; end about end')"
 
   /** href extraction — attribute-anchored, group 1 = the URL. */
   private[graft] val HrefPattern = "<a href=\"([^\"]*)\""
@@ -249,6 +335,55 @@ object Html {
     r
   }
 
+  /** Per-domain (pd, nd, nq) profile census — document count and
+    * Gopher-quality pass count over the scan-fused curationProfiles
+    * projection. Shared verbatim by crawl_frontier and the
+    * [[graft.streaming.StreamFrontier]] twin's per-prefix expectation.
+    */
+  private[graft] def profileCensus(docs: DataFrame): DataFrame = {
+    val q = SelectionQueries.gopherQuality
+    SelectionQueries.curationProfiles(
+        docs.select("doc_id", "lang", "source", "text"))
+      .groupBy(col("domain").as("pd"))
+      .agg(count(lit(1)).cast("long").as("nd"),
+        sum(when(q, 1).otherwise(0)).cast("long").as("nq"))
+  }
+
+  /** The crawl-frontier priority table from its two dimension-bounded
+    * census inputs: the outlink edge census (feeds [[rankNanos]]) and
+    * the per-domain profile census (pd, nd, nq). ONE definition shared
+    * by the batch query and [[graft.streaming.StreamFrontier]], so
+    * their parity is structural. Laplace smoothing gives
+    * discovered-but-never-crawled domains the neutral (0+1)/(0+2)
+    * prior; the rank×quality product runs EXACT (DECIMAL(38,0)) before
+    * the one division; blocklisted domains get budget 0.
+    */
+  private[graft] def frontierTable(edges: DataFrame, prof: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val r = rankNanos(edges)
+    val fr = r.join(broadcast(prof), r("d") === prof("pd"), "left")
+      .select(col("d").as("domain"), col("r").as("rn"),
+        col("pd").isNotNull.as("visited"),
+        coalesce(col("nd"), lit(0L)).as("nd2"),
+        coalesce(col("nq"), lit(0L)).as("nq2"))
+    fr
+      .withColumn("priority",
+        floor((col("rn").cast(DecimalType(38, 0)) * (col("nq2") + lit(1L)))
+          .cast("double") / (col("nd2") + lit(2L))).cast("long"))
+      .withColumn("blocked", col("domain").isin(WebCuration.Blocklist: _*))
+      .select(col("domain"),
+        (col("rn").cast("double") / lit(1000000000L)).as("pagerank"),
+        col("visited"), col("nd2").as("n_docs"),
+        ((col("nq2") + lit(1L)).cast("double") / (col("nd2") + lit(2L)))
+          .as("quality_rate"),
+        col("blocked"), col("priority"),
+        when(col("blocked"), lit(0L))
+          .otherwise(least(lit(8L),
+            lit(1L) + floor(col("priority") / lit(5.0e8)).cast("long")))
+          .cast("long").as("crawl_budget"))
+      .orderBy(col("priority").desc, col("domain"))
+  }
+
   /** DuckDB twin of [[rankNanos]]: CTE chain (expects `edges`) ending
     * in `r3` (d, r), with `nodes` and `outw` also in scope.
     */
@@ -293,6 +428,42 @@ object HtmlQueries {
       withHtml(s, dir)
         .select(col("source"), visibleText(col("html")).as("visible"),
           expectedText.as("expected"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("visible") === col("expected"), 1).otherwise(0))
+            .cast("long").as("n_exact"),
+          sum(length(col("visible"))).cast("long").as("chars_visible"))
+        .orderBy("source")
+    },
+
+    // HOSTILE-HTML EXTRACTION — the same census over pages carrying
+    // what real crawl HTML throws at an extractor: <script> bodies
+    // (with '<'/'>'/quotes/entities that must all be DROPPED — a
+    // stripper that removes only tags leaks JavaScript into the
+    // "visible text"), HTML comments wrapping markup, <style> blocks
+    // whose selectors contain '>', decimal/hex/beyond-Latin-1 numeric
+    // entities, and a malformed entity that must survive VERBATIM.
+    // n_exact == n_docs (pinned by HtmlSpec) proves the hardened
+    // strip/decode chain recovers every page's independently
+    // constructed text exactly. SCALE: identical shape to
+    // html_text_extract — one fused codegen'd projection, 10-row
+    // census.
+    Q("html_text_extract_hostile", {
+      val vis = duckVisible("hhtml")
+      s"""WITH $duckWithHtml,
+         |hh AS (SELECT source, a, n, mid, doc_id,
+         |    ${duckHostileHtml("html")} AS hhtml FROM hdoc),
+         |v AS (SELECT source, $vis AS visible,
+         |    $duckExpectedHostile AS expected FROM hh)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN visible = expected THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(length(visible)) AS BIGINT) AS chars_visible
+         |FROM v GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      withHtml(s, dir)
+        .select(col("source"),
+          visibleText(hostileHtml(col("html"))).as("visible"),
+          expectedHostileText.as("expected"))
         .groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(when(col("visible") === col("expected"), 1).otherwise(0))
@@ -384,7 +555,7 @@ object HtmlQueries {
          |      regexp_extract_all(line, '>([^<]*)</a>', 1), x -> length(x))), 0) AS anchor_chars
          |  FROM tg WHERE tag IN ('nav', 'h1', 'p', 'footer')),
          |cl AS (SELECT tag, length(visible) AS vc, anchor_chars,
-         |    CAST(anchor_chars AS DOUBLE) / length(visible) < 0.5 AS is_content FROM bl)
+         |    CAST(anchor_chars AS DOUBLE) / greatest(length(visible), 1) < 0.5 AS is_content FROM bl)
          |SELECT tag, is_content, CAST(COUNT(*) AS BIGINT) AS n_blocks,
          |  CAST(SUM(vc) AS BIGINT) AS chars_visible,
          |  CAST(SUM(anchor_chars) AS BIGINT) AS chars_anchor
@@ -400,9 +571,15 @@ object HtmlQueries {
           regexp_extract_all(col("line"), lit(">([^<]*)</a>"), lit(1)),
           lit(0), (acc, x) => acc + length(x)), lit(0)).as("anchor_chars"))
       blocks
+        // greatest(·, 1) keeps the link-density divide DEFINED (and
+        // engine-identical) on a zero-length visible block — only the
+        // synthesized page inventory guarantees non-empty blocks today,
+        // and an all-anchor block (visible "" after stripping) must
+        // classify boilerplate, not NaN
         .select(col("tag"), length(col("visible")).as("vc"),
           col("anchor_chars"),
-          (col("anchor_chars").cast("double") / length(col("visible")) < 0.5)
+          (col("anchor_chars").cast("double") /
+            greatest(length(col("visible")), lit(1)) < 0.5)
             .as("is_content"))
         .groupBy("tag", "is_content")
         .agg(count(lit(1)).cast("long").as("n_blocks"),
@@ -451,36 +628,9 @@ object HtmlQueries {
          |    ELSE least(8, 1 + CAST(floor(priority / 500000000.0) AS BIGINT))
          |  END AS BIGINT) AS crawl_budget
          |FROM py ORDER BY priority DESC, domain""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
       val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
-      val r = rankNanos(edges)
-      val q = SelectionQueries.gopherQuality
-      val prof = SelectionQueries.curationProfiles(
-          Tables.parallelize(Tables.load(s, dir, "documents")
-            .select("doc_id", "lang", "source", "text")))
-        .groupBy(col("domain").as("pd"))
-        .agg(count(lit(1)).cast("long").as("nd"),
-          sum(when(q, 1).otherwise(0)).cast("long").as("nq"))
-      val fr = r.join(broadcast(prof), r("d") === prof("pd"), "left")
-        .select(col("d").as("domain"), col("r").as("rn"),
-          col("pd").isNotNull.as("visited"),
-          coalesce(col("nd"), lit(0L)).as("nd2"),
-          coalesce(col("nq"), lit(0L)).as("nq2"))
-      fr
-        .withColumn("priority",
-          floor((col("rn").cast(DecimalType(38, 0)) * (col("nq2") + lit(1L)))
-            .cast("double") / (col("nd2") + lit(2L))).cast("long"))
-        .withColumn("blocked", col("domain").isin(WebCuration.Blocklist: _*))
-        .select(col("domain"),
-          (col("rn").cast("double") / lit(1000000000L)).as("pagerank"),
-          col("visited"), col("nd2").as("n_docs"),
-          ((col("nq2") + lit(1L)).cast("double") / (col("nd2") + lit(2L)))
-            .as("quality_rate"),
-          col("blocked"), col("priority"),
-          when(col("blocked"), lit(0L))
-            .otherwise(least(lit(8L),
-              lit(1L) + floor(col("priority") / lit(5.0e8)).cast("long")))
-            .cast("long").as("crawl_budget"))
-        .orderBy(col("priority").desc, col("domain"))
+      val prof = profileCensus(
+        Tables.parallelize(Tables.load(s, dir, "documents")))
+      frontierTable(edges, prof)
     })
 }

@@ -47,8 +47,11 @@ object Preference {
     val prof = SelectionQueries.curationProfiles(
       docs.select("doc_id", "lang", "source", "text"))
     val q = SelectionQueries.gopherQuality
+    // exact LONG division (the engine-pairing convention for DuckDB's
+    // `//`): floor(doc_id / 8) would round-trip through a double and
+    // diverge from the oracle once doc_id exceeds 2^53
     prof.select(col("doc_id"), col("source"),
-      floor(col("doc_id") / lit(8)).cast("long").as("pg"),
+      expr("doc_id div 8").as("pg"),
       (when(q, lit(1000L)).otherwise(lit(0L)) + col("n_tokens")).as("score"))
   }
 
@@ -102,12 +105,113 @@ object Preference {
       |mc AS MATERIALIZED (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS m,
       |    CAST(SUM(CASE WHEN wsrc = s1 THEN 1 ELSE 0 END) AS BIGINT) AS w1
       |  FROM mt GROUP BY s1, s2)""".stripMargin
+
+  private[graft] val BtIters = 8
+
+  /** Hunter-2004 MM fit over the match census — the shared engine of
+    * bradley_terry_rank and bt_confidence (see bradley_terry_rank's
+    * header for the fixed-point/lineage discipline). Returns
+    * (mm directed-census, wins, mtot, r) where r = (i, r BIGINT nanos)
+    * after [[BtIters]] iterations, mean-1-normalized.
+    */
+  private[graft] def btFit(mc: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val mm = mc.select(col("s1").as("i"), col("s2").as("j"), col("m"))
+      .unionAll(mc.select(col("s2"), col("s1"), col("m")))
+    val wins = mc.select(col("s1").as("i"), col("w1").as("w"))
+      .unionAll(mc.select(col("s2"), (col("m") - col("w1")).as("w")))
+      .groupBy("i").agg(sum("w").cast("long").as("W"))
+    val mtot = mm.groupBy("i").agg(sum("m").cast("long").as("M"))
+    var r = wins.select(col("i"), lit(1000000000L).as("r"))
+    for (_ <- 1 to BtIters) {
+      val ri = r.select(col("i").as("ii"), col("r").as("rI"))
+      val rj = r.select(col("i").as("jj"), col("r").as("rJ"))
+      val t = mm.join(ri, mm("i") === ri("ii"))
+        .join(rj, mm("j") === rj("jj"))
+        .select(col("i"),
+          floor(col("m") * lit(1.0e15) /
+            greatest(col("rI") + col("rJ"), lit(1L)) + lit(0.5))
+            .cast("long").as("tq"))
+      val d = t.groupBy("i").agg(sum("tq").as("d"))
+      val u = wins.join(d, "i")
+        .select(col("i"),
+          floor(col("W") * lit(1.0e15) /
+            greatest(col("d"), lit(1L)) + lit(0.5)).cast("long").as("r"))
+      val n = u.agg(sum("r").as("sr"), count(lit(1)).as("nk"))
+      // each step reads r TWICE (both match sides) and u twice (sum
+      // + rescale): without a lineage cut the plan doubles per
+      // iteration (2^k compile blowup), so pin the census-sized
+      // iterate — |sources| rows — after every step
+      r = u.crossJoin(n)
+        .select(col("i"),
+          floor(col("r") * col("nk") * lit(1.0e9) / col("sr") + lit(0.5))
+            .cast("long").as("r"))
+        .localCheckpoint(true)
+    }
+    (mm, wins, mtot, r)
+  }
+
+  /** bt_confidence's whole computation over a match census — shared
+    * by the query and PreferenceSpec's census-doubling pin (doubling
+    * every (m, w1) cell leaves the scale-free MM fixed point in place
+    * but doubles every Fisher term, so se_log must shrink by 1/√2).
+    */
+  private[graft] def btConfidence(mc: DataFrame): DataFrame = {
+    val (mm, _, mtot, r) = btFit(mc)
+    val ri = r.select(col("i").as("ii"), col("r").as("rI"))
+    val rj = r.select(col("i").as("jj"), col("r").as("rJ"))
+    val p = col("rI").cast("double") / (col("rI") + col("rJ"))
+    val fi = mm.join(broadcast(ri), mm("i") === ri("ii"))
+      .join(broadcast(rj), mm("j") === rj("jj"))
+      .select(col("i"),
+        floor(col("m") * (p * (lit(1) - p)) * lit(1.0e12) + lit(0.5))
+          .cast("long").as("fq"))
+    val info = fi.groupBy("i").agg(sum("fq").as("fsum"))
+    val seLog = lit(1.0) /
+      sqrt(greatest(col("fsum"), lit(1L)).cast("double") / lit(1.0e12))
+    r.join(broadcast(info), "i").join(broadcast(mtot), "i")
+      .select(col("i").as("source"),
+        (col("r").cast("double") / lit(1000000000L)).as("strength"),
+        col("M").as("matches"), seLog.as("se_log"))
+      .select(col("source"), col("strength"), col("matches"), col("se_log"),
+        (col("strength") - lit(1.96) * col("strength") * col("se_log"))
+          .as("lo95"),
+        (col("strength") + lit(1.96) * col("strength") * col("se_log"))
+          .as("hi95"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[btFit]] — CTE chain (expects `mc`) defining mm,
+    * wins, mtot and ending in r[[BtIters]] (i, r).
+    */
+  private[graft] val duckBtCtes: String = {
+    val iters = (1 to BtIters).map { k =>
+      s"""t$k AS (SELECT mm.i,
+         |  CAST(floor(mm.m * 1.0e15 / greatest(ri.r + rj.r, 1) + 0.5) AS BIGINT) AS tq
+         |  FROM mm JOIN r${k - 1} ri ON mm.i = ri.i
+         |  JOIN r${k - 1} rj ON mm.j = rj.i),
+         |d$k AS (SELECT i, SUM(tq) AS d FROM t$k GROUP BY i),
+         |u$k AS MATERIALIZED (SELECT w.i, CAST(floor(w.W * 1.0e15 / greatest(d.d, 1) + 0.5) AS BIGINT) AS r
+         |  FROM wins w JOIN d$k d ON w.i = d.i),
+         |n$k AS (SELECT SUM(r) AS sr, COUNT(*) AS nk FROM u$k),
+         |r$k AS MATERIALIZED (SELECT u.i,
+         |  CAST(floor(u.r * n.nk * 1.0e9 / n.sr + 0.5) AS BIGINT) AS r
+         |  FROM u$k u, n$k n)""".stripMargin
+    }.mkString(",\n")
+    s"""mm AS (SELECT s1 AS i, s2 AS j, m FROM mc
+       |       UNION ALL SELECT s2, s1, m FROM mc),
+       |wins AS (SELECT i, CAST(SUM(w) AS BIGINT) AS W FROM
+       |    (SELECT s1 AS i, w1 AS w FROM mc
+       |     UNION ALL SELECT s2, m - w1 FROM mc)
+       |  GROUP BY i),
+       |mtot AS (SELECT i, CAST(SUM(m) AS BIGINT) AS M FROM mm GROUP BY i),
+       |r0 AS (SELECT i, CAST(1000000000 AS BIGINT) AS r FROM wins),
+       |$iters""".stripMargin
+  }
 }
 
 object PreferenceQueries {
   import Preference._
-
-  private val BtIters = 8
 
   def all: Seq[Q] = Seq(
 
@@ -173,74 +277,21 @@ object PreferenceQueries {
     // Spark localCheckpoints the |sources|-row frame per step, and
     // the oracle marks mc/u_k/r_k MATERIALIZED — inlined CTEs would
     // otherwise expand 2^k and re-open the corpus per expansion.
-    Q("bradley_terry_rank", {
-      val iters = (1 to BtIters).map { k =>
-        s"""t$k AS (SELECT mm.i,
-           |  CAST(floor(mm.m * 1.0e15 / greatest(ri.r + rj.r, 1) + 0.5) AS BIGINT) AS tq
-           |  FROM mm JOIN r${k - 1} ri ON mm.i = ri.i
-           |  JOIN r${k - 1} rj ON mm.j = rj.i),
-           |d$k AS (SELECT i, SUM(tq) AS d FROM t$k GROUP BY i),
-           |u$k AS MATERIALIZED (SELECT w.i, CAST(floor(w.W * 1.0e15 / greatest(d.d, 1) + 0.5) AS BIGINT) AS r
-           |  FROM wins w JOIN d$k d ON w.i = d.i),
-           |n$k AS (SELECT SUM(r) AS sr, COUNT(*) AS nk FROM u$k),
-           |r$k AS MATERIALIZED (SELECT u.i,
-           |  CAST(floor(u.r * n.nk * 1.0e9 / n.sr + 0.5) AS BIGINT) AS r
-           |  FROM u$k u, n$k n)""".stripMargin
-      }.mkString(",\n")
+    Q("bradley_terry_rank",
       s"""WITH ${WebCuration.duckProfiles},
          |$duckCandidates,
          |$duckMatchCensus,
-         |mm AS (SELECT s1 AS i, s2 AS j, m FROM mc
-         |       UNION ALL SELECT s2, s1, m FROM mc),
-         |wins AS (SELECT i, CAST(SUM(w) AS BIGINT) AS W FROM
-         |    (SELECT s1 AS i, w1 AS w FROM mc
-         |     UNION ALL SELECT s2, m - w1 FROM mc)
-         |  GROUP BY i),
-         |mtot AS (SELECT i, CAST(SUM(m) AS BIGINT) AS M FROM mm GROUP BY i),
-         |r0 AS (SELECT i, CAST(1000000000 AS BIGINT) AS r FROM wins),
-         |$iters
+         |$duckBtCtes
          |SELECT r$BtIters.i AS source,
          |  CAST(r$BtIters.r AS DOUBLE) / 1000000000 AS strength,
          |  wins.W AS wins, mtot.M AS matches
          |FROM r$BtIters JOIN wins ON r$BtIters.i = wins.i
          |JOIN mtot ON r$BtIters.i = mtot.i
-         |ORDER BY source""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY source""".stripMargin) { (s, dir) =>
       // |sources|²-bounded census; localCheckpoint spends the one
       // corpus pass so the MM iterations iterate over local rows
       val mc = matchCensus(candidates(s, dir)).localCheckpoint(true)
-      val mm = mc.select(col("s1").as("i"), col("s2").as("j"), col("m"))
-        .unionAll(mc.select(col("s2"), col("s1"), col("m")))
-      val wins = mc.select(col("s1").as("i"), col("w1").as("w"))
-        .unionAll(mc.select(col("s2"), (col("m") - col("w1")).as("w")))
-        .groupBy("i").agg(sum("w").cast("long").as("W"))
-      val mtot = mm.groupBy("i").agg(sum("m").cast("long").as("M"))
-      var r = wins.select(col("i"), lit(1000000000L).as("r"))
-      for (_ <- 1 to BtIters) {
-        val ri = r.select(col("i").as("ii"), col("r").as("rI"))
-        val rj = r.select(col("i").as("jj"), col("r").as("rJ"))
-        val t = mm.join(ri, mm("i") === ri("ii"))
-          .join(rj, mm("j") === rj("jj"))
-          .select(col("i"),
-            floor(col("m") * lit(1.0e15) /
-              greatest(col("rI") + col("rJ"), lit(1L)) + lit(0.5))
-              .cast("long").as("tq"))
-        val d = t.groupBy("i").agg(sum("tq").as("d"))
-        val u = wins.join(d, "i")
-          .select(col("i"),
-            floor(col("W") * lit(1.0e15) /
-              greatest(col("d"), lit(1L)) + lit(0.5)).cast("long").as("r"))
-        val n = u.agg(sum("r").as("sr"), count(lit(1)).as("nk"))
-        // each step reads r TWICE (both match sides) and u twice (sum
-        // + rescale): without a lineage cut the plan doubles per
-        // iteration (2^k compile blowup), so pin the census-sized
-        // iterate — |sources| rows — after every step
-        r = u.crossJoin(n)
-          .select(col("i"),
-            floor(col("r") * col("nk") * lit(1.0e9) / col("sr") + lit(0.5))
-              .cast("long").as("r"))
-          .localCheckpoint(true)
-      }
+      val (_, wins, mtot, r) = btFit(mc)
       // post-checkpoint Spark no longer knows these are census-sized —
       // state the broadcast explicitly rather than sort-merging 20 rows
       r.join(broadcast(wins), "i").join(broadcast(mtot), "i")
@@ -248,6 +299,48 @@ object PreferenceQueries {
           (col("r").cast("double") / lit(1000000000L)).as("strength"),
           col("W").as("wins"), col("M").as("matches"))
         .orderBy("source")
+    },
+
+    // BT CONFIDENCE — the column a reward-model curator actually
+    // gates on: a per-source uncertainty next to each Bradley–Terry
+    // strength. Observed Fisher information of the log-strength at
+    // the MM fixed point: I_i = Σ_j m_ij·p̂_ij·(1−p̂_ij) with
+    // p̂_ij = r_i/(r_i+r_j); se(log r_i) = 1/√I_i, and the 95% Wald
+    // interval on the STRENGTH scale via the delta method
+    // (strength ± 1.96·strength·se — deliberately NOT exp(±1.96·se):
+    // sqrt is IEEE-exact in both engines, libm exp is not, and the
+    // repo's float discipline only admits ops whose cross-engine
+    // bit-equality is guaranteed on identical inputs). Float
+    // discipline as everywhere in this family: p̂ terms are computed
+    // from the identical BIGINT-nano strengths, each Fisher term is
+    // quantized to integer PICO-units BEFORE the per-source sum
+    // (exact, order-independent), and the one sqrt runs on the same
+    // exact integer in both engines. SCALE: census-only math — the
+    // Fisher sum reads the |sources|²-bounded directed census and the
+    // fitted |sources|-row strengths; the corpus was touched once,
+    // by the match-census pass bradley_terry_rank already paid.
+    Q("bt_confidence",
+      s"""WITH ${WebCuration.duckProfiles},
+         |$duckCandidates,
+         |$duckMatchCensus,
+         |$duckBtCtes,
+         |fi AS (SELECT mm.i,
+         |    CAST(floor(mm.m * ((CAST(ri.r AS DOUBLE) / (ri.r + rj.r))
+         |      * (1 - CAST(ri.r AS DOUBLE) / (ri.r + rj.r))) * 1.0e12 + 0.5) AS BIGINT) AS fq
+         |  FROM mm JOIN r$BtIters ri ON mm.i = ri.i
+         |  JOIN r$BtIters rj ON mm.j = rj.i),
+         |info AS (SELECT i, SUM(fq) AS fsum FROM fi GROUP BY i),
+         |cf AS (SELECT r$BtIters.i AS source,
+         |    CAST(r$BtIters.r AS DOUBLE) / 1000000000 AS strength,
+         |    mtot.M AS matches,
+         |    1.0 / sqrt(CAST(greatest(info.fsum, 1) AS DOUBLE) / 1.0e12) AS se_log
+         |  FROM r$BtIters JOIN info ON r$BtIters.i = info.i
+         |  JOIN mtot ON r$BtIters.i = mtot.i)
+         |SELECT source, strength, matches, se_log,
+         |  strength - 1.96 * strength * se_log AS lo95,
+         |  strength + 1.96 * strength * se_log AS hi95
+         |FROM cf ORDER BY source""".stripMargin) { (s, dir) =>
+      btConfidence(matchCensus(candidates(s, dir)).localCheckpoint(true))
     },
 
     // PAIRWISE WIN-RATE MATRIX with Wilson lower bound — the

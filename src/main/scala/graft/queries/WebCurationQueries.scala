@@ -37,11 +37,16 @@ import graft.Tables
   *    domain holds a quarter of the corpus — then rank the <= 16·K
   *    bucket winners per domain. No single-partition window anywhere.
   *
-  * Production note: the registrable-domain step here handles the one
-  * multi-label suffix the synthetic URLs produce (`co.uk`); a real
-  * deployment swaps the CASE for a broadcast join against the full
-  * Mozilla Public Suffix List keyed by reversed suffix — same shape,
-  * bigger dimension.
+  * The registrable-domain step runs against a real public-suffix
+  * DIMENSION ([[WebCuration.PublicSuffixes]], a representative
+  * Mozilla-PSL subset incl. `com.au`, `co.jp`, `github.io`,
+  * `s3.amazonaws.com`): the corpus path folds it through the
+  * codegen'd [[graft.functions.RegistrableDomain]] scalar (the suffix
+  * table ships inside the plan, one copy per executor — broadcast
+  * semantics with zero join in the corpus path), and
+  * `psl_domain_fold` proves the broadcast-JOIN formulation of the
+  * same fold equal on the distinct-host census. The full ~9k-entry
+  * PSL is a data-file swap; every shape stays fixed.
   */
 object WebCuration {
 
@@ -90,24 +95,51 @@ object WebCuration {
   private[graft] def duckHost(url: String): String =
     s"regexp_extract($url, '^[a-z]+://([^/:?#]+)', 1)"
 
-  /** Registrable domain: one label above the public suffix. The
-    * synthetic corpus produces exactly one multi-label suffix
-    * (`co.uk`); see the object doc for the PSL-dim production swap.
+  /** The public-suffix DIMENSION — a representative Mozilla-PSL subset
+    * (ICANN TLDs, multi-label country suffixes, private-registry
+    * suffixes like `github.io`/`s3.amazonaws.com`; the full ~9k-entry
+    * PSL is a data-file swap, same shapes). Spark ships it as a
+    * plan-carried reference table inside the codegen'd
+    * [[graft.functions.RegistrableDomain]] scalar (the corpus path —
+    * zero joins); `psl_domain_fold` runs the broadcast-JOIN
+    * formulation of the same fold on the distinct-host census; the
+    * DuckDB oracle gets it as a VALUES list.
     */
-  private[graft] def domainCol(host: Column): Column = {
-    val labels = split(host, "\\.")
-    when(host.endsWith(".co.uk"), concat_ws(".", slice(labels, -3, 3)))
-      .otherwise(concat_ws(".", slice(labels, -2, 2)))
-  }
+  private[graft] val PublicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "io", "de", "fr", "jp", "au", "uk", "nz",
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "co.nz", "github.io", "s3.amazonaws.com")
+
+  private[graft] def duckPslValues: String =
+    PublicSuffixes.map(s => s"('$s')").mkString("(VALUES ", ", ", ")")
+
+  /** Registrable domain: the longest public suffix in
+    * [[PublicSuffixes]] plus one label (bare suffix → itself; unknown
+    * TLD → last-two-labels heuristic) — the codegen'd scalar fold, so
+    * extraction stays fused into the scan projection with no join in
+    * the corpus path.
+    */
+  private[graft] def domainCol(host: Column): Column =
+    graft.functions.RegistrableDomain(host, PublicSuffixes)
 
   /** DuckDB equivalent of [[domainCol]] (expects a host EXPRESSION —
-    * evaluate it in a prior CTE so it is a plain column name here).
+    * evaluate it in a prior CTE so it is a plain column name here):
+    * the same longest-suffix rule as a correlated scalar subquery over
+    * the same VALUES dimension, with the same bare-suffix and
+    * unknown-TLD branches.
     */
-  private[graft] def duckDomain(host: String): String =
-    s"""(CASE WHEN $host LIKE '%.co.uk'
-       | THEN array_to_string(string_split($host, '.')[len(string_split($host, '.')) - 2 :], '.')
-       | ELSE array_to_string(string_split($host, '.')[len(string_split($host, '.')) - 1 :], '.')
-       | END)""".stripMargin.replace('\n', ' ')
+  private[graft] def duckDomain(host: String): String = {
+    val nlHost = s"len(string_split($host, '.'))"
+    s"""COALESCE(
+       | (SELECT CASE WHEN $host = p.suf THEN $host
+       |    ELSE array_to_string(string_split($host, '.')[$nlHost - len(string_split(p.suf, '.')) :], '.') END
+       |  FROM $duckPslValues p(suf)
+       |  WHERE $host = p.suf OR $host LIKE ('%.' || p.suf)
+       |  ORDER BY len(string_split(p.suf, '.')) DESC LIMIT 1),
+       | CASE WHEN $nlHost <= 2 THEN $host
+       |  ELSE array_to_string(string_split($host, '.')[$nlHost - 1 :], '.') END)""".stripMargin
+      .replace('\n', ' ')
+  }
 
   /** The blocklisted registrable domains — the dimension the gate
     * broadcasts. Includes the hot hub's .org variant, one domain per
@@ -408,5 +440,75 @@ object WebCurationQueries {
           col("n_langs"),
           col("domain").isin(Blocklist: _*).as("blocked"))
         .orderBy("domain")
+    },
+
+    // PSL FOLD AS A BROADCAST JOIN — the join formulation of the
+    // registrable-domain rule, run where a join is the right shape:
+    // the DISTINCT-HOST census (formula-bounded), not the corpus.
+    // Each host explodes its trailing-label candidates (bounded by
+    // the dimension's max label depth), broadcast-joins the
+    // public-suffix dim, keeps the LONGEST hit per host, and applies
+    // the same bare-suffix / unknown-TLD branches as the scalar fold;
+    // `agrees` pins the join path equal to the codegen'd scalar path
+    // ([[graft.functions.RegistrableDomain]]) on every host. At
+    // 100 TB this census join materializes the host -> domain mapping
+    // once; the corpus path stays the zero-join scalar.
+    Q("psl_domain_fold", {
+      val nlH = "len(string_split(h.host, '.'))"
+      s"""WITH $duckWithDomain,
+         |hosts AS (SELECT host, max(domain) AS scalar_domain,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM u GROUP BY host),
+         |psl AS (SELECT * FROM $duckPslValues p(suf)),
+         |cand AS (SELECT h.host, p.suf, len(string_split(p.suf, '.')) AS k
+         |  FROM hosts h JOIN psl p
+         |    ON h.host = p.suf OR h.host LIKE ('%.' || p.suf)),
+         |best AS (SELECT host, suf, k, row_number() OVER (
+         |    PARTITION BY host ORDER BY k DESC) AS rnk FROM cand),
+         |j AS (SELECT h.host, h.n_docs, h.scalar_domain,
+         |    COALESCE(b.suf, 'none') AS matched_suffix,
+         |    CASE WHEN b.suf IS NULL THEN
+         |        (CASE WHEN $nlH <= 2 THEN h.host
+         |         ELSE array_to_string(string_split(h.host, '.')[$nlH - 1 :], '.') END)
+         |      WHEN b.k = $nlH THEN h.host
+         |      ELSE array_to_string(string_split(h.host, '.')[$nlH - b.k :], '.') END AS domain
+         |  FROM hosts h LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (host))
+         |SELECT host, domain, matched_suffix, n_docs,
+         |  domain = scalar_domain AS agrees
+         |FROM j ORDER BY host""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val maxL = PublicSuffixes.map(_.count(_ == '.') + 1).max
+      val hosts = withDomain(s, dir)
+        .groupBy("host")
+        .agg(max(col("domain")).as("scalar_domain"),
+          count(lit(1)).cast("long").as("n_docs"))
+      val labels = split(col("host"), "\\.")
+      val cand = hosts
+        .select(col("host"), labels.as("ls"), size(labels).as("nl"))
+        .select(col("host"), col("ls"), col("nl"),
+          explode(sequence(lit(1), least(lit(maxL), col("nl")))).as("k"))
+        .select(col("host"), col("nl"), col("k"),
+          concat_ws(".", slice(col("ls"), -col("k"), col("k"))).as("cand"))
+      val psl = PublicSuffixes.toDF("suf")
+      val best = cand
+        .join(broadcast(psl), col("cand") === col("suf"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("host").orderBy(col("k").desc)))
+        .filter(col("rnk") === 1)
+        .select(col("host"), col("suf"), col("k"))
+      val relabels = split(col("host"), "\\.")
+      hosts.join(broadcast(best), Seq("host"), "left")
+        .select(col("host"), col("n_docs"), col("scalar_domain"),
+          coalesce(col("suf"), lit("none")).as("matched_suffix"),
+          when(col("suf").isNull,
+            when(size(relabels) <= 2, col("host"))
+              .otherwise(concat_ws(".", slice(relabels, -2, 2))))
+            .when(col("k") === size(relabels), col("host"))
+            .otherwise(concat_ws(".",
+              slice(relabels, -(col("k") + lit(1)), col("k") + lit(1))))
+            .as("domain"))
+        .select(col("host"), col("domain"), col("matched_suffix"),
+          col("n_docs"), (col("domain") === col("scalar_domain")).as("agrees"))
+        .orderBy("host")
     })
 }

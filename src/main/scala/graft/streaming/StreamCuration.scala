@@ -97,40 +97,109 @@ object StreamCuration {
       .option("checkpointLocation", checkpointDir)
   }
 
-  /** The DURABLE wiring [[monitor]]'s doc promises: the profile ledger
-    * is a VERSIONED parquet table, so a crash loses nothing and a
-    * checkpoint-replayed batch cannot corrupt it. Batch `id` reads the
-    * newest `v<k>` with k < id (after a crash that is the last version
-    * the SURVIVING run committed — a half-written v<id> from the dying
-    * run is simply overwritten) and writes `v<id>`; because profiles
-    * are pure functions of the text and the merge is
-    * anti-join-then-union, the replayed batch rewrites a bit-identical
-    * version — idempotence by versioning, the parquet analogue of
-    * KafkaEos' ledger markers. Production vacuums versions older than
-    * the checkpoint horizon; at scale the table is hash-partitioned by
-    * doc_id and the rewrite is an incremental MERGE, same shape.
+  /** Ledger bucket of a profile row — doc_id-hash-partitioning, so a
+    * batch's writes touch only the buckets its doc_ids land in. ONE
+    * definition for the writer, the reader, and the touched-bucket
+    * census (a partitioning change must move all three together).
+    */
+  private def bktCol(nBuckets: Int) =
+    pmod(hash(col("doc_id")), lit(nBuckets))
+
+  /** The durable ledger VIEW as of batch `beforeBatch`: per bucket,
+    * the newest version directory strictly below it that contains the
+    * bucket. Layout is `<ledgerDir>/v<batchId>/bkt=<p>/` — each batch
+    * writes one version dir holding ONLY the buckets it touched, so
+    * the view is a per-bucket newest-version union and a half-written
+    * v<id> from a dying run is invisible to its own replay (which
+    * reads `< id`, then overwrites v<id> bit-identically). Returns
+    * None when no committed version exists yet. Listing goes through
+    * the Hadoop FileSystem API so the ledger lives wherever the
+    * cluster's storage does (HDFS, s3a, local).
+    */
+  def readLedger(spark: SparkSession, ledgerDir: String,
+                 beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .filter(_ < beforeBatch).sorted.reverse
+    // newest version per bucket: walk versions newest-first, keep the
+    // first directory seen for each bucket — O(|versions| · |buckets|)
+    // driver-side listings, no data read
+    val chosen = scala.collection.mutable.Map.empty[String, String]
+    versions.foreach { v =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, s"v$v"))
+        .map(_.getPath.getName).filter(_.startsWith("bkt="))
+        .foreach { b =>
+          if (!chosen.contains(b)) chosen(b) = s"$ledgerDir/v$v/$b"
+        }
+    }
+    if (chosen.isEmpty) None
+    // reading the bkt= dirs directly keeps the ledger schema exactly
+    // the profile schema (the partition column stays in the path)
+    else Some(chosen.values.toSeq.sorted
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_)))
+  }
+
+  /** The DURABLE wiring [[monitor]]'s doc promises, as an INCREMENTAL
+    * partition-pruned MERGE: the ledger is hash-partitioned by
+    * `pmod(hash(doc_id), nBuckets)` and batch `id` writes a version
+    * dir `v<id>` containing ONLY the buckets the batch touches — the
+    * merged (anti-join-then-union) content of those buckets — so
+    * per-batch bytes written scale with the batch's bucket footprint,
+    * never with the full corpus-sized ledger (the O(corpus) write
+    * amplification the previous full-rewrite design paid per batch).
+    * Untouched buckets are never rewritten: the reader
+    * ([[readLedger]]) assembles the view from each bucket's newest
+    * version.
+    *
+    * Crash safety is unchanged from the versioned contract: nothing
+    * existing is ever mutated (append-only version dirs; only a
+    * replayed v<id> overwrites — and profiles are pure functions of
+    * the text, so the replay rewrites it bit-identically; a
+    * half-written v<id> from the dying run was invisible to readers,
+    * which read `< id`). Production vacuums version dirs older than
+    * the checkpoint horizon, which re-bounds disk to O(ledger).
     */
   def monitorDurable(docs: DataFrame, checkpointDir: String,
-                     ledgerDir: String)(
+                     ledgerDir: String, nBuckets: Int = 16)(
       sink: (Long, Array[Row]) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         val spark = b.sparkSession
-        // version listing through the Hadoop FileSystem API, so the
-        // ledger lives wherever the cluster's storage does (HDFS, s3a,
-        // local) — not only on the driver's local disk
-        val dir = new org.apache.hadoop.fs.Path(ledgerDir)
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        val prior =
-          if (!fs.exists(dir)) Array.empty[Long]
-          else fs.listStatus(dir).map(_.getPath.getName)
-            .collect { case s if s.startsWith("v") => s.drop(1).toLong }
-            .filter(_ < id)
-        val base =
-          if (prior.isEmpty) emptyLedger(spark)
-          else spark.read.parquet(s"$ledgerDir/v${prior.max}")
-        val (merged, census) = funnelBatch(b, base)
-        merged.write.mode("overwrite").parquet(s"$ledgerDir/v$id")
+        val bkt = bktCol(nBuckets)
+        // profile once (the one text parse), pin the batch's rows
+        val profiled = SelectionQueries.curationProfiles(
+            b.select(col("doc_id"), col("lang"), col("source"), col("text")))
+          .localCheckpoint(true)
+        // the batch's bucket footprint — <= nBuckets driver-side ints
+        val touched = profiled.select(bkt.as("p")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val base = readLedger(spark, ledgerDir, beforeBatch = id)
+        // overwrite-merge ONLY the touched buckets; localCheckpoint
+        // materializes the merge BEFORE the write so the write never
+        // races the (lazy) read of the same ledger
+        val baseTouched = base match {
+          case Some(l) => l.filter(bkt.isin(touched.map(Int.box): _*))
+          case None    => emptyLedger(spark)
+        }
+        val mergedTouched = baseTouched
+          .join(profiled.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(profiled)
+          .localCheckpoint(true)
+        mergedTouched.withColumn("bkt", bkt)
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"$ledgerDir/v$id")
+        // recount over the full ledger view: untouched buckets from
+        // disk + the in-memory merge (reads stay O(ledger) — the
+        // documented honest-recount contract; only WRITES are pruned)
+        val untouched = base match {
+          case Some(l) => l.filter(!bkt.isin(touched.map(Int.box): _*))
+          case None    => emptyLedger(spark)
+        }
+        val census = SelectionQueries.funnelCensus(
+          untouched.unionByName(mergedTouched))
         sink(id, census.collect())
       }
       .option("checkpointLocation", checkpointDir)

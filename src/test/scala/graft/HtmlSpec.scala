@@ -59,6 +59,53 @@ class HtmlSpec extends SparkSpec {
     assert(got(1) === "\"x\"'s & y <tag>")
   }
 
+  test("DecodeHtmlEntities: full-Unicode numeric decode; every guard leaves input verbatim") {
+    import graft.functions.DecodeHtmlEntities.decode
+    assert(decode("a&#72;b") === "aHb")
+    assert(decode("&#x41;x&#x6c34;") === "Ax水") // hex, incl. CJK
+    // the reason the native expression exists: Spark's chr is mod-256,
+    // which would turn &#8217; (0x2019) into 0x19 garbage
+    assert(decode("&#8217;") === "’")
+    assert(decode("&#128512;") ===
+      new String(Character.toChars(128512)), "astral plane (surrogate pair)")
+    // single-pass, no rescan: a decoded '&' can never seed a cascade
+    assert(decode("&amp;quot;") === "&quot;")
+    assert(decode("&#38;quot;") === "&quot;")
+    assert(decode("&apos;") === "'")
+    // verbatim guards — each mirrored bit-for-bit by the DuckDB twin
+    assert(decode("&#xZZ;") === "&#xZZ;") // malformed hex
+    assert(decode("&#;") === "&#;") // empty digit run
+    assert(decode("&#x41") === "&#x41") // missing ';'
+    assert(decode("&#55296;") === "&#55296;") // surrogate code point
+    assert(decode("&#1114112;") === "&#1114112;") // beyond Unicode
+    assert(decode("&#12345678;") === "&#12345678;") // digit-cap (8 > 7)
+    assert(decode("&#X41;") === "&#X41;") // uppercase X: oracle-regex parity
+    assert(decode("&unknown;") === "&unknown;")
+    assert(decode("fish & chips & more") === "fish & chips & more")
+    assert(decode("") === "")
+  }
+
+  test("visibleText drops script/style CONTENT and comments — not just their tags") {
+    import spark.implicits._
+    val page = "<p>A</p>\n<script>\nif (a < b) { x(\"&#88;\"); }\n</script>\n" +
+      "<style>p>q{r:1}</style>\n<!-- hidden <b>no</b> -->\n<p>B &#x41;</p>"
+    val got = Seq(page).toDF("h")
+      .select(Html.visibleText(col("h")).as("v")).as[String].collect()(0)
+    // script body (with its '<' and its entity), style body (with its
+    // '>' selector), and the comment's markup must ALL vanish; the
+    // real paragraph's hex entity must decode
+    assert(got === "A B A")
+  }
+
+  test("html_text_extract_hostile: every hostile page round-trips exactly") {
+    val rows = run("html_text_extract_hostile").collect()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1),
+        s"source ${r.getString(0)}: hostile extraction must be exact on every page")
+    }
+  }
+
   test("html_text_extract: every page round-trips exactly; census conserves docs") {
     val rows = run("html_text_extract").collect()
     assert(rows.map(_.getLong(1)).sum === nDocs)

@@ -64,6 +64,37 @@ class PreferenceSpec extends SparkSpec {
       s"MM step still moves strength ratios by ${spread}x — not converged")
   }
 
+  test("bt_confidence: intervals bracket the strength; doubling the match census tightens se by 1/sqrt(2)") {
+    val rows = run("bt_confidence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (st, se, lo, hi) =
+        (r.getDouble(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(se > 0.0, "positive uncertainty")
+      assert(lo < st && st < hi, "the Wald interval must bracket the strength")
+    }
+    // monotonicity in match count, exactly: doubling every census cell
+    // (m, w1) leaves the scale-free MM fixed point where it was but
+    // doubles every Fisher term, so se_log shrinks by 1/sqrt(2) (up to
+    // the pico-unit quantization and double-rounding of the iterate)
+    val mc = Preference.matchCensus(Preference.candidates(spark, sf001))
+      .localCheckpoint(true)
+    val mc2 = mc.select(col("s1"), col("s2"),
+      (col("m") * 2).cast("long").as("m"),
+      (col("w1") * 2).cast("long").as("w1")).localCheckpoint(true)
+    val se1 = Preference.btConfidence(mc).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val se2 = Preference.btConfidence(mc2).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(se1.keySet === se2.keySet)
+    se1.foreach { case (s, se) =>
+      val ratio = se2(s) / se
+      assert(math.abs(ratio - 1.0 / math.sqrt(2.0)) < 1e-6,
+        s"source $s: doubled-census se ratio $ratio != 1/sqrt(2)")
+      assert(se2(s) < se, "more matches must strictly tighten the interval")
+    }
+  }
+
   test("pairwise_winrate_matrix: bounds and orientation hold in every cell") {
     val rows = run("pairwise_winrate_matrix").collect()
     rows.foreach { r =>

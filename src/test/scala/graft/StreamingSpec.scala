@@ -1944,11 +1944,67 @@ class StreamingSpec extends SparkSpec {
     val last = audits.synchronized(audits.maxBy(_._1)._2).map(_.toSeq).toSeq
     assert(last === expect,
       s"durable funnel census diverged after crash/replay:\n$last\nvs\n$expect")
-    // the persisted ledger itself must hold exactly one profile per doc
-    val versions = new java.io.File(ledger).list().map(_.drop(1).toLong)
-    val finalLedger = spark.read.parquet(s"$ledger/v${versions.max}")
+    // the persisted ledger VIEW must hold exactly one profile per doc
+    val finalLedger = StreamCuration.readLedger(spark, ledger).get
     assert(finalLedger.count() === docs.length.toLong)
     assert(finalLedger.select("doc_id").distinct().count() === docs.length.toLong)
+  }
+
+  test("durable streaming funnel: per-batch ledger writes scale with the batch's buckets, not the ledger") {
+    import graft.streaming.StreamCuration
+    import StreamingSpec.WebDoc
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    implicit val ctx = spark.sqlContext
+    val nB = 8
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").as[WebDoc].collect().toVector
+    // deliver docs GROUPED BY LEDGER BUCKET (one bucket per batch), so
+    // a full-rewrite implementation would write the whole ledger every
+    // batch while the partition-pruned MERGE writes ~1/nB of it
+    val bktOf = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), pmod(hash(col("doc_id")), lit(nB)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = docs.groupBy(d => bktOf(d.doc_id)).toSeq.sortBy(_._1).map(_._2)
+    assert(chunks.length === nB, "fixture did not populate every bucket")
+    val ckpt = Files.createTempDirectory("graft_curation_inc_ckpt").toString
+    val ledger = Files.createTempDirectory("graft_curation_inc_ledger").toString
+    val mem = MemoryStream[WebDoc]
+    var lastCensus: Seq[Seq[Any]] = Nil
+    val q = StreamCuration.monitorDurable(mem.toDF(), ckpt, ledger, nB) {
+      (_, rows) => lastCensus = rows.map(_.toSeq).toSeq
+    }.start()
+    try {
+      chunks.foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the census still matches the batch query after all buckets land
+    val expect = SparkEntry.queries("curation_funnel")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(lastCensus === expect,
+      s"incremental-merge census diverged from batch:\n$lastCensus\nvs\n$expect")
+    def bytesUnder(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).fold(0L)(_.map(bytesUnder).sum)
+    val versionDirs = new java.io.File(ledger).listFiles
+      .filter(_.getName.startsWith("v")).sortBy(_.getName.drop(1).toLong)
+    assert(versionDirs.length === nB)
+    // WRITE PRUNING, mechanically: every version dir holds exactly the
+    // ONE bucket its batch touched — a full-rewrite design would hold
+    // all buckets seen so far
+    versionDirs.foreach { v =>
+      val bkts = v.listFiles.map(_.getName).filter(_.startsWith("bkt="))
+      assert(bkts.length === 1,
+        s"${v.getName} rewrote ${bkts.length} buckets — merge not partition-pruned")
+    }
+    // and byte-wise: the LAST batch's write is a small fraction of the
+    // full ledger (one bucket ~ 1/nB of it; allow 2x slack for per-file
+    // parquet overhead) — per-batch bytes track the batch, not the
+    // corpus seen so far
+    val lastBytes = bytesUnder(versionDirs.last)
+    val ledgerBytes = versionDirs.map(bytesUnder).sum
+    assert(lastBytes * (nB / 2) < ledgerBytes,
+      s"last batch wrote $lastBytes of $ledgerBytes ledger bytes — write amplification")
   }
 
   test("streaming domain reputation: additive cells match batch bit-exactly; replay guard holds across restart") {
@@ -1999,6 +2055,69 @@ class StreamingSpec extends SparkSpec {
         assert(math.abs(mean - nt.toDouble / nd) < 1e-6)
       }
     })
+  }
+
+  test("streaming crawl frontier: live priority table equals the batch path after EVERY prefix; guard holds across restart") {
+    import graft.streaming.{StreamFrontier, StreamLinkGraph, StreamReputation}
+    import graft.queries.Html
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val rnd = new scala.util.Random(67)
+    val chunks = rnd.shuffle(docs).grouped(41).toVector
+    // the batch computation over a prefix — outlink + profile censuses
+    // through the batch projections, then the shared frontierTable
+    def expectFor(prefix: Seq[WebDoc]): Seq[Seq[Any]] = {
+      val df = prefix.toDF()
+      Html.frontierTable(
+        Html.outlinkEdges(Html.pageProjection(df)),
+        Html.profileCensus(df)).collect().map(_.toSeq).toSeq
+    }
+    val ckpt = Files.createTempDirectory("graft_frontier_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val edgeState = collection.mutable
+      .Map.empty[(String, String), StreamLinkGraph.EdgeCell]
+    val domState = collection.mutable
+      .Map.empty[String, StreamReputation.DomainCell]
+    val mem = MemoryStream[WebDoc]
+    def start(after: Long) = StreamFrontier.monitor(
+        mem.toDF(), ckpt, edgeState, domState, after) { (id, rows) =>
+      audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    val mid = chunks.length / 2
+    val q1 = start(-1L)
+    try {
+      chunks.take(mid).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash
+    // restart from the SAME checkpoint: the last batch replays with
+    // the same id — ONE guard must skip BOTH census merges atomically
+    val afterCrash = audits.synchronized(audits.map(_._1).max)
+    val q2 = start(afterCrash)
+    try {
+      chunks.drop(mid).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    // the frontier is bit-exact vs the batch path after EVERY prefix
+    // (deduped by batchId: the replayed batch re-emits its table)
+    val byBatch = audits.synchronized(
+      audits.groupBy(_._1).view.mapValues(_.last._2).toMap)
+    byBatch.toSeq.sortBy(_._1).foreach { case (id, rows) =>
+      val exp = expectFor(chunks.take(id.toInt + 1).flatten)
+      assert(rows.map(_.toSeq).toSeq === exp,
+        s"frontier diverged from batch after prefix ${id + 1}")
+    }
+    // and the final table equals the registered batch query verbatim
+    val full = SparkEntry.queries("crawl_frontier")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val last = audits.synchronized(audits.maxBy(_._1)._2).map(_.toSeq).toSeq
+    assert(last === full,
+      "final streamed frontier != batch crawl_frontier")
   }
 
   test("streaming link graph: edge census matches batch bit-exactly; replay guard holds across restart") {

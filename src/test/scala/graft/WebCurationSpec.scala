@@ -33,6 +33,40 @@ class WebCurationSpec extends SparkSpec {
       "bare site.tld is its own registrable domain")
   }
 
+  test("RegistrableDomain: longest-suffix PSL fold on hosts the fixture never produces") {
+    import graft.functions.RegistrableDomain
+    val t = RegistrableDomain.compile(WebCuration.PublicSuffixes)
+    def f(h: String) = RegistrableDomain.fold(t, h)
+    assert(f("www.hub.com") === "hub.com")
+    assert(f("cdn.src2-0.co.uk") === "src2-0.co.uk")
+    assert(f("a.b.example.com.au") === "example.com.au",
+      "multi-label country suffix must fold under any subdomain depth")
+    assert(f("x.co.jp") === "x.co.jp")
+    assert(f("user.github.io") === "user.github.io",
+      "private-registry suffix: the user site IS the registrable unit")
+    assert(f("deep.sub.user.github.io") === "user.github.io")
+    assert(f("bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com",
+      "3-label suffix beats its own 1-label tail (longest match)")
+    assert(f("plain.s3.example.com") === "example.com",
+      "s3 label without the amazonaws suffix is just a subdomain")
+    assert(f("github.io") === "github.io", "bare public suffix folds to itself")
+    assert(f("a.b.unknown-tld") === "b.unknown-tld",
+      "unknown TLD falls back to the last-two-labels heuristic")
+    assert(f("localhost") === "localhost")
+  }
+
+  test("psl_domain_fold: the broadcast-join path agrees with the codegen'd scalar on every host") {
+    val rows = run("psl_domain_fold").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(4),
+      s"join/scalar disagree on host ${r.getString(0)}"))
+    // every fixture host ends in a known suffix — no fallback rows
+    assert(rows.forall(_.getString(2) !== "none"))
+    // and doc counts conserve against the host census
+    val n = WebCuration.withDomain(spark, sf001).count()
+    assert(rows.map(_.getLong(3)).sum === n)
+  }
+
   test("url_host_parse census: doc counts conserve; http/query flags match the url") {
     val rows = run("url_host_parse").collect()
     val total = spark.read.parquet(s"$sf001/documents.parquet").count()
