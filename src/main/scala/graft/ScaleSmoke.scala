@@ -554,6 +554,40 @@ object ScaleSmoke {
         s"FLAT vs mult — the domain grid is formula-bounded)")
       eRows
     }
+    // Durable-ledger MERGE write amplification (round 12): deliver the
+    // replicated corpus in BUCKET-ALIGNED batches through the same
+    // partition-pruned merge monitorDurable runs. The contract a
+    // full-ledger rewrite breaks: each version dir holds ONLY the one
+    // bucket its batch touched, so the LAST batch's bytes stay ~1/nB
+    // of the ledger total at ANY mult — per-batch writes track the
+    // touched-bucket footprint, never the corpus seen so far.
+    time("ledger_merge_pruning") {
+      import graft.streaming.StreamCuration
+      val nB = 8
+      val ledgerDir = java.nio.file.Files
+        .createTempDirectory("smoke_ledger").toString
+      val base = docs.select("doc_id", "lang", "source", "text")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(nB)))
+        .localCheckpoint(true)
+      (0 until nB).foreach { id =>
+        StreamCuration.durableBatch(
+          base.filter(col("b") === id).drop("b"), id, ledgerDir, nB).collect()
+      }
+      def bytes(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).fold(0L)(_.map(bytes).sum)
+      val versions = new java.io.File(ledgerDir).listFiles
+        .filter(_.getName.startsWith("v")).sortBy(_.getName.drop(1).toLong)
+      val lastB = bytes(versions.last)
+      val totalB = versions.map(bytes).sum
+      val buckets = versions.map(_.listFiles.count(_.getName.startsWith("bkt=")))
+      val rows = StreamCuration.readLedger(spark, ledgerDir).get.count()
+      println(s"[smoke]   buckets per version ${buckets.mkString(",")} " +
+        s"(must all be 1); last batch wrote $lastB of $totalB ledger " +
+        f"bytes = ${lastB.toDouble / totalB}%.3f (must stay ~${1.0 / nB}%.3f " +
+        s"at any mult — pruned writes track the batch, not the corpus)")
+      rows
+    }
     spark.stop()
   }
 }

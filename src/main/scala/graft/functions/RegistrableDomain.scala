@@ -61,31 +61,61 @@ object RegistrableDomain {
     GraftSqlBridge.column(
       RegistrableDomain(GraftSqlBridge.expression(host), suffixes))
 
-  /** Compiled suffix table: O(1) membership + the label-depth bound
-    * that caps the right-to-left candidate walk.
+  /** Compiled rule table — the full PSL grammar: literal suffixes,
+    * wildcard rules (`*.ck`: ANY single label under the parent is a
+    * public suffix), and exception rules (`!www.ck`: despite a
+    * matching wildcard, `www.ck` is registrable — its public suffix
+    * is the exception minus its leading label). O(1) membership per
+    * candidate + the label-depth bound that caps the right-to-left
+    * candidate walk.
     */
-  final class Table(val set: java.util.HashSet[String], val maxLabels: Int)
+  final class Table(val exact: java.util.HashSet[String],
+                    val wildcardParents: java.util.HashSet[String],
+                    val exceptions: java.util.HashSet[String],
+                    val maxLabels: Int)
       extends Serializable
 
-  def compile(suffixes: Seq[String]): Table = {
-    val set = new java.util.HashSet[String]()
-    suffixes.foreach(set.add)
-    val maxLabels =
-      if (suffixes.isEmpty) 1
-      else suffixes.map(_.count(_ == '.') + 1).max
-    new Table(set, maxLabels)
+  def compile(rules: Seq[String]): Table = {
+    val exact = new java.util.HashSet[String]()
+    val wild = new java.util.HashSet[String]()
+    val exc = new java.util.HashSet[String]()
+    var maxLabels = 1
+    rules.foreach { r =>
+      val labels =
+        if (r.startsWith("*.")) { wild.add(r.drop(2)); r.count(_ == '.') + 1 }
+        else if (r.startsWith("!")) { exc.add(r.drop(1)); r.count(_ == '.') + 1 }
+        else { exact.add(r); r.count(_ == '.') + 1 }
+      if (labels > maxLabels) maxLabels = labels
+    }
+    new Table(exact, wild, exc, maxLabels)
   }
 
-  /** Longest-suffix fold; called from interpreted eval and generated
-    * code. Candidate suffixes are the host's last k labels for k from
-    * min(maxLabels, nLabels) down to 1 — first (longest) hit wins.
+  /** PSL fold; called from interpreted eval and generated code.
+    * Exception rules prevail over everything (the PSL algorithm), so
+    * they are scanned first; then candidate suffixes — the host's
+    * last k labels for k from min(maxLabels, nLabels) down to 1 —
+    * match a literal entry or a wildcard (candidate minus its first
+    * label is a wildcard parent), longest first.
     */
   def fold(t: Table, host: String): String = {
     val parts = host.split('.')
     val nl = parts.length
+    // an exception rule's match IS the registrable domain (its public
+    // suffix is the rule minus the leading label)
+    if (!t.exceptions.isEmpty) {
+      var k = math.min(t.maxLabels, nl)
+      while (k >= 1) {
+        val cand = join(parts, nl - k)
+        if (t.exceptions.contains(cand)) return cand
+        k -= 1
+      }
+    }
     var k = math.min(t.maxLabels, nl)
     while (k >= 1) {
-      if (t.set.contains(join(parts, nl - k))) {
+      val cand = join(parts, nl - k)
+      val isSuffix = t.exact.contains(cand) ||
+        (k >= 2 && t.wildcardParents.contains(join(parts, nl - k + 1)))
+      if (isSuffix) {
         return if (k == nl) host // the host IS a bare public suffix
         else join(parts, nl - k - 1) // suffix + one label
       }

@@ -40,7 +40,7 @@ import graft.Tables
   * The registrable-domain step runs against a real public-suffix
   * DIMENSION ([[WebCuration.PublicSuffixes]], a representative
   * Mozilla-PSL subset incl. `com.au`, `co.jp`, `github.io`,
-  * `s3.amazonaws.com`): the corpus path folds it through the
+  * `k12.ak.us`): the corpus path folds it through the
   * codegen'd [[graft.functions.RegistrableDomain]] scalar (the suffix
   * table ships inside the plan, one copy per executor — broadcast
   * semantics with zero join in the corpus path), and
@@ -97,7 +97,7 @@ object WebCuration {
 
   /** The public-suffix DIMENSION — a representative Mozilla-PSL subset
     * (ICANN TLDs, multi-label country suffixes, private-registry
-    * suffixes like `github.io`/`s3.amazonaws.com`; the full ~9k-entry
+    * suffixes like `github.io`/`k12.ak.us`; the full ~9k-entry
     * PSL is a data-file swap, same shapes). Spark ships it as a
     * plan-carried reference table inside the codegen'd
     * [[graft.functions.RegistrableDomain]] scalar (the corpus path —
@@ -108,10 +108,24 @@ object WebCuration {
   private[graft] val PublicSuffixes: Seq[String] = Seq(
     "com", "org", "net", "io", "de", "fr", "jp", "au", "uk", "nz",
     "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "co.nz", "github.io", "s3.amazonaws.com")
+    "co.jp", "ne.jp", "co.nz", "github.io", "k12.ak.us")
 
   private[graft] def duckPslValues: String =
     PublicSuffixes.map(s => s"('$s')").mkString("(VALUES ", ", ", ")")
+
+  /** The FULL-grammar rule set: the literal dimension above plus the
+    * PSL's other two rule kinds — a wildcard (`*.ck`: any single
+    * label under the parent is a public suffix) and its exception
+    * (`!www.ck`: registrable despite the wildcard) — the real
+    * Mozilla-PSL entries for .ck. [[domainCol]]'s corpus path keeps
+    * the literal subset (its DuckDB twin is a correlated literal
+    * match); the full grammar is exercised and oracle-checked by
+    * `psl_wildcard_fold`, whose DuckDB twin implements the PSL
+    * algorithm (exception prevails, then longest) rule-kind by
+    * rule-kind.
+    */
+  private[graft] val PslRules: Seq[String] =
+    PublicSuffixes ++ Seq("*.ck", "!www.ck")
 
   /** Registrable domain: the longest public suffix in
     * [[PublicSuffixes]] plus one label (bare suffix → itself; unknown
@@ -510,5 +524,160 @@ object WebCurationQueries {
         .select(col("host"), col("domain"), col("matched_suffix"),
           col("n_docs"), (col("domain") === col("scalar_domain")).as("agrees"))
         .orderBy("host")
+    },
+
+    // PSL WILDCARD + EXCEPTION FOLD — the two rule kinds the literal
+    // dimension can't express, on hosts synthesized to exercise them:
+    // `*.ck` makes ANY single label under .ck a public suffix (so
+    // `shop-N.ck` is a BARE suffix folding to itself, and
+    // `aM.shop-N.ck` — suffix + one label — registers whole), while `!www.ck`
+    // prevails over the wildcard (so `www.ck` and anything under it
+    // registers as `www.ck`) — the real Mozilla-PSL entries for .ck.
+    // The Spark side is the same codegen'd scalar fold the corpus
+    // path uses (one table, full grammar); the DuckDB twin implements
+    // the PSL ALGORITHM independently — exception rules prevail, then
+    // the longest effective suffix among literal/wildcard matches —
+    // so the oracle checks the semantics, not the implementation.
+    // SCALE: the fold runs on the synthesized DISTINCT-host census
+    // (formula-bounded); corpus-shaped inputs never appear.
+    Q("psl_wildcard_fold", {
+      val kinds = PslRules.map {
+        case r if r.startsWith("*.") => s"('${r.drop(2)}', 'wild')"
+        case r if r.startsWith("!") => s"('${r.drop(1)}', 'exc')"
+        case r => s"('$r', 'exact')"
+      }.mkString("(VALUES ", ", ", ")")
+      s"""WITH hs0 AS (SELECT DISTINCT
+         |    CASE doc_id % 5
+         |      WHEN 0 THEN 'www.ck'
+         |      WHEN 1 THEN 'shop-' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+         |      WHEN 2 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.shop-'
+         |        || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+         |      WHEN 3 THEN 'x' || CAST(doc_id % 4 AS VARCHAR) || '.www.ck'
+         |      ELSE 'cdn.site-' || CAST(doc_id % 6 AS VARCHAR) || '.com'
+         |    END AS host FROM documents),
+         |rules AS (SELECT * FROM $kinds r(suf, kind)),
+         |cand AS (SELECT h.host, r.kind,
+         |    CASE WHEN r.kind = 'wild'
+         |      THEN len(string_split(r.suf, '.')) + 1
+         |      ELSE len(string_split(r.suf, '.')) END AS ns
+         |  FROM hs0 h JOIN rules r ON
+         |    CASE WHEN r.kind = 'wild'
+         |      THEN h.host LIKE ('%.' || r.suf)
+         |        AND len(string_split(h.host, '.')) >= len(string_split(r.suf, '.')) + 1
+         |      ELSE h.host = r.suf OR h.host LIKE ('%.' || r.suf) END),
+         |best AS (SELECT host, kind, ns, row_number() OVER (
+         |    PARTITION BY host ORDER BY
+         |      CASE WHEN kind = 'exc' THEN 1 ELSE 0 END DESC, ns DESC, kind) AS rn
+         |  FROM cand),
+         |j AS (SELECT h.host, b.kind, b.ns,
+         |    len(string_split(h.host, '.')) AS nl FROM hs0 h
+         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (host))
+         |SELECT host,
+         |  CASE WHEN kind IS NULL THEN
+         |      (CASE WHEN nl <= 2 THEN host
+         |       ELSE array_to_string(string_split(host, '.')[nl - 1 :], '.') END)
+         |    WHEN kind = 'exc'
+         |      THEN array_to_string(string_split(host, '.')[nl - ns + 1 :], '.')
+         |    WHEN nl = ns THEN host
+         |    ELSE array_to_string(string_split(host, '.')[nl - ns :], '.') END AS domain,
+         |  COALESCE(kind, 'fallback') AS rule_kind
+         |FROM j ORDER BY host""".stripMargin
+    }) { (s, dir) =>
+      val d = (m: Int) => pmod(col("doc_id"), lit(m))
+      val host = when(d(5) === 0, lit("www.ck"))
+        .when(d(5) === 1, concat(lit("shop-"), d(7).cast("string"), lit(".ck")))
+        .when(d(5) === 2, concat(lit("a"), d(3).cast("string"), lit(".shop-"),
+          d(7).cast("string"), lit(".ck")))
+        .when(d(5) === 3, concat(lit("x"), d(4).cast("string"), lit(".www.ck")))
+        .otherwise(concat(lit("cdn.site-"), d(6).cast("string"), lit(".com")))
+      val hs = Tables.load(s, dir, "documents")
+        .select(host.as("host")).distinct()
+      // rule_kind re-derived from the fold result — an independent
+      // classification both engines compute from their own fold
+      val folded = hs.select(col("host"),
+        graft.functions.RegistrableDomain(col("host"), PslRules).as("domain"))
+      folded.select(col("host"), col("domain"),
+          when(col("host").endsWith("www.ck") || col("domain") === "www.ck",
+            lit("exc"))
+            .when(col("domain").endsWith(".ck"), lit("wild"))
+            .otherwise(lit("exact")).as("rule_kind"))
+        .orderBy("host")
+    },
+
+    // ROBOTS GATE — the crawl-politeness stage between the frontier
+    // and the fetcher: evaluate each URL against its domain's
+    // robots.txt rule set with the REAL semantics (longest matching
+    // path prefix wins; on a length tie, allow beats disallow — the
+    // Google/RFC 9309 rule). The corpus carries no robots files, so
+    // each domain's rule set is synthesized DETERMINISTICALLY from
+    // the domain string (same formulas verbatim in DuckDB): every
+    // domain allows "/", domains with length % 3 == 0 disallow
+    // "/p/1" (and those also even-length re-allow "/p/12" — the
+    // nested exception real robots files are full of), domains with
+    // length % 5 == 2 disallow "/p/" wholesale. So one URL can match
+    // up to four rules of different lengths and the verdict is
+    // genuinely the longest-prefix winner. SCALE SHAPES: the rule
+    // set is built FROM the dimension-bounded distinct-domain census
+    // (<= 4 rules/domain) and BROADCAST — the corpus never shuffles
+    // to be gated; the per-URL winner is max_by(kind, 2*len + isAllow)
+    // — a hash AGGREGATE with map-side combine, not a window; the
+    // output census is domain-bounded.
+    Q("robots_gate", {
+      val dl = "length(domain)"
+      s"""WITH $duckWithDomain,
+         |up AS (SELECT doc_id, domain,
+         |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path FROM u),
+         |doms AS (SELECT DISTINCT domain FROM u),
+         |rr AS (SELECT domain, '/' AS prefix, 'allow' AS kind FROM doms
+         |  UNION ALL SELECT domain, '/p/1', 'disallow' FROM doms WHERE $dl % 3 = 0
+         |  UNION ALL SELECT domain, '/p/12', 'allow' FROM doms
+         |    WHERE $dl % 3 = 0 AND $dl % 2 = 0
+         |  UNION ALL SELECT domain, '/p/', 'disallow' FROM doms WHERE $dl % 5 = 2),
+         |m AS (SELECT up.doc_id, up.domain,
+         |    arg_max(rr.kind,
+         |      length(rr.prefix) * 2 + CASE WHEN rr.kind = 'allow' THEN 1 ELSE 0 END) AS verdict
+         |  FROM up JOIN rr ON up.domain = rr.domain
+         |    AND starts_with(up.path, rr.prefix)
+         |  GROUP BY 1, 2)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |  CAST(SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         |  CAST(SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS blocked_rate
+         |FROM m GROUP BY domain ORDER BY domain""".stripMargin
+    }) { (s, dir) =>
+      val u = withDomain(s, dir)
+      val up = u.select(col("doc_id"), col("domain"),
+        parse_url(col("url"), lit("PATH")).as("path"))
+      val dl = length(col("domain"))
+      val rules = u.select("domain").distinct()
+        .select(col("domain"), explode(array(
+          struct(lit("/").as("prefix"), lit("allow").as("kind")),
+          struct(lit("/p/1").as("prefix"), lit("disallow").as("kind")),
+          struct(lit("/p/12").as("prefix"), lit("allow").as("kind")),
+          struct(lit("/p/").as("prefix"), lit("disallow").as("kind"))))
+          .as("r"))
+        .select(col("domain"), col("r.prefix").as("prefix"),
+          col("r.kind").as("kind"))
+        .filter(
+          col("prefix") === "/" ||
+          (col("prefix") === "/p/1" && dl % 3 === 0) ||
+          (col("prefix") === "/p/12" && dl % 3 === 0 && dl % 2 === 0) ||
+          (col("prefix") === "/p/" && dl % 5 === 2))
+      val m = up.join(broadcast(rules), Seq("domain"))
+        .filter(col("path").startsWith(col("prefix")))
+        .groupBy("doc_id", "domain")
+        .agg(expr("max_by(kind, length(prefix) * 2 + " +
+          "CASE WHEN kind = 'allow' THEN 1 ELSE 0 END)").as("verdict"))
+      m.groupBy("domain")
+        .agg(count(lit(1)).cast("long").as("n_urls"),
+          sum(when(col("verdict") === "allow", 1).otherwise(0))
+            .cast("long").as("n_allowed"),
+          sum(when(col("verdict") === "disallow", 1).otherwise(0))
+            .cast("long").as("n_blocked"))
+        .select(col("domain"), col("n_urls"), col("n_allowed"),
+          col("n_blocked"),
+          (col("n_blocked").cast("double") / col("n_urls"))
+            .as("blocked_rate"))
+        .orderBy("domain")
     })
 }

@@ -159,48 +159,100 @@ object StreamCuration {
     * replayed v<id> overwrites — and profiles are pure functions of
     * the text, so the replay rewrites it bit-identically; a
     * half-written v<id> from the dying run was invisible to readers,
-    * which read `< id`). Production vacuums version dirs older than
-    * the checkpoint horizon, which re-bounds disk to O(ledger).
+    * which read `< id`). [[vacuumLedger]] removes superseded bucket
+    * copies strictly below the checkpoint horizon, re-bounding disk
+    * to O(live buckets).
     */
+  /** Vacuum superseded ledger versions: a bucket directory
+    * `v<k>/bkt=<p>` is DEAD once a newer version `< beforeBatch` also
+    * contains bucket p (readers always take the newest per bucket);
+    * a version dir whose buckets are all dead is deleted whole.
+    * `beforeBatch` is the checkpoint horizon — versions at or above
+    * it may still be read by a replaying batch and are never touched,
+    * which preserves the crash/replay idempotence argument verbatim.
+    * Returns the number of bucket directories removed. Bounds the
+    * ledger's disk footprint to O(live buckets) however many batches
+    * have run.
+    */
+  def vacuumLedger(spark: SparkSession, ledgerDir: String,
+                   beforeBatch: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val versions = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .filter(_ < beforeBatch).sorted.reverse
+    val seen = scala.collection.mutable.Set.empty[String]
+    var removed = 0
+    versions.foreach { v =>
+      val vDir = new org.apache.hadoop.fs.Path(root, s"v$v")
+      val buckets = fs.listStatus(vDir).map(_.getPath.getName)
+        .filter(_.startsWith("bkt="))
+      // newest-first walk: a bucket already seen means THIS copy is
+      // superseded; a first sighting is the live copy and stays
+      val (dead, live) = buckets.partition(seen.contains)
+      live.foreach(seen.add)
+      if (live.isEmpty && buckets.nonEmpty) {
+        fs.delete(vDir, true); removed += dead.length
+      } else dead.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(vDir, b), true)
+        removed += 1
+      }
+    }
+    removed
+  }
+
+  /** One durable micro-batch step (the body of [[monitorDurable]],
+    * callable directly — ScaleSmoke's write-amplification probe drives
+    * it without a streaming query): profile the batch, overwrite-merge
+    * ONLY its touched buckets into version dir v<id>, and return the
+    * 5-row census over the full ledger view. Production sizes
+    * `nBuckets` so a bucket is a rewrite-friendly unit (~1 GB at
+    * 100 TB), keeping per-batch writes <= touched-buckets × bucket
+    * size however large the ledger grows.
+    */
+  private[graft] def durableBatch(b: DataFrame, id: Long,
+      ledgerDir: String, nBuckets: Int): DataFrame = {
+    val spark = b.sparkSession
+    val bkt = bktCol(nBuckets)
+    // profile once (the one text parse), pin the batch's rows
+    val profiled = SelectionQueries.curationProfiles(
+        b.select(col("doc_id"), col("lang"), col("source"), col("text")))
+      .localCheckpoint(true)
+    // the batch's bucket footprint — <= nBuckets driver-side ints
+    val touched = profiled.select(bkt.as("p")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val base = readLedger(spark, ledgerDir, beforeBatch = id)
+    // overwrite-merge ONLY the touched buckets; localCheckpoint
+    // materializes the merge BEFORE the write so the write never
+    // races the (lazy) read of the same ledger
+    val baseTouched = base match {
+      case Some(l) => l.filter(bkt.isin(touched.map(Int.box): _*))
+      case None    => emptyLedger(spark)
+    }
+    val mergedTouched = baseTouched
+      .join(profiled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(profiled)
+      .localCheckpoint(true)
+    mergedTouched.withColumn("bkt", bkt)
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$ledgerDir/v$id")
+    // recount over the full ledger view: untouched buckets from
+    // disk + the in-memory merge (reads stay O(ledger) — the
+    // documented honest-recount contract; only WRITES are pruned)
+    val untouched = base match {
+      case Some(l) => l.filter(!bkt.isin(touched.map(Int.box): _*))
+      case None    => emptyLedger(spark)
+    }
+    SelectionQueries.funnelCensus(untouched.unionByName(mergedTouched))
+  }
+
   def monitorDurable(docs: DataFrame, checkpointDir: String,
                      ledgerDir: String, nBuckets: Int = 16)(
       sink: (Long, Array[Row]) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val spark = b.sparkSession
-        val bkt = bktCol(nBuckets)
-        // profile once (the one text parse), pin the batch's rows
-        val profiled = SelectionQueries.curationProfiles(
-            b.select(col("doc_id"), col("lang"), col("source"), col("text")))
-          .localCheckpoint(true)
-        // the batch's bucket footprint — <= nBuckets driver-side ints
-        val touched = profiled.select(bkt.as("p")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        val base = readLedger(spark, ledgerDir, beforeBatch = id)
-        // overwrite-merge ONLY the touched buckets; localCheckpoint
-        // materializes the merge BEFORE the write so the write never
-        // races the (lazy) read of the same ledger
-        val baseTouched = base match {
-          case Some(l) => l.filter(bkt.isin(touched.map(Int.box): _*))
-          case None    => emptyLedger(spark)
-        }
-        val mergedTouched = baseTouched
-          .join(profiled.select("doc_id"), Seq("doc_id"), "left_anti")
-          .unionByName(profiled)
-          .localCheckpoint(true)
-        mergedTouched.withColumn("bkt", bkt)
-          .write.mode("overwrite").partitionBy("bkt")
-          .parquet(s"$ledgerDir/v$id")
-        // recount over the full ledger view: untouched buckets from
-        // disk + the in-memory merge (reads stay O(ledger) — the
-        // documented honest-recount contract; only WRITES are pruned)
-        val untouched = base match {
-          case Some(l) => l.filter(!bkt.isin(touched.map(Int.box): _*))
-          case None    => emptyLedger(spark)
-        }
-        val census = SelectionQueries.funnelCensus(
-          untouched.unionByName(mergedTouched))
-        sink(id, census.collect())
+        sink(id, durableBatch(b, id, ledgerDir, nBuckets).collect())
       }
       .option("checkpointLocation", checkpointDir)
 }

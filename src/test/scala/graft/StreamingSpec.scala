@@ -2007,6 +2007,38 @@ class StreamingSpec extends SparkSpec {
       s"last batch wrote $lastBytes of $ledgerBytes ledger bytes — write amplification")
   }
 
+  test("durable ledger vacuum: superseded bucket versions removed, view bit-identical, horizon respected") {
+    import graft.streaming.StreamCuration
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val ledger = Files.createTempDirectory("graft_curation_vac").toString
+    val nB = 4
+    // batch 0 writes every bucket; batch 1 redelivers a subset, so the
+    // buckets it touches supersede their v0 copies
+    StreamCuration.durableBatch(docs.toDF(), 0, ledger, nB)
+    StreamCuration.durableBatch(docs.take(40).toDF(), 1, ledger, nB)
+    def view = StreamCuration.readLedger(spark, ledger).get
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val before = view
+    // horizon safety: a vacuum that may still be replayed from batch 1
+    // (beforeBatch = 1) must not touch anything batch 1 could read
+    assert(StreamCuration.vacuumLedger(spark, ledger, beforeBatch = 1) === 0,
+      "vacuum below the checkpoint horizon removed a readable version")
+    val removed = StreamCuration.vacuumLedger(spark, ledger, beforeBatch = 2)
+    assert(removed > 0, "batch 1 superseded v0 buckets — vacuum found none")
+    assert(view === before, "vacuum changed the ledger view")
+    // the superseded v0 bucket dirs are physically gone (v0 itself is
+    // deleted whole if batch 1 touched every bucket)
+    def bucketsOf(v: String): Set[String] =
+      Option(new java.io.File(s"$ledger/$v").listFiles)
+        .fold(Set.empty[String])(_.map(_.getName).filter(_.startsWith("bkt=")).toSet)
+    assert(bucketsOf("v0").intersect(bucketsOf("v1")).isEmpty,
+      "a bucket still has two live versions after vacuum")
+  }
+
   test("streaming domain reputation: additive cells match batch bit-exactly; replay guard holds across restart") {
     import graft.streaming.StreamReputation
     import StreamingSpec.WebDoc

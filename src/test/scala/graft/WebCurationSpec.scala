@@ -45,14 +45,28 @@ class WebCurationSpec extends SparkSpec {
     assert(f("user.github.io") === "user.github.io",
       "private-registry suffix: the user site IS the registrable unit")
     assert(f("deep.sub.user.github.io") === "user.github.io")
-    assert(f("bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com",
+    assert(f("district.k12.ak.us") === "district.k12.ak.us",
       "3-label suffix beats its own 1-label tail (longest match)")
-    assert(f("plain.s3.example.com") === "example.com",
-      "s3 label without the amazonaws suffix is just a subdomain")
+    assert(f("plain.k12.example.com") === "example.com",
+      "a k12 label under an unrelated parent is just a subdomain")
     assert(f("github.io") === "github.io", "bare public suffix folds to itself")
     assert(f("a.b.unknown-tld") === "b.unknown-tld",
       "unknown TLD falls back to the last-two-labels heuristic")
     assert(f("localhost") === "localhost")
+    // the FULL grammar (wildcard + exception — the real .ck entries)
+    val tw = RegistrableDomain.compile(WebCuration.PslRules)
+    def g(h: String) = RegistrableDomain.fold(tw, h)
+    assert(g("shop-3.ck") === "shop-3.ck",
+      "*.ck: any single label under ck is a BARE public suffix")
+    assert(g("a1.shop-3.ck") === "a1.shop-3.ck",
+      "*.ck: suffix + one label is the registrable unit")
+    assert(g("deep.a1.shop-3.ck") === "a1.shop-3.ck")
+    assert(g("www.ck") === "www.ck",
+      "!www.ck prevails over *.ck: www.ck is registrable")
+    assert(g("x2.www.ck") === "www.ck",
+      "under the exception, the exception string is the registrable unit")
+    assert(g("www.hub.com") === "hub.com",
+      "literal entries behave identically under the full table")
   }
 
   test("psl_domain_fold: the broadcast-join path agrees with the codegen'd scalar on every host") {
@@ -65,6 +79,47 @@ class WebCurationSpec extends SparkSpec {
     // and doc counts conserve against the host census
     val n = WebCuration.withDomain(spark, sf001).count()
     assert(rows.map(_.getLong(3)).sum === n)
+  }
+
+  test("robots_gate: longest-prefix semantics replayed independently per URL; counts conserve") {
+    val rows = run("robots_gate").collect()
+    val urls = WebCuration.withDomain(spark, sf001)
+      .select(col("doc_id"), col("domain")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_.getLong(1)).sum === urls.length.toLong,
+      "every URL must receive a verdict (the '/' rule matches all)")
+    // independent JVM replay of the rule synthesis + longest-prefix rule
+    def rulesOf(d: String): Seq[(String, String)] = {
+      val b = Seq.newBuilder[(String, String)]
+      b += (("/", "allow"))
+      if (d.length % 3 == 0) b += (("/p/1", "disallow"))
+      if (d.length % 3 == 0 && d.length % 2 == 0) b += (("/p/12", "allow"))
+      if (d.length % 5 == 2) b += (("/p/", "disallow"))
+      b.result()
+    }
+    val expect = urls.groupBy(_._2).map { case (d, ds) =>
+      val rs = rulesOf(d)
+      val verdicts = ds.map { case (id, _) =>
+        val path = s"/p/$id"
+        rs.filter(r => path.startsWith(r._1))
+          .maxBy(r => r._1.length * 2 + (if (r._2 == "allow") 1 else 0))._2
+      }
+      d -> (verdicts.count(_ == "allow").toLong,
+        verdicts.count(_ == "disallow").toLong)
+    }
+    rows.foreach { r =>
+      val (a, bN) = expect(r.getString(0))
+      assert(r.getLong(2) === a && r.getLong(3) === bN,
+        s"robots verdicts diverge for ${r.getString(0)}")
+    }
+    // the fixture must actually exercise all three rule shapes: some
+    // domain fully blocked, some with the nested /p/12 re-allow firing
+    assert(rows.exists(r => r.getLong(3) === r.getLong(1) && r.getLong(1) > 0),
+      "no fully-blocked domain — the /p/ rule never fired")
+    val nested = urls.filter { case (id, d) =>
+      d.length % 3 == 0 && d.length % 2 == 0 && s"$id".startsWith("12")
+    }
+    assert(nested.nonEmpty, "no URL exercises the nested /p/12 re-allow")
   }
 
   test("url_host_parse census: doc counts conserve; http/query flags match the url") {
