@@ -632,5 +632,67 @@ object HtmlQueries {
       val prof = profileCensus(
         Tables.parallelize(Tables.load(s, dir, "documents")))
       frontierTable(edges, prof)
+    },
+
+    // POLITE FRONTIER — the composite the fetcher actually obeys:
+    // crawl_frontier's per-domain budget discounted by the domain's
+    // robots disallow share ([[WebCuration.robotsCensus]] — RFC 9309
+    // longest-prefix verdicts), polite_budget = floor(budget ×
+    // (1 − blocked_rate) + 0.5). A fully robots-blocked domain lands
+    // at 0 whatever its rank; a domain DISCOVERED via outlinks but
+    // never crawled has no robots evidence and keeps its budget (rate
+    // 0 — robots.txt is fetched on first contact). Float discipline:
+    // blocked_rate is one double division of exact integers and the
+    // discount one multiply-round — identical op order in both
+    // engines. SCALE: all three inputs are dimension-bounded censuses
+    // (domain grid); the composite joins censuses, never corpus rows.
+    Q("crawl_frontier_polite",
+      s"""WITH $duckWithHtml,
+         |$duckEdges,
+         |$duckRankCtes,
+         |${WebCuration.duckProfiles},
+         |prof AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS nq
+         |  FROM fd GROUP BY domain),
+         |fr AS (SELECT r3.d AS domain, r3.r AS rn,
+         |    prof.domain IS NOT NULL AS visited,
+         |    COALESCE(prof.nd, 0) AS nd2, COALESCE(prof.nq, 0) AS nq2
+         |  FROM r3 LEFT JOIN prof ON r3.d = prof.domain),
+         |py AS (SELECT domain, rn, visited, nd2, nq2,
+         |    CAST(floor(CAST(CAST(rn AS HUGEINT) * (nq2 + 1) AS DOUBLE)
+         |      / (nd2 + 2)) AS BIGINT) AS priority,
+         |    domain IN ${WebCuration.duckBlocklist} AS blocked FROM fr),
+         |${WebCuration.duckRobots},
+         |pb AS (SELECT py.domain, py.visited, py.blocked, py.priority,
+         |    CAST(CASE WHEN py.blocked THEN 0
+         |      ELSE least(8, 1 + CAST(floor(py.priority / 500000000.0) AS BIGINT))
+         |    END AS BIGINT) AS crawl_budget,
+         |    CASE WHEN rb.domain IS NULL THEN 0.0
+         |      ELSE CAST(rb.n_blocked AS DOUBLE) / rb.n_urls END AS robots_blocked_rate
+         |  FROM py LEFT JOIN rb ON py.domain = rb.domain)
+         |SELECT domain, visited, blocked, priority, crawl_budget,
+         |  robots_blocked_rate,
+         |  CAST(floor(crawl_budget * (1 - robots_blocked_rate) + 0.5) AS BIGINT)
+         |    AS polite_budget
+         |FROM pb ORDER BY domain""".stripMargin) { (s, dir) =>
+      val edges = outlinkEdges(withHtml(s, dir)).localCheckpoint(true)
+      val prof = profileCensus(
+        Tables.parallelize(Tables.load(s, dir, "documents")))
+      val fr = frontierTable(edges, prof)
+        .select(col("domain"), col("visited"), col("blocked"),
+          col("priority"), col("crawl_budget"))
+      val rb = WebCuration.robotsCensus(s, dir)
+        .select(col("domain").as("rbd"), col("n_urls"), col("n_blocked"))
+      fr.join(broadcast(rb), fr("domain") === col("rbd"), "left")
+        .select(col("domain"), col("visited"), col("blocked"),
+          col("priority"), col("crawl_budget"),
+          when(col("rbd").isNull, lit(0.0))
+            .otherwise(col("n_blocked").cast("double") / col("n_urls"))
+            .as("robots_blocked_rate"))
+        .select(col("domain"), col("visited"), col("blocked"),
+          col("priority"), col("crawl_budget"), col("robots_blocked_rate"),
+          floor(col("crawl_budget") * (lit(1) - col("robots_blocked_rate"))
+            + lit(0.5)).cast("long").as("polite_budget"))
+        .orderBy("domain")
     })
 }

@@ -184,6 +184,79 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(
 
+    // SEMANTIC DECONTAMINATION — the embedding-space complement to the
+    // n-gram `decontamination` query (modern eval hygiene runs BOTH:
+    // exact-overlap n-grams catch copies, embedding similarity catches
+    // paraphrases): for every training vector, the max cosine against
+    // a held-out EVAL benchmark set, swept over three thresholds —
+    // the census a curator reads before claiming an eval is clean.
+    // (Sweep values are tuned to the fixture's similarity range —
+    // max pairwise cosine ~0.45, the synthetic embeddings being
+    // near-orthogonal; a production run sweeps 0.80/0.90/0.95. The
+    // machinery is threshold-agnostic.)
+    // The eval set is a deterministic FIXED slice (vec_id % 41 = 0
+    // below a constant id ceiling — ~49 vectors at ANY scale factor,
+    // exactly like a real benchmark: a fixed dimension, never
+    // corpus-scaled). SCALE: the eval side
+    // BROADCASTS; each corpus partition computes its |eval| cosines
+    // map-side and the per-vector MAX partial-aggregates BEFORE the
+    // exchange (max is order-free — no quantization needed), so the
+    // one shuffle carries |train| rows, not |train|·|eval|; the sweep
+    // is a 3-row broadcast. Mean-over-contaminated quantizes to
+    // micro-units before summation (exact, order-free); cosines are
+    // the suite's shared 6-dp-rounded index-ordered dot.
+    Q("semantic_decontamination",
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 41 = 0 AND vec_id < 2000),
+         |n AS (SELECT * FROM embeddings WHERE NOT (vec_id % 41 = 0 AND vec_id < 2000)),
+         |p AS (SELECT n.vec_id AS n_id,
+         |    round(${duckDot("q", "n")} /
+         |      (sqrt(${duckDot("q", "q")}) * sqrt(${duckDot("n", "n")})), 6) AS c
+         |  FROM n JOIN q ON true),
+         |m AS (SELECT n_id, MAX(c) AS max_cos FROM p GROUP BY 1),
+         |t AS (SELECT CAST(tau AS DOUBLE) AS tau
+         |      FROM (VALUES (0.30), (0.35), (0.40)) t(tau)),
+         |g AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |    CAST(SUM(CASE WHEN max_cos >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |    SUM(CASE WHEN max_cos >= tau
+         |      THEN CAST(floor(max_cos * 1e6 + 0.5) AS BIGINT) END) AS sum_u
+         |  FROM m, t GROUP BY tau)
+         |SELECT tau, n_train, n_contaminated,
+         |  CAST(n_contaminated AS DOUBLE) / n_train AS contamination_rate,
+         |  CASE WHEN n_contaminated > 0
+         |    THEN CAST(sum_u AS DOUBLE) / n_contaminated / 1e6 END AS mean_maxcos_contaminated
+         |FROM g ORDER BY tau""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val evalSet = pmod(col("vec_id"), lit(41)) === 0 && col("vec_id") < 2000
+      val q = e.filter(evalSet)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      // repartition the corpus side so the train x eval cosine work
+      // parallelizes (fixture parquet is one row group)
+      val n = e.filter(!(pmod(col("vec_id"), lit(41)) === 0 && col("vec_id") < 2000))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      val m = n.crossJoin(broadcast(q))
+        .select(col("n_id"),
+          graft.ops.Similarity.cosine(col("qe"), col("ne")).as("c"))
+        .groupBy("n_id").agg(max(col("c")).as("max_cos"))
+      val taus = Seq(0.30, 0.35, 0.40).toDF("tau")
+      m.crossJoin(broadcast(taus))
+        .groupBy("tau")
+        .agg(count(lit(1)).cast("long").as("n_train"),
+          sum(when(col("max_cos") >= col("tau"), 1).otherwise(0))
+            .cast("long").as("n_contaminated"),
+          sum(when(col("max_cos") >= col("tau"),
+            floor(col("max_cos") * lit(1e6) + lit(0.5)).cast("long")))
+            .as("sum_u"))
+        .select(col("tau"), col("n_train"), col("n_contaminated"),
+          (col("n_contaminated").cast("double") / col("n_train"))
+            .as("contamination_rate"),
+          when(col("n_contaminated") > 0,
+            col("sum_u").cast("double") / col("n_contaminated") / lit(1e6))
+            .as("mean_maxcos_contaminated"))
+        .orderBy("tau")
+    },
+
     // brute-force exact top-k (the correctness baseline for ANN)
     // Margin-based bitext/pair mining (Artetxe & Schwenk 2019, the
     // LASER/CCMatrix shape): for each query vector on side A, the

@@ -236,6 +236,74 @@ object WebCuration {
       | '/p/' || CAST(doc_id AS VARCHAR) || '/?utm_source=m')""".stripMargin
       .replace('\n', ' ')
 
+  /** Per-domain robots-verdict census (domain, n_urls, n_allowed,
+    * n_blocked) — the robots_gate machinery, shared with
+    * crawl_frontier_polite. See robots_gate's header for the rule
+    * synthesis and the RFC 9309 longest-prefix semantics.
+    */
+  private[graft] def robotsCensus(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val u = withDomain(s, dir)
+    val up = u.select(col("doc_id"), col("domain"),
+      parse_url(col("url"), lit("PATH")).as("path"))
+    val dl = length(col("domain"))
+    val rules = u.select("domain").distinct()
+      .select(col("domain"), explode(array(
+        struct(lit("/").as("prefix"), lit("allow").as("kind")),
+        struct(lit("/p/1").as("prefix"), lit("disallow").as("kind")),
+        struct(lit("/p/12").as("prefix"), lit("allow").as("kind")),
+        struct(lit("/p/").as("prefix"), lit("disallow").as("kind"))))
+        .as("r"))
+      .select(col("domain"), col("r.prefix").as("prefix"),
+        col("r.kind").as("kind"))
+      .filter(
+        col("prefix") === "/" ||
+        (col("prefix") === "/p/1" && dl % 3 === 0) ||
+        (col("prefix") === "/p/12" && dl % 3 === 0 && dl % 2 === 0) ||
+        (col("prefix") === "/p/" && dl % 5 === 2))
+    up.join(broadcast(rules), Seq("domain"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy("doc_id", "domain")
+      .agg(expr("max_by(kind, length(prefix) * 2 + " +
+        "CASE WHEN kind = 'allow' THEN 1 ELSE 0 END)").as("verdict"))
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        sum(when(col("verdict") === "allow", 1).otherwise(0))
+          .cast("long").as("n_allowed"),
+        sum(when(col("verdict") === "disallow", 1).otherwise(0))
+          .cast("long").as("n_blocked"))
+  }
+
+  /** DuckDB twin of [[robotsCensus]] — CTE chain ending in `rb`
+    * (domain, n_urls, n_allowed, n_blocked); names chosen not to
+    * collide with the HTML/frontier chains so the two compose in one
+    * WITH (crawl_frontier_polite).
+    */
+  private[graft] val duckRobots: String = {
+    val dl = "length(domain)"
+    s"""rw AS (SELECT doc_id, source, $duckUrl AS url FROM documents),
+       |rh AS (SELECT doc_id, url, ${duckHost("url")} AS host FROM rw),
+       |ru AS (SELECT doc_id, url, ${duckDomain("host")} AS domain FROM rh),
+       |rup AS (SELECT doc_id, domain,
+       |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path FROM ru),
+       |rdoms AS (SELECT DISTINCT domain FROM ru),
+       |rrr AS (SELECT domain, '/' AS prefix, 'allow' AS kind FROM rdoms
+       |  UNION ALL SELECT domain, '/p/1', 'disallow' FROM rdoms WHERE $dl % 3 = 0
+       |  UNION ALL SELECT domain, '/p/12', 'allow' FROM rdoms
+       |    WHERE $dl % 3 = 0 AND $dl % 2 = 0
+       |  UNION ALL SELECT domain, '/p/', 'disallow' FROM rdoms WHERE $dl % 5 = 2),
+       |rm AS (SELECT rup.doc_id, rup.domain,
+       |    arg_max(rrr.kind,
+       |      length(rrr.prefix) * 2 + CASE WHEN rrr.kind = 'allow' THEN 1 ELSE 0 END) AS verdict
+       |  FROM rup JOIN rrr ON rup.domain = rrr.domain
+       |    AND starts_with(rup.path, rrr.prefix)
+       |  GROUP BY 1, 2),
+       |rb AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       |    CAST(SUM(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       |    CAST(SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+       |  FROM rm GROUP BY domain)""".stripMargin
+  }
+
   /** docs frame with url/host/domain attached — the shared scan-stage
     * projection every web-curation query starts from.
     */
@@ -622,58 +690,12 @@ object WebCurationQueries {
     // to be gated; the per-URL winner is max_by(kind, 2*len + isAllow)
     // — a hash AGGREGATE with map-side combine, not a window; the
     // output census is domain-bounded.
-    Q("robots_gate", {
-      val dl = "length(domain)"
-      s"""WITH $duckWithDomain,
-         |up AS (SELECT doc_id, domain,
-         |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path FROM u),
-         |doms AS (SELECT DISTINCT domain FROM u),
-         |rr AS (SELECT domain, '/' AS prefix, 'allow' AS kind FROM doms
-         |  UNION ALL SELECT domain, '/p/1', 'disallow' FROM doms WHERE $dl % 3 = 0
-         |  UNION ALL SELECT domain, '/p/12', 'allow' FROM doms
-         |    WHERE $dl % 3 = 0 AND $dl % 2 = 0
-         |  UNION ALL SELECT domain, '/p/', 'disallow' FROM doms WHERE $dl % 5 = 2),
-         |m AS (SELECT up.doc_id, up.domain,
-         |    arg_max(rr.kind,
-         |      length(rr.prefix) * 2 + CASE WHEN rr.kind = 'allow' THEN 1 ELSE 0 END) AS verdict
-         |  FROM up JOIN rr ON up.domain = rr.domain
-         |    AND starts_with(up.path, rr.prefix)
-         |  GROUP BY 1, 2)
-         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
-         |  CAST(SUM(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
-         |  CAST(SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
-         |  CAST(SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS blocked_rate
-         |FROM m GROUP BY domain ORDER BY domain""".stripMargin
-    }) { (s, dir) =>
-      val u = withDomain(s, dir)
-      val up = u.select(col("doc_id"), col("domain"),
-        parse_url(col("url"), lit("PATH")).as("path"))
-      val dl = length(col("domain"))
-      val rules = u.select("domain").distinct()
-        .select(col("domain"), explode(array(
-          struct(lit("/").as("prefix"), lit("allow").as("kind")),
-          struct(lit("/p/1").as("prefix"), lit("disallow").as("kind")),
-          struct(lit("/p/12").as("prefix"), lit("allow").as("kind")),
-          struct(lit("/p/").as("prefix"), lit("disallow").as("kind"))))
-          .as("r"))
-        .select(col("domain"), col("r.prefix").as("prefix"),
-          col("r.kind").as("kind"))
-        .filter(
-          col("prefix") === "/" ||
-          (col("prefix") === "/p/1" && dl % 3 === 0) ||
-          (col("prefix") === "/p/12" && dl % 3 === 0 && dl % 2 === 0) ||
-          (col("prefix") === "/p/" && dl % 5 === 2))
-      val m = up.join(broadcast(rules), Seq("domain"))
-        .filter(col("path").startsWith(col("prefix")))
-        .groupBy("doc_id", "domain")
-        .agg(expr("max_by(kind, length(prefix) * 2 + " +
-          "CASE WHEN kind = 'allow' THEN 1 ELSE 0 END)").as("verdict"))
-      m.groupBy("domain")
-        .agg(count(lit(1)).cast("long").as("n_urls"),
-          sum(when(col("verdict") === "allow", 1).otherwise(0))
-            .cast("long").as("n_allowed"),
-          sum(when(col("verdict") === "disallow", 1).otherwise(0))
-            .cast("long").as("n_blocked"))
+    Q("robots_gate",
+      s"""WITH $duckRobots
+         |SELECT domain, n_urls, n_allowed, n_blocked,
+         |  CAST(n_blocked AS DOUBLE) / n_urls AS blocked_rate
+         |FROM rb ORDER BY domain""".stripMargin) { (s, dir) =>
+      robotsCensus(s, dir)
         .select(col("domain"), col("n_urls"), col("n_allowed"),
           col("n_blocked"),
           (col("n_blocked").cast("double") / col("n_urls"))

@@ -106,6 +106,34 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("crawl_frontier_polite: discount law replayed per domain; robots evidence only for visited") {
+    val rows = run("crawl_frontier_polite").collect()
+    val robots = run("robots_gate").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val frontier = run("crawl_frontier").collect()
+      .map(r => (r.getString(0), (r.getBoolean(2), r.getLong(7)))).toMap
+    assert(rows.length === frontier.size, "one polite row per frontier row")
+    rows.foreach { r =>
+      val d = r.getString(0)
+      val (visited, budget) = frontier(d)
+      val rate = r.getDouble(5)
+      assert(r.getLong(4) === budget, s"$d: base budget must match crawl_frontier")
+      if (!visited)
+        assert(rate === 0.0, s"$d: never crawled -> no robots evidence")
+      else
+        assert(rate === robots(d), s"$d: robots rate must match robots_gate")
+      assert(r.getLong(6) ===
+        math.floor(budget * (1.0 - rate) + 0.5).toLong,
+        s"$d: polite budget violates the discount law")
+      assert(r.getLong(6) <= budget)
+    }
+    // the discount must actually bite somewhere, and fully-blocked
+    // domains must zero out
+    assert(rows.exists(r => r.getLong(6) < r.getLong(4)))
+    assert(rows.filter(_.getDouble(5) === 1.0)
+      .forall(_.getLong(6) === 0L))
+  }
+
   test("html_text_extract: every page round-trips exactly; census conserves docs") {
     val rows = run("html_text_extract").collect()
     assert(rows.map(_.getLong(1)).sum === nDocs)

@@ -132,6 +132,7 @@ class PlanInventorySpec extends SparkSpec {
     "decayed_engagement", // one-row max-ts cross-joined back
     "ks_drift", // source-pair cross (a.source < b.source) over the |sources|-row census
     "bitext_mine", // broadcast of the <40-vector query side, like ann_bruteforce
+    "semantic_decontamination", // broadcast FIXED eval slice (vec_id % 41 = 0 under a constant id ceiling, ~49 vectors at any SF) + 3-row tau dim
     "trigram_backoff", // one-row (N, V) totals cross-joined back
     "pmi_collocations", // one-row (N, Nb) totals cross-joined back
     "lang_id_nb", // |classes|-row model grid + one-row V/ndocs cross-joined

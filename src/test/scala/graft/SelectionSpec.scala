@@ -122,4 +122,28 @@ class SelectionSpec extends SparkSpec {
       assert(sims === sims.sorted(Ordering[Double].reverse))
     }
   }
+
+  test("semantic_decontamination: sweep is monotone, rates consistent, eval slice excluded") {
+    val rows = SparkEntry.queries("semantic_decontamination")(spark, sf001)
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.length === 3)
+    val nTrain = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nTrain, "n_train must not vary with tau")
+      assert(r.getDouble(3) === r.getLong(2).toDouble / nTrain)
+      if (r.getLong(2) > 0) {
+        // the mean max-cos of contaminated docs must sit at or above tau
+        assert(r.getDouble(4) >= r.getDouble(0))
+      }
+    }
+    // monotone: a higher threshold can only shrink the contaminated set
+    val ns = rows.map(_.getLong(2)).toSeq
+    assert(ns === ns.sorted.reverse, s"sweep not monotone: $ns")
+    assert(ns.head > 0, "the lowest threshold must catch something")
+    // train + eval partition the table
+    val total = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val eval = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 41 === 0 && col("vec_id") < 2000).count()
+    assert(nTrain === total - eval)
+  }
 }
