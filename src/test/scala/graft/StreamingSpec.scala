@@ -2089,6 +2089,64 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming semantic decontamination: additive sweep equals batch bit-exactly; guard holds across restart") {
+    import graft.streaming.StreamDecontamination
+    implicit val ctx = spark.sqlContext
+    val taus = Seq(0.30, 0.35, 0.40) // the batch query's sweep, verbatim
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val isEval = col("vec_id") % 41 === 0 && col("vec_id") < 2000
+    val evalSet = e.filter(isEval)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val train = e.filter(!isEval)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toVector
+    val expect = SparkEntry.queries("semantic_decontamination")(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val ckpt = Files.createTempDirectory("graft_decon_ckpt").toString
+    val audits = collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Double, Long, Long, Double, Option[Double])])]
+    val state = collection.mutable
+      .Map.empty[Double, StreamDecontamination.TauCell]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def start(after: Long) = StreamDecontamination.monitor(
+        mem.toDF().toDF("vec_id", "embedding"), evalSet, taus, ckpt,
+        state, after) { (id, rows) =>
+      audits.synchronized { audits += ((id, rows)) }
+    }.start()
+    val rnd = new scala.util.Random(71)
+    val (first, rest) = rnd.shuffle(train).splitAt(train.length / 2)
+    val q1 = start(-1L)
+    try {
+      first.grouped(29).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash
+    // restart from the SAME checkpoint: the replayed batch must be
+    // skipped by the guard, else every cell double-counts
+    val afterCrash = audits.synchronized(audits.map(_._1).max)
+    val q2 = start(afterCrash)
+    try {
+      rest.grouped(37).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val last = audits.synchronized(audits.maxBy(_._1)._2)
+    assert(last === expect,
+      s"streaming contamination sweep diverged from batch:\n$last\nvs\n$expect")
+    // every intermediate sweep is internally consistent and monotone
+    audits.synchronized(audits.foreach { case (_, rows) =>
+      assert(rows.map(_._1) === taus)
+      rows.foreach { case (_, nt, nc, rate, mean) =>
+        assert(nc <= nt && math.abs(rate - nc.toDouble / nt) < 1e-12)
+        assert(mean.isDefined === (nc > 0))
+      }
+      val ns = rows.map(_._3)
+      assert(ns === ns.sorted.reverse, "tau sweep must be monotone")
+    })
+  }
+
   test("streaming crawl frontier: live priority table equals the batch path after EVERY prefix; guard holds across restart") {
     import graft.streaming.{StreamFrontier, StreamLinkGraph, StreamReputation}
     import graft.queries.Html
