@@ -96,8 +96,22 @@ object RegistrableDomain {
     * last k labels for k from min(maxLabels, nLabels) down to 1 —
     * match a literal entry or a wildcard (candidate minus its first
     * label is a wildcard parent), longest first.
+    *
+    * The host is NORMALIZED first — lowercased (the PSL is
+    * lowercase; DNS names compare case-insensitively) and stripped of
+    * one trailing dot (the FQDN root-dot form) — so real-crawl inputs
+    * like `Example.CO.UK` or `example.com.` fold correctly instead of
+    * silently missing the table and taking the last-two-labels
+    * fallback. Both transforms are no-ops on already-normal hosts,
+    * which is what every oracle fixture synthesizes — the DuckDB
+    * twins stay byte-equal without their own lower().
     */
-  def fold(t: Table, host: String): String = {
+  def fold(t: Table, host0: String): String = {
+    val lower = host0.toLowerCase(java.util.Locale.ROOT)
+    val host =
+      if (lower.nonEmpty && lower.charAt(lower.length - 1) == '.')
+        lower.substring(0, lower.length - 1)
+      else lower
     val parts = host.split('.')
     val nl = parts.length
     // an exception rule's match IS the registrable domain (its public

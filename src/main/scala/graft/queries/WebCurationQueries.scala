@@ -38,15 +38,16 @@ import graft.Tables
   *    bucket winners per domain. No single-partition window anywhere.
   *
   * The registrable-domain step runs against a real public-suffix
-  * DIMENSION ([[WebCuration.PublicSuffixes]], a representative
-  * Mozilla-PSL subset incl. `com.au`, `co.jp`, `github.io`,
-  * `k12.ak.us`): the corpus path folds it through the
-  * codegen'd [[graft.functions.RegistrableDomain]] scalar (the suffix
-  * table ships inside the plan, one copy per executor — broadcast
-  * semantics with zero join in the corpus path), and
-  * `psl_domain_fold` proves the broadcast-JOIN formulation of the
-  * same fold equal on the distinct-host census. The full ~9k-entry
-  * PSL is a data-file swap; every shape stays fixed.
+  * DIMENSION with the FULL PSL grammar ([[WebCuration.PslRules]]: a
+  * representative Mozilla-PSL literal subset incl. `com.au`, `co.jp`,
+  * `github.io`, `k12.ak.us`, PLUS the wildcard `*.ck` and exception
+  * `!www.ck` rules): the corpus path folds it through the codegen'd
+  * [[graft.functions.RegistrableDomain]] scalar (the rule table ships
+  * inside the plan, one copy per executor — broadcast semantics with
+  * zero join in the corpus path), and `psl_domain_fold` proves the
+  * broadcast-JOIN formulation of the same fold equal on the
+  * distinct-host census. The full ~9k-entry PSL is a data-file swap;
+  * every shape stays fixed.
   */
 object WebCuration {
 
@@ -62,7 +63,14 @@ object WebCuration {
       .otherwise(lit(""))
     val site = when(d(4) === 0, lit("hub"))
       .otherwise(concat(col("source"), lit("-"), d(3).cast("string")))
+    // the suffix mix exercises every PSL rule KIND the corpus fold
+    // handles: multi-label literal (co.uk), wildcard-ruled (`*.ck`
+    // makes shop-N.ck a public suffix, so hub.shop-N.ck is the
+    // registrable domain — a literal-only table would mis-fold it to
+    // shop-N.ck), and the exception (`!www.ck` registers whole)
     val tld = when(d(11) === 0, lit("co.uk"))
+      .when(d(17) === 3, concat(lit("shop-"), d(2).cast("string"), lit(".ck")))
+      .when(d(19) === 5, lit("www.ck"))
       .when(d(3) === 1, lit("org"))
       .otherwise(lit("com"))
     val port = when(d(13) === 0, lit(":8080")).otherwise(lit(""))
@@ -80,6 +88,8 @@ object WebCuration {
       |(CASE WHEN doc_id % 4 = 0 THEN 'hub'
       |      ELSE source || '-' || CAST(doc_id % 3 AS VARCHAR) END) || '.' ||
       |(CASE WHEN doc_id % 11 = 0 THEN 'co.uk'
+      |      WHEN doc_id % 17 = 3 THEN 'shop-' || CAST(doc_id % 2 AS VARCHAR) || '.ck'
+      |      WHEN doc_id % 19 = 5 THEN 'www.ck'
       |      WHEN doc_id % 3 = 1 THEN 'org' ELSE 'com' END) ||
       |(CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END) ||
       |'/p/' || CAST(doc_id AS VARCHAR) ||
@@ -95,61 +105,85 @@ object WebCuration {
   private[graft] def duckHost(url: String): String =
     s"regexp_extract($url, '^[a-z]+://([^/:?#]+)', 1)"
 
-  /** The public-suffix DIMENSION — a representative Mozilla-PSL subset
-    * (ICANN TLDs, multi-label country suffixes, private-registry
-    * suffixes like `github.io`/`k12.ak.us`; the full ~9k-entry
-    * PSL is a data-file swap, same shapes). Spark ships it as a
-    * plan-carried reference table inside the codegen'd
-    * [[graft.functions.RegistrableDomain]] scalar (the corpus path —
-    * zero joins); `psl_domain_fold` runs the broadcast-JOIN
-    * formulation of the same fold on the distinct-host census; the
-    * DuckDB oracle gets it as a VALUES list.
+  /** The LITERAL public-suffix entries — a representative Mozilla-PSL
+    * subset (ICANN TLDs, multi-label country suffixes,
+    * private-registry suffixes like `github.io`/`k12.ak.us`; the full
+    * ~9k-entry PSL is a data-file swap, same shapes). The corpus path
+    * folds the FULL grammar ([[PslRules]] = these + wildcard +
+    * exception rules) through the plan-carried codegen'd
+    * [[graft.functions.RegistrableDomain]] scalar — zero joins;
+    * `psl_domain_fold` runs the broadcast-JOIN formulation of the
+    * same fold on the distinct-host census; the DuckDB oracle gets
+    * the rule table as a VALUES list ([[duckPslKindValues]]).
     */
   private[graft] val PublicSuffixes: Seq[String] = Seq(
     "com", "org", "net", "io", "de", "fr", "jp", "au", "uk", "nz",
     "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "co.nz", "github.io", "k12.ak.us")
 
-  private[graft] def duckPslValues: String =
-    PublicSuffixes.map(s => s"('$s')").mkString("(VALUES ", ", ", ")")
-
   /** The FULL-grammar rule set: the literal dimension above plus the
     * PSL's other two rule kinds — a wildcard (`*.ck`: any single
     * label under the parent is a public suffix) and its exception
     * (`!www.ck`: registrable despite the wildcard) — the real
-    * Mozilla-PSL entries for .ck. [[domainCol]]'s corpus path keeps
-    * the literal subset (its DuckDB twin is a correlated literal
-    * match); the full grammar is exercised and oracle-checked by
-    * `psl_wildcard_fold`, whose DuckDB twin implements the PSL
-    * algorithm (exception prevails, then longest) rule-kind by
-    * rule-kind.
+    * Mozilla-PSL entries for .ck. This IS the corpus-path table
+    * ([[domainCol]] feeds it to the codegen'd scalar fold), so a real
+    * host under a wildcard-ruled TLD folds per the PSL algorithm in
+    * every gate downstream (`domain_caps`, `domain_blocklist_gate`,
+    * reputation, the funnel); `psl_wildcard_fold` additionally
+    * oracle-checks the grammar against an independent rule-kind-by-
+    * rule-kind SQL implementation.
     */
   private[graft] val PslRules: Seq[String] =
     PublicSuffixes ++ Seq("*.ck", "!www.ck")
 
-  /** Registrable domain: the longest public suffix in
-    * [[PublicSuffixes]] plus one label (bare suffix → itself; unknown
-    * TLD → last-two-labels heuristic) — the codegen'd scalar fold, so
-    * extraction stays fused into the scan projection with no join in
-    * the corpus path.
+  /** (rule, effective-suffix, kind) triples of [[PslRules]] as a
+    * DuckDB VALUES list — `suf` is the matchable suffix text (wildcard
+    * parent for `*.x`, the rule body for `!x`), `kind` drives the
+    * PSL algorithm's precedence (exception prevails, then longest
+    * EFFECTIVE suffix — a wildcard's effective depth is its parent's
+    * labels + 1 for the matched label).
+    */
+  private[graft] def duckPslKindValues: String =
+    PslRules.map {
+      case r if r.startsWith("*.") => s"('$r', '${r.drop(2)}', 'wild')"
+      case r if r.startsWith("!")  => s"('$r', '${r.drop(1)}', 'exc')"
+      case r                       => s"('$r', '$r', 'exact')"
+    }.mkString("(VALUES ", ", ", ")")
+
+  /** Registrable domain under the FULL PSL grammar ([[PslRules]]):
+    * exception rules prevail, then the longest effective suffix among
+    * literal/wildcard matches, plus one label (bare suffix → itself;
+    * unknown TLD → last-two-labels heuristic) — the codegen'd scalar
+    * fold, so extraction stays fused into the scan projection with no
+    * join in the corpus path.
     */
   private[graft] def domainCol(host: Column): Column =
-    graft.functions.RegistrableDomain(host, PublicSuffixes)
+    graft.functions.RegistrableDomain(host, PslRules)
 
   /** DuckDB equivalent of [[domainCol]] (expects a host EXPRESSION —
     * evaluate it in a prior CTE so it is a plain column name here):
-    * the same longest-suffix rule as a correlated scalar subquery over
-    * the same VALUES dimension, with the same bare-suffix and
-    * unknown-TLD branches.
+    * the PSL algorithm as a correlated scalar subquery over the
+    * rule-kind VALUES dimension — exception rules first, then longest
+    * effective suffix (wildcard depth = parent + 1), with the same
+    * bare-suffix and unknown-TLD branches as the fold. The rule-text
+    * tiebreak is for determinism only: same-depth non-exception
+    * matches produce the same domain.
     */
   private[graft] def duckDomain(host: String): String = {
     val nlHost = s"len(string_split($host, '.'))"
+    val ns = "(CASE WHEN p.kind = 'wild' THEN len(string_split(p.suf, '.')) + 1" +
+      " ELSE len(string_split(p.suf, '.')) END)"
     s"""COALESCE(
-       | (SELECT CASE WHEN $host = p.suf THEN $host
-       |    ELSE array_to_string(string_split($host, '.')[$nlHost - len(string_split(p.suf, '.')) :], '.') END
-       |  FROM $duckPslValues p(suf)
-       |  WHERE $host = p.suf OR $host LIKE ('%.' || p.suf)
-       |  ORDER BY len(string_split(p.suf, '.')) DESC LIMIT 1),
+       | (SELECT CASE
+       |    WHEN p.kind = 'exc' THEN array_to_string(string_split($host, '.')[$nlHost - $ns + 1 :], '.')
+       |    WHEN $nlHost = $ns THEN $host
+       |    ELSE array_to_string(string_split($host, '.')[$nlHost - $ns :], '.') END
+       |  FROM $duckPslKindValues p(rule, suf, kind)
+       |  WHERE CASE WHEN p.kind = 'wild'
+       |    THEN $host LIKE ('%.' || p.suf) AND $nlHost >= len(string_split(p.suf, '.')) + 1
+       |    ELSE $host = p.suf OR $host LIKE ('%.' || p.suf) END
+       |  ORDER BY (CASE WHEN p.kind = 'exc' THEN 1 ELSE 0 END) DESC, $ns DESC, p.rule
+       |  LIMIT 1),
        | CASE WHEN $nlHost <= 2 THEN $host
        |  ELSE array_to_string(string_split($host, '.')[$nlHost - 1 :], '.') END)""".stripMargin
       .replace('\n', ' ')
@@ -162,7 +196,7 @@ object WebCuration {
     */
   private[graft] val Blocklist: Seq[String] =
     Seq("hub.org", "src1-0.com", "src4-2.com", "src7-1.org",
-      "src2-0.co.uk", "nothere-9.com")
+      "src2-0.co.uk", "hub.shop-0.ck", "nothere-9.com")
 
   private[graft] def duckBlocklist: String =
     Blocklist.map(d => s"'$d'").mkString("(", ", ", ")")
@@ -540,26 +574,38 @@ object WebCurationQueries {
       s"""WITH $duckWithDomain,
          |hosts AS (SELECT host, max(domain) AS scalar_domain,
          |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM u GROUP BY host),
-         |psl AS (SELECT * FROM $duckPslValues p(suf)),
-         |cand AS (SELECT h.host, p.suf, len(string_split(p.suf, '.')) AS k
-         |  FROM hosts h JOIN psl p
-         |    ON h.host = p.suf OR h.host LIKE ('%.' || p.suf)),
-         |best AS (SELECT host, suf, k, row_number() OVER (
-         |    PARTITION BY host ORDER BY k DESC) AS rnk FROM cand),
+         |psl AS (SELECT * FROM $duckPslKindValues p(rule, suf, kind)),
+         |cand AS (SELECT h.host, p.rule, p.kind,
+         |    CASE WHEN p.kind = 'wild' THEN len(string_split(p.suf, '.')) + 1
+         |      ELSE len(string_split(p.suf, '.')) END AS k
+         |  FROM hosts h JOIN psl p ON
+         |    CASE WHEN p.kind = 'wild'
+         |      THEN h.host LIKE ('%.' || p.suf)
+         |        AND $nlH >= len(string_split(p.suf, '.')) + 1
+         |      ELSE h.host = p.suf OR h.host LIKE ('%.' || p.suf) END),
+         |best AS (SELECT host, rule, kind, k, row_number() OVER (
+         |    PARTITION BY host ORDER BY
+         |      CASE WHEN kind = 'exc' THEN 1 ELSE 0 END DESC, k DESC, rule) AS rnk
+         |  FROM cand),
          |j AS (SELECT h.host, h.n_docs, h.scalar_domain,
-         |    COALESCE(b.suf, 'none') AS matched_suffix,
-         |    CASE WHEN b.suf IS NULL THEN
+         |    COALESCE(b.rule, 'none') AS matched_rule,
+         |    CASE WHEN b.rule IS NULL THEN
          |        (CASE WHEN $nlH <= 2 THEN h.host
          |         ELSE array_to_string(string_split(h.host, '.')[$nlH - 1 :], '.') END)
+         |      WHEN b.kind = 'exc'
+         |        THEN array_to_string(string_split(h.host, '.')[$nlH - b.k + 1 :], '.')
          |      WHEN b.k = $nlH THEN h.host
          |      ELSE array_to_string(string_split(h.host, '.')[$nlH - b.k :], '.') END AS domain
          |  FROM hosts h LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (host))
-         |SELECT host, domain, matched_suffix, n_docs,
+         |SELECT host, domain, matched_rule, n_docs,
          |  domain = scalar_domain AS agrees
          |FROM j ORDER BY host""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val maxL = PublicSuffixes.map(_.count(_ == '.') + 1).max
+      // effective depth of each rule: a wildcard's matched suffix is
+      // its parent's labels + the matched label; the sigils carry the
+      // right dot counts, so one formula covers all three kinds
+      val maxL = PslRules.map(_.count(_ == '.') + 1).max
       val hosts = withDomain(s, dir)
         .groupBy("host")
         .agg(max(col("domain")).as("scalar_domain"),
@@ -570,26 +616,56 @@ object WebCurationQueries {
         .select(col("host"), col("ls"), col("nl"),
           explode(sequence(lit(1), least(lit(maxL), col("nl")))).as("k"))
         .select(col("host"), col("nl"), col("k"),
-          concat_ws(".", slice(col("ls"), -col("k"), col("k"))).as("cand"))
-      val psl = PublicSuffixes.toDF("suf")
-      val best = cand
-        .join(broadcast(psl), col("cand") === col("suf"))
+          concat_ws(".", slice(col("ls"), -col("k"), col("k"))).as("cand"),
+          // the candidate minus its leading label — what a wildcard
+          // rule's parent must equal (label-aligned by construction)
+          when(col("k") >= 2, concat_ws(".",
+            slice(col("ls"), -(col("k") - lit(1)), col("k") - lit(1))))
+            .as("candparent"))
+      val rules = PslRules.map {
+        case r if r.startsWith("*.") => (r, r.drop(2), "wild")
+        case r if r.startsWith("!")  => (r, r.drop(1), "exc")
+        case r                       => (r, r, "exact")
+      }.toDF("rule", "suf", "kind")
+        // a literal/exception rule matches the candidate itself; a
+        // wildcard rule matches the candidate's PARENT — fold both
+        // into one (text, class) equi-join key so the rule probe
+        // stays a broadcast HASH join (an OR-of-conjunctions
+        // condition would force a nested-loop join)
+        .withColumn("cls",
+          when(col("kind") === "wild", lit("wild")).otherwise(lit("lit")))
+      val probes = cand.select(col("host"), col("k"),
+          explode(array(
+            struct(col("cand").as("key"), lit("lit").as("cls")),
+            struct(col("candparent").as("key"), lit("wild").as("cls"))))
+            .as("p"))
+        .select(col("host"), col("k"),
+          col("p.key").as("key"), col("p.cls").as("pcls"))
+        .filter(col("key").isNotNull)
+      val best = probes
+        .join(broadcast(rules),
+          col("key") === col("suf") && col("pcls") === col("cls"))
         .withColumn("rnk", row_number().over(
-          Window.partitionBy("host").orderBy(col("k").desc)))
+          Window.partitionBy("host").orderBy(
+            when(col("kind") === "exc", 1).otherwise(0).desc,
+            col("k").desc, col("rule"))))
         .filter(col("rnk") === 1)
-        .select(col("host"), col("suf"), col("k"))
+        .select(col("host"), col("rule"), col("kind"), col("k"))
       val relabels = split(col("host"), "\\.")
       hosts.join(broadcast(best), Seq("host"), "left")
         .select(col("host"), col("n_docs"), col("scalar_domain"),
-          coalesce(col("suf"), lit("none")).as("matched_suffix"),
-          when(col("suf").isNull,
+          coalesce(col("rule"), lit("none")).as("matched_rule"),
+          when(col("rule").isNull,
             when(size(relabels) <= 2, col("host"))
               .otherwise(concat_ws(".", slice(relabels, -2, 2))))
+            // an exception rule's match IS the registrable domain
+            .when(col("kind") === "exc",
+              concat_ws(".", slice(relabels, -col("k"), col("k"))))
             .when(col("k") === size(relabels), col("host"))
             .otherwise(concat_ws(".",
               slice(relabels, -(col("k") + lit(1)), col("k") + lit(1))))
             .as("domain"))
-        .select(col("host"), col("domain"), col("matched_suffix"),
+        .select(col("host"), col("domain"), col("matched_rule"),
           col("n_docs"), (col("domain") === col("scalar_domain")).as("agrees"))
         .orderBy("host")
     },
@@ -665,7 +741,11 @@ object WebCurationQueries {
       val folded = hs.select(col("host"),
         graft.functions.RegistrableDomain(col("host"), PslRules).as("domain"))
       folded.select(col("host"), col("domain"),
-          when(col("host").endsWith("www.ck") || col("domain") === "www.ck",
+          // label-aligned exception test: endsWith("www.ck") would
+          // mislabel a host like `xwww.ck` (a wildcard bare suffix,
+          // NOT under the exception rule) as 'exc'
+          when(col("host") === "www.ck" ||
+            col("host").endsWith(".www.ck") || col("domain") === "www.ck",
             lit("exc"))
             .when(col("domain").endsWith(".ck"), lit("wild"))
             .otherwise(lit("exact")).as("rule_kind"))

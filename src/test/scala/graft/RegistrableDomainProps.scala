@@ -78,4 +78,25 @@ object RegistrableDomainProps extends Properties("psl") {
       val d = RegistrableDomain.fold(table, h)
       RegistrableDomain.fold(table, d) == d
     }
+
+  // real-crawl normalization: case and the FQDN trailing dot must not
+  // change the verdict (a case-sensitive fold would silently miss the
+  // PSL on 'Example.CO.UK' and fall back to last-two-labels)
+  private val genMixedCase: Gen[String] = genHost.flatMap { h =>
+    Gen.listOfN(h.length, Gen.oneOf(true, false)).map { flips =>
+      h.zip(flips).map { case (c, f) => if (f) c.toUpper else c }.mkString
+    }
+  }
+
+  property("case-insensitive: fold(mixed-case h) == fold(h)") =
+    forAll(genMixedCase) { h =>
+      RegistrableDomain.fold(table, h) ==
+        RegistrableDomain.fold(table, h.toLowerCase)
+    }
+
+  property("FQDN trailing dot is stripped: fold(h + '.') == fold(h)") =
+    forAll(genHost) { h =>
+      RegistrableDomain.fold(table, h + ".") ==
+        RegistrableDomain.fold(table, h)
+    }
 }

@@ -25,12 +25,29 @@ class WebCurationSpec extends SparkSpec {
     assert(u.getAs[String]("host") === "www.hub.co.uk", "port must be stripped")
     assert(u.getAs[String]("domain") === "hub.co.uk",
       "www. must fold into the multi-label registrable domain")
-    // a plain two-label host
+    // a plain two-label host (doc_id 9: no subdomain, non-hub site,
+    // plain .com — the first doc_id hitting none of the special tlds)
     val v = WebCuration.withDomain(spark, sf001)
-      .filter(col("doc_id") === 3).collect()(0)
+      .filter(col("doc_id") === 9).collect()(0)
     assert(v.getAs[String]("host").endsWith("-0.com"))
     assert(v.getAs[String]("domain") === v.getAs[String]("host"),
       "bare site.tld is its own registrable domain")
+    // doc_id 3 (%17 == 3): a host under the wildcard-ruled `*.ck`
+    // suffix — the CORPUS path must fold it per the full PSL grammar
+    // (shop-1.ck is the public suffix, site + suffix registers whole),
+    // not the last-two-labels fallback a literal-only table would take
+    val w = WebCuration.withDomain(spark, sf001)
+      .filter(col("doc_id") === 3).collect()(0)
+    assert(w.getAs[String]("host").endsWith(".shop-1.ck"))
+    assert(w.getAs[String]("domain") === w.getAs[String]("host"),
+      "site.shop-1.ck = wildcard suffix + one label: registers whole")
+    // doc_id 24 (%19 == 5, %4 == 0): hub site under the !www.ck
+    // exception — everything under www.ck folds to www.ck itself
+    val x = WebCuration.withDomain(spark, sf001)
+      .filter(col("doc_id") === 24).collect()(0)
+    assert(x.getAs[String]("host").endsWith("hub.www.ck"))
+    assert(x.getAs[String]("domain") === "www.ck",
+      "!www.ck exception: the exception string is the registrable unit")
   }
 
   test("RegistrableDomain: longest-suffix PSL fold on hosts the fixture never produces") {
@@ -248,6 +265,20 @@ class WebCurationSpec extends SparkSpec {
         WebCuration.Blocklist.contains(r.getString(0)))
     }
     assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+    // full-PSL grammar reaches the profile: wildcard-suffix domains
+    // appear FOLDED (site.shop-N.ck, never the bare suffix shop-N.ck a
+    // literal-only table would emit), and the !www.ck exception
+    // collapses all hosts under it into the single www.ck domain
+    val domains = rows.map(_.getString(0)).toSet
+    assert(domains.exists(_.matches("^[a-z0-9-]+\\.shop-[01]\\.ck$")),
+      s"no wildcard-folded *.ck domain in the profile: $domains")
+    assert(!domains.exists(_.matches("^shop-[01]\\.ck$")),
+      "a bare wildcard public suffix leaked through as a domain")
+    assert(domains.contains("www.ck"),
+      "the !www.ck exception domain is missing from the profile")
+    // and the wildcard-suffix blocklist entry actually gates
+    assert(rows.exists(r => r.getString(0) === "hub.shop-0.ck" &&
+      r.getBoolean(6)), "hub.shop-0.ck must be present and blocked")
   }
 
   test("domain_caps: the hot domain is capped at 4; two-level == naive single-window rank") {
@@ -274,5 +305,12 @@ class WebCurationSpec extends SparkSpec {
       assert(naive(d) === ((kept, chars)),
         s"$d: two-level kept set diverges from the naive rank")
     }
+    // the cap keys on the FULL-grammar fold: wildcard-suffix sites are
+    // capped as site.shop-N.ck units, and the www.ck exception domain
+    // (pooling every host under it) is subject to the same cap
+    assert(rows.keys.exists(_.matches("^[a-z0-9-]+\\.shop-[01]\\.ck$")),
+      "no wildcard-folded *.ck domain reached the cap stage")
+    val (wIn, wKept, _) = rows("www.ck")
+    assert(wKept === math.min(wIn, 4L), "cap must bind on www.ck too")
   }
 }
