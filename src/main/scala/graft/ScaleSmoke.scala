@@ -563,6 +563,8 @@ object ScaleSmoke {
     // touched-bucket footprint, never the corpus seen so far.
     time("ledger_merge_pruning") {
       import graft.streaming.StreamCuration
+      val evidence = graft.queries.SelectionQueries
+        .evalEvidence(docs).localCheckpoint(true)
       val nB = 8
       val ledgerDir = java.nio.file.Files
         .createTempDirectory("smoke_ledger").toString
@@ -571,7 +573,8 @@ object ScaleSmoke {
         .localCheckpoint(true)
       (0 until nB).foreach { id =>
         StreamCuration.durableBatch(
-          base.filter(col("b") === id).drop("b"), id, ledgerDir, nB).collect()
+          base.filter(col("b") === id).drop("b"), id, ledgerDir, nB,
+          evidence).collect()
       }
       def bytes(f: java.io.File): Long =
         if (f.isFile) f.length
@@ -587,6 +590,79 @@ object ScaleSmoke {
         f"bytes = ${lastB.toDouble / totalB}%.3f (must stay ~${1.0 / nB}%.3f " +
         s"at any mult — pruned writes track the batch, not the corpus)")
       rows
+    }
+    // Scheduled-vacuum disk bounding (round 13): run 3x more batches
+    // than the ledger has buckets — every bucket rewritten 3 times —
+    // with monitorDurable's vacuum cadence (end of each bucket cycle).
+    // Without vacuum, disk holds rounds x nB bucket copies; with it,
+    // only the nB live copies plus the post-horizon tail (< one
+    // cycle) may remain — O(live buckets) at ANY batch count.
+    time("ledger_vacuum_bounding") {
+      import graft.streaming.StreamCuration
+      val evidence = graft.queries.SelectionQueries
+        .evalEvidence(docs).localCheckpoint(true)
+      val nB = 8
+      val rounds = 3
+      val ledgerDir = java.nio.file.Files
+        .createTempDirectory("smoke_ledger_vac").toString
+      val base = docs.select("doc_id", "lang", "source", "text")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(nB)))
+        .localCheckpoint(true)
+      (0 until rounds * nB).foreach { i =>
+        StreamCuration.durableBatch(
+          base.filter(col("b") === (i % nB)).drop("b"),
+          i.toLong, ledgerDir, nB, evidence).collect()
+        if (i % nB == nB - 1)
+          StreamCuration.vacuumLedger(spark, ledgerDir, beforeBatch = i.toLong)
+      }
+      val copies = new java.io.File(ledgerDir).listFiles
+        .filter(_.getName.startsWith("v"))
+        .flatMap(v => Option(v.listFiles).getOrElse(Array.empty)
+          .map(_.getName).filter(_.startsWith("bkt=")))
+      val rows = StreamCuration.readLedger(spark, ledgerDir).get.count()
+      println(s"[smoke]   ${copies.length} of ${rounds * nB} written bucket " +
+        s"copies remain after in-stream vacuum (must stay ~$nB+1 = live " +
+        s"buckets + post-horizon tail at any round count); view $rows rows")
+      rows
+    }
+    // EXPENSIVE-TAIL probe (round 13): the 5 priciest bench queries
+    // run AS-IS (the real SparkEntry entries) against a replicated
+    // on-disk copy of their tables. Documented growth ceilings the
+    // printed numbers must track (SCALE.md "expensive tail"):
+    //  - theil_sen: pair stage is span^2-bounded over the HOUR census
+    //    (the fixture's time range is fixed, so the census cannot grow
+    //    with mult) -> scan-linear in mult.
+    //  - dedup_prefix_jaccard / dedup_containment: replication is the
+    //    ADVERSARIAL dedup workload (every doc becomes a mult-way
+    //    duplicate), so candidate pairs inside replica groups grow
+    //    ~mult^2 BY CONSTRUCTION of the workload — that quadratic is
+    //    the true dup-group cost any dedup must pay, not a plan
+    //    defect; cross-group candidates stay prefix/df-cap bounded.
+    //  - pca_power_iteration: iterations run on the d^2 Gram census ->
+    //    scan-linear in mult.
+    //  - bt_confidence: one match-census pass (<= 28 pairs/group,
+    //    groups linear in docs) + a |sources|^2 Fisher census ->
+    //    scan-linear in mult.
+    //  - curation_funnel (round 13's priciest): at sf0.1 the new
+    //    decontamination stage's cost is FIXED job overhead (~8 small
+    //    Spark jobs), so growth must be SUB-linear until the scans
+    //    dominate; evidence dim is eval-slice-bounded, the hits
+    //    shuffle carries only evidence matches.
+    time("expensive_tail_queries") {
+      val tailDir = java.nio.file.Files
+        .createTempDirectory("smoke_tail").toString
+      docs.write.mode("overwrite").parquet(s"$tailDir/documents.parquet")
+      emb.write.mode("overwrite").parquet(s"$tailDir/embeddings.parquet")
+      replicate(Tables.load(spark, dir, "events"), "event_id")
+        .write.mode("overwrite").parquet(s"$tailDir/events.parquet")
+      Seq("theil_sen", "dedup_prefix_jaccard", "dedup_containment",
+          "pca_power_iteration", "bt_confidence", "curation_funnel").map { q =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, tailDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[smoke]   $q%-24s $dt%7.2f s  $n%9d rows")
+        n
+      }.sum
     }
     spark.stop()
   }

@@ -149,32 +149,105 @@ object SelectionQueries {
         .as("domain"))
   }
 
-  /** The 5-row funnel census over a profile frame — shared verbatim
-    * by the batch query below and the streaming twin's per-batch
-    * recount, so their parity is structural. Stage flags are
-    * cumulative ANDs; stage 4 (domain) is the web-curation gate:
+  /** Decontamination EVIDENCE dimension for the funnel gate: the
+    * distinct 8-gram shingle hashes of the held-out eval slice (the
+    * same `h32(doc_id) % 100 >= 90` split rule as the
+    * `decontamination` audit's test side), df-capped WITHIN the slice
+    * (<= [[EvalDfCap]]) so phrasing ubiquitous in the benchmark
+    * itself is not evidence. 8-grams, not the audit's 3-gram
+    * shingles: the gate DROPS documents, so its evidence must be the
+    * long-n-gram near-verbatim overlap real pipelines gate on
+    * (GPT-3-style 8-13-gram decontamination), not short phrases two
+    * independent texts legitimately share. A FIXED dimension by
+    * contract — the benchmark exists before the corpus is built — so
+    * a document's contamination flag is decided entirely at profile
+    * time and the streaming twin needs NO new state.
+    */
+  private[graft] val EvalDfCap = 3
+  private[graft] val DecontamW = 8
+
+  private[graft] def isEvalDoc: org.apache.spark.sql.Column =
+    h32(col("doc_id").cast("string")) % 100 >= 90
+
+  private[graft] def evalEvidence(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // hash SCAN-SIDE so the one shuffle carries (8-byte hash, doc_id)
+    // pairs, never shingle strings; the per-doc distinct folds into
+    // the df aggregate (df = distinct eval docs carrying the shingle).
+    // No range-respread: the eval slice is benchmark-bounded by
+    // contract, and the sampling job + exchange would cost more than
+    // the explode it balances
+    docs.filter(isEvalDoc)
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), DecontamW))
+          .as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("eh"))
+      .groupBy("eh").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= EvalDfCap)
+      .select("eh")
+
+  /** [[curationProfiles]] plus the funnel's decontamination columns:
+    * `is_eval` (the doc IS benchmark material) and `n_eval_hits`
+    * (distinct evidence 8-grams it shares with the benchmark). The
+    * evidence dimension BROADCASTS (it is benchmark-sized by
+    * contract); the per-doc hit census joins back by doc_id without a
+    * hint — it is the rare contaminated tail at any healthy scale,
+    * and AQE picks the physical join accordingly.
+    */
+  private[graft] def funnelProfiles(
+      docs: org.apache.spark.sql.DataFrame,
+      evidence: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // hash scan-side and SEMI-join the broadcast evidence BEFORE any
+    // shuffle: only evidence-matching (doc_id, hash) pairs — the rare
+    // contaminated tail — ever leave the scan stage; the per-doc
+    // distinct folds into the countDistinct
+    val hits = Tables.parallelizeByRange(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), DecontamW))
+          .as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("eh"))
+      .join(broadcast(evidence), "eh")
+      .groupBy("doc_id").agg(countDistinct(col("eh")).as("n_eval_hits"))
+    curationProfiles(docs)
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_eval_hits", coalesce(col("n_eval_hits"), lit(0L)))
+      .withColumn("is_eval", isEvalDoc)
+  }
+
+  /** The 6-row funnel census over a profile frame ([[funnelProfiles]]
+    * columns) — shared verbatim by the batch query below and the
+    * streaming twin's per-batch recount, so their parity is
+    * structural. Stage flags are cumulative ANDs; stage 4 (decontam)
+    * drops benchmark members and any doc sharing an evidence 8-gram
+    * with the benchmark; stage 5 (domain) is the web-curation gate:
     * blocklisted registrable domains drop, then each domain keeps at
     * most 8 documents (lowest doc_id — the keep-list convention) via
     * the TWO-LEVEL rank (level 1 inside (domain, salt-bucket-of-16),
     * level 2 over the <= 16·8 bucket winners), so the hot hub domain
     * never serializes a window partition. Packing is pack_sequences'
     * shard-partitioned greedy cumsum (8 portable-hash shards x
-    * 2048-token budget) over the stage-4 survivors.
+    * 2048-token budget) over the stage-5 survivors.
     */
   private[graft] def funnelCensus(
       profiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k = profiles.withColumn("kd", row_number().over(
       Window.partitionBy("fp").orderBy("doc_id")) === 1)
     val q = col("kd") && gopherQuality
+    val ql = q && col("lang").isin("en", "de")
+    // decontamination gate: benchmark members never train, and any
+    // single shared evidence 8-gram is near-verbatim leakage (the
+    // production presence-threshold)
+    val qc = ql && !col("is_eval") && col("n_eval_hits") === 0
     val fl = k.select(col("doc_id"), col("n_tokens"), col("domain"),
-        col("kd"), q.as("kq"), (q && col("lang").isin("en", "de")).as("kl"))
+        col("kd"), q.as("kq"), ql.as("kl"), qc.as("kc"))
       .localCheckpoint(true) // feeds the census AND the domain gate
     val cens = fl.agg(count(lit(1)).cast("long").as("n0"),
       sum(when(col("kd"), 1).otherwise(0)).cast("long").as("n1"),
       sum(when(col("kq"), 1).otherwise(0)).cast("long").as("n2"),
-      sum(when(col("kl"), 1).otherwise(0)).cast("long").as("n3"))
+      sum(when(col("kl"), 1).otherwise(0)).cast("long").as("n3"),
+      sum(when(col("kc"), 1).otherwise(0)).cast("long").as("n4"))
     val cand = fl
-      .filter(col("kl") && !col("domain").isin(WebCuration.Blocklist: _*))
+      .filter(col("kc") && !col("domain").isin(WebCuration.Blocklist: _*))
       .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
       .withColumn("brnk", row_number().over(
         Window.partitionBy("domain", "bkt").orderBy("doc_id")))
@@ -183,8 +256,8 @@ object SelectionQueries {
         Window.partitionBy("domain").orderBy("doc_id")))
       .filter(col("rnk") <= 8)
       .select(col("doc_id"), col("n_tokens"))
-      .localCheckpoint(true) // feeds the stage-4 census AND the packing
-    val c4 = cand.agg(count(lit(1)).cast("long").as("n4"),
+      .localCheckpoint(true) // feeds the stage-5 census AND the packing
+    val c5 = cand.agg(count(lit(1)).cast("long").as("n5"),
       sum(col("n_tokens")).cast("long").as("tok"))
     val pk = cand
       .select(col("doc_id"), col("n_tokens"),
@@ -195,7 +268,7 @@ object SelectionQueries {
     val sq = pk.agg(countDistinct(col("shard"),
       expr("(cum - n_tokens) div 2048")).cast("long").as("ns"))
     val nullL = lit(null).cast("long")
-    val wide = cens.crossJoin(broadcast(c4)).crossJoin(broadcast(sq))
+    val wide = cens.crossJoin(broadcast(c5)).crossJoin(broadcast(sq))
     val rows = Seq(
       struct(lit(1).as("stage_no"), lit("dedup").as("stage"),
         col("n0").as("docs_in"), col("n1").as("docs_out"),
@@ -209,12 +282,16 @@ object SelectionQueries {
         col("n2").as("docs_in"), col("n3").as("docs_out"),
         (col("n2") - col("n3")).as("dropped"),
         nullL.as("tokens_out"), nullL.as("n_sequences")),
-      struct(lit(4).as("stage_no"), lit("domain").as("stage"),
+      struct(lit(4).as("stage_no"), lit("decontam").as("stage"),
         col("n3").as("docs_in"), col("n4").as("docs_out"),
         (col("n3") - col("n4")).as("dropped"),
         nullL.as("tokens_out"), nullL.as("n_sequences")),
-      struct(lit(5).as("stage_no"), lit("pack").as("stage"),
-        col("n4").as("docs_in"), col("n4").as("docs_out"),
+      struct(lit(5).as("stage_no"), lit("domain").as("stage"),
+        col("n4").as("docs_in"), col("n5").as("docs_out"),
+        (col("n4") - col("n5")).as("dropped"),
+        nullL.as("tokens_out"), nullL.as("n_sequences")),
+      struct(lit(6).as("stage_no"), lit("pack").as("stage"),
+        col("n5").as("docs_in"), col("n5").as("docs_out"),
         lit(0L).as("dropped"), col("tok").as("tokens_out"),
         col("ns").as("n_sequences")))
     wide.select(explode(array(rows: _*)).as("s"))
@@ -225,9 +302,12 @@ object SelectionQueries {
 
     // CURATION FUNNEL — the END-TO-END composite a user of this
     // library actually ships: dedup → quality gate → language filter
-    // → DOMAIN GATE (web-curation: blocklist + per-domain caps) →
-    // sequence packing as ONE query, reported as the stage-by-stage
-    // drop census every curation run is judged by. Each stage reuses
+    // → DECONTAMINATION GATE (drop benchmark members and any doc
+    // sharing a distinctive evidence 8-gram with the benchmark — the
+    // eval-leak audit promoted from report to gate) → DOMAIN GATE
+    // (web-curation: blocklist + per-domain caps) → sequence packing
+    // as ONE query, reported as the stage-by-stage drop census every
+    // curation run is judged by. Each stage reuses
     // the suite's own primitives verbatim: dedup keys on the
     // BAG-OF-WORDS fingerprint (md5 of the sorted distinct token set
     // — catches word-shuffled copies exact dedup misses; lowest
@@ -244,6 +324,7 @@ object SelectionQueries {
     // sequence count is a distinct-count over the survivors.
     Q("curation_funnel", {
       val h = duckH32("CAST(doc_id AS VARCHAR)")
+      val gram8 = (0 until DecontamW).map(k => s"a[i+$k]").mkString(" || ' ' || ")
       s"""WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
          |    length(text) AS nch FROM documents),
          |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
@@ -252,27 +333,41 @@ object SelectionQueries {
          |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf,
          |    md5(array_to_string(list_sort(list_distinct(a)), ' ')) AS fp
          |  FROM d),
+         |dsh8 AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(a) - ${DecontamW - 1}),
+         |      i -> $gram8)) AS shingle FROM d),
+         |evd AS (SELECT shingle FROM dsh8
+         |  WHERE $h % 100 >= 90
+         |  GROUP BY shingle HAVING COUNT(*) <= $EvalDfCap),
+         |hits AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_eval_hits
+         |  FROM dsh8 JOIN evd USING (shingle) GROUP BY doc_id),
          |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kd FROM f),
          |fl AS (SELECT doc_id, source, n_tokens, kd,
          |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
          |      AND stop_hits >= 2 AND topf <= 0.125 AS kq,
          |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
          |      AND stop_hits >= 2 AND topf <= 0.125
-         |      AND lang IN ('en', 'de') AS kl
-         |  FROM k),
-         |fh AS (SELECT doc_id, n_tokens, kd, kq, kl,
+         |      AND lang IN ('en', 'de') AS kl,
+         |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
+         |      AND stop_hits >= 2 AND topf <= 0.125
+         |      AND lang IN ('en', 'de')
+         |      AND NOT ($h % 100 >= 90)
+         |      AND COALESCE(hits.n_eval_hits, 0) = 0 AS kc
+         |  FROM k LEFT JOIN hits USING (doc_id)),
+         |fh AS (SELECT doc_id, n_tokens, kd, kq, kl, kc,
          |    ${WebCuration.duckHost(s"(${WebCuration.duckUrl})")} AS host FROM fl),
-         |fd AS (SELECT doc_id, n_tokens, kd, kq, kl,
+         |fd AS (SELECT doc_id, n_tokens, kd, kq, kl, kc,
          |    ${WebCuration.duckDomain("host")} AS domain FROM fh),
          |cand AS (SELECT doc_id, n_tokens, row_number() OVER (
          |    PARTITION BY domain ORDER BY doc_id) AS rnk
-         |  FROM fd WHERE kl AND domain NOT IN ${WebCuration.duckBlocklist}),
+         |  FROM fd WHERE kc AND domain NOT IN ${WebCuration.duckBlocklist}),
          |cens AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
          |    CAST(SUM(CASE WHEN kd THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          |    CAST(SUM(CASE WHEN kq THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         |    CAST(SUM(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |    CAST(SUM(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(SUM(CASE WHEN kc THEN 1 ELSE 0 END) AS BIGINT) AS n4
          |  FROM fd),
-         |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n4,
+         |c5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n5,
          |    CAST(SUM(n_tokens) AS BIGINT) AS tok FROM cand WHERE rnk <= 8),
          |surv AS (SELECT doc_id, n_tokens, $h % 8 AS shard
          |  FROM cand WHERE rnk <= 8),
@@ -291,16 +386,19 @@ object SelectionQueries {
          |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cens
          |  UNION ALL SELECT 3, 'language', n2, n3, n2 - n3,
          |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cens
-         |  UNION ALL SELECT 4, 'domain', n3, n4, n3 - n4,
+         |  UNION ALL SELECT 4, 'decontam', n3, n4, n3 - n4,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cens
+         |  UNION ALL SELECT 5, 'domain', n4, n5, n4 - n5,
          |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-         |    FROM cens CROSS JOIN c4
-         |  UNION ALL SELECT 5, 'pack', n4, n4, 0, tok, ns
-         |    FROM c4 CROSS JOIN sq
+         |    FROM cens CROSS JOIN c5
+         |  UNION ALL SELECT 6, 'pack', n5, n5, 0, tok, ns
+         |    FROM c5 CROSS JOIN sq
          |) ORDER BY stage_no""".stripMargin
     }) { (s, dir) =>
-      funnelCensus(curationProfiles(Tables.parallelize(
+      val docs = Tables.parallelize(
         Tables.load(s, dir, "documents")
-          .select("doc_id", "lang", "source", "text"))))
+          .select("doc_id", "lang", "source", "text"))
+      funnelCensus(funnelProfiles(docs, evalEvidence(docs)))
     },
 
     // DSIR importance resampling. Features are hashed unigram buckets

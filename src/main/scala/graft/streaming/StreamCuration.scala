@@ -9,8 +9,8 @@ import graft.queries.SelectionQueries
 
 /** Streaming curation funnel — the streaming twin of the batch
   * `curation_funnel` composite: documents arrive in micro-batches and
-  * the 5-stage census (dedup → quality → language → domain gate →
-  * pack) stays LIVE, bit-exactly equal after any prefix of batches to
+  * the 6-stage census (dedup → quality → language → decontamination
+  * gate → domain gate → pack) stays LIVE, bit-exactly equal after any prefix of batches to
   * the batch query run over the documents seen so far — under ANY
   * arrival order (pinned in StreamingSpec).
   *
@@ -23,7 +23,7 @@ import graft.queries.SelectionQueries
   *     host → registrable-domain parse — runs through the BATCH
   *     projection verbatim ([[SelectionQueries.curationProfiles]]);
   *     a document's text is parsed exactly once and never re-read.
-  *  2. RECOUNT (per micro-batch): the 5-row census recomputes from
+  *  2. RECOUNT (per micro-batch): the 6-row census recomputes from
   *     the compact profile ledger via the BATCH census verbatim
   *     ([[SelectionQueries.funnelCensus]]).
   *
@@ -48,7 +48,7 @@ import graft.queries.SelectionQueries
   * same anti-join-then-union merge); the recount's exchanges are the
   * batch funnel's own — fingerprint hash shuffle, (domain, salt) +
   * domain ranks, 8-shard packing — all parallel, nothing
-  * single-partition but the 5-row funnel itself.
+  * single-partition but the 6-row funnel itself.
   */
 object StreamCuration {
 
@@ -56,20 +56,32 @@ object StreamCuration {
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("source", StringType), StructField("text", StringType)))
 
-  /** Empty profile ledger with the exact curationProfiles schema. */
+  /** Empty profile ledger with the exact funnelProfiles schema. */
   def emptyLedger(spark: SparkSession): DataFrame =
-    SelectionQueries.curationProfiles(
+    SelectionQueries.funnelProfiles(
       spark.createDataFrame(spark.sparkContext
-        .emptyRDD[Row], docSchema))
+        .emptyRDD[Row], docSchema),
+      emptyEvidence(spark))
+
+  /** Empty decontamination-evidence dimension (schema: eh long). */
+  private def emptyEvidence(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("eh", LongType))))
 
   /** One micro-batch step: profile the arriving documents through the
-    * batch projection, overwrite-merge into the ledger by doc_id, and
-    * recount. Returns (new ledger — lineage-truncated, so batch
-    * chains do not accumulate plans — and the 5-row census).
+    * batch projection (including the decontamination columns against
+    * the FIXED benchmark-evidence dimension `evidence` — a doc's
+    * contamination flag is decided entirely within the batch that
+    * delivers it, so the gate adds NO new streaming state),
+    * overwrite-merge into the ledger by doc_id, and recount. Returns
+    * (new ledger — lineage-truncated, so batch chains do not
+    * accumulate plans — and the 6-row census).
     */
-  def funnelBatch(batch: DataFrame, ledger: DataFrame): (DataFrame, DataFrame) = {
-    val profiled = SelectionQueries.curationProfiles(
-      batch.select(col("doc_id"), col("lang"), col("source"), col("text")))
+  def funnelBatch(batch: DataFrame, ledger: DataFrame,
+                  evidence: DataFrame): (DataFrame, DataFrame) = {
+    val profiled = SelectionQueries.funnelProfiles(
+      batch.select(col("doc_id"), col("lang"), col("source"), col("text")),
+      evidence)
     // overwrite merge: drop any ledger row the batch re-delivers, then
     // append the batch's (identical, by purity) fresh profiles
     val merged = ledger
@@ -81,16 +93,16 @@ object StreamCuration {
 
   /** Streaming wiring: checkpointed foreachBatch profiling each batch,
     * maintaining the ledger, and emitting (batchId, census rows) per
-    * micro-batch. The census is 5 fixed rows — collecting it is the
+    * micro-batch. The census is 6 fixed rows — collecting it is the
     * same scale class as StreamMedia's rollup tuple.
     */
-  def monitor(docs: DataFrame, checkpointDir: String)(
+  def monitor(docs: DataFrame, checkpointDir: String, evidence: DataFrame)(
       sink: (Long, Array[Row]) => Unit): DataStreamWriter[Row] = {
     var ledger: DataFrame = null
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         val base = if (ledger == null) emptyLedger(b.sparkSession) else ledger
-        val (merged, census) = funnelBatch(b, base)
+        val (merged, census) = funnelBatch(b, base, evidence)
         ledger = merged
         sink(id, census.collect())
       }
@@ -115,15 +127,29 @@ object StreamCuration {
     * None when no committed version exists yet. Listing goes through
     * the Hadoop FileSystem API so the ledger lives wherever the
     * cluster's storage does (HDFS, s3a, local).
+    *
+    * Only COMMITTED versions participate: a version dir counts once
+    * its job-level `_SUCCESS` marker exists (task commits create part
+    * files before the job commits), so an EXTERNAL reader of the view
+    * with the default `beforeBatch` can never union torn bucket data
+    * from a run that died mid-write — the replay's own `< id` read
+    * was already safe, this extends the guarantee to everyone else.
     */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, beforeBatch: Long): Array[Long] =
+    fs.listStatus(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .filter(_ < beforeBatch)
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")))
+      .sorted.reverse
+
   def readLedger(spark: SparkSession, ledgerDir: String,
                  beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
-    val versions = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
-      .filter(_ < beforeBatch).sorted.reverse
+    val versions = committedVersions(fs, root, beforeBatch)
     // newest version per bucket: walk versions newest-first, keep the
     // first directory seen for each bucket — O(|versions| · |buckets|)
     // driver-side listings, no data read
@@ -179,9 +205,10 @@ object StreamCuration {
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
-    val versions = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
-      .filter(_ < beforeBatch).sorted.reverse
+    // same committed-only view as readLedger: a torn (no-_SUCCESS)
+    // version must not claim buckets as "live" — readers skip it, so
+    // counting it here would delete the committed copies they rely on
+    val versions = committedVersions(fs, root, beforeBatch)
     val seen = scala.collection.mutable.Set.empty[String]
     var removed = 0
     versions.foreach { v =>
@@ -206,18 +233,20 @@ object StreamCuration {
     * callable directly — ScaleSmoke's write-amplification probe drives
     * it without a streaming query): profile the batch, overwrite-merge
     * ONLY its touched buckets into version dir v<id>, and return the
-    * 5-row census over the full ledger view. Production sizes
+    * 6-row census over the full ledger view. Production sizes
     * `nBuckets` so a bucket is a rewrite-friendly unit (~1 GB at
     * 100 TB), keeping per-batch writes <= touched-buckets × bucket
     * size however large the ledger grows.
     */
   private[graft] def durableBatch(b: DataFrame, id: Long,
-      ledgerDir: String, nBuckets: Int): DataFrame = {
+      ledgerDir: String, nBuckets: Int, evidence: DataFrame): DataFrame = {
     val spark = b.sparkSession
     val bkt = bktCol(nBuckets)
-    // profile once (the one text parse), pin the batch's rows
-    val profiled = SelectionQueries.curationProfiles(
-        b.select(col("doc_id"), col("lang"), col("source"), col("text")))
+    // profile once (the one text parse + the one evidence probe),
+    // pin the batch's rows
+    val profiled = SelectionQueries.funnelProfiles(
+        b.select(col("doc_id"), col("lang"), col("source"), col("text")),
+        evidence)
       .localCheckpoint(true)
     // the batch's bucket footprint — <= nBuckets driver-side ints
     val touched = profiled.select(bkt.as("p")).distinct()
@@ -247,12 +276,28 @@ object StreamCuration {
     SelectionQueries.funnelCensus(untouched.unionByName(mergedTouched))
   }
 
+  /** Durable wiring with SCHEDULED VACUUM: every `vacuumEvery`
+    * batches (after the batch's own write) superseded bucket copies
+    * strictly below the just-written batch id are removed, so an
+    * unattended long-running stream keeps disk at O(live buckets)
+    * instead of accreting dead copies until an operator intervenes.
+    * The horizon `beforeBatch = id` is safe by the replay contract:
+    * the only batch Structured Streaming can replay after a crash is
+    * the newest one (this very `id`), and its replay reads versions
+    * `< id` — which vacuum reduces to exactly the view it preserves
+    * (newest committed copy per bucket). `vacuumEvery = 0` disables.
+    */
   def monitorDurable(docs: DataFrame, checkpointDir: String,
-                     ledgerDir: String, nBuckets: Int = 16)(
+                     ledgerDir: String, evidence: DataFrame,
+                     nBuckets: Int = 16, vacuumEvery: Int = 8)(
       sink: (Long, Array[Row]) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink(id, durableBatch(b, id, ledgerDir, nBuckets).collect())
+        sink(id, durableBatch(b, id, ledgerDir, nBuckets, evidence).collect())
+        if (vacuumEvery > 0 && id % vacuumEvery == vacuumEvery - 1) {
+          vacuumLedger(b.sparkSession, ledgerDir, beforeBatch = id)
+          ()
+        }
       }
       .option("checkpointLocation", checkpointDir)
 }

@@ -46,7 +46,14 @@ object StreamDecontamination {
                   taus: Seq[Double]): Map[Double, TauCell] = {
     val q = evalSet.select(col("vec_id").as("q_id"),
       col("embedding").as("qe"))
+    // anti-join the eval slice out FIRST: the batch query's train
+    // side excludes eval vectors, and an ingest wired with the raw
+    // table would otherwise count every eval vector as a contaminated
+    // train row (each matches itself at cosine 1.0). The eval side is
+    // already the broadcast dimension — one more broadcast hash join,
+    // free at corpus scale.
     val m = batch
+      .join(broadcast(evalSet.select("vec_id")), Seq("vec_id"), "left_anti")
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"))
       .crossJoin(broadcast(q))
       .select(col("n_id"), Similarity.cosine(col("qe"), col("ne")).as("c"))

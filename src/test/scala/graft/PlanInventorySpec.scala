@@ -51,7 +51,7 @@ class PlanInventorySpec extends SparkSpec {
     "token_burstiness",   // two-level top-30: global window sees ≤ 30·B bucket winners, never the vocab
     "table_stats",        // one-row ANALYZE-wide aggregate, unpivoted
     "table_stats_sketch", // two one-row aggregates (sketch + exact audit branch), unpivoted
-    "curation_funnel",    // one-row stage/domain censuses + one-row sequence count, unpivoted to 5 rows
+    "curation_funnel",    // one-row stage/domain censuses + one-row sequence count, unpivoted to 6 rows
     "hash_uniformity_chi2", // one-row rollup of the 256-bucket census
     "benford_audit",      // whole-frame window over the 9-digit census
     "pca_power_iteration",// renormalizer windows over the 64-row iterate

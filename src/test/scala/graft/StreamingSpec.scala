@@ -1214,6 +1214,79 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "streamed index diverges from the batch-built index")
   }
 
+  test("streaming ANN index: versioned refresh + per-batch deltas; final probe equals ann_ivf_pq; live deltas searchable; crash/restart safe") {
+    import graft.streaming.StreamAnnIndex
+    import graft.sources.AnnIndex
+    import graft.functions.CentroidAssign
+    import graft.queries.SimilarityQueries.{PqM, PqSub}
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_annx").toString
+    val ckpt = Files.createTempDirectory("graft_annx_ckpt").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toVector
+    // 9 batches (ids 0..8), refreshEvery = 4: refreshes at 0/4/8 with
+    // deltas between — the LAST batch refreshes, so the final
+    // codebooks train over ALL vectors (decimal-exact pqStep makes
+    // them bit-identical to the inline query's own training)
+    val nBatches = 9
+    val sz = (vecs.length + nBatches - 1) / nBatches
+    val chunks = new scala.util.Random(83).shuffle(vecs).grouped(sz).toVector
+    assert(chunks.length === nBatches, s"fixture sizing: ${chunks.length}")
+    val versions = collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def start() = StreamAnnIndex.monitor(
+        mem.toDF().toDF("vec_id", "embedding"), root, ckpt) { (id, v) =>
+      versions.synchronized { versions += ((id, v)) }
+    }.start()
+    val q1 = start()
+    try {
+      chunks.take(6).foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    } finally q1.stop() // crash mid-version (v4 live, delta d5 landed)
+    // LIVE-DELTA pin, across the restart boundary: vectors that
+    // arrived AFTER the v4 rebuild are searchable NOW — the assembled
+    // index covers every arrived vector, and the probe equals the
+    // batch probe kernel over a one-shot encode of the same vectors
+    // with the same frozen codebooks (plumbing-exact, no re-train)
+    val arrived6 = chunks.take(6).flatten
+    assert(StreamAnnIndex.indexFrame(spark, root, "v4").count()
+      === arrived6.length.toLong, "live index must cover all arrived vectors")
+    val cb4 = StreamAnnIndex.readCodebooks(spark, s"$root/v4")
+    val oneShot = arrived6.toDF("vec_id", "embedding")
+      .select(Seq(col("vec_id"),
+        CentroidAssign(col("embedding"), cb4.coarse).as("cl")) ++
+        (0 until PqM).map(m =>
+          CentroidAssign(slice(col("embedding"), m * PqSub + 1, PqSub),
+            cb4.pq(m)).as(s"code_$m")): _*)
+    val liveGot = StreamAnnIndex.probeCurrent(spark, root, emb, maxQueryId = 5)
+      .collect().map(_.toSeq).toSeq
+    val liveWant = AnnIndex.probeFrame(spark, oneShot, emb, cb4,
+      maxQueryId = 5, topK = 5).collect().map(_.toSeq).toSeq
+    assert(liveGot === liveWant,
+      "live probe over base+deltas diverges from the one-shot encode")
+    // restart from the SAME checkpoint: the replayed batch overwrites
+    // its own delta directory bit-identically (purity), then the
+    // monitor recovers (version, codebooks) from the published pointer
+    val q2 = start()
+    try {
+      chunks.drop(6).foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    // the refresh cadence held across the crash: v0 at 0, v4 at 4-7,
+    // v8 at 8 (replayed ids may repeat — take the last per id)
+    val byId = versions.synchronized(
+      versions.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 })
+    assert(byId(0L) === "v0" && byId(4L) === "v4" && byId(7L) === "v4"
+      && byId(8L) === "v8", s"version cadence broke: $byId")
+    // FINAL pin: the published index (v8, trained + encoded over all
+    // vectors) probes row-for-row equal to the inline ann_ivf_pq query
+    val got = StreamAnnIndex.probeCurrent(spark, root, emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = SparkEntry.queries("ann_ivf_pq")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got === want,
+      "streamed versioned index diverges from the inline ann_ivf_pq")
+  }
+
   test("ANN index refuses a batch/streaming directory mix instead of silently dropping files") {
     import graft.sources.AnnIndex
     implicit val ctx = spark.sqlContext
@@ -1858,7 +1931,7 @@ class StreamingSpec extends SparkSpec {
       "full redelivery changed the StreamMedia ledger — overwrite merge broken")
   }
 
-  test("streaming curation funnel: live 5-row census equals batch bit-exactly under randomized arrival") {
+  test("streaming curation funnel: live 6-row census equals batch bit-exactly under randomized arrival") {
     import graft.streaming.StreamCuration
     import StreamingSpec.WebDoc
     implicit val ctx = spark.sqlContext
@@ -1872,7 +1945,12 @@ class StreamingSpec extends SparkSpec {
     val audits = collection.mutable.ArrayBuffer
       .empty[(Long, Array[org.apache.spark.sql.Row])]
     val mem = MemoryStream[WebDoc]
-    val q = StreamCuration.monitor(mem.toDF(), ckpt) { (id, rows) =>
+    // the decontamination gate's benchmark-evidence dimension is FIXED
+    // by contract (the benchmark exists before the corpus) — built
+    // once from the full table, like StreamDecontamination's evalSet
+    val evidence = graft.queries.SelectionQueries.evalEvidence(
+      Tables.load(spark, sf0001, "documents")).localCheckpoint(true)
+    val q = StreamCuration.monitor(mem.toDF(), ckpt, evidence) { (id, rows) =>
       audits.synchronized { audits += ((id, rows)) }
     }.start()
     try {
@@ -1890,9 +1968,9 @@ class StreamingSpec extends SparkSpec {
     // every INTERMEDIATE census is a valid funnel over the docs seen
     // so far: 5 rows, out + dropped = in, stages chain
     audits.synchronized(audits.foreach { case (_, rows) =>
-      assert(rows.length === 5)
+      assert(rows.length === 6)
       rows.foreach(r => assert(r.getLong(3) + r.getLong(4) === r.getLong(2)))
-      (0 until 4).foreach(i =>
+      (0 until 5).foreach(i =>
         assert(rows(i + 1).getLong(2) === rows(i).getLong(3),
           s"stage ${i + 2} docs_in != stage ${i + 1} docs_out"))
     })
@@ -1900,8 +1978,8 @@ class StreamingSpec extends SparkSpec {
     // redelivery through the overwrite merge changes nothing
     val b1 = docs.take(20).toDF()
     val (l1, c1) = StreamCuration.funnelBatch(
-      b1, StreamCuration.emptyLedger(spark))
-    val (l2, c2) = StreamCuration.funnelBatch(b1, l1)
+      b1, StreamCuration.emptyLedger(spark), evidence)
+    val (l2, c2) = StreamCuration.funnelBatch(b1, l1, evidence)
     assert(l2.count() === l1.count(), "redelivery grew the ledger")
     assert(c2.collect().map(_.toSeq).toSeq === c1.collect().map(_.toSeq).toSeq,
       "redelivery changed the census — overwrite merge broken")
@@ -1921,7 +1999,10 @@ class StreamingSpec extends SparkSpec {
     val audits = collection.mutable.ArrayBuffer
       .empty[(Long, Array[org.apache.spark.sql.Row])]
     val mem = MemoryStream[WebDoc]
-    def start() = StreamCuration.monitorDurable(mem.toDF(), ckpt, ledger) {
+    val evidence = graft.queries.SelectionQueries.evalEvidence(
+      Tables.load(spark, sf0001, "documents")).localCheckpoint(true)
+    def start() = StreamCuration.monitorDurable(
+        mem.toDF(), ckpt, ledger, evidence) {
       (id, rows) => audits.synchronized { audits += ((id, rows)) }
     }.start()
     val (first, rest) =
@@ -1970,7 +2051,10 @@ class StreamingSpec extends SparkSpec {
     val ledger = Files.createTempDirectory("graft_curation_inc_ledger").toString
     val mem = MemoryStream[WebDoc]
     var lastCensus: Seq[Seq[Any]] = Nil
-    val q = StreamCuration.monitorDurable(mem.toDF(), ckpt, ledger, nB) {
+    val evidence = graft.queries.SelectionQueries.evalEvidence(
+      Tables.load(spark, sf0001, "documents")).localCheckpoint(true)
+    val q = StreamCuration.monitorDurable(
+        mem.toDF(), ckpt, ledger, evidence, nB) {
       (_, rows) => lastCensus = rows.map(_.toSeq).toSeq
     }.start()
     try {
@@ -2018,8 +2102,10 @@ class StreamingSpec extends SparkSpec {
     val nB = 4
     // batch 0 writes every bucket; batch 1 redelivers a subset, so the
     // buckets it touches supersede their v0 copies
-    StreamCuration.durableBatch(docs.toDF(), 0, ledger, nB)
-    StreamCuration.durableBatch(docs.take(40).toDF(), 1, ledger, nB)
+    val evidence = graft.queries.SelectionQueries.evalEvidence(
+      Tables.load(spark, sf0001, "documents")).localCheckpoint(true)
+    StreamCuration.durableBatch(docs.toDF(), 0, ledger, nB, evidence)
+    StreamCuration.durableBatch(docs.take(40).toDF(), 1, ledger, nB, evidence)
     def view = StreamCuration.readLedger(spark, ledger).get
       .collect().map(_.toSeq).sortBy(_.toString)
     val before = view
@@ -2037,6 +2123,74 @@ class StreamingSpec extends SparkSpec {
         .fold(Set.empty[String])(_.map(_.getName).filter(_.startsWith("bkt=")).toSet)
     assert(bucketsOf("v0").intersect(bucketsOf("v1")).isEmpty,
       "a bucket still has two live versions after vacuum")
+    // TORN VERSION: simulate a run that died mid-write — v2 holds
+    // task-committed bucket files but no job-level _SUCCESS marker.
+    // External readers of the view must not union its torn data, and
+    // vacuum must not let it claim buckets as live (which would delete
+    // the committed copies readers still depend on).
+    StreamCuration.durableBatch(docs.take(8).toDF(), 2, ledger, nB, evidence)
+    assert(new java.io.File(s"$ledger/v2/_SUCCESS").delete(),
+      "fixture: v2 _SUCCESS marker missing")
+    assert(view === before, "an uncommitted (torn) version leaked into the view")
+    assert(StreamCuration.vacuumLedger(spark, ledger, beforeBatch = 3) === 0,
+      "vacuum treated a torn version's buckets as live copies")
+    assert(view === before, "vacuum around a torn version changed the view")
+  }
+
+  test("durable funnel with scheduled vacuum: census bit-identical across in-stream vacuums + crash/restart; disk stays O(live buckets)") {
+    import graft.streaming.StreamCuration
+    import StreamingSpec.WebDoc
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[WebDoc].collect().toVector
+    val expect = SparkEntry.queries("curation_funnel")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val ckpt = Files.createTempDirectory("graft_curation_av_ckpt").toString
+    val ledger = Files.createTempDirectory("graft_curation_av_ledger").toString
+    val nB = 4
+    var lastCensus: Seq[Seq[Any]] = Nil
+    val mem = MemoryStream[WebDoc]
+    // RANDOM delivery, small batches: nearly every batch touches all 4
+    // buckets, so without vacuum the ledger accretes ~4 bucket copies
+    // per batch; vacuumEvery = 2 must keep it near O(live buckets)
+    val evidence = graft.queries.SelectionQueries.evalEvidence(
+      Tables.load(spark, sf0001, "documents")).localCheckpoint(true)
+    def start() = StreamCuration.monitorDurable(
+        mem.toDF(), ckpt, ledger, evidence, nB, vacuumEvery = 2) { (_, rows) =>
+      lastCensus = rows.map(_.toSeq).toSeq
+    }.start()
+    val shuffled = new scala.util.Random(59).shuffle(docs)
+    val (first, rest) = shuffled.splitAt(docs.length / 2)
+    val q1 = start()
+    try {
+      first.grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop() // crash between vacuums
+    val q2 = start()
+    try {
+      rest.grouped(13).foreach { chunk =>
+        mem.addData(chunk: _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(lastCensus === expect,
+      s"census diverged under in-stream vacuum:\n$lastCensus\nvs\n$expect")
+    // view integrity: one profile per doc survives the vacuums
+    val finalView = StreamCuration.readLedger(spark, ledger).get
+    assert(finalView.count() === docs.length.toLong)
+    assert(finalView.select("doc_id").distinct().count() === docs.length.toLong)
+    // disk boundedness: without vacuum ~nB copies per batch accrete;
+    // with it only the post-horizon tail (< vacuumEvery batches) plus
+    // the nB live copies may remain
+    val nBatches = (first.length + 12) / 13 + (rest.length + 12) / 13
+    val bucketDirs = new java.io.File(ledger).listFiles
+      .filter(_.getName.startsWith("v"))
+      .flatMap(v => v.listFiles.map(_.getName).filter(_.startsWith("bkt=")))
+    assert(bucketDirs.length <= nB * 4,
+      s"${bucketDirs.length} bucket copies on disk after ~$nBatches batches — vacuum not bounding")
+    assert(nBatches.toLong * nB > nB * 4 * 2,
+      "fixture too small to distinguish vacuumed from unvacuumed disk")
   }
 
   test("streaming domain reputation: additive cells match batch bit-exactly; replay guard holds across restart") {
@@ -2145,6 +2299,17 @@ class StreamingSpec extends SparkSpec {
       val ns = rows.map(_._3)
       assert(ns === ns.sorted.reverse, "tau sweep must be monotone")
     })
+    // raw-table wiring guard: feeding the UNFILTERED table (eval rows
+    // included) must produce the identical census — batchCensus
+    // anti-joins the eval slice out, so a mis-wired ingest can't count
+    // eval vectors (each self-matching at cosine 1.0) as contaminated
+    // train rows
+    val rawCensus = StreamDecontamination.batchCensus(
+      e.select("vec_id", "embedding"), evalSet, taus)
+    val filteredCensus = StreamDecontamination.batchCensus(
+      e.filter(!isEval).select("vec_id", "embedding"), evalSet, taus)
+    assert(rawCensus === filteredCensus,
+      "eval rows leaked into the streamed train census")
   }
 
   test("streaming crawl frontier: live priority table equals the batch path after EVERY prefix; guard holds across restart") {
