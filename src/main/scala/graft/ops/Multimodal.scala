@@ -936,6 +936,39 @@ object Multimodal {
     * spec-complete multi-frame APNGs that [[decodeVideoFrames]]
     * consumes live in [[videoFrameMedia]].
     */
+  /** media_id offset of a planted near-duplicate re-encode. */
+  val NearDupOffset = 10000000L
+
+  /** The IMAGE-DEDUP corpus: the image_ahash subset's PNG containers
+    * (same dim/seed rules as [[mediaContainers]]) PLUS, for docs with
+    * doc_id % 12 == 0, a planted NEAR-DUPLICATE re-encode — the same
+    * raster shifted one intensity step (seed+1: every pixel +1 mod
+    * 256, the brightness-nudge / re-encode class of image near-dup),
+    * at media_id = doc_id + [[NearDupOffset]]. The pair (original,
+    * re-encode) is what perceptual-hash dedup exists to catch: bytes
+    * differ, ahash lands a small Hamming distance away. Same
+    * deterministic (text-derived) construction in the DuckDB oracle.
+    */
+  def nearDupImageContainers(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, text, source) =>
+        val w = (16 + h32jvm(text) % 240).toInt
+        val h = (16 + h32jvm("1|" + text) % 240).toInt
+        val seed = (h32jvm(text) % 256).toInt
+        val frames =
+          if (id % 3 == 2) Some((1 + h32jvm("2|" + text) % 240).toInt)
+          else None
+        val base = MediaFile(id, "image", buildPngPixels(w, h, frames, seed),
+          source)
+        if (id % 12 == 0)
+          Seq(base, MediaFile(id + NearDupOffset, "image",
+            buildPngPixels(w, h, None, (seed + 1) % 256), source))
+        else Seq(base)
+      }
+  }
+
   def mediaContainers(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))

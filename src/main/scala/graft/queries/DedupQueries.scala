@@ -1815,6 +1815,91 @@ object DedupQueries {
             .as("jw"))
         .filter(col("jw") >= 0.84)
         .orderBy("key_a", "key_b")
+    },
+
+    // IMAGE NEAR-DUP DEDUP — the perceptual-hash (ahash) fingerprints
+    // fed through the SAME banding machinery as text LSH: the 64-bit
+    // ahash splits into four 16-bit bands, images sharing any band
+    // become candidates (pigeonhole: Hamming <= 3 is GUARANTEED a
+    // band hit; beyond that the recall curve is the banding design,
+    // identical in both engines), and candidates verify by exact
+    // Hamming distance <= 10 — the standard image-pipeline near-dup
+    // shape (re-encodes, brightness nudges, thumbnail regenerations).
+    // The corpus plants real near-dups (Multimodal
+    // .nearDupImageContainers: a seed+1 re-encode per doc_id % 12 ==
+    // 0 image), so the census has genuine positives; the Spark side
+    // reaches every fingerprint through the REAL container decode
+    // (inflate + filter inversion), the oracle re-derives them from
+    // the pixel rule — one more end-to-end decode pin. SCALE: bands
+    // bucket-group-explode (never a self-join), bucket sizes bounded
+    // by the banding design (hot buckets would flow through the same
+    // bucketPairsCapped machinery as text); the Hamming verify runs
+    // only on the candidate census.
+    Q("dedup_image_ahash", {
+      val w = s"16 + ${duckH32("text")} % 240"
+      val h = s"16 + ${duckH32(1, "text")} % 240"
+      val seed = s"${duckH32("text")} % 256"
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |    WHERE doc_id % 6 = 0 OR doc_id % 3 = 2),
+         |md0 AS (SELECT doc_id AS media_id, $w AS w, $h AS h, $seed AS seed
+         |  FROM base),
+         |md AS (SELECT * FROM md0
+         |  UNION ALL SELECT media_id + 10000000, w, h, (seed + 1) % 256
+         |    FROM md0 WHERE media_id % 12 = 0),
+         |px AS (SELECT media_id, w, h,
+         |    ((i % w) * 8) // w AS u, ((i // w) * 8) // h AS v,
+         |    (seed + 31 * i) % 256 AS p
+         |  FROM md, unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS t(i)),
+         |cells AS (SELECT media_id, w, h, v, u,
+         |    CAST(SUM(p) AS BIGINT) AS cs, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM px GROUP BY 1, 2, 3, 4, 5),
+         |tot AS (SELECT media_id, CAST(SUM(cs) AS BIGINT) AS s FROM cells GROUP BY 1),
+         |ah AS (SELECT c.media_id,
+         |    string_agg(CASE WHEN cs * (CAST(w AS BIGINT) * h) > s * cn
+         |      THEN '1' ELSE '0' END, '' ORDER BY v, u) AS ahash
+         |  FROM cells c JOIN tot ON c.media_id = tot.media_id
+         |  GROUP BY c.media_id),
+         |bands AS (SELECT media_id,
+         |    CAST(bb AS VARCHAR) || ':' || substr(ahash, bb * 16 + 1, 16) AS band
+         |  FROM ah, unnest([0, 1, 2, 3]) AS t(bb)),
+         |pairs AS (SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band = b2.band AND a.media_id < b2.media_id)
+         |SELECT media_a, media_b,
+         |  CAST(len(list_filter(generate_series(1, 64),
+         |    i -> substr(x.ahash, CAST(i AS INTEGER), 1)
+         |      <> substr(y.ahash, CAST(i AS INTEGER), 1))) AS BIGINT) AS hamming
+         |FROM pairs JOIN ah x ON media_a = x.media_id
+         |  JOIN ah y ON media_b = y.media_id
+         |WHERE len(list_filter(generate_series(1, 64),
+         |    i -> substr(x.ahash, CAST(i AS INTEGER), 1)
+         |      <> substr(y.ahash, CAST(i AS INTEGER), 1))) <= 10
+         |ORDER BY media_a, media_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.parallelizeByRange(
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 2),
+        col("doc_id"))
+      val ah = graft.ops.Multimodal
+        .decodeAHash(graft.ops.Multimodal.nearDupImageContainers(docs))
+        .toDF().select(col("media_id"), col("ahash"))
+        .localCheckpoint(false) // bands AND both verify sides read it
+      val bands = ah.select(col("media_id"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b.toString),
+            substring(col("ahash"), b * 16 + 1, 16))): _*)).as("band"))
+      val pairs = Dedup.candidatePairs(bands, "media_id")
+      val ham = aggregate(sequence(lit(1), lit(64)), lit(0),
+        (acc, i) => acc + when(
+          col("ha").substr(i, lit(1)) =!= col("hb").substr(i, lit(1)), 1)
+          .otherwise(0))
+      pairs
+        .join(ah.select(col("media_id").as("id_a"), col("ahash").as("ha")), "id_a")
+        .join(ah.select(col("media_id").as("id_b"), col("ahash").as("hb")), "id_b")
+        .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+          ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy("media_a", "media_b")
     }
   )
 }

@@ -237,6 +237,19 @@ object AnnIndex {
     */
   def probe(spark: SparkSession, path: String, emb: DataFrame,
             cb: Codebooks, maxQueryId: Long = 20, topK: Int = 5): DataFrame = {
+    assertLogCoversDir(spark, path) // loud, not silently-partial, on a batch/streaming mix
+    probeFrame(spark, spark.read.parquet(path), emb, cb, maxQueryId, topK)
+  }
+
+  /** [[probe]] over an already-assembled index FRAME — the seam the
+    * streamed versioned index ([[graft.streaming.StreamAnnIndex]])
+    * reuses: its index is a union of per-batch `cl=`-partitioned
+    * delta directories, and the `cl IN (probed)` filter below pushes
+    * through the union into EVERY member scan, so the directory-
+    * pruning contract is identical to the single-directory read.
+    */
+  private[graft] def probeFrame(spark: SparkSession, index0: DataFrame,
+      emb: DataFrame, cb: Codebooks, maxQueryId: Long, topK: Int): DataFrame = {
     val sims = cb.coarse.toIndexedSeq.map(cen =>
       round(Similarity.dotLit(col("embedding"), cen), 6))
     def subDot(m: Int, cen: Array[Double]) =
@@ -260,8 +273,7 @@ object AnnIndex {
     // pruning instead of a full index scan
     val probedLists = probes.select("cl").distinct()
       .collect().map(_.getInt(0)).sorted
-    assertLogCoversDir(spark, path) // loud, not silently-partial, on a batch/streaming mix
-    val index = spark.read.parquet(path)
+    val index = index0
       .filter(col("cl").isin(probedLists.map(Integer.valueOf).toSeq: _*))
     val score = (0 until PqM).map(m =>
         element_at(col("luts"), lit(m * PqK + 1) + col(s"code_$m"))
