@@ -23,7 +23,15 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // shuffle partitions SCALE with the replicated volume — the
+      // production sizing rule SCALE.md states (size partitions so a
+      // task's join build / sort fits executor memory at the target
+      // SF). A fixed 32 hands each shuffled-hash task a mult×-bigger
+      // build than the sf0.1 gate tunes for: at 10× the adversarial
+      // dedup joins (every doc a mult-way duplicate) build >1 GB hash
+      // relations per task and die; at 8·mult partitions they fit.
+      .config("spark.sql.shuffle.partitions",
+        math.max(32, 8 * mult).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
@@ -49,7 +57,13 @@ object ScaleSmoke {
     // released between stages
     val keep = spark.sparkContext.getPersistentRDDs.keySet
 
-    def time(name: String)(f: => Long): Unit = {
+    // optional trailing args = stage-name filter (re-run one probe
+    // without paying for the whole battery)
+    val only: Set[String] = args.drop(1).toSet
+
+    def time(name: String)(f: => Long): Unit =
+      if (only.nonEmpty && !only(name)) ()
+      else {
       val t0 = System.nanoTime()
       val rows = f
       val dt = (System.nanoTime() - t0) / 1e9
@@ -655,8 +669,26 @@ object ScaleSmoke {
       emb.write.mode("overwrite").parquet(s"$tailDir/embeddings.parquet")
       replicate(Tables.load(spark, dir, "events"), "event_id")
         .write.mode("overwrite").parquet(s"$tailDir/events.parquet")
-      Seq("theil_sen", "dedup_prefix_jaccard", "dedup_containment",
-          "pca_power_iteration", "bt_confidence", "curation_funnel").map { q =>
+      val tail0 = Seq("theil_sen", "dedup_prefix_jaccard",
+        "dedup_containment", "pca_power_iteration", "bt_confidence",
+        "curation_funnel")
+      // no silent caps: the two dedup queries' in-group pair mass
+      // grows ~mult^2 under replication (~900x at 30x) — past any
+      // single-JVM budget by design of the workload, so they are
+      // measured at 10x and DROPPED LOUDLY above it (production
+      // bounds dup-group pair mass via the banded/capped machinery;
+      // PrefixFilterSpec pins the candidate bound)
+      val tail =
+        if (mult <= 10) tail0
+        else {
+          println(s"[smoke]   (dropping dedup_prefix_jaccard + " +
+            s"dedup_containment at mult=$mult: in-group pair mass " +
+            s"~mult^2 exceeds the single-JVM probe budget; measured " +
+            s"at 10x)")
+          tail0.filterNot(
+            Set("dedup_prefix_jaccard", "dedup_containment"))
+        }
+      tail.map { q =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, tailDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
