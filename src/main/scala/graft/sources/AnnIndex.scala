@@ -175,17 +175,25 @@ object AnnIndex {
   /** The published version name, e.g. "v2". Throws (rather than
     * guessing a directory) when nothing has been published.
     */
-  def currentVersion(spark: SparkSession, root: String): String = {
+  def currentVersion(spark: SparkSession, root: String): String =
+    currentVersionOpt(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no $Pointer pointer under $root — publish a version first"))
+
+  /** The published version name, or None before any publish — the
+    * non-throwing form for callers that must make progress on an
+    * unbootstrapped root (a stream's first trigger is commonly empty,
+    * and a delta batch can arrive before any refresh has published).
+    */
+  def currentVersionOpt(spark: SparkSession, root: String): Option[String] = {
     val p = new Path(root, Pointer)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      throw new IllegalStateException(
-        s"no $Pointer pointer under $root — publish a version first")
+    if (!fs.exists(p)) return None
     val in = fs.open(p)
     val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
     require(v.nonEmpty && !v.contains("/"), s"malformed $Pointer content: '$v'")
-    v
+    Some(v)
   }
 
   def versionPath(root: String, version: String): String = s"$root/$version"

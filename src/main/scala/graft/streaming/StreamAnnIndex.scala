@@ -48,7 +48,11 @@ import graft.sources.AnnIndex.Codebooks
   *
   * Restart needs no external state: the CURRENT pointer and the
   * persisted codebooks ARE the recovery record (re-read lazily on the
-  * first post-restart delta batch).
+  * first post-restart delta batch). Bootstrap is wedge-free: an empty
+  * batch before any publish reports the "none" sentinel, and a
+  * non-empty delta-cadence batch on an unbootstrapped root performs
+  * the first refresh instead of trying to read a CURRENT pointer that
+  * does not exist (a thrown foreachBatch would replay forever).
   */
 object StreamAnnIndex {
 
@@ -105,9 +109,10 @@ object StreamAnnIndex {
       .map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
   /** PQ-encode vectors with frozen codebooks — the batch build's exact
-    * projection (one row of small ints per vector).
+    * projection (one row of small ints per vector). `private[graft]`
+    * so the scale probe can measure the delta-batch regime directly.
     */
-  private def encode(vecs: DataFrame, cb: Codebooks): DataFrame =
+  private[graft] def encode(vecs: DataFrame, cb: Codebooks): DataFrame =
     vecs.select(Seq(col("vec_id"),
       CentroidAssign(col("embedding"), cb.coarse).as("cl")) ++
       (0 until PqM).map(m =>
@@ -163,22 +168,33 @@ object StreamAnnIndex {
         val spark = b.sparkSession
         // an empty micro-batch writes nothing (a zero-row hive write
         // leaves an unreadable partitionless directory) — but still
-        // reports, so the sink cadence is uninterrupted
+        // reports, so the sink cadence is uninterrupted. Before any
+        // version has published (a real source's first trigger is
+        // commonly empty), report the "none" sentinel instead of
+        // failing the batch — a thrown bootstrap batch would replay
+        // forever and wedge the stream.
         if (b.isEmpty) {
-          sink(id, cur.map(_._1).getOrElse(
-            AnnIndex.currentVersion(spark, root)))
+          sink(id, cur.map(_._1)
+            .orElse(AnnIndex.currentVersionOpt(spark, root))
+            .getOrElse("none"))
         } else {
           b.select(col("vec_id"), col("embedding"))
             .write.mode("overwrite").parquet(s"$root/vecs/d$id")
-          if (refreshEvery > 0 && id % refreshEvery == 0) {
+          // recover (or discover) the active version WITHOUT throwing:
+          // post-restart the published pointer + persisted codebooks
+          // are the recovery record; on a truly unbootstrapped root
+          // (delta cadence but nothing published yet — e.g. batch 0
+          // was empty so the id%refreshEvery refresh never ran) fall
+          // through to a refresh, which publishes the first version.
+          val recovered: Option[(String, Codebooks)] = cur.orElse(
+            AnnIndex.currentVersionOpt(spark, root).map { v =>
+              (v, readCodebooks(spark, s"$root/$v"))
+            })
+          val isRefresh = refreshEvery > 0 && id % refreshEvery == 0
+          if (isRefresh || recovered.isEmpty) {
             cur = Some((s"v$id", refresh(spark, root, id)))
           } else {
-            val (ver, cb) = cur.getOrElse {
-              // post-restart: the published pointer + persisted
-              // codebooks are the recovery record
-              val v = AnnIndex.currentVersion(spark, root)
-              (v, readCodebooks(spark, s"$root/$v"))
-            }
+            val (ver, cb) = recovered.get
             encode(b.select("vec_id", "embedding"), cb)
               .write.mode("overwrite").partitionBy("cl")
               .parquet(s"$root/$ver/d$id")

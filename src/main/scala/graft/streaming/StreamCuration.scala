@@ -10,9 +10,16 @@ import graft.queries.SelectionQueries
 /** Streaming curation funnel — the streaming twin of the batch
   * `curation_funnel` composite: documents arrive in micro-batches and
   * the 6-stage census (dedup → quality → language → decontamination
-  * gate → domain gate → pack) stays LIVE, bit-exactly equal after any prefix of batches to
-  * the batch query run over the documents seen so far — under ANY
-  * arrival order (pinned in StreamingSpec).
+  * gate → domain gate → pack) stays LIVE, bit-exactly equal after any
+  * prefix of batches to the batch funnel evaluated over the documents
+  * seen so far WITH THE SAME FIXED evidence dimension this twin was
+  * given — under ANY arrival order (pinned in StreamingSpec). The
+  * qualifier matters since the batch `curation_funnel` derives its
+  * decontamination evidence from its own input: rerunning it on a
+  * prefix would also shrink the evidence, so prefix equality holds
+  * under the fixed-external-benchmark reading (the production shape —
+  * an eval suite does not grow with the corpus), and the final state
+  * (all docs delivered) matches `curation_funnel` exactly.
   *
   * Split exactly like the other stream twins split their batch
   * queries (StreamSelect: train batch / score stream; StreamAnalyze:
@@ -196,6 +203,10 @@ object StreamCuration {
     * `beforeBatch` is the checkpoint horizon — versions at or above
     * it may still be read by a replaying batch and are never touched,
     * which preserves the crash/replay idempotence argument verbatim.
+    * Torn (uncommitted) version dirs strictly below the horizon are
+    * also deleted: they are invisible to every reader and can never
+    * become live (replay only rewrites the newest batch id), so
+    * without this they would accrete forever.
     * Returns the number of bucket directories removed. Bounds the
     * ledger's disk footprint to O(live buckets) however many batches
     * have run.
@@ -226,6 +237,21 @@ object StreamCuration {
         removed += 1
       }
     }
+    // torn (no-_SUCCESS) versions strictly below the horizon are
+    // invisible to every reader AND can never become live — a crashed
+    // batch's replay happens at the newest batch id (>= beforeBatch),
+    // never below it — so an abandoned torn dir would otherwise
+    // accrete on disk forever. Delete them whole.
+    val committed = versions.toSet
+    fs.listStatus(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .filter(v => v < beforeBatch && !committed.contains(v))
+      .foreach { v =>
+        val vDir = new org.apache.hadoop.fs.Path(root, s"v$v")
+        removed += fs.listStatus(vDir).map(_.getPath.getName)
+          .count(_.startsWith("bkt="))
+        fs.delete(vDir, true)
+      }
     removed
   }
 

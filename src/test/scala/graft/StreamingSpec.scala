@@ -1287,6 +1287,53 @@ class StreamingSpec extends SparkSpec {
       "streamed versioned index diverges from the inline ann_ivf_pq")
   }
 
+  test("streaming ANN index bootstrap: empty first batch reports 'none'; a delta-cadence batch on an unbootstrapped root performs the first refresh") {
+    import graft.streaming.StreamAnnIndex
+    import graft.sources.AnnIndex
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_annboot").toString
+    val ckpt = Files.createTempDirectory("graft_annboot_ckpt").toString
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toVector
+    val versions = collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // refreshEvery = 0 disables the cadence: every batch takes the
+    // DELTA path, so nothing would ever publish without the bootstrap
+    // fallback — the exact wedge the round-13 advice flagged (a real
+    // source's first trigger is commonly empty, and a thrown
+    // foreachBatch replays forever)
+    val q = StreamAnnIndex.monitor(
+        mem.toDF().toDF("vec_id", "embedding"), root, ckpt,
+        refreshEvery = 0) { (id, v) =>
+      versions.synchronized { versions += ((id, v)) }
+    }.start()
+    try {
+      // batch 0: EMPTY, nothing published — must report the sentinel,
+      // not throw (a throw here wedges the stream permanently)
+      mem.addData(Seq.empty[(Long, Seq[Float])]: _*)
+      q.processAllAvailable()
+      assert(versions.synchronized(versions.toList) === List((0L, "none")),
+        s"empty bootstrap batch should report 'none': $versions")
+      // batch 1: non-empty on an UNBOOTSTRAPPED root — the delta path
+      // has no codebooks to encode with, so it must fall through to
+      // the first refresh and publish
+      mem.addData(vecs.take(300): _*)
+      q.processAllAvailable()
+      assert(versions.synchronized(versions.last) === ((1L, "v1")),
+        s"unbootstrapped delta batch should refresh: $versions")
+      assert(AnnIndex.currentVersion(spark, root) === "v1")
+      // batch 2: a genuine delta against the published version
+      mem.addData(vecs.slice(300, 500): _*)
+      q.processAllAvailable()
+      assert(versions.synchronized(versions.last) === ((2L, "v1")))
+      assert(new java.io.File(s"$root/v1/d2/_SUCCESS").exists,
+        "delta batch should land in the published version")
+      // the live index is probe-able and covers every arrived vector
+      assert(StreamAnnIndex.indexFrame(spark, root, "v1").count() === 500L)
+    } finally q.stop()
+  }
+
   test("ANN index refuses a batch/streaming directory mix instead of silently dropping files") {
     import graft.sources.AnnIndex
     implicit val ctx = spark.sqlContext
@@ -2132,8 +2179,23 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$ledger/v2/_SUCCESS").delete(),
       "fixture: v2 _SUCCESS marker missing")
     assert(view === before, "an uncommitted (torn) version leaked into the view")
-    assert(StreamCuration.vacuumLedger(spark, ledger, beforeBatch = 3) === 0,
-      "vacuum treated a torn version's buckets as live copies")
+    // horizon safety for torn data too: v2 may still be REPLAYED
+    // (batch 2 never committed), so a vacuum whose horizon is 2 must
+    // leave the torn dir for the replay to overwrite
+    assert(StreamCuration.vacuumLedger(spark, ledger, beforeBatch = 2) === 0,
+      "vacuum touched a torn version at/above the horizon")
+    assert(new java.io.File(s"$ledger/v2").exists,
+      "torn version at the horizon must survive (its replay overwrites it)")
+    // but BELOW the horizon a torn version is invisible to every
+    // reader and can never become live (replay only rewrites the
+    // newest batch id) — vacuum deletes it whole instead of letting
+    // abandoned torn data accrete forever
+    val tornBuckets = bucketsOf("v2").size
+    assert(tornBuckets > 0, "fixture: torn v2 should hold bucket dirs")
+    assert(StreamCuration.vacuumLedger(spark, ledger, beforeBatch = 3) === tornBuckets,
+      "vacuum should delete exactly the torn version's bucket dirs")
+    assert(!new java.io.File(s"$ledger/v2").exists,
+      "an abandoned torn version below the horizon must be deleted whole")
     assert(view === before, "vacuum around a torn version changed the view")
   }
 
