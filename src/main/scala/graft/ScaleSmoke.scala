@@ -328,22 +328,21 @@ object ScaleSmoke {
           .filter(col("nh") === 3).count()
       }
     }
-    // Gramian census shape (pca_power_iteration's heavy half): the d²
-    // outer-product census must stay EXACTLY 4096 cells however large
-    // the corpus grows — copies add to the sums, never to the cells —
-    // while the explode scan scales linearly
+    // Gramian census shape (pca_power_iteration's heavy half): the
+    // second-moment census must stay EXACTLY d²+d+1 scalars however
+    // large the corpus grows — copies add to the sums, never to the
+    // cells — and since round 14 the corpus pass is the
+    // GramMatrixAgg partial aggregate (flat Long buffer per task, NO
+    // row inflation; the prior d²-cell explode materialized 245M rows
+    // at 30× and went GC-bound — the round-13 weak mark)
     time("gramian_census_d64") {
       val e = Tables.parallelizeByRange(emb, col("vec_id"))
         .select(expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))").as("u"))
-      val cells = e.select(explode(expr(
-          """flatten(transform(u, (ui, i) ->
-            |  transform(u, (uj, j) -> struct(i, j, ui * uj AS x))))""".stripMargin))
-          .as("c"))
-        .groupBy(col("c.i"), col("c.j"))
-        .agg(sum(col("c.x").cast(
-          org.apache.spark.sql.types.DataTypes.createDecimalType(17, 0))).as("sp"))
+      val cells = e
+        .agg(graft.functions.GramMatrixAgg(col("u"), 64).as("g"))
+        .select(explode(col("g")))
         .count()
-      println(s"[smoke]   gramian cells (must stay d*d): $cells")
+      println(s"[smoke]   gramian census scalars (must stay d*d+d+1): $cells")
       cells
     }
     // Poisson bootstrap shape (bootstrap_ci): B resample partials per
@@ -639,6 +638,37 @@ object ScaleSmoke {
         s"buckets + post-horizon tail at any round count); view $rows rows")
       rows
     }
+    // StreamAnnIndex's two cost regimes (round 14): a REFRESH batch
+    // retrains + re-encodes the whole committed corpus (documented
+    // O(corpus) — must grow ~mult), while a DELTA batch encodes only
+    // its own rows with frozen codebooks (O(batch) — a FIXED-size
+    // batch must cost ~the same at every mult). The printed ratio is
+    // the refresh-cadence sizing input: choose refreshEvery so the
+    // amortized refresh cost per batch ~ the delta cost, i.e.
+    // refreshEvery ≈ refresh_s / delta_s — at 100 TB that naturally
+    // pushes refreshes to a daily/weekly compaction cadence while
+    // deltas keep sub-minute freshness.
+    time("stream_ann_delta_vs_refresh") {
+      import graft.streaming.StreamAnnIndex
+      val root = java.nio.file.Files
+        .createTempDirectory("smoke_annx").toString
+      emb.select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$root/vecs/d0")
+      val t0 = System.nanoTime()
+      val cb = StreamAnnIndex.refresh(spark, root, 0)
+      val tRefresh = (System.nanoTime() - t0) / 1e9
+      // fixed 2000-vector delta batch — the size a micro-batch would
+      // carry regardless of corpus scale
+      val batch = emb.select("vec_id", "embedding").limit(2000)
+        .localCheckpoint(true)
+      val t1 = System.nanoTime()
+      StreamAnnIndex.encode(batch, cb)
+        .write.mode("overwrite").partitionBy("cl").parquet(s"$root/v0/d1")
+      val tDelta = (System.nanoTime() - t1) / 1e9
+      println(f"[smoke]   refresh(full corpus) $tRefresh%7.2f s   " +
+        f"delta(2k batch) $tDelta%7.2f s   cadence ratio ${tRefresh / tDelta}%6.1f x")
+      spark.read.parquet(s"$root/v0/d1").count()
+    }
     // EXPENSIVE-TAIL probe (round 13): the 5 priciest bench queries
     // run AS-IS (the real SparkEntry entries) against a replicated
     // on-disk copy of their tables. Documented growth ceilings the
@@ -652,8 +682,10 @@ object ScaleSmoke {
     //    ~mult^2 BY CONSTRUCTION of the workload — that quadratic is
     //    the true dup-group cost any dedup must pay, not a plan
     //    defect; cross-group candidates stay prefix/df-cap bounded.
-    //  - pca_power_iteration: iterations run on the d^2 Gram census ->
-    //    scan-linear in mult.
+    //  - pca_power_iteration: ONE GramMatrixAgg corpus pass (flat
+    //    buffer per task, no row inflation) + iterations on the d^2
+    //    census -> scan-linear in mult (the round-13 d^2 explode read
+    //    9.8x wall at 30x; the aggregate must read ~linear).
     //  - bt_confidence: one match-census pass (<= 28 pairs/group,
     //    groups linear in docs) + a |sources|^2 Fisher census ->
     //    scan-linear in mult.

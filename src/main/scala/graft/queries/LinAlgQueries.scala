@@ -18,10 +18,12 @@ import graft.Tables
   * random projection with a measured distortion audit.
   *
   * Scale shape: ONE corpus pass reduces N×d vectors to the d×d
-  * second-moment census (map-side partial aggregation; the exchange
-  * carries d² = 4096 cells per partition, never vectors), and every
-  * iteration/projection step after that is census-sized broadcast
-  * algebra. At 100 TB only the first pass touches the corpus.
+  * second-moment census via a single partial aggregate
+  * ([[graft.functions.GramMatrixAgg]] — each task folds rows into one
+  * flat d²-ish Long buffer; the exchange carries n_partitions buffers
+  * of scalars, never rows or vectors), and every iteration/projection
+  * step after that is census-sized broadcast algebra. At 100 TB only
+  * the first pass touches the corpus.
   *
   * Determinism: embeddings quantize to integer micro-units with the
   * suite's floor(x*1e6 + 0.5) rule; all sums are exact integer/DECIMAL
@@ -93,23 +95,33 @@ object LinAlgQueries {
           |v0 AS (SELECT r.i AS i, CAST(1000000 AS BIGINT) AS v FROM range(1, ${Dim + 1}) r(i)),
           |$iterSql
           |SELECT i - 1 AS dim_idx, v AS v_scaled FROM v$Iters ORDER BY dim_idx""".stripMargin) { (s, dir) =>
-        // spread the scan: the d² outer-product explode is the heavy
-        // stage and must not run in the fixture's single row-group task
+        // spread the scan: the d(d+1)/2 multiply-adds per row are the
+        // heavy stage and must not run in the fixture's single
+        // row-group task
         val e = Tables.parallelize(
           Tables.load(s, dir, "embeddings").select(expr(sparkU).as("u")))
-        // one corpus pass -> d² outer-product census (map-side partials)
-        val pairs = e
-          .select(explode(expr(
-            """flatten(transform(u, (ui, i) ->
-              |  transform(u, (uj, j) -> struct(i, j, ui * uj AS x))))""".stripMargin))
-            .as("c"))
-          .groupBy(col("c.i"), col("c.j"))
-          .agg(sum(col("c.x").cast(DecimalType(17, 0)))
-            .cast(DecimalType(18, 0)).as("sp"))
-        val means = e.select(posexplode(col("u")).as(Seq("i", "ui")))
-          .groupBy("i")
-          .agg(sum(col("ui")).cast(DecimalType(18, 0)).as("s"))
-        val nRow = e.agg(count(lit(1)).cast(DecimalType(8, 0)).as("n"))
+        // ONE corpus pass -> the full second-moment census as a single
+        // partial aggregate (graft.functions.GramMatrixAgg): each task
+        // folds its rows into a flat Long buffer (triangle Gram +
+        // per-dim sums + count), the exchange carries n_partitions
+        // buffers of d²+d+1 scalars — no row inflation exists at any
+        // scale (the prior d²-cell explode materialized d²·N rows and
+        // went GC-bound at the 30× probe). Exact-Long sums == the
+        // oracle's DECIMAL sums, reassociated order-independently.
+        val d2 = Dim * Dim
+        val packed = e
+          .agg(graft.functions.GramMatrixAgg(col("u"), Dim).as("g"))
+          .localCheckpoint(true) // ONE row; every consumer below re-slices it
+        val pairs = packed
+          .select(posexplode(slice(col("g"), 1, d2)).as(Seq("pidx", "sp_l")))
+          .select((col("pidx") / Dim).cast("int").as("i"),
+            pmod(col("pidx"), lit(Dim)).cast("int").as("j"),
+            col("sp_l").cast(DecimalType(18, 0)).as("sp"))
+        val means = packed
+          .select(posexplode(slice(col("g"), d2 + 1, Dim)).as(Seq("i", "s_l")))
+          .select(col("i"), col("s_l").cast(DecimalType(18, 0)).as("s"))
+        val nRow = packed.select(
+          element_at(col("g"), d2 + Dim + 1).cast(DecimalType(8, 0)).as("n"))
         val mi = means.select(col("i").as("mi_i"), col("s").as("mi_s"))
         val mj = means.select(col("i").as("mj_i"), col("s").as("mj_s"))
         // materialize the census ONCE (the pagerank/CC per-round

@@ -54,7 +54,7 @@ class PlanInventorySpec extends SparkSpec {
     "curation_funnel",    // one-row stage/domain censuses + one-row sequence count, unpivoted to 6 rows
     "hash_uniformity_chi2", // one-row rollup of the 256-bucket census
     "benford_audit",      // whole-frame window over the 9-digit census
-    "pca_power_iteration",// renormalizer windows over the 64-row iterate
+    "pca_power_iteration",// GramMatrixAgg global agg (exchange carries n_partitions d²+d+1-long buffers) + renormalizer windows over the 64-row iterate
     "mann_whitney",       // rank cumsum over the length census + one-row totals
     "chi_square_independence", // marginal windows over the 120-cell census
     "autocorrelation",    // one-row (n, Σc) and Σdev² censuses
