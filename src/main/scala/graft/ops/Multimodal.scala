@@ -969,6 +969,119 @@ object Multimodal {
       }
   }
 
+  /** PCM sample series of a document's text: codepoint mod 256 per
+    * character — the cross-engine-stable byte rule (DuckDB `ord()` and
+    * JVM codepoints agree for ANY text; raw utf-8 bytes would diverge
+    * from the oracle's character indexing on non-ASCII). Identical to
+    * the utf-8 byte stream on the ASCII fixture.
+    */
+  def codepointSamples(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    cps.map(cp => (((cp % 256) + 256) % 256).toByte)
+  }
+
+  /** The AUDIO-DEDUP corpus: the audio subset's WAV containers (real
+    * RIFF/WAVE, PCM = the codepoint sample rule) PLUS, for docs with
+    * doc_id % 12 == 7, a planted NEAR-DUPLICATE re-encode — every
+    * sample +1 mod 256 (the DC-offset / gain-nudge class of audio
+    * near-dup, the WAV analog of the image corpus's seed+1 raster) at
+    * media_id = doc_id + [[NearDupOffset]]. Docs shorter than 256
+    * chars are excluded by the CALLER's filter (the 64-segment
+    * fingerprint needs ≥4 samples per segment). Same deterministic
+    * construction in the DuckDB oracle.
+    */
+  def nearDupWavContainers(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, text, source) =>
+        val pcm = codepointSamples(text)
+        val base = MediaFile(id, "audio", buildWav(pcm), source)
+        if (id % 12 == 7) {
+          val nudged = pcm.map(b => (((b & 0xff) + 1) % 256).toByte)
+          Seq(base, MediaFile(id + NearDupOffset, "audio",
+            buildWav(nudged), source))
+        } else Seq(base)
+      }
+  }
+
+  /** The PCM payload of a WAV container: full RIFF/WAVE chunk walk
+    * (the [[parseHeader]] discipline — loud failure on truncation or
+    * missing chunks, never plausible zeros), returning the data
+    * chunk's bytes.
+    */
+  def pcmOf(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 12
+        || new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "RIFF"
+        || new String(bytes, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
+      throw new IllegalArgumentException("not a RIFF/WAVE container")
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      val len = rdLe32(bytes, off + 4)
+      if (len < 0 || off + 8 + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"RIFF chunk '$id' at $off claims $len bytes past end of file")
+      if (id == "data")
+        return java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len.toInt)
+      off += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+    }
+    throw new IllegalArgumentException("WAVE without data chunk")
+  }
+
+  case class AudioFp(media_id: Long, n_samples: Long, fp: String)
+
+  /** 64-bit energy-envelope fingerprint of a PCM sample stream — the
+    * audio analog of [[ahashOf]]: the stream folds onto 64 equal time
+    * segments (segment of sample i is ⌊64·i/L⌋), each segment turns
+    * into one bit by comparing its mean-square amplitude around the
+    * unsigned-PCM midpoint against the whole clip's, and near-dup
+    * encodes (gain/DC nudges, re-encodes) land at small Hamming
+    * distance. EXACT everywhere: the comparison es/ns > E/L is the
+    * integer cross product es·L > E·ns (no doubles), and the
+    * fingerprint ships as a 64-char '0'/'1' string in segment order —
+    * SQL-recomputable from the synthesis rule. At 100 TB the
+    * fingerprints feed the same banded dedup machinery as text
+    * MinHash and image ahash.
+    */
+  def audioFpOf(pcm: Array[Byte]): (Long, String) = {
+    val L = pcm.length.toLong
+    require(L >= 64, s"fingerprint needs >= 64 samples, got $L")
+    val es = new Array[Long](64)
+    var i = 0
+    while (i < pcm.length) {
+      val v = (pcm(i) & 0xff) - 128
+      es((i * 64 / L).toInt) += v.toLong * v
+      i += 1
+    }
+    var e = 0L
+    var s = 0
+    while (s < 64) { e += es(s); s += 1 }
+    val sb = new java.lang.StringBuilder(64)
+    s = 0
+    while (s < 64) {
+      // segment count ns = #samples with ⌊64 i / L⌋ = s — the preimage
+      // is [⌈sL/64⌉, ⌈(s+1)L/64⌉), so the closed form uses CEILINGS
+      val ns = ((s + 1) * L + 63) / 64 - (s * L + 63) / 64
+      sb.append(if (es(s) * L > e * ns) '1' else '0')
+      s += 1
+    }
+    (L, sb.toString)
+  }
+
+  /** Fingerprint WAV media through the full real container decode
+    * (RIFF walk → data chunk → sample fold).
+    */
+  def decodeAudioFp(media: Dataset[MediaFile]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (n, fp) = audioFpOf(pcmOf(m.content))
+        AudioFp(m.media_id, n, fp)
+      }
+    }
+  }
+
   def mediaContainers(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))

@@ -1900,6 +1900,87 @@ object DedupQueries {
           ham.cast("long").as("hamming"))
         .filter(col("hamming") <= 10)
         .orderBy("media_a", "media_b")
+    },
+
+    // AUDIO NEAR-DUP DEDUP — completes the multimodal dedup family
+    // (text MinHash, image ahash, now audio): a 64-bit
+    // energy-envelope fingerprint per WAV (64 time segments, one bit
+    // per segment by mean-square amplitude vs the whole clip —
+    // Multimodal.audioFpOf, the audio analog of ahash) feeds the SAME
+    // banding machinery: four 16-bit bands, band-collide candidates,
+    // exact Hamming <= 10 verify. The corpus plants real near-dups
+    // (Multimodal.nearDupWavContainers: an all-samples +1 mod 256
+    // re-encode per doc_id % 12 == 7 — the DC-offset / gain-nudge
+    // class), so the census has genuine positives; the Spark side
+    // reaches every fingerprint through the REAL RIFF/WAVE container
+    // decode (chunk walk -> data chunk -> sample fold), the oracle
+    // re-derives them from the codepoint-sample synthesis rule — an
+    // end-to-end decode pin for the audio modality. SCALE: identical
+    // to dedup_image_ahash — bands bucket-group-explode (never a
+    // self-join), the Hamming verify runs only on the candidate
+    // census, PCM bytes never shuffle (only 64-char fingerprints
+    // move).
+    Q("dedup_audio_fp", {
+      s"""WITH au AS (SELECT doc_id AS media_id, text FROM documents
+         |    WHERE doc_id % 3 = 1 AND length(text) >= 256),
+         |md AS (SELECT media_id, 0 AS sh, text FROM au
+         |  UNION ALL SELECT media_id + 10000000, 1, text FROM au
+         |    WHERE media_id % 12 = 7),
+         |sm AS (SELECT media_id, length(text) AS ln,
+         |    (i * 64) // length(text) AS s,
+         |    (ord(substr(text, CAST(i + 1 AS INTEGER), 1)) % 256 + sh) % 256 - 128 AS v
+         |  FROM md, unnest(generate_series(0, length(text) - 1)) AS t(i)),
+         |seg AS (SELECT media_id, ln, s, CAST(SUM(v * v) AS BIGINT) AS es,
+         |    CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM sm GROUP BY 1, 2, 3),
+         |tot AS (SELECT media_id, CAST(SUM(es) AS BIGINT) AS e
+         |  FROM seg GROUP BY 1),
+         |fp AS (SELECT seg.media_id,
+         |    string_agg(CASE WHEN es * ln > e * ns THEN '1' ELSE '0' END,
+         |      '' ORDER BY s) AS fp
+         |  FROM seg JOIN tot ON seg.media_id = tot.media_id
+         |  GROUP BY seg.media_id),
+         |bands AS (SELECT media_id,
+         |    CAST(bb AS VARCHAR) || ':' || substr(fp, bb * 16 + 1, 16) AS band
+         |  FROM fp, unnest([0, 1, 2, 3]) AS t(bb)),
+         |pairs AS (SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.band = b2.band AND a.media_id < b2.media_id)
+         |SELECT media_a, media_b,
+         |  CAST(len(list_filter(generate_series(1, 64),
+         |    i -> substr(x.fp, CAST(i AS INTEGER), 1)
+         |      <> substr(y.fp, CAST(i AS INTEGER), 1))) AS BIGINT) AS hamming
+         |FROM pairs JOIN fp x ON media_a = x.media_id
+         |  JOIN fp y ON media_b = y.media_id
+         |WHERE len(list_filter(generate_series(1, 64),
+         |    i -> substr(x.fp, CAST(i AS INTEGER), 1)
+         |      <> substr(y.fp, CAST(i AS INTEGER), 1))) <= 10
+         |ORDER BY media_a, media_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.parallelizeByRange(
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 256),
+        col("doc_id"))
+      val fps = graft.ops.Multimodal
+        .decodeAudioFp(graft.ops.Multimodal.nearDupWavContainers(docs))
+        .toDF().select(col("media_id"), col("fp"))
+        .localCheckpoint(false) // bands AND both verify sides read it
+      val bands = fps.select(col("media_id"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b.toString),
+            substring(col("fp"), b * 16 + 1, 16))): _*)).as("band"))
+      val pairs = Dedup.candidatePairs(bands, "media_id")
+      val ham = aggregate(sequence(lit(1), lit(64)), lit(0),
+        (acc, i) => acc + when(
+          col("fa").substr(i, lit(1)) =!= col("fb").substr(i, lit(1)), 1)
+          .otherwise(0))
+      pairs
+        .join(fps.select(col("media_id").as("id_a"), col("fp").as("fa")), "id_a")
+        .join(fps.select(col("media_id").as("id_b"), col("fp").as("fb")), "id_b")
+        .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+          ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy("media_a", "media_b")
     }
   )
 }
