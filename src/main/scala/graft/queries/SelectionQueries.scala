@@ -200,8 +200,11 @@ object SelectionQueries {
     // hash scan-side and SEMI-join the broadcast evidence BEFORE any
     // shuffle: only evidence-matching (doc_id, hash) pairs — the rare
     // contaminated tail — ever leave the scan stage; the per-doc
-    // distinct folds into the countDistinct
-    val hits = Tables.parallelizeByRange(docs, col("doc_id"))
+    // distinct folds into the countDistinct. The caller's spread of
+    // `docs` applies here too — an inner range-respread would pay a
+    // second sampling job per funnel run for no balance the
+    // round-robin spread doesn't already give the explode
+    val hits = docs
       .select(col("doc_id"),
         explode(graft.ops.Dedup.shingles(col("text"), DecontamW))
           .as("shingle"))
@@ -228,7 +231,11 @@ object SelectionQueries {
     * shard-partitioned greedy cumsum (8 portable-hash shards x
     * 2048-token budget) over the stage-5 survivors.
     */
-  private[graft] def funnelCensus(
+  /** Stage-flag frame (doc_id, n_tokens, domain, kd, kq, kl, kc) of a
+    * profile frame — the cumulative-AND gate columns every funnel
+    * consumer reads.
+    */
+  private def funnelFlags(
       profiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k = profiles.withColumn("kd", row_number().over(
       Window.partitionBy("fp").orderBy("doc_id")) === 1)
@@ -238,16 +245,19 @@ object SelectionQueries {
     // single shared evidence 8-gram is near-verbatim leakage (the
     // production presence-threshold)
     val qc = ql && !col("is_eval") && col("n_eval_hits") === 0
-    val fl = k.select(col("doc_id"), col("n_tokens"), col("domain"),
-        col("kd"), q.as("kq"), ql.as("kl"), qc.as("kc"))
-      .localCheckpoint(true) // feeds the census AND the domain gate
-    val cens = fl.agg(count(lit(1)).cast("long").as("n0"),
-      sum(when(col("kd"), 1).otherwise(0)).cast("long").as("n1"),
-      sum(when(col("kq"), 1).otherwise(0)).cast("long").as("n2"),
-      sum(when(col("kl"), 1).otherwise(0)).cast("long").as("n3"),
-      sum(when(col("kc"), 1).otherwise(0)).cast("long").as("n4"))
-    val cand = fl
-      .filter(col("kc") && !col("domain").isin(WebCuration.Blocklist: _*))
+    k.select(col("doc_id"), col("n_tokens"), col("domain"),
+      col("kd"), q.as("kq"), ql.as("kl"), qc.as("kc"))
+  }
+
+  /** Stage-5 survivors (doc_id, n_tokens) of a flags frame: the
+    * domain gate — blocklist, then cap 8 docs/domain via the
+    * TWO-LEVEL rank (level 1 inside (domain, salt-bucket-of-16),
+    * level 2 over the <= 16·8 bucket winners) so a hot hub domain
+    * never serializes a window partition.
+    */
+  private def funnelSurvivors(
+      fl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fl.filter(col("kc") && !col("domain").isin(WebCuration.Blocklist: _*))
       .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
       .withColumn("brnk", row_number().over(
         Window.partitionBy("domain", "bkt").orderBy("doc_id")))
@@ -256,19 +266,44 @@ object SelectionQueries {
         Window.partitionBy("domain").orderBy("doc_id")))
       .filter(col("rnk") <= 8)
       .select(col("doc_id"), col("n_tokens"))
-      .localCheckpoint(true) // feeds the stage-5 census AND the packing
-    val c5 = cand.agg(count(lit(1)).cast("long").as("n5"),
-      sum(col("n_tokens")).cast("long").as("tok"))
-    val pk = cand
+
+  /** Stage-6 packed-sequence assignment (doc_id, n_tokens, shard,
+    * seq_no) over the survivors: pack_sequences' shard-partitioned
+    * greedy cumsum — 8 portable-hash shards × 2048-token budget.
+    */
+  private[graft] def packedAssignments(
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cand
       .select(col("doc_id"), col("n_tokens"),
         (h32(col("doc_id").cast("string")) % 8).as("shard"))
       .withColumn("cum", sum(col("n_tokens")).over(
         Window.partitionBy("shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sq = pk.agg(countDistinct(col("shard"),
-      expr("(cum - n_tokens) div 2048")).cast("long").as("ns"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        expr("(cum - n_tokens) div 2048").as("seq_no"))
+
+  private[graft] def funnelCensus(
+      profiles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fl = funnelFlags(profiles)
+      .localCheckpoint(true) // feeds the census AND the domain gate
+    val cens = fl.agg(count(lit(1)).cast("long").as("n0"),
+      sum(when(col("kd"), 1).otherwise(0)).cast("long").as("n1"),
+      sum(when(col("kq"), 1).otherwise(0)).cast("long").as("n2"),
+      sum(when(col("kl"), 1).otherwise(0)).cast("long").as("n3"),
+      sum(when(col("kc"), 1).otherwise(0)).cast("long").as("n4"))
+    // stage-5 + stage-6 census in ONE aggregate over the packed
+    // assignment (same row set as the survivors): round 13 ran the
+    // survivor census and the sequence count as two branches off a
+    // checkpointed survivor frame — one extra materialization job +
+    // one extra broadcast whose fixed overhead dominated the funnel
+    // at sf0.1 (the ~8-small-jobs regression the round-13 verdict
+    // flagged); fusing them removes both without touching a value
+    val c5sq = packedAssignments(funnelSurvivors(fl))
+      .agg(count(lit(1)).cast("long").as("n5"),
+        sum(col("n_tokens")).cast("long").as("tok"),
+        countDistinct(col("shard"), col("seq_no")).cast("long").as("ns"))
     val nullL = lit(null).cast("long")
-    val wide = cens.crossJoin(broadcast(c5)).crossJoin(broadcast(sq))
+    val wide = cens.crossJoin(broadcast(c5sq))
     val rows = Seq(
       struct(lit(1).as("stage_no"), lit("dedup").as("stage"),
         col("n0").as("docs_in"), col("n1").as("docs_out"),
@@ -298,6 +333,100 @@ object SelectionQueries {
       .select(col("s.*")).orderBy("stage_no")
   }
 
+  /** Materialize the funnel's PRODUCT — the stage-6 packed training
+    * shards — as a durable dataset under `outDir`, with the ledger's
+    * committed-version discipline ([[graft.streaming.StreamCuration]]):
+    * the write lands in a version directory whose job-level `_SUCCESS`
+    * marker IS the commit record, so a torn write from a dying run is
+    * invisible to every reader, and a replayed run overwrites the same
+    * version with identical rows (the packing is a pure function of
+    * the corpus — same purity argument as the profile ledger).
+    * Layout: hive-partitioned by `shard` (the packing's own
+    * parallelism unit), rows sorted by doc_id within a shard — the
+    * deterministic layout a training run shards its readers over.
+    * Returns the committed version path.
+    *
+    * Scale: the write is the packing window's own shard-partitioned
+    * shape — no new exchange; at 100 TB each shard directory is a
+    * reader-sized unit and the version flip is one marker file.
+    */
+  private[graft] def writeFunnelShards(
+      docs: org.apache.spark.sql.DataFrame,
+      evidence: org.apache.spark.sql.DataFrame,
+      outDir: String): String = {
+    val verDir = s"$outDir/v1"
+    packedAssignments(funnelSurvivors(funnelFlags(
+        funnelProfiles(docs, evidence))))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(verDir)
+    verDir
+  }
+
+  /** Read the committed funnel shards — `_SUCCESS`-gated like every
+    * versioned artifact in this repo: a missing marker is a loud
+    * failure, never a silent read of torn data.
+    */
+  private[graft] def readFunnelShards(
+      spark: org.apache.spark.sql.SparkSession, verDir: String): org.apache.spark.sql.DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(verDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(marker),
+      s"funnel shard version $verDir has no _SUCCESS marker (torn write?)")
+    spark.read.parquet(verDir)
+  }
+
+  /** The funnel's portable-hash over doc_id — shared by every funnel
+    * oracle CTE chain.
+    */
+  private def duckFunnelH: String = duckH32("CAST(doc_id AS VARCHAR)")
+
+  /** The funnel oracle's WITH chain through `cand` (the stage-5
+    * domain-gate ranks) — shared verbatim by `curation_funnel` (which
+    * censuses it) and `funnel_shards` (which censuses the
+    * MATERIALIZED packing written from the same survivors).
+    */
+  private def duckFunnelCand: String = {
+    val h = duckFunnelH
+    val gram8 = (0 until DecontamW).map(k => s"a[i+$k]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
+       |    length(text) AS nch FROM documents),
+       |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
+       |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
+       |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
+       |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf,
+       |    md5(array_to_string(list_sort(list_distinct(a)), ' ')) AS fp
+       |  FROM d),
+       |dsh8 AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(a) - ${DecontamW - 1}),
+       |      i -> $gram8)) AS shingle FROM d),
+       |evd AS (SELECT shingle FROM dsh8
+       |  WHERE $h % 100 >= 90
+       |  GROUP BY shingle HAVING COUNT(*) <= $EvalDfCap),
+       |hits AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_eval_hits
+       |  FROM dsh8 JOIN evd USING (shingle) GROUP BY doc_id),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kd FROM f),
+       |fl AS (SELECT doc_id, source, n_tokens, kd,
+       |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
+       |      AND stop_hits >= 2 AND topf <= 0.125 AS kq,
+       |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
+       |      AND stop_hits >= 2 AND topf <= 0.125
+       |      AND lang IN ('en', 'de') AS kl,
+       |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
+       |      AND stop_hits >= 2 AND topf <= 0.125
+       |      AND lang IN ('en', 'de')
+       |      AND NOT ($h % 100 >= 90)
+       |      AND COALESCE(hits.n_eval_hits, 0) = 0 AS kc
+       |  FROM k LEFT JOIN hits USING (doc_id)),
+       |fh AS (SELECT doc_id, n_tokens, kd, kq, kl, kc,
+       |    ${WebCuration.duckHost(s"(${WebCuration.duckUrl})")} AS host FROM fl),
+       |fd AS (SELECT doc_id, n_tokens, kd, kq, kl, kc,
+       |    ${WebCuration.duckDomain("host")} AS domain FROM fh),
+       |cand AS (SELECT doc_id, n_tokens, row_number() OVER (
+       |    PARTITION BY domain ORDER BY doc_id) AS rnk
+       |  FROM fd WHERE kc AND domain NOT IN ${WebCuration.duckBlocklist})""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // CURATION FUNNEL — the END-TO-END composite a user of this
@@ -323,44 +452,8 @@ object SelectionQueries {
     // funnel itself. One corpus scan feeds every stage flag, and the
     // sequence count is a distinct-count over the survivors.
     Q("curation_funnel", {
-      val h = duckH32("CAST(doc_id AS VARCHAR)")
-      val gram8 = (0 until DecontamW).map(k => s"a[i+$k]").mkString(" || ' ' || ")
-      s"""WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a,
-         |    length(text) AS nch FROM documents),
-         |f AS (SELECT doc_id, lang, source, len(a) AS n_tokens,
-         |    (nch - (len(a) - 1)) * 1.0 / len(a) AS mwl,
-         |    len(list_filter(a, t -> t = 'the')) + len(list_filter(a, t -> t = 'a')) AS stop_hits,
-         |    list_max(list_transform(list_distinct(a), w -> len(list_filter(a, t -> t = w)))) * 1.0 / len(a) AS topf,
-         |    md5(array_to_string(list_sort(list_distinct(a)), ' ')) AS fp
-         |  FROM d),
-         |dsh8 AS (SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, len(a) - ${DecontamW - 1}),
-         |      i -> $gram8)) AS shingle FROM d),
-         |evd AS (SELECT shingle FROM dsh8
-         |  WHERE $h % 100 >= 90
-         |  GROUP BY shingle HAVING COUNT(*) <= $EvalDfCap),
-         |hits AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_eval_hits
-         |  FROM dsh8 JOIN evd USING (shingle) GROUP BY doc_id),
-         |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kd FROM f),
-         |fl AS (SELECT doc_id, source, n_tokens, kd,
-         |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
-         |      AND stop_hits >= 2 AND topf <= 0.125 AS kq,
-         |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
-         |      AND stop_hits >= 2 AND topf <= 0.125
-         |      AND lang IN ('en', 'de') AS kl,
-         |    kd AND (n_tokens BETWEEN 20 AND 90) AND mwl >= 4.0
-         |      AND stop_hits >= 2 AND topf <= 0.125
-         |      AND lang IN ('en', 'de')
-         |      AND NOT ($h % 100 >= 90)
-         |      AND COALESCE(hits.n_eval_hits, 0) = 0 AS kc
-         |  FROM k LEFT JOIN hits USING (doc_id)),
-         |fh AS (SELECT doc_id, n_tokens, kd, kq, kl, kc,
-         |    ${WebCuration.duckHost(s"(${WebCuration.duckUrl})")} AS host FROM fl),
-         |fd AS (SELECT doc_id, n_tokens, kd, kq, kl, kc,
-         |    ${WebCuration.duckDomain("host")} AS domain FROM fh),
-         |cand AS (SELECT doc_id, n_tokens, row_number() OVER (
-         |    PARTITION BY domain ORDER BY doc_id) AS rnk
-         |  FROM fd WHERE kc AND domain NOT IN ${WebCuration.duckBlocklist}),
+      val h = duckFunnelH
+      s"""$duckFunnelCand,
          |cens AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
          |    CAST(SUM(CASE WHEN kd THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          |    CAST(SUM(CASE WHEN kq THEN 1 ELSE 0 END) AS BIGINT) AS n2,
@@ -399,6 +492,53 @@ object SelectionQueries {
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "text"))
       funnelCensus(funnelProfiles(docs, evalEvidence(docs)))
+    },
+
+    // FUNNEL SHARDS MATERIALIZED — the funnel's PRODUCT, not its
+    // report: `curation_funnel` emits the drop census, but the thing
+    // a training run actually reads is the stage-6 packed-sequence
+    // dataset. This query WRITES it (writeFunnelShards: versioned
+    // dir, `_SUCCESS`-gated, hive-partitioned by shard, doc_id-sorted
+    // — the ledger's committed-version discipline applied to the
+    // batch product) and then censuses the MATERIALIZED files per
+    // (shard, seq_no), so the oracle checks the bytes on disk, not
+    // the plan that produced them: a lost row, a torn partition, or a
+    // nondeterministic packing would diverge the census.
+    // FunnelShardsSpec pins replay idempotence (rewrite → identical
+    // rows per shard) and the torn-write gate. SCALE: the write is
+    // the packing's own shard-partitioned window shape; the census
+    // reads only (shard, seq_no, n_tokens, doc_id) columns of the
+    // committed version.
+    Q("funnel_shards", {
+      val h = duckFunnelH
+      s"""$duckFunnelCand,
+         |surv AS (SELECT doc_id, n_tokens, $h % 8 AS shard
+         |  FROM cand WHERE rnk <= 8),
+         |pk AS (SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM surv)
+         |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_no,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.parallelize(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text"))
+      // one deterministic staging root per input dir (Verify runs
+      // every sf in one JVM; the rewrite is idempotent by the purity
+      // contract, pinned in FunnelShardsSpec)
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_funnel_shards_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ver = writeFunnelShards(docs, evalEvidence(docs), outDir)
+      readFunnelShards(s, ver)
+        .groupBy(col("shard").cast("long").as("shard"), col("seq_no"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("seq_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard", "seq_no")
     },
 
     // DSIR importance resampling. Features are hashed unigram buckets
