@@ -33,11 +33,17 @@ object Dedup {
     * Spark's `sequence(1, n)` with n < 1 counts DOWN, so guard it).
     */
   def shingles(text: Column, w: Int = 3): Column = {
-    val arr = tokens(text)
-    when(size(arr) >= w,
-      transform(sequence(lit(1), size(arr) - (w - 1)), i =>
-        concat_ws(" ", (0 until w).map(k => element_at(arr, i + k)): _*)))
-      .otherwise(array())
+    // EVALUATE-ONCE BINDING (the TextAnalysis.histogram discipline):
+    // interpreted HOF lambdas re-evaluate outer subtrees once per
+    // element, so referencing `tokens(text)` directly inside the
+    // position lambda would re-split the text w times per position —
+    // O(w·k²) characters per row. `transform(array(x), v -> body)`
+    // binds the token array as a VALUE, splitting once per row.
+    element_at(transform(array(tokens(text)), arr =>
+      when(size(arr) >= w,
+        transform(sequence(lit(1), size(arr) - (w - 1)), i =>
+          concat_ws(" ", (0 until w).map(k => element_at(arr, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))), 1)
   }
 
   /** Exploded distinct (id, shingle) pairs — the unit of MinHash and
@@ -53,11 +59,19 @@ object Dedup {
     * (not hash) partitioning on the id so the downstream per-id
     * aggregate AND a trailing global ORDER BY id both reuse the one
     * exchange.
+    *
+    * The distinct is PER-ROW (`array_distinct` before the explode),
+    * not a global `.distinct()`: the id is unique per input row, so
+    * deduplicating (id, shingle) globally equals deduplicating each
+    * document's own shingle array locally — same multiset, but the
+    * corpus-wide exchange that used to hash-partition every (id,
+    * 3-gram STRING) pair is gone, and downstream per-id aggregates
+    * partial-aggregate against the range spread directly (guide §2.4:
+    * remove shuffles outright; measured r14, see OPTIMIZATION_r14.md).
     */
   def distinctShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.Tables.parallelizeByRange(df, col(idCol))
-      .select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol)))).as("shingle"))
 
   /** MinHash signature: K min-hashes over the shingle set via ONE md5
     * per shingle + K affine permutations mod 2^31-1 (12x fewer md5
@@ -212,8 +226,11 @@ object Dedup {
     * votes (2*bit_j(h32(token)) - 1); bit set iff the sum is > 0.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    // per-row array_distinct == global distinct (id unique per row);
+    // saves the (id, token-string) exchange, same multiset — the
+    // distinctShingles rationale
     val tok = graft.Tables.parallelizeByRange(df, col(idCol))
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok")).distinct()
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
     simhashOf(tok, idCol, "tok", bits)
   }
 

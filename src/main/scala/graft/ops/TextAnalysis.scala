@@ -27,6 +27,64 @@ object TextAnalysis {
   def tokenOccurrences(text: Column, word: String): Column =
     size(filter(split(text, " "), t => t === word))
 
+  /** Per-row multiset histogram of a string-array column: one
+    * struct(tok, cnt BIGINT) per distinct element, computed LOCALLY
+    * (sort + run-length encode over the array). When the row carries a
+    * unique id, `explode(histogram(arr))` produces the exact multiset
+    * `explode(arr).groupBy(id, tok).count()` would — but the
+    * corpus-wide exchange that the groupBy needs (every n-gram
+    * occurrence hashed across the cluster) never exists: the histogram
+    * is a narrow map-side expression and downstream per-id aggregates
+    * partial-aggregate against whatever partitioning the scan already
+    * has (guide §2.3/2.4 — aggregate before you shuffle, then don't
+    * shuffle at all). Measured r14: see OPTIMIZATION_r14.md.
+    */
+  def histogram(arr: Column): Column = {
+    // EVALUATE-ONCE BINDING: interpreted HOF lambdas re-evaluate any
+    // outer expression subtree they reference once PER ELEMENT (no
+    // common-subexpression elimination inside lambda bodies), so a
+    // naive `element_at(sort_array(arr), i)` inside the run-detection
+    // filter would re-sort — and re-build — the whole array k times
+    // per row (measured r14: 73 s for trigram_backoff at sf0.1 vs
+    // 2.2 s with the bindings). `transform(array(x), v -> body)`
+    // evaluates x exactly once and binds it as a lambda VALUE, so each
+    // intermediate (the sorted array, the run-start positions) is
+    // computed once per row.
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    bind(arr) { a =>
+      val m = size(a)
+      val rle = bind(sort_array(a)) { srt =>
+        // run starts: positions whose element differs from its
+        // predecessor; each run ends where the next begins (m+1 last)
+        bind(filter(sequence(lit(1), greatest(m, lit(1))), i =>
+          i === 1 || element_at(srt, i) =!= element_at(srt, i - 1))) { sts =>
+          zip_with(sts,
+            concat(slice(sts, lit(2), greatest(size(sts) - 1, lit(0))),
+              array(m + 1)),
+            (st, en) => struct(element_at(srt, st).as("tok"),
+              (en - st).cast("long").as("cnt")))
+        }
+      }
+      // sequence() counts DOWN for m < 1 (same DuckDB generate_series
+      // parity note as Dedup.shingles), hence the empty-array guard
+      when(m >= 1, rle)
+        .otherwise(array().cast("array<struct<tok:string,cnt:bigint>>"))
+    }
+  }
+
+  /** Max in-array frequency of any element — the gopher "top token
+    * fraction" numerator. Via [[histogram]] (O(k log k) sort + RLE per
+    * row) instead of the old `transform(array_distinct(a), w ->
+    * size(filter(a, t -> t = w)))`, which is O(types × tokens) per row
+    * AND re-evaluates the array argument once per distinct element
+    * (interpreted HOF lambdas have no CSE — see [[histogram]]).
+    * Identical value: the max over distinct tokens of their in-array
+    * count IS the max run length of the sorted array.
+    */
+  def maxTokenCount(arr: Column): Column =
+    array_max(transform(histogram(arr), e => e.getField("cnt")))
+
   /** Per-language marker score: total marker-token occurrences. */
   def langScore(text: Column, markers: Seq[String]): Column =
     markers.map(tokenOccurrences(text, _)).reduce(_ + _)

@@ -326,10 +326,14 @@ object DedupQueries {
           (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
         .localCheckpoint(true) // feeds exact sets AND signatures
       val hsz = hs2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val tp = hs2.as("x")
-        .join(hs2.as("y"),
-          col("x.hm") === col("y.hm") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // shared-shingle pairs via the in-bucket group-explode (the
+      // repo's own candidate-generation idiom) instead of a self-join:
+      // ONE exchange on hm instead of two, and the checkpointed hs2 is
+      // read once (guide §2.4). Per hm bucket, pairs (d1 < d2 in sort
+      // order) each appear once per shared hash — the groupBy count is
+      // exactly the self-join's `inter`.
+      val tp = Dedup.bucketPairs(hs2, Seq(col("hm")), col("doc_id"))
+        .groupBy(col("a").as("d1"), col("b").as("d2"))
         .agg(count(lit(1)).as("inter"))
         .join(hsz.withColumnRenamed("doc_id", "d1")
           .withColumnRenamed("n", "na"), Seq("d1"))
@@ -415,16 +419,21 @@ object DedupQueries {
          |ORDER BY threshold""".stripMargin) { (s, dir) =>
       import graft.functions.PortableHash
       val docs = Tables.load(s, dir, "documents")
+      // materialized once (the persisted signature artifact, as in
+      // minhash_recall_audit): the un-checkpointed self-join used to
+      // re-derive the scan + shingle + md5 pipeline for BOTH join
+      // sides and a third time for the size census
       val hs2 = Dedup.distinctShingles(docs.select("doc_id", "text"),
           "doc_id", "text")
         .select(col("doc_id"),
           (h32(col("shingle")) % PortableHash.MersennePrime31).as("hm"))
+        .localCheckpoint(true)
       val hsz = hs2.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val meta = docs.select("doc_id", "n_chars")
-      val m = hs2.as("x")
-        .join(hs2.as("y"),
-          col("x.hm") === col("y.hm") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // shared-shingle pairs via the in-bucket group-explode instead
+      // of a self-join — same rationale as minhash_recall_audit
+      val m = Dedup.bucketPairs(hs2, Seq(col("hm")), col("doc_id"))
+        .groupBy(col("a").as("d1"), col("b").as("d2"))
         .agg(count(lit(1)).as("inter"))
         .join(hsz.toDF("d1", "na"), Seq("d1"))
         .join(hsz.toDF("d2", "nb"), Seq("d2"))

@@ -80,8 +80,8 @@ object EvalQueries {
         size(filter(a, t => t === "the" || t === "a")).as("n_stop"),
         length(col("text")).as("n_ch"),
         ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
-        (array_max(transform(array_distinct(a),
-          w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"))
+        (graft.ops.TextAnalysis.maxTokenCount(a) * lit(1.0) / size(a))
+          .as("topf"))
       .filter(col("n_toks") > 0)
     val z = lit(-1.0) +
       lit(2.0) * least(lit(1.0), col("n_toks") / 100.0) +
@@ -218,7 +218,7 @@ object EvalQueries {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val arr = Tables.parallelize(Tables.load(s, dir, "documents")
           .select("doc_id", "text"))
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("a"))
       val n = size(col("a"))
       val blen = greatest(n - 1, lit(0)) // <2 tokens -> no bigrams
       val bi = arr
@@ -226,12 +226,24 @@ object EvalQueries {
           slice(col("a"), lit(1), blen),
           slice(col("a"), lit(2), blen))).as("p"))
         .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
-      val dbc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+      // score-side per-(doc, bigram) counts as a MAP-SIDE histogram
+      // over the 2-shingle strings (same rationale and equivalence as
+      // trigram_backoff's dtc: the corpus-wide (doc, bigram) exchange
+      // never exists)
+      val dbc = arr
+        .select(col("doc_id"),
+          explode(graft.ops.TextAnalysis.histogram(
+            graft.ops.Dedup.shingles(col("text"), 2))).as("e"))
+        .select(col("doc_id"),
+          element_at(split(col("e.tok"), " "), 1).as("w1"),
+          element_at(split(col("e.tok"), " "), 2).as("w2"),
+          col("e.cnt").as("dc"))
       // trained counts artifact: materialized once (same measured
-      // rationale as trigram_backoff's t3 — each broadcast side would
-      // otherwise re-derive the corpus scan + explode + count)
-      val b = dbc.filter(col("doc_id") % 2 === 0)
-        .groupBy("w1", "w2").agg(sum(col("dc")).as("cb"))
+      // rationale as trigram_backoff's t3) — counted DIRECTLY from the
+      // bigram occurrence stream, skipping the per-(doc, bigram)
+      // intermediate the old derivation grouped by
+      val b = bi.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("cb"))
         .localCheckpoint(true)
       val fw = b.groupBy("w1")
         .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1fw"))

@@ -79,18 +79,24 @@ object GovernanceQueries {
     }) { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       val sk = sketchStats(li)
-      val exactAggs = StatCols.map { case (c, _) =>
-        count_distinct(col(c)).as(s"ndv_$c")
-      }
-      val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
-      val rows = StatCols.map { case (c, _) =>
-        struct(lit(c).as("col_name"), col(s"ndv_$c").as("ndv"),
-          (abs(hll_sketch_estimate(col(s"sk_$c")) - col(s"ndv_$c"))
-            <= lit(0.081) * col(s"ndv_$c") + 16).as("within_bound"))
-      }
-      sk.crossJoin(broadcast(exact))
-        .select(explode(array(rows: _*)).as("s"))
-        .select(col("s.*")).orderBy("col_name")
+      // exact NDVs as one single-distinct aggregate PER COLUMN (the
+      // table_stats rationale: a multi-distinct aggregate Expands every
+      // row |cols|x; per-column branches prune the scan to one column
+      // and keep the cheap single-distinct rewrite)
+      val exact = StatCols.map { case (c, _) =>
+        li.agg(count_distinct(col(c)).as("ndv"))
+          .select(lit(c).as("col_name"), col("ndv"))
+      }.reduce(_.unionAll(_))
+      val skRows = sk.select(explode(array(StatCols.map { case (c, _) =>
+          struct(lit(c).as("col_name"),
+            hll_sketch_estimate(col(s"sk_$c")).as("est"))
+        }: _*)).as("s"))
+        .select(col("s.*"))
+      skRows.join(broadcast(exact), "col_name")
+        .select(col("col_name"), col("ndv"),
+          (abs(col("est") - col("ndv"))
+            <= lit(0.081) * col("ndv") + 16).as("within_bound"))
+        .orderBy("col_name")
     },
 
     // k-anonymity census over the quasi-identifier (nation, segment,
@@ -202,23 +208,25 @@ object GovernanceQueries {
       val cols = Seq("l_orderkey" -> true, "l_partkey" -> true,
         "l_quantity" -> true, "l_extendedprice" -> true,
         "l_returnflag" -> false, "l_shipdate" -> false)
-      val aggs = cols.flatMap { case (c, numeric) =>
-        Seq(count(col(c)).as(s"cnt_$c"),
-          count_distinct(col(c)).as(s"ndv_$c")) ++
-          (if (numeric) Seq(min(col(c)).cast("double").as(s"min_$c"),
-            max(col(c)).cast("double").as(s"max_$c"))
-          else Nil)
-      }
-      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      // one single-distinct aggregate PER COLUMN, unioned (the oracle's
+      // own shape): six multi-distinct columns in one aggregate force
+      // an Expand that multiplies every row 6x before the hash
+      // aggregate; per-column branches each prune the parquet scan to
+      // ONE column and use the planner's cheap single-distinct rewrite
+      // (guide §2.3 — measured r14: 2.95 s -> see OPTIMIZATION_r14.md)
       val stats = cols.map { case (c, numeric) =>
-        struct(lit(c).as("col_name"), col("n_rows"),
-          (col("n_rows") - col(s"cnt_$c")).as("n_null"),
-          col(s"ndv_$c").as("ndv"),
-          (if (numeric) col(s"min_$c") else lit(null).cast("double")).as("min_num"),
-          (if (numeric) col(s"max_$c") else lit(null).cast("double")).as("max_num"))
+        li.agg(count(lit(1)).as("n_rows"),
+            count(col(c)).as("cnt"),
+            count_distinct(col(c)).as("ndv"),
+            (if (numeric) min(col(c)).cast("double")
+             else lit(null).cast("double")).as("min_num"),
+            (if (numeric) max(col(c)).cast("double")
+             else lit(null).cast("double")).as("max_num"))
+          .select(lit(c).as("col_name"), col("n_rows"),
+            (col("n_rows") - col("cnt")).as("n_null"), col("ndv"),
+            col("min_num"), col("max_num"))
       }
-      wide.select(explode(array(stats: _*)).as("s"))
-        .select(col("s.*")).orderBy("col_name")
+      stats.reduce(_.unionAll(_)).orderBy("col_name")
     },
 
     // PROFILE DRIFT — the ingest gate that compares a new data

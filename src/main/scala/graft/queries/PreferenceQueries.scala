@@ -73,17 +73,25 @@ object Preference {
     * cross-source strength and are excluded.
     */
   private[graft] def matchCensus(cand: DataFrame): DataFrame = {
-    val a = cand.select(col("pg"), col("doc_id").as("da"),
-      col("source").as("sa"), col("score").as("ka"))
-    val b = cand.select(col("pg"), col("doc_id").as("db"),
-      col("source").as("sb"), col("score").as("kb"))
-    val wsrc = when(col("ka") > col("kb") ||
-      (col("ka") === col("kb") && col("da") < col("db")), col("sa"))
-      .otherwise(col("sb"))
-    a.join(b, Seq("pg")).filter(col("da") < col("db"))
-      .filter(col("sa") =!= col("sb"))
-      .select(least(col("sa"), col("sb")).as("s1"),
-        greatest(col("sa"), col("sb")).as("s2"),
+    // in-group pairs via the in-bucket group-explode (Dedup.bucketPairs
+    // — the repo's candidate-generation idiom) instead of a pg
+    // self-join: the self-join re-derived the candidate pipeline (the
+    // scan-fused profile projection, i.e. a full text parse) for BOTH
+    // sides and shuffled it twice; the group-explode derives it once
+    // and exchanges once on pg (guide §2.4). Groups are 8 wide by
+    // construction, so the local expansion is a bounded 28 pairs/group.
+    // Payload sorts by its first field (doc_id, unique per group), so
+    // a.doc_id < b.doc_id — exactly the self-join's da < db half-pairs,
+    // making the original tie-break `da < db` identically true here.
+    val pairs = graft.ops.Dedup.bucketPairs(cand, Seq(col("pg")),
+      struct(col("doc_id"), col("source"), col("score")))
+    val wsrc = when(col("a.score") > col("b.score") ||
+      (col("a.score") === col("b.score") &&
+        col("a.doc_id") < col("b.doc_id")), col("a.source"))
+      .otherwise(col("b.source"))
+    pairs.filter(col("a.source") =!= col("b.source"))
+      .select(least(col("a.source"), col("b.source")).as("s1"),
+        greatest(col("a.source"), col("b.source")).as("s2"),
         wsrc.as("wsrc"))
       .groupBy("s1", "s2")
       .agg(count(lit(1)).cast("long").as("m"),
@@ -116,38 +124,58 @@ object Preference {
     */
   private[graft] def btFit(mc: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val mm = mc.select(col("s1").as("i"), col("s2").as("j"), col("m"))
-      .unionAll(mc.select(col("s2"), col("s1"), col("m")))
-    val wins = mc.select(col("s1").as("i"), col("w1").as("w"))
-      .unionAll(mc.select(col("s2"), (col("m") - col("w1")).as("w")))
-      .groupBy("i").agg(sum("w").cast("long").as("W"))
-    val mtot = mm.groupBy("i").agg(sum("m").cast("long").as("M"))
-    var r = wins.select(col("i"), lit(1000000000L).as("r"))
+    val spark = mc.sparkSession
+    import spark.implicits._
+    // CENSUS-BOUNDED COLLECT (the repo's established convention): mc is
+    // |sources|²-bounded by construction (≤ 190 rows on the 10-source
+    // grid at ANY corpus scale — the corpus was already reduced by the
+    // match-census pass). The MM iteration used to run 8 rounds of
+    // joins + eager localCheckpoints through the scheduler: ~16 jobs
+    // of pure fixed overhead iterating a 20-row frame (measured r14:
+    // the two BT queries spent ~2.4 s each on it at sf0.1). The local
+    // replay below performs the EXACT same quantized operations in the
+    // exact same order — floor(x + 0.5) on IEEE doubles with the same
+    // long→double coercion points, exact Long sums (order-independent)
+    // — so every strength is bit-identical to the dataflow version
+    // (oracle hash unchanged; proven against the DuckDB oracle).
+    val mcL = mc.select(col("s1"), col("s2"), col("m"), col("w1"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val mmL: Seq[(String, String, Long)] =
+      mcL.map(t => (t._1, t._2, t._3)) ++ mcL.map(t => (t._2, t._1, t._3))
+    val winsL: Map[String, Long] =
+      (mcL.map(t => (t._1, t._4)) ++ mcL.map(t => (t._2, t._3 - t._4)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val mtotL: Map[String, Long] =
+      mmL.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var rL: Map[String, Long] = winsL.map { case (k, _) => k -> 1000000000L }
     for (_ <- 1 to BtIters) {
-      val ri = r.select(col("i").as("ii"), col("r").as("rI"))
-      val rj = r.select(col("i").as("jj"), col("r").as("rJ"))
-      val t = mm.join(ri, mm("i") === ri("ii"))
-        .join(rj, mm("j") === rj("jj"))
-        .select(col("i"),
-          floor(col("m") * lit(1.0e15) /
-            greatest(col("rI") + col("rJ"), lit(1L)) + lit(0.5))
-            .cast("long").as("tq"))
-      val d = t.groupBy("i").agg(sum("tq").as("d"))
-      val u = wins.join(d, "i")
-        .select(col("i"),
-          floor(col("W") * lit(1.0e15) /
-            greatest(col("d"), lit(1L)) + lit(0.5)).cast("long").as("r"))
-      val n = u.agg(sum("r").as("sr"), count(lit(1)).as("nk"))
-      // each step reads r TWICE (both match sides) and u twice (sum
-      // + rescale): without a lineage cut the plan doubles per
-      // iteration (2^k compile blowup), so pin the census-sized
-      // iterate — |sources| rows — after every step
-      r = u.crossJoin(n)
-        .select(col("i"),
-          floor(col("r") * col("nk") * lit(1.0e9) / col("sr") + lit(0.5))
-            .cast("long").as("r"))
-        .localCheckpoint(true)
+      // tq = floor(m * 1.0e15 / greatest(rI + rJ, 1) + 0.5): long m
+      // widens to double at the multiply, the long denominator at the
+      // divide — the same coercions Catalyst inserted
+      val d: Map[String, Long] = mmL.groupBy(_._1).map { case (i, es) =>
+        i -> es.map { case (_, j, m) =>
+          math.floor(m.toDouble * 1.0e15 /
+            math.max(rL(i) + rL(j), 1L).toDouble + 0.5).toLong
+        }.sum
+      }
+      val u: Map[String, Long] = winsL.map { case (i, w) =>
+        i -> math.floor(w.toDouble * 1.0e15 /
+          math.max(d(i), 1L).toDouble + 0.5).toLong
+      }
+      val sr = u.values.sum
+      val nk = u.size.toLong
+      // r = floor(r * nk * 1.0e9 / sr + 0.5): r*nk is a LONG multiply
+      // (as Catalyst planned it), widening to double at * 1.0e9
+      rL = u.map { case (i, x) =>
+        i -> math.floor((x * nk).toDouble * 1.0e9 / sr.toDouble + 0.5).toLong
+      }
     }
+    val mm = mmL.toDF("i", "j", "m")
+    val wins = winsL.toSeq.sortBy(_._1).toDF("i", "W")
+    val mtot = mtotL.toSeq.sortBy(_._1).toDF("i", "M")
+    val r = rL.toSeq.sortBy(_._1).toDF("i", "r")
     (mm, wins, mtot, r)
   }
 
@@ -288,9 +316,9 @@ object PreferenceQueries {
          |FROM r$BtIters JOIN wins ON r$BtIters.i = wins.i
          |JOIN mtot ON r$BtIters.i = mtot.i
          |ORDER BY source""".stripMargin) { (s, dir) =>
-      // |sources|²-bounded census; localCheckpoint spends the one
-      // corpus pass so the MM iterations iterate over local rows
-      val mc = matchCensus(candidates(s, dir)).localCheckpoint(true)
+      // |sources|²-bounded census — btFit's census-bounded collect is
+      // the one action, so no checkpoint needed before it
+      val mc = matchCensus(candidates(s, dir))
       val (_, wins, mtot, r) = btFit(mc)
       // post-checkpoint Spark no longer knows these are census-sized —
       // state the broadcast explicitly rather than sort-merging 20 rows
@@ -340,7 +368,7 @@ object PreferenceQueries {
          |  strength - 1.96 * strength * se_log AS lo95,
          |  strength + 1.96 * strength * se_log AS hi95
          |FROM cf ORDER BY source""".stripMargin) { (s, dir) =>
-      btConfidence(matchCensus(candidates(s, dir)).localCheckpoint(true))
+      btConfidence(matchCensus(candidates(s, dir)))
     },
 
     // PAIRWISE WIN-RATE MATRIX with Wilson lower bound — the

@@ -83,6 +83,43 @@ object SelectionQueries {
                          dir: String): org.apache.spark.sql.DataFrame =
     dsirCountsOf(Tables.load(s, dir, "documents"))
 
+  /** (doc_id, lang, bk): one row per TOKEN OCCURRENCE — the narrow,
+    * exchange-free form of the DSIR feature stream. Both the bucket
+    * census (Σ over occurrences) and the document score
+    * (Σ_b c_db·λ_b = Σ over occurrences of λ) are sums over this
+    * stream, so neither needs the per-(doc, bucket) groupBy that
+    * [[dsirCountsOf]] pays — and the old query derived that groupBy
+    * TWICE (train + score branches). Guide §2.3: aggregate before you
+    * shuffle — here the partial aggregation happens directly into the
+    * final censuses.
+    */
+  private def dsirTokens(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    Tables.parallelize(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (h32(col("tok")) % DsirBuckets).as("bk"))
+
+  /** [[dsirLam]] computed from the occurrence stream: counting
+    * occurrences per (bucket, target/raw side) directly equals summing
+    * the per-doc counts the dc-based form groups first.
+    */
+  private[graft] def dsirLamFromTokens(
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val B = DsirBuckets
+    val bs = toks.groupBy("bk").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("rb"))
+    val tot = bs.agg(sum("tb").as("tt"), sum("rb").as("rr"))
+    bs.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        floor((log((col("tb") + 0.5) / (col("tt") + lit(B / 2.0)))
+          - log((col("rb") + 0.5) / (col("rr") + lit(B / 2.0)))) * 1e7 + 0.5)
+          .cast("long").as("lam_u"))
+  }
+
   /** (bk, lam_u): the smoothed log-likelihood-ratio vector in 1e-7
     * integer units — see the dsir_select comment for the math and the
     * cross-engine quantization argument.
@@ -141,8 +178,8 @@ object SelectionQueries {
       ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
       (size(filter(a, t => t === "the")) +
         size(filter(a, t => t === "a"))).as("stop_hits"),
-      (array_max(transform(array_distinct(a),
-        w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"),
+      (graft.ops.TextAnalysis.maxTokenCount(a) * lit(1.0) / size(a))
+        .as("topf"),
       md5(array_join(array_sort(array_distinct(a)), " ").cast("binary"))
         .as("fp"),
       WebCuration.domainCol(WebCuration.hostCol(WebCuration.urlCol))
@@ -580,12 +617,14 @@ object SelectionQueries {
          |SELECT doc_id, lang, score_u, score_u / 1e7 AS score
          |FROM sc ORDER BY score_u DESC, doc_id LIMIT $DsirTopK""".stripMargin
     }) { (s, dir) =>
-      val dc = dsirCounts(s, dir)
-      val lam = dsirLam(dc)
-      dc.filter(col("lang") =!= "en")
+      // occurrence-stream form: Σ_b c_db·λ_b == Σ_occurrences λ — the
+      // per-(doc, bucket) groupBy (paid twice: train + score) is gone
+      val toks = dsirTokens(s, dir)
+      val lam = dsirLamFromTokens(toks)
+      toks.filter(col("lang") =!= "en")
         .join(broadcast(lam), "bk")
         .groupBy("doc_id", "lang")
-        .agg(sum(col("c") * col("lam_u")).as("score_u"))
+        .agg(sum(col("lam_u")).as("score_u"))
         .select(col("doc_id"), col("lang"), col("score_u"),
           (col("score_u") / 1e7).as("score"))
         .orderBy(col("score_u").desc, col("doc_id"))

@@ -1812,11 +1812,11 @@ object TextQueries {
           ((length(col("text")) - (size(a) - 1)) * lit(1.0) / size(a)).as("mwl"),
           (size(filter(a, t => t === "the")) +
             size(filter(a, t => t === "a"))).as("stop_hits"),
-          // per-row mode without a per-doc shuffle: max over distinct
-          // tokens of their in-array count (O(types x tokens) per row,
-          // types are vocabulary-bounded)
-          (array_max(transform(array_distinct(a),
-            w => size(filter(a, t => t === w)))) * lit(1.0) / size(a)).as("topf"))
+          // per-row mode without a per-doc shuffle: max run length of
+          // the sorted token array (TextAnalysis.maxTokenCount —
+          // O(k log k)/row vs the old O(types x tokens) distinct scan)
+          (graft.ops.TextAnalysis.maxTokenCount(a) * lit(1.0) / size(a))
+            .as("topf"))
       f.select(col("doc_id"), col("n_words"),
           round(col("mwl"), 6).as("mean_word_len"), col("stop_hits"),
           round(col("topf"), 6).as("top_tok_frac"),
@@ -1957,7 +1957,7 @@ object TextQueries {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val arr = Tables.parallelize(Tables.load(s, dir, "documents")
           .select("doc_id", "text"))
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("a"))
       val n = size(col("a"))
       // clamp: a doc with < 3 tokens has NO trigrams (empty slices),
       // where a bare n-2 length would be negative and throw
@@ -1969,16 +1969,31 @@ object TextQueries {
           slice(col("a"), lit(3), tlen))).as("p"))
         .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"),
           col("p.2").as("w3"))
-      val dtc = tri.groupBy("doc_id", "w1", "w2", "w3")
-        .agg(count(lit(1)).as("dc"))
-      // train-half counts + all lower orders derive from dtc: one
-      // tokenize, one explode, then vocabulary-bounded aggregates.
-      // t3 is MATERIALIZED (localCheckpoint — the "trained counts"
-      // artifact a production run persists): without it each of the
-      // five broadcast sides re-derives the corpus scan + explode +
-      // count (measured: 6 scans -> 2, 2.7 s -> 2.1 s at sf0.1)
-      val t3 = dtc.filter(col("doc_id") % 2 === 0)
-        .groupBy("w1", "w2", "w3").agg(sum(col("dc")).as("c3"))
+      // score-side per-(doc, trigram) counts as a MAP-SIDE histogram
+      // over the shingle strings (TextAnalysis.histogram — words carry
+      // no spaces, so "w1 w2 w3" splits back losslessly): same multiset
+      // as the old groupBy(doc_id, w1, w2, w3).count, but the
+      // corpus-wide (doc, trigram) exchange never exists (guide §2.4)
+      val dtc = arr
+        .select(col("doc_id"),
+          explode(graft.ops.TextAnalysis.histogram(
+            graft.ops.Dedup.shingles(col("text"), 3))).as("e"))
+        .select(col("doc_id"),
+          element_at(split(col("e.tok"), " "), 1).as("w1"),
+          element_at(split(col("e.tok"), " "), 2).as("w2"),
+          element_at(split(col("e.tok"), " "), 3).as("w3"),
+          col("e.cnt").as("dc"))
+      // train-half counts + all lower orders derive from ONE trigram
+      // count table (one tokenize, one explode, then vocabulary-bounded
+      // aggregates) — counted DIRECTLY from the occurrence stream (the
+      // sum over documents of per-doc counts IS the occurrence total),
+      // skipping the per-(doc, trigram) intermediate the old derivation
+      // grouped by. t3 stays MATERIALIZED (localCheckpoint — the
+      // "trained counts" artifact a production run persists): without
+      // it each of the five broadcast sides re-derives the corpus scan
+      // + explode + count (measured r13: 6 scans -> 2, 2.7 s -> 2.1 s)
+      val t3 = tri.filter(col("doc_id") % 2 === 0)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("c3"))
         .localCheckpoint(true)
       val cx2 = t3.groupBy("w1", "w2").agg(sum(col("c3")).as("cc2"))
       val b2 = t3.groupBy("w2", "w3").agg(sum(col("c3")).as("c2"))

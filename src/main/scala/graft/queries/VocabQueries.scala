@@ -532,16 +532,28 @@ object VocabQueries {
         |SELECT doc_id, true_lang, cand AS pred_lang,
         |  CAST(logpost AS DOUBLE) AS logpost, cand = true_lang AS is_match
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val dt = Tables.parallelize(Tables.load(s, dir, "documents")
+      val base = Tables.parallelize(Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "text"))
+      // score-side per-(doc, tok) counts as a MAP-SIDE histogram
+      // (TextAnalysis.histogram): same multiset as
+      // explode+groupBy(doc_id, lang, tok).count, but the corpus-wide
+      // (doc, token) exchange never exists (guide §2.4)
+      val dt = base
         .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
+          explode(graft.ops.TextAnalysis.histogram(
+            split(col("text"), " "))).as("e"))
+        .select(col("doc_id"), col("lang"),
+          col("e.tok").as("tok"), col("e.cnt").as("n"))
       // the model: train-half counts, materialized once (the persisted
-      // NB artifact) — every lower table derives without a re-scan
-      val tr = dt.filter(col("doc_id") % 2 === 0)
-        .groupBy(col("lang").as("cand"), col("tok"))
-        .agg(sum(col("n")).as("c"))
+      // NB artifact). Counted DIRECTLY from the token stream — the sum
+      // over documents of per-doc counts IS the occurrence total, so
+      // the per-(doc, tok) intermediate the old derivation grouped by
+      // is skipped (guide §2.3: aggregate before you shuffle)
+      val tr = base.filter(col("doc_id") % 2 === 0)
+        .select(col("lang").as("cand"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("cand", "tok")
+        .agg(count(lit(1)).cast("long").as("c"))
         .localCheckpoint(true)
       val cls = tr.groupBy("cand").agg(sum(col("c")).as("tot"))
       val voc = tr.agg(countDistinct(col("tok")).as("v"))

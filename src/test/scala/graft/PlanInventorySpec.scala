@@ -164,7 +164,6 @@ class PlanInventorySpec extends SparkSpec {
     "ttest_welch", // one-row corpus-moment census cross-joined back
     "mad_outliers", // one-row median/MAD censuses cross-joined back
     "runs_test", // one-row median census cross-joined onto the |days| census
-    "table_stats_sketch", // two one-row profile aggregates cross-joined
     "curation_funnel", // one-row stage census x one-row domain census x one-row sequence count
     "did_estimate", // one-row split-day census cross-joined onto the purchase scan
     "referential_integrity", // one-row orphan/childless rollups cross-joined per edge
