@@ -50,20 +50,44 @@ object StageProfile {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
 
-    val K = 12; val B6 = 6; val R2 = 2
-    time("minhash_sig") {
-      Dedup.minhashFromText(docs, "doc_id", "text", K)
+    val events = Tables.load(spark, sfDir, "events")
+    time("ts_census") {
+      events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          * 100).cast("long").as("c"))
     }
-    time("minhash_bands_pairs") {
-      Dedup.candidatePairs(
-        Dedup.bandKeys(Dedup.minhashFromText(docs, "doc_id", "text", K),
-          "doc_id", B6, R2), "doc_id")
+    time("ts_census_ckpt_join") {
+      val i = events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          * 100).cast("long").as("c"))
+        .select(col("event_type"), expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+        .localCheckpoint(true)
+      val a = i.select(col("event_type"), col("t").as("t1"), col("c").as("c1"))
+      val b = i.select(col("event_type").as("et2"), col("t").as("t2"), col("c").as("c2"))
+      a.join(b, col("event_type") === col("et2") && col("t1") < col("t2"))
+        .select(col("event_type"),
+          round((col("c2") - col("c1")).cast("double")
+            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"),
+          col("t1"), col("t2"))
     }
-    time("minhash_pairs_cc") {
-      Dedup.connectedComponents(
-        Dedup.candidatePairs(
-          Dedup.bandKeys(Dedup.minhashFromText(docs, "doc_id", "text", K),
-            "doc_id", B6, R2), "doc_id"), "id_a", "id_b")
+    time("ts_distinct_slopes") {
+      val i = events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          * 100).cast("long").as("c"))
+        .select(col("event_type"), expr("unix_micros(hour) div 3600000000L").as("t"), col("c"))
+        .localCheckpoint(true)
+      val a = i.select(col("event_type"), col("t").as("t1"), col("c").as("c1"))
+      val b = i.select(col("event_type").as("et2"), col("t").as("t2"), col("c").as("c2"))
+      val p = a.join(b, col("event_type") === col("et2") && col("t1") < col("t2"))
+        .select(col("event_type"),
+          round((col("c2") - col("c1")).cast("double")
+            / ((col("t2") - col("t1")) * 100.0), 6).as("slope"))
+      val g = p.groupBy("event_type", "slope").agg(count(lit(1)).as("cnt"))
+      println("[scratch]   distinct (type, slope) rows = " + g.count())
+      g
+    }
+    time("ts_full") {
+      graft.SparkEntry.queries("theil_sen")(spark, sfDir)
     }
   }
 }

@@ -325,11 +325,19 @@ object StatQueries {
           round((col("c2") - col("c1")).cast("double")
             / ((col("t2") - col("t1")) * 100.0), 6).as("slope"),
           col("t1"), col("t2"))
+      // np analytically from the hour census: the join generates ALL
+      // t1 < t2 pairs, so per type np == C(nb, 2) exactly — replacing
+      // the unbounded count(*) window, which re-buffered every pair
+      // row per partition for a value the census already determines
+      // (guide §2.4; measured r14: see OPTIMIZATION_r14.md)
+      val np = i.groupBy("event_type")
+        .agg(count(lit(1)).as("nbh"))
+        .select(col("event_type"),
+          expr("nbh * (nbh - 1) div 2").as("np"))
       val r = p
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("slope", "t1", "t2")))
-        .withColumn("np", count(lit(1)).over(
-          Window.partitionBy("event_type").rowsBetween(Long.MinValue, Long.MaxValue)))
+        .join(broadcast(np), "event_type")
       r.filter(col("rn") === expr("(np + 1) div 2"))
         .select(col("event_type"), col("np").as("n_pairs"),
           col("slope").as("median_slope"))
