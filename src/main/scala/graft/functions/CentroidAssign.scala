@@ -51,24 +51,8 @@ case class CentroidAssign(child: Expression, centroids: Array[Array[Double]])
   override protected def nullSafeEval(input: Any): Any =
     assign(input.asInstanceOf[ArrayData])
 
-  def assign(arr: ArrayData): Int = {
-    val n = arr.numElements()
-    var best = -1
-    var bestSim = 0.0
-    var c = 0
-    while (c < centroids.length) {
-      val cen = centroids(c)
-      val d = if (n < cen.length) n else cen.length
-      var s = 0.0
-      var i = 0
-      while (i < d) { s += arr.getFloat(i).toDouble * cen(i); i += 1 }
-      val r = java.math.BigDecimal.valueOf(s)
-        .setScale(6, RoundingMode.HALF_UP).doubleValue()
-      if (best < 0 || r > bestSim) { best = c; bestSim = r }
-      c += 1
-    }
-    best
-  }
+  def assign(arr: ArrayData): Int =
+    CentroidAssign.assignSlice(arr, 0, arr.numElements(), centroids)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("centroidAssign", this,
@@ -85,4 +69,31 @@ object CentroidAssign {
   def apply(embedding: Column, centroids: Array[Array[Double]]): Column =
     GraftSqlBridge.column(
       CentroidAssign(GraftSqlBridge.expression(embedding), centroids))
+
+  /** The assignment loop over elements [offset, offset + len) of `arr`
+    * — EXACTLY what `assign` computes over `slice(arr, offset+1, len)`
+    * (slices past the array end shorten, matching `slice`), shared so
+    * [[LloydUpdateAgg]]'s in-aggregate assignment is the same code
+    * path the map-side [[CentroidAssign]] expression runs.
+    */
+  def assignSlice(arr: ArrayData, offset: Int, len: Int,
+                  centroids: Array[Array[Double]]): Int = {
+    val n = arr.numElements()
+    val avail = if (n - offset < len) n - offset else len
+    var best = -1
+    var bestSim = 0.0
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val d = if (avail < cen.length) avail else cen.length
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += arr.getFloat(offset + i).toDouble * cen(i); i += 1 }
+      val r = java.math.BigDecimal.valueOf(s)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+      if (best < 0 || r > bestSim) { best = c; bestSim = r }
+      c += 1
+    }
+    best
+  }
 }

@@ -25,8 +25,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Index-ordered dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Index-ordered dot product of two array columns, in double.
+    *
+    * r14: native codegen'd [[graft.functions.DotProduct]] — the
+    * previous `aggregate(zip_with(...))` form (kept as [[dotHof]], the
+    * parity reference DotProductSpec pins against) is CodegenFallback
+    * and interprets two lambdas per ELEMENT; a cosine paid three such
+    * evaluations per pair, the dominant per-task work of every
+    * block-pair similarity join. Identical float semantics and null
+    * semantics (see DotProduct doc), so every consumer's oracle hash
+    * is unchanged.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** The pre-r14 higher-order-function formulation of [[dot]] — the
+    * parity reference DotProductSpec pins [[dot]] against.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
 
@@ -154,14 +169,50 @@ object Similarity {
     */
   def kmeansStep(df: DataFrame, embCol: String,
                  centroids: Array[Array[Double]]): (Array[Array[Double]], Array[Long]) = {
+    // One LloydUpdateAgg partial aggregate (assignment + decimal-exact
+    // per-dimension sums + counts in a single flat Long buffer): no
+    // posexplode row inflation exists at any scale — each task folds
+    // its rows into k·dim scalars, the single-partition exchange
+    // carries n_partitions buffers, and the collect is ONE row. The
+    // previous exploded formulation (kept as [[kmeansStepExploded]],
+    // equality pinned by KMeansSpec) materialized dim·N (idx, v) rows
+    // per iteration through the aggregation hash map. Assignment and
+    // sums replay the identical quantized ops (see LloydUpdateAgg doc),
+    // so the centroids are bit-identical.
     val k = centroids.length
-    // Native argmax expression, NOT composed round(dot) columns: each
-    // Lloyd iteration produces a NEW centroid matrix, and a composed
-    // form inlines it as k*dim literal terms — every iteration then
-    // pays a fresh multi-second janino compile (or, as a HOF lambda,
-    // ~2.5 ms/row of interpreter overhead). CentroidAssign carries the
-    // matrix as one codegen reference object; semantics are pinned
-    // equal to ivfAssign(centroidSims(...)) by KMeansSpec.
+    val dim = centroids(0).length
+    val buf = df
+      .select(graft.functions.LloydUpdateAgg(
+        col(embCol), IndexedSeq(centroids), dim).as("b"))
+      .head().getSeq[Long](0)
+    val next = centroids.map(_.clone())
+    val counts = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val n = buf(k * dim + c)
+      if (n > 0) {
+        counts(c) = n
+        var i = 0
+        while (i < dim) {
+          // exact replay of CAST(sum_decimal AS DOUBLE) / n
+          next(c)(i) = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(buf(c * dim + i)), 10)
+            .doubleValue() / n.toDouble
+          i += 1
+        }
+      }
+      c += 1
+    }
+    (next, counts)
+  }
+
+  /** The pre-r14 posexplode formulation of [[kmeansStep]] — retained
+    * as the parity reference KMeansSpec pins the aggregate against
+    * (same convention as censor_fold's two-step literal path).
+    */
+  private[graft] def kmeansStepExploded(df: DataFrame, embCol: String,
+      centroids: Array[Array[Double]]): (Array[Array[Double]], Array[Long]) = {
+    val k = centroids.length
     val cluster =
       graft.functions.CentroidAssign(col(embCol), centroids).as("c")
     val agg = df
@@ -226,6 +277,44 @@ object Similarity {
   def pqStep(df: DataFrame, embCol: String,
              cbs: IndexedSeq[Array[Array[Double]]],
              subDim: Int): IndexedSeq[Array[Array[Double]]] = {
+    // Same LloydUpdateAgg rewrite as [[kmeansStep]], M subspaces in the
+    // one buffer: the old form (kept as [[pqStepExploded]], pinned by
+    // KMeansSpec) exploded each row M ways and then posexploded each
+    // subvector — M·subDim·N materialized rows per iteration; here the
+    // scan folds straight into M·k·subDim scalars per task.
+    val m = cbs.length
+    val k = cbs.head.length
+    val buf = df
+      .select(graft.functions.LloydUpdateAgg(col(embCol), cbs, subDim).as("b"))
+      .head().getSeq[Long](0)
+    val next = cbs.map(_.map(_.clone()))
+    var mm = 0
+    while (mm < m) {
+      var c = 0
+      while (c < k) {
+        val n = buf(m * k * subDim + mm * k + c)
+        if (n > 0) {
+          var i = 0
+          while (i < subDim) {
+            next(mm)(c)(i) = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(buf((mm * k + c) * subDim + i)), 10)
+              .doubleValue() / n.toDouble
+            i += 1
+          }
+        }
+        c += 1
+      }
+      mm += 1
+    }
+    next
+  }
+
+  /** The pre-r14 explode formulation of [[pqStep]] — the parity
+    * reference KMeansSpec pins the aggregate against.
+    */
+  private[graft] def pqStepExploded(df: DataFrame, embCol: String,
+      cbs: IndexedSeq[Array[Array[Double]]],
+      subDim: Int): IndexedSeq[Array[Array[Double]]] = {
     val entries = cbs.indices.map { m =>
       struct(lit(m).as("m"),
         graft.functions.CentroidAssign(

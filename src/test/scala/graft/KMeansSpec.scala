@@ -56,6 +56,32 @@ class KMeansSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).count() === 0)
   }
 
+  test("LloydUpdateAgg step equals the exploded decimal-sum step, bit-exactly") {
+    // the r14 rewrite: one TypedImperativeAggregate buffer instead of
+    // posexplode + groupBy(cluster, idx) decimal sums. Pin both Lloyd
+    // variants against the retained exploded formulation on the REAL
+    // float fixture — centroids AND counts must match bit-for-bit,
+    // from the md5 init and again from a data-dependent matrix.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    var cents = Similarity.centroidCoefs(8, 64)
+    (0 until 2).foreach { _ =>
+      val (na, nn) = Similarity.kmeansStep(emb, "embedding", cents)
+      val (ea, en) = Similarity.kmeansStepExploded(emb, "embedding", cents)
+      assert(nn.toSeq === en.toSeq)
+      assert(na.map(_.toSeq).toSeq === ea.map(_.toSeq).toSeq)
+      cents = na
+    }
+    val (pqM, pqK, pqSub) = (8, 4, 8)
+    var cbs: IndexedSeq[Array[Array[Double]]] =
+      (0 until pqM).map(m => Similarity.pqInitCoefs(m, pqK, pqSub))
+    (0 until 2).foreach { _ =>
+      val agg = Similarity.pqStep(emb, "embedding", cbs, pqSub)
+      val exp = Similarity.pqStepExploded(emb, "embedding", cbs, pqSub)
+      assert(agg.map(_.map(_.toSeq).toSeq) === exp.map(_.map(_.toSeq).toSeq))
+      cbs = agg
+    }
+  }
+
   test("kmeansStep is exactly deterministic under repartitioning") {
     val df = vecs(200).toDF("vec_id", "embedding")
     val init = Similarity.centroidCoefs(4, dim)
