@@ -585,16 +585,27 @@ object GovernanceQueries {
         val ckeys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true) // key census; feeds both directions
         val pkeys = parent.select(col(pk).as("k")).distinct()
+        // r14 fusion: the old shape ran TWO anti-joins (orphans one
+        // way, childless the other — deriving the parent key census
+        // twice) plus a THIRD full child scan for the row count. One
+        // FULL OUTER join at key grain answers both directions in one
+        // pass (guide §2.4: two operations keyed the same way share
+        // one exchange), and child_rows is just SUM(cnt) over the key
+        // census — the fact table is scanned exactly once per edge.
         // NULL FK values are neither orphans nor matches (DuckDB's
-        // NOT IN three-valued logic drops them; mirror it explicitly)
-        val orphans = ckeys.filter(col("k").isNotNull)
-          .join(pkeys, Seq("k"), "left_anti")
-          .agg(coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"))
-        val childless = pkeys.join(ckeys.filter(col("k").isNotNull),
-            Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("childless_parents"))
-        val rows = child.agg(count(lit(1)).as("child_rows"))
-        rows.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
+        // NOT IN three-valued logic drops them; mirror it explicitly —
+        // they're excluded from the join but still counted in
+        // child_rows via the census sum). A NULL parent key joins
+        // nothing and counts as childless, exactly as the old
+        // anti-join treated it.
+        val both = ckeys.filter(col("k").isNotNull)
+          .join(pkeys.withColumn("is_parent", lit(1)), Seq("k"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("is_parent").isNull, col("cnt"))), lit(0L))
+              .as("orphan_rows"),
+            count(when(col("cnt").isNull, 1)).as("childless_parents"))
+        val rows = ckeys.agg(coalesce(sum(col("cnt")), lit(0L)).as("child_rows"))
+        rows.crossJoin(broadcast(both))
           .select(lit(name).as("fk"), col("child_rows"), col("orphan_rows"),
             col("childless_parents"))
       }

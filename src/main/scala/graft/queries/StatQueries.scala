@@ -325,20 +325,51 @@ object StatQueries {
           round((col("c2") - col("c1")).cast("double")
             / ((col("t2") - col("t1")) * 100.0), 6).as("slope"),
           col("t1"), col("t2"))
-      // np analytically from the hour census: the join generates ALL
-      // t1 < t2 pairs, so per type np == C(nb, 2) exactly — replacing
-      // the unbounded count(*) window, which re-buffered every pair
-      // row per partition for a value the census already determines
-      // (guide §2.4; measured r14: see OPTIMIZATION_r14.md)
-      val np = i.groupBy("event_type")
-        .agg(count(lit(1)).as("nbh"))
-        .select(col("event_type"),
-          expr("nbh * (nbh - 1) div 2").as("np"))
-      val r = p
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("slope", "t1", "t2")))
+      // r14: distributed order-statistic selection instead of the
+      // row_number window. The window hash-partitioned by event_type,
+      // so ONE task sorted a type's ENTIRE pair mass (5 tasks on 32
+      // cores here; a one-task straggler near the span ceiling, guide
+      // §2.5). Here the pair set range-partitions on the FULL sort key
+      // (event_type, slope, t1, t2) — every core sorts a slice; equal
+      // keys can't straddle a range bound and the key is unique anyway
+      // — a per-(partition, type) run census (par × |types| rows) maps
+      // each type's median RANK to one frozen row id, and one filter
+      // fetches those rows. np per type = the run-census sum, which
+      // equals the analytic C(nb, 2) because the join generates every
+      // t1 < t2 pair. monotonically_increasing_id is (pid << 33) +
+      // local offset; the eager localCheckpoint freezes it, so the
+      // global order ((pid, mid) ascending = full-key ascending) is
+      // pinned before anything reads it.
+      val pC = p.localCheckpoint(true)
+      val srt = pC
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("event_type"), col("slope"), col("t1"), col("t2"))
+        .sortWithinPartitions("event_type", "slope", "t1", "t2")
+        .withColumn("mid", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val runs = srt
+        .groupBy(expr("shiftright(mid, 33)").as("pid"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("mid")).as("lo"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy { case (pid, _, _, lo) => (pid, lo) }
+      val npByType = runs.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).sum }
+      // walk each type's runs in global order to the (np+1)/2-th row
+      val targets: Seq[Long] = npByType.toSeq.flatMap { case (t, np) =>
+        val r0 = (np + 1) / 2 // 1-based lower-median rank; 0 when np == 0
+        var cum = 0L
+        var hit: Option[Long] = None
+        runs.iterator.filter(_._2 == t).foreach { case (_, _, n, lo) =>
+          if (hit.isEmpty && r0 > cum && r0 <= cum + n)
+            hit = Some(lo + (r0 - cum - 1))
+          cum += n
+        }
+        hit
+      }
+      import s.implicits._
+      val np = npByType.toSeq.toDF("event_type", "np")
+      srt.filter(col("mid").isin(targets: _*))
         .join(broadcast(np), "event_type")
-      r.filter(col("rn") === expr("(np + 1) div 2"))
         .select(col("event_type"), col("np").as("n_pairs"),
           col("slope").as("median_slope"))
         .orderBy("event_type")
