@@ -118,6 +118,20 @@ object ScaleSmoke {
       cbs = Similarity.pqStep(emb, "embedding", cbs, 8)
       cbs.length.toLong
     }
+    // pre-r14 posexplode formulations, same session/inputs — the
+    // honest baseline for the LloydUpdateAgg rewrite's probe rows
+    time("kmeans_step_k8_exploded") {
+      val (_, counts) = Similarity.kmeansStepExploded(emb, "embedding",
+        Similarity.centroidCoefs(8, 64))
+      counts.sum
+    }
+    time("pq_train_2steps_exploded") {
+      var cbs: IndexedSeq[Array[Array[Double]]] =
+        (0 until 8).map(m => Similarity.pqInitCoefs(m, 16, 8))
+      cbs = Similarity.pqStepExploded(emb, "embedding", cbs, 8)
+      cbs = Similarity.pqStepExploded(emb, "embedding", cbs, 8)
+      cbs.length.toLong
+    }
     // IVFADC probe (ann_ivf_pq's scan half, codebooks pre-trained on
     // the base corpus so the stage isolates encode + ADC scan +
     // shortlist — the per-query cost that must stay linear in the
