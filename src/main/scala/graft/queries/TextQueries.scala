@@ -310,12 +310,16 @@ object TextQueries {
           max("count").as("top_tok"))
       // bigrams: zip the array against itself shifted by one — no
       // window, no second tokenize; docs with < 2 tokens produce an
-      // empty array and drop out (matching the oracle's inner join)
+      // empty array and drop out (matching the oracle's inner join).
+      // arrays_zip + post-explode concat, NOT zip_with(concat): the
+      // HOF is CodegenFallback and interprets the concat lambda per
+      // token; arrays_zip and the post-generate projection are both
+      // whole-stage-codegen'd (the bigram_logprob discipline, r14)
       val n = size(col("a"))
-      val bigrams = zip_with(
-        slice(col("a"), lit(1), n - 1), slice(col("a"), lit(2), n - 1),
-        (x, y) => concat(x, lit(" "), y))
-      val bg = base.select(col("doc_id"), explode(bigrams).as("b"))
+      val bigrams = arrays_zip(
+        slice(col("a"), lit(1), n - 1), slice(col("a"), lit(2), n - 1))
+      val bg = base.select(col("doc_id"), explode(bigrams).as("p"))
+        .select(col("doc_id"), concat(col("p.0"), lit(" "), col("p.1")).as("b"))
         .groupBy("doc_id", "b").count()
         .groupBy("doc_id")
         .agg(max("count").as("top_bg"), sum("count").as("n_bigrams"))

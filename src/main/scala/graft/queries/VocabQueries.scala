@@ -409,12 +409,13 @@ object VocabQueries {
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val n = u.agg(sum(col("c")).as("n"))
       val a = docs.select(split(col("text"), " ").as("a"))
-      val bigrams = zip_with(
+      // arrays_zip, not zip_with(struct): the HOF interprets its
+      // lambda per token (CodegenFallback); arrays_zip stays codegen'd
+      val bigrams = arrays_zip(
         slice(col("a"), lit(1), size(col("a")) - 1),
-        slice(col("a"), lit(2), size(col("a")) - 1),
-        (x, y) => struct(x.as("w1"), y.as("w2")))
+        slice(col("a"), lit(2), size(col("a")) - 1))
       val bc = a.select(explode(bigrams).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .select(col("p.0").as("w1"), col("p.1").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val nb = bc.agg(sum(col("c12")).as("nb"))
       val u1 = u.select(col("tok").as("w1"), col("c").as("c1"))
@@ -465,13 +466,14 @@ object VocabQueries {
           .select("text"))
         .select(split(col("text"), " ").as("a"))
       val n = size(col("a"))
-      val pairs = zip_with(
-        slice(col("a"), lit(1), n - 1), slice(col("a"), lit(2), n - 1),
-        (x, y) => struct(x.as("w1"), y.as("w2")))
+      // arrays_zip, not zip_with(struct): same codegen argument as
+      // pmi_collocations above
+      val pairs = arrays_zip(
+        slice(col("a"), lit(1), n - 1), slice(col("a"), lit(2), n - 1))
       val und = arr.select(explode(pairs).as("p"))
-        .filter(col("p.w1") =!= col("p.w2"))
-        .select(least(col("p.w1"), col("p.w2")).as("a"),
-          greatest(col("p.w1"), col("p.w2")).as("b"))
+        .filter(col("p.0") =!= col("p.1"))
+        .select(least(col("p.0"), col("p.1")).as("a"),
+          greatest(col("p.0"), col("p.1")).as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c"))
         .filter(col("c") >= MinCooc)
       val edges = und.select(col("a"), col("b"))
